@@ -1,0 +1,78 @@
+"""Native Column builders for token normalization (reference
+validation/normalization.py) — D1-D5 in SURVEY.md §2.8. Pure Catalyst
+expressions: translate / regexp / lpad, no Python in the row path."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ocr_spark import config as C
+
+
+def devanagari_to_arabic(col: Column) -> Column:
+    """D1 — normalization.py:42-48."""
+    return F.translate(col, C.DEVANAGARI_DIGITS, C.ARABIC_DIGITS)
+
+
+def normalize_numeric_field(col: Column) -> Column:
+    """D2 — normalization.py:17-40: OCR de-confusion then strip non-[0-9.,-]."""
+    src = "".join(C.NUMERIC_CONFUSION.keys())
+    dst = "".join(C.NUMERIC_CONFUSION.values())
+    return F.regexp_replace(F.translate(col, src, dst), r"[^0-9.,\-]", "")
+
+
+def clean_whitespace(col: Column) -> Column:
+    """D3 — normalization.py:9-15 (' '.join(split()))."""
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def normalize_date(col: Column) -> Column:
+    """D4 — normalization.py:50-72: to DD/MM/YYYY, else NULL."""
+    clean = F.regexp_replace(col, r"[^\d/\-.]", "")
+    dmy = r"^(\d{1,2})[/\-.](\d{1,2})[/\-.](\d{4})$"
+    ymd = r"^(\d{4})[/\-.](\d{1,2})[/\-.](\d{1,2})$"
+
+    def pad(x: Column) -> Column:
+        return F.lpad(x, 2, "0")
+
+    d1 = F.regexp_extract(clean, dmy, 1)
+    m1 = F.regexp_extract(clean, dmy, 2)
+    y1 = F.regexp_extract(clean, dmy, 3)
+    y2 = F.regexp_extract(clean, ymd, 1)
+    m2 = F.regexp_extract(clean, ymd, 2)
+    d2 = F.regexp_extract(clean, ymd, 3)
+    return (
+        F.when(d1 != "", F.concat(pad(d1), F.lit("/"), pad(m1), F.lit("/"), y1))
+        .when(y2 != "", F.concat(pad(d2), F.lit("/"), pad(m2), F.lit("/"), y2))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def is_valid_date(ds: Column, min_year: int = C.DATE_MIN_YEAR) -> Column:
+    """Reference date validity (aadhaar.py:292-324 / vehicle_rc.py:382-412):
+    day 1-31, month 1-12, 2-digit years mapped >50 -> 19xx else 20xx, year
+    within [min_year, 2024] (hardcoded cap replicated)."""
+    fmt_ok = ds.rlike(r"^\d{1,2}[/-]\d{1,2}[/-]\d{2,4}")
+    parts = F.split(ds, "[/-]")
+    three = F.size(parts) == 3
+    num_ok = (
+        F.get(parts, 0).rlike(r"^\d+$")
+        & F.get(parts, 1).rlike(r"^\d+$")
+        & F.get(parts, 2).rlike(r"^\d+$")
+    )
+    day = F.get(parts, 0).cast("int")
+    month = F.get(parts, 1).cast("int")
+    raw_year = F.get(parts, 2).cast("int")
+    year = F.when(raw_year < 100, F.when(raw_year > 50, raw_year + 1900).otherwise(raw_year + 2000)).otherwise(raw_year)
+    in_range = (
+        day.between(1, 31)
+        & month.between(1, 12)
+        & year.between(min_year, C.DATE_MAX_YEAR)
+    )
+    return F.coalesce(fmt_ok & three & num_ok & in_range, F.lit(False))
+
+
+def non_empty(col: Column) -> Column:
+    """regexp_extract returns '' on no-match; promote to NULL for coalesce."""
+    return F.nullif(col, F.lit(""))

@@ -1,0 +1,199 @@
+"""End-to-end extraction pipeline: one lazily-composed DataFrame program.
+
+    read pages  ──repartition(xxhash64(url))──►  stage A (mapInArrow)
+    read payloads ──────────────────────────►  stage B (mapInArrow)
+            └─ join on url ─►  native expressions: classification, dual-pass
+               field extraction + priority merge, 10-component scoring,
+               decision CASE chain  ─►  output columns
+
+The hash(url) salt repartition before stage A defuses crawl-order host skew
+(north rule); everything after the two Arrow stages is pure Catalyst (single
+WholeStageCodegen region per projection), mirroring SURVEY.md §3.4.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ocr_spark import config as C
+from ocr_spark.functions import scoring
+from ocr_spark.functions.classify import classify
+from ocr_spark.functions.extractors import ALL_FIELDS, FIELD_BUILDERS
+from ocr_spark.functions.quality import quality_columns
+from ocr_spark.functions.wordstats import split_words, word_stat_columns
+from ocr_spark.operators.stage_a import stage_a
+from ocr_spark.operators.stage_b import stage_b
+
+OUTPUT_COLUMNS = [
+    "url", "warc_ts", "lang", "extracted_text", "doc_type", "extracted_fields",
+    "decision", "hard_rejection", "final_score", "quality_score", "quality_passed",
+    "quality_reasons", "ocr_confidence_score", "total_words", "low_confidence_words",
+    "numeric_words", "mean_confidence", "fuzzy_score", "schema_score",
+    "distribution_score", "non_alnum_ratio", "business_failures",
+]
+
+
+def _split_lines(text):
+    return F.when(F.length(text) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(text, "\n")
+    )
+
+
+def merged_fields(doc_type, dom_text, full_text, has_ocr) -> dict:
+    """Dual-pass extraction + priority merge (J1, reference pipeline.py:285-316).
+
+    Standard pass = DOM text; enhanced pass = DOM + recognized payload text.
+    Enhanced fills gaps only for the type's priority fields; the aadhaar
+    id_number alias is set only on the enhanced-fill path (pipeline.py:303-305
+    — the std-pass alias is commented out in aadhaar.py:38)."""
+    dom_words, dom_lines = split_words(dom_text), _split_lines(dom_text)
+    full_words, full_lines = split_words(full_text), _split_lines(full_text)
+
+    per_type: dict[str, dict] = {}
+    for t, builder in FIELD_BUILDERS.items():
+        std = builder(dom_text, dom_words, dom_lines)
+        enh = builder(full_text, full_words, full_lines)
+        priority = C.PRIORITY_FIELDS[t]
+        merged = {}
+        for fname, col in std.items():
+            if fname in priority:
+                merged[fname] = F.when(has_ocr, F.coalesce(col, enh[fname])).otherwise(col)
+            else:
+                merged[fname] = col
+        if t == "aadhaar":
+            merged["id_number"] = F.when(
+                has_ocr & std["aadhaar_number"].isNull() & enh["aadhaar_number"].isNotNull(),
+                enh["aadhaar_number"],
+            )
+        per_type[t] = merged
+
+    out = {}
+    for fname in ALL_FIELDS + ["id_number"]:
+        if fname in out:
+            continue
+        col = F.when(doc_type == "aadhaar",
+                     per_type["aadhaar"].get(fname, F.lit(None)).cast("string"))
+        col = col.when(doc_type == "pan", per_type["pan"].get(fname, F.lit(None)).cast("string"))
+        col = col.when(doc_type == "vehicle_rc",
+                       per_type["vehicle_rc"].get(fname, F.lit(None)).cast("string"))
+        out[fname] = col
+    return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages_path: str,
+    payloads_path: str | None = None,
+    salt_partitions: int | None = None,
+    pages_df: DataFrame | None = None,
+    payloads_df: DataFrame | None = None,
+) -> DataFrame:
+    """Compose the full extraction plan; lazy — caller writes or collects."""
+    pages = pages_df if pages_df is not None else spark.read.parquet(pages_path)
+    if salt_partitions is None:
+        salt_partitions = spark.sparkContext.defaultParallelism * C.SALT_PARTITIONS_PER_CORE
+    # Skew defuse: crawl files cluster by host; hash(url) spreads hot hosts
+    # uniformly before the compute-heavy Arrow stage (north rule).
+    pages = pages.repartition(salt_partitions, F.xxhash64("url"))
+
+    a = stage_a(pages)
+
+    if payloads_path or payloads_df is not None:
+        payloads = payloads_df if payloads_df is not None else spark.read.parquet(payloads_path)
+        b = stage_b(payloads)
+        a = a.join(b, "url", "left")
+    else:
+        a = a.withColumn("ocr_text", F.lit(None).cast("string")).withColumn(
+            "ocr_conf", F.lit(None).cast("double")
+        )
+
+    ocr_text = F.coalesce(F.col("ocr_text"), F.lit(""))
+    has_ocr = F.length(ocr_text) > 0
+    full_text = F.when(
+        F.length("dom_text") == 0, ocr_text
+    ).otherwise(
+        F.when(has_ocr, F.concat(F.col("dom_text"), F.lit("\n"), ocr_text)).otherwise(F.col("dom_text"))
+    )
+
+    df = a.withColumn("extracted_text", full_text).withColumn("has_ocr", has_ocr)
+
+    # Classification (A4) on the primary (merged) text.
+    cls = classify(F.col("extracted_text"))
+    df = df.withColumn("doc_type", cls["doc_type"])
+
+    # Field extraction (X1-X18) with dual-pass merge — materialized as
+    # concrete columns so every downstream score reads them once.
+    fields = merged_fields(
+        F.col("doc_type"), F.col("dom_text"), F.col("extracted_text"), F.col("has_ocr")
+    )
+    for fname, col in fields.items():
+        df = df.withColumn(f"f_{fname}", col)
+    field_cols = {fname: F.col(f"f_{fname}") for fname in fields}
+
+    # Word stats + OCR confidence (A1-A3).
+    stats = word_stat_columns(F.col("dom_text"), ocr_text, F.coalesce(F.col("ocr_conf"), F.lit(0.0)) * 100.0)
+    for name, col in stats.items():
+        df = df.withColumn(name, col)
+
+    # Quality composite + gate (F7/F8).
+    qual = quality_columns(
+        F.col("blur_raw"), F.col("brightness_raw"), F.col("resolution_raw"),
+        F.col("contrast_raw"), F.col("edge_density_raw"), F.col("glare_raw"),
+    )
+    for name, col in qual.items():
+        df = df.withColumn(name, col)
+
+    # Validation scores.
+    df = df.withColumn("fuzzy_score", scoring.anchor_score(F.col("extracted_text"), F.col("doc_type")))
+    df = df.withColumn("schema_score", scoring.schema_score(F.col("doc_type"), field_cols))
+    df = df.withColumn("distribution_score", scoring.distribution_score(F.col("extracted_text"), F.col("doc_type")))
+    df = df.withColumn("non_alnum_ratio", scoring.non_alnum_ratio(F.col("extracted_text")))
+    df = df.withColumn("business_failures", scoring.missing_critical(F.col("doc_type"), field_cols))
+    mandatory = scoring.mandatory_present(F.col("doc_type"), field_cols) & (
+        F.size("business_failures") == 0
+    )
+    df = df.withColumn("mandatory_present", mandatory)
+
+    # 10-component confidence (A10) with the reference's aliases:
+    # regex=schema (pipeline.py:362), layout=ocr (pipeline.py:330), kv=0.5
+    # (key_value.py:32), spatial=1.0 (no-boxes default, pipeline.py:365).
+    parts = {
+        "image_quality": F.col("quality_score"),
+        "ocr_confidence": F.col("ocr_confidence_score"),
+        "regex": F.col("schema_score"),
+        "fuzzy": F.col("fuzzy_score"),
+        "layout": F.col("ocr_confidence_score"),
+        "kv": F.lit(0.5),
+        "consistency": F.when(F.col("mandatory_present"), F.lit(1.0)).otherwise(F.lit(0.5)),
+        "schema": F.col("schema_score"),
+        "distribution": F.col("distribution_score"),
+        "spatial": F.lit(1.0),
+    }
+    df = df.withColumn("final_score", scoring.final_confidence(parts))
+
+    dec = scoring.decision_columns(
+        final_score=F.col("final_score"),
+        quality_passed=F.col("quality_passed"),
+        text_detected=F.col("total_words") > 0,
+        mandatory=F.col("mandatory_present"),
+        non_alnum=F.col("non_alnum_ratio"),
+        multi_document=F.lit(False),
+        conflicting_schemas=F.lit(False),
+        has_business_failures=F.size("business_failures") > 0,
+    )
+    df = df.withColumn("decision", dec["decision"]).withColumn("hard_rejection", dec["hard_rejection"])
+
+    # extracted_fields map (MapType keeps the dynamic per-type key set).
+    kvs = []
+    for fname in field_cols:
+        kvs.append(F.lit(fname))
+        kvs.append(field_cols[fname])
+    df = df.withColumn(
+        "extracted_fields",
+        F.map_filter(F.map_from_arrays(
+            F.array(*kvs[0::2]), F.array(*[c.cast("string") for c in kvs[1::2]])
+        ), lambda _, v: v.isNotNull()),
+    )
+
+    return df.select(*OUTPUT_COLUMNS)
