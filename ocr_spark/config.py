@@ -35,11 +35,15 @@ TYPE_KEYWORDS: dict[str, list[str]] = {
 
 # Regex patterns scored +5 each on match (classification.py:36-61,85-89).
 # Written in the common dialect of Python `re` and Java regex so the same
-# pattern strings drive both the oracle and Spark `rlike`.
+# pattern strings drive both the oracle and Spark `rlike`. Python's \d is
+# Unicode-wide while Java's is ASCII, so digit classes are spelled
+# [0-9०-९] — ASCII + Devanagari, the exact digit universe the reference
+# handles (its transliteration table, normalization.py:47).
+DIGIT = "[0-9०-९]"
 TYPE_PATTERNS: dict[str, list[str]] = {
     "aadhaar": [
-        r"\b\d{4}\s+\d{4}\s+\d{4}\b",
-        r"\b\d{12}\b",
+        rf"\b{DIGIT}{{4}}\s+{DIGIT}{{4}}\s+{DIGIT}{{4}}\b",
+        rf"\b{DIGIT}{{12}}\b",
         r"(?:aadhaar|आधार)",
         r"UIDAI",
     ],

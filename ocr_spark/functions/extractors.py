@@ -60,19 +60,25 @@ def _valid_aadhaar(c: Column) -> Column:
     return devanagari_to_arabic(c).rlike(r"^[2-9][0-9]{11}$")
 
 
+_D = C.DIGIT  # [0-9०-९]: Python \d parity on the reference's digit universe
+
+
 def aadhaar_number(text: Column, words: Column) -> Column:
-    """X1 — aadhaar.py:84-148, 4 strategies in order."""
-    s1_matches = F.regexp_extract_all(text, F.lit(r"\b\d{4}[\s.\-]+\d{4}[\s.\-]+\d{4}\b"), 0)
+    """X1 — aadhaar.py:84-148, 4 strategies in order. Matches return the RAW
+    span (Devanagari digits kept, like Python re); only validation folds."""
+    s1_matches = F.regexp_extract_all(
+        text, F.lit(rf"\b{_D}{{4}}[\s.\-]+{_D}{{4}}[\s.\-]+{_D}{{4}}\b"), 0
+    )
     s1 = _first(
         F.filter(
             F.transform(s1_matches, lambda m: F.regexp_replace(m, r"[\s.\-]+", "")),
             _valid_aadhaar,
         )
     )
-    s2 = _first(F.filter(F.regexp_extract_all(text, F.lit(r"\b(\d{12})\b"), 1), _valid_aadhaar))
+    s2 = _first(F.filter(F.regexp_extract_all(text, F.lit(rf"\b({_D}{{12}})\b"), 1), _valid_aadhaar))
     # Strategy 3 — consecutive 4-digit word triple (aadhaar.py:125-148).
     digit_words = F.filter(
-        F.transform(words, lambda w: F.regexp_replace(devanagari_to_arabic(w), r"[^\d]", "")),
+        F.transform(words, lambda w: F.regexp_replace(w, rf"[^{C.DIGIT[1:-1]}]", "")),
         lambda w: F.length(w) == 4,
     )
     n = F.size(digit_words)
@@ -86,17 +92,22 @@ def aadhaar_number(text: Column, words: Column) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     s3 = _first(F.filter(triples, _valid_aadhaar))
-    s4_raw = F.regexp_extract(text, r"(?is)(?:aadhaar|आधार).*?(\d{4}[\s.\-]*\d{4}[\s.\-]*\d{4})", 1)
+    s4_raw = F.regexp_extract(
+        text, rf"(?is)(?:aadhaar|आधार).*?({_D}{{4}}[\s.\-]*{_D}{{4}}[\s.\-]*{_D}{{4}})", 1
+    )
     s4_clean = F.regexp_replace(s4_raw, r"[\s.\-]+", "")
     s4 = F.when((s4_raw != "") & _valid_aadhaar(s4_clean), s4_clean)
     return F.coalesce(s1, s2, s3, s4)
 
 
 def aadhaar_vid(text: Column) -> Column:
-    """X3 — aadhaar.py:174-191."""
-    raw = F.regexp_extract(text, r"(?is)(?:vid|virtual\s+id).*?(\d{4}\s*\d{4}\s*\d{4}\s*\d{4})", 1)
+    """X3 — aadhaar.py:174-191 (isdigit check is Unicode in Python — fold
+    only for the check, return the raw span)."""
+    raw = F.regexp_extract(
+        text, rf"(?is)(?:vid|virtual\s+id).*?({_D}{{4}}\s*{_D}{{4}}\s*{_D}{{4}}\s*{_D}{{4}})", 1
+    )
     vid = F.regexp_replace(raw, r"\s+", "")
-    return F.when(vid.rlike(r"^\d{16}$"), vid)
+    return F.when(devanagari_to_arabic(vid).rlike(r"^\d{16}$"), vid)
 
 
 def _clean_name(raw: Column) -> Column:

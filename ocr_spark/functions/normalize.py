@@ -61,9 +61,12 @@ def is_valid_date(ds: Column, min_year: int = C.DATE_MIN_YEAR) -> Column:
         & F.get(parts, 1).rlike(r"^\d+$")
         & F.get(parts, 2).rlike(r"^\d+$")
     )
-    day = F.get(parts, 0).cast("int")
-    month = F.get(parts, 1).cast("int")
-    raw_year = F.get(parts, 2).cast("int")
+    # try_cast: ANSI mode errors on cast('') even under a false branch of a
+    # boolean AND (no short-circuit in codegen) — null-on-malformed is safe
+    # because num_ok already gates the result.
+    day = F.get(parts, 0).try_cast("int")
+    month = F.get(parts, 1).try_cast("int")
+    raw_year = F.get(parts, 2).try_cast("int")
     year = F.when(raw_year < 100, F.when(raw_year > 50, raw_year + 1900).otherwise(raw_year + 2000)).otherwise(raw_year)
     in_range = (
         day.between(1, 31)

@@ -1,0 +1,81 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the correctness baseline; the LSH-bucketed
+variant (random-hyperplane signs from deterministic md5-derived planes) is
+the scale path — at 100 TB the cross join is replaced by a bucket-local join
+keyed on the sign signature.
+
+All math is native: zip_with/aggregate higher-order functions on double
+arrays inside whole-stage codegen. Results are rounded before ranking so the
+DuckDB oracle (float32 kernels) agrees bit-for-bit on the hashed output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+ROUND = 6
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
+                     k: int = 5, n_queries: int = 10) -> DataFrame:
+    """Top-k cosine neighbors for the first n_queries ids (brute force).
+
+    The query side is tiny -> broadcast; the corpus side streams through one
+    codegen'd projection. Ties broken by neighbor id for determinism."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nvec"),
+    )
+    queries = base.filter(F.col("nid") < n_queries).select(
+        F.col("nid").alias("qid"), F.col("nvec").alias("qvec")
+    )
+    scored = base.join(F.broadcast(queries), F.col("nid") != F.col("qid")).select(
+        "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), ROUND).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "cos", "rank")
+    )
+
+
+def hyperplane_lsh_buckets(df: DataFrame, id_col: str, vec_col: str,
+                           n_planes: int = 8) -> DataFrame:
+    """Sign-LSH bucket id per vector: bit b = sign(dot(vec, plane_b)) where
+    plane_b components are deterministic in (b, dim) via md5 — portable, no
+    RNG. Bucket-equal vectors are ANN candidates."""
+    vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    dim = F.size(vec)
+    bits = []
+    for b in range(n_planes):
+        # plane component for (b, i): md5 first nibble mapped to {-1..+1}
+        comp = lambda i, _b=b: (
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(_b)), i.cast("string"))), 1, 4), 16, 10).cast("double")
+            / 32767.5 - 1.0
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), dim - 1), lambda x, i, _c=comp: x * _c(i)),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    bucket = bits[0]
+    for c in bits[1:]:
+        bucket = bucket + c
+    return df.select(F.col(id_col).alias("doc"), bucket.alias("bucket"))
