@@ -123,12 +123,14 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2) -> 
     hashes = F.transform(F.col("shingles"), lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("decimal(20,0)").cast("long"))
     n = F.size(F.col("shingles"))
     # bit b of simhash = 1 if count(hashes with bit b set) * 2 >= n
+    def _bit_counter(mask: int):
+        # NB: no default-arg closures in HOF lambdas — pyspark's lambda
+        # introspection binds a Column to every declared parameter.
+        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(0)
+
     bit_cols = []
     for b in range(60):
-        cnt = F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h, _b=b: acc + F.when(h.bitwiseAND(F.lit(1 << _b)) != 0, 1).otherwise(0),
-        )
+        cnt = F.aggregate(hashes, F.lit(0), _bit_counter(1 << b))
         bit_cols.append(F.when((cnt * 2 >= n) & (n > 0), F.lit(1 << b)).otherwise(F.lit(0)))
     sim = bit_cols[0]
     for c in bit_cols[1:]:

@@ -63,15 +63,25 @@ def hyperplane_lsh_buckets(df: DataFrame, id_col: str, vec_col: str,
     RNG. Bucket-equal vectors are ANN candidates."""
     vec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     dim = F.size(vec)
+    def _plane_term(b: int):
+        # plane component for (b, i): md5 first 4 hex digits mapped to
+        # [-1, +1]. Closure factory, not default-arg lambda — pyspark's HOF
+        # lambda introspection binds a Column to every declared parameter.
+        def term(x, i):
+            comp = (
+                F.conv(
+                    F.substring(F.md5(F.concat_ws(":", F.lit(str(b)), i.cast("string"))), 1, 4),
+                    16, 10,
+                ).cast("double") / 32767.5 - 1.0
+            )
+            return x * comp
+
+        return term
+
     bits = []
     for b in range(n_planes):
-        # plane component for (b, i): md5 first nibble mapped to {-1..+1}
-        comp = lambda i, _b=b: (
-            F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(_b)), i.cast("string"))), 1, 4), 16, 10).cast("double")
-            / 32767.5 - 1.0
-        )
         proj = F.aggregate(
-            F.zip_with(vec, F.sequence(F.lit(0), dim - 1), lambda x, i, _c=comp: x * _c(i)),
+            F.zip_with(vec, F.sequence(F.lit(0), dim - 1), _plane_term(b)),
             F.lit(0.0), lambda acc, v: acc + v,
         )
         bits.append(F.when(proj >= 0, F.lit(1 << b)).otherwise(F.lit(0)))

@@ -1,0 +1,432 @@
+"""Driver-contract query library: every SURVEY.md §2 operator family gets a
+``QUERIES[name]`` Spark implementation over the driver's testdata tables and
+(where ANSI-SQL-expressible) an ``ORACLE[name]`` DuckDB twin that must match
+row-for-row, value-for-value.
+
+Cross-engine determinism rules used throughout (so the driver's value-hash
+compare holds):
+- aggregates over floating columns are carried as exact integers (cents /
+  basis points) and cast to BIGINT in both engines;
+- per-row double arithmetic is written with the identical operation order in
+  both dialects (IEEE 754 makes the results bit-equal);
+- regexes stay in the common Java-regex/RE2 dialect (no lookbehind, no
+  backrefs, explicit ``[0-9०-९]`` digit classes — see functions/extractors.py);
+- timestamps are projected as formatted strings;
+- booleans are projected as ints.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ocr_spark import config as C
+from ocr_spark.functions import similarity
+from ocr_spark.functions.classify import classify
+from ocr_spark.functions.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from ocr_spark.functions.extractors import FIELD_BUILDERS
+from ocr_spark.functions.normalize import normalize_date
+from ocr_spark.functions.quality import quality_columns
+from ocr_spark.functions.scoring import (
+    anchor_score,
+    decision_columns,
+    distribution_score,
+    final_confidence,
+    non_alnum_ratio,
+    schema_score,
+)
+from ocr_spark.functions.wordstats import split_words
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def query(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _cents(col) -> Column:
+    """Exact integer cents for a ≤2-decimal double — cross-engine-stable."""
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+# ===========================================================================
+# Relational engine ops (SURVEY.md §2.3, §2.4, §2.5, §2.6): joins, hash
+# aggregation with map-side partials, window top-k, anti-join resume.
+# ===========================================================================
+
+@query(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS count_order,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_bp
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-analog weighted rollup: partial+final hash agg, integer-exact."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(_cents("l_extendedprice")).alias("sum_base_cents"),
+            F.sum(F.round(F.col("l_discount") * 10000).cast("bigint")).alias("sum_disc_bp"),
+        )
+    )
+
+
+@query(
+    "topk_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_cents,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 — per-group top-k via row_number window."""
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority", "o_orderkey",
+            _cents("o_totalprice").alias("total_cents"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )
+
+
+@query(
+    "region_revenue",
+    """
+    SELECT r.r_name AS region_name,
+           CAST(COUNT(*) AS BIGINT) AS order_count,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: broadcast the dim chain, one shuffle for the final agg."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    dims = customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey).join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("c_custkey", "r_name")
+    return (
+        orders.join(F.broadcast(dims), orders.o_custkey == dims.c_custkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("order_count"),
+            F.sum(_cents("o_totalprice")).alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "customers_without_orders",
+    """
+    SELECT c_custkey FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join — the idempotent-resume primitive (SURVEY.md §2.3)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return customer.join(orders, "c_custkey", "left_anti").select("c_custkey")
+
+
+@query(
+    "events_hourly",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch form of the streaming windowed agg)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents("value")).alias("value_cents"),
+        )
+    )
+
+
+@query(
+    "event_sessions",
+    """
+    SELECT user_id,
+           CAST(SUM(new_session) + 1 AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    GROUP BY user_id
+    """,
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: lag window + conditional count per user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "new_session",
+        F.when(
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800, F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    return ev.groupBy("user_id").agg(
+        (F.sum("new_session") + 1).cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "topk_users_by_events",
+    """
+    SELECT user_id, n_events, CAST(rk AS BIGINT) AS rk FROM (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS rk
+      FROM events GROUP BY user_id)
+    WHERE rk <= 10
+    """,
+)
+def topk_users_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k after agg (single-partition window on tiny agg output)."""
+    agg = _t(spark, sf_dir, "events").groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
+    return agg.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 10).select(
+        "user_id", "n_events", F.col("rk").cast("bigint").alias("rk")
+    )
+
+
+# ===========================================================================
+# Deduplication suite over `documents` (exact, MinHash+LSH, SimHash,
+# n-gram Jaccard) — training-data-pipeline operators.
+# ===========================================================================
+
+_SHINGLE_SQL = """
+    SELECT doc_id AS doc,
+           CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3 THEN
+             list_distinct(list_transform(
+               generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 2),
+               i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                    string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
+                    string_split_regex(trim(text), '\\s+')[i+2]))
+           ELSE CAST([] AS VARCHAR[]) END AS shingles
+    FROM documents
+"""
+
+
+@query(
+    "exact_dedup",
+    """
+    SELECT sha256(text) AS content_hash,
+           CAST(COUNT(*) AS BIGINT) AS dup_count,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM documents GROUP BY sha256(text)
+    """,
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the content hash, never on the text."""
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "minhash_band_signatures",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    b AS (SELECT doc, shingles, unnest(range(0, 4)) AS band FROM sh)
+    SELECT doc, CAST(band AS BIGINT) AS band,
+           list_aggregate(list_transform(shingles, s -> md5(band || '|' || s)), 'min') AS signature
+    FROM b WHERE len(shingles) > 0
+    """,
+)
+def q_minhash_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash per (doc, band): md5-based, portable bit-for-bit."""
+    sig = minhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text", n_bands=4)
+    return sig.select("doc", F.col("band").cast("bigint").alias("band"), "signature")
+
+
+@query(
+    "lsh_candidate_pairs",
+    f"""
+    WITH sh AS ({_SHINGLE_SQL}),
+    b AS (SELECT doc, shingles, unnest(range(0, 4)) AS band FROM sh),
+    sigs AS (
+      SELECT doc, band,
+             list_aggregate(list_transform(shingles, s -> md5(band || '|' || s)), 'min') AS signature
+      FROM b WHERE len(shingles) > 0)
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+    FROM sigs a JOIN sigs b ON a.band = b.band AND a.signature = b.signature AND a.doc < b.doc
+    """,
+)
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: near-dup candidates shuffle only on (band, signature)."""
+    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", n_bands=4)
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS (
+      SELECT d.doc_id AS doc, d.lang, d.source, s.shingles
+      FROM documents d JOIN ({_SHINGLE_SQL}) s ON d.doc_id = s.doc)
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           ROUND(CASE WHEN len(list_distinct(a.shingles || b.shingles)) > 0
+                 THEN CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                      / len(list_distinct(a.shingles || b.shingles))
+                 ELSE 0.0 END, 9) AS jaccard
+    FROM sh a JOIN sh b ON a.lang = b.lang AND a.source = b.source AND a.doc < b.doc
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard within (lang, source) blocks — bounded quadratic."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", ["lang", "source"]
+    )
+
+
+def _simhash_oracle_sql() -> str:
+    bits = " + ".join(
+        f"CASE WHEN 2 * len(list_filter(hashes, h -> (h & {1 << b}) != 0)) >= n AND n > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(60)
+    )
+    return f"""
+    WITH sh AS (
+      SELECT doc_id AS doc,
+             CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 2 THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(string_split_regex(trim(text), '\\s+')) - 1),
+                 i -> string_split_regex(trim(text), '\\s+')[i] || ' ' ||
+                      string_split_regex(trim(text), '\\s+')[i+1]))
+             ELSE CAST([] AS VARCHAR[]) END AS shingles
+      FROM documents),
+    h AS (SELECT doc,
+                 list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hashes,
+                 len(shingles) AS n
+          FROM sh)
+    SELECT doc, CAST({bits} AS BIGINT) AS simhash FROM h
+    """
+
+
+@query("simhash", _simhash_oracle_sql())
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash: majority vote per bit over shingle md5 hashes."""
+    out = simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text", shingle_n=2)
+    return out.select("doc", F.col("simhash").cast("bigint").alias("simhash"))
+
+
+# ===========================================================================
+# Similarity search over `embeddings` (brute-force cosine top-k + sign-LSH
+# bucketing as the 100 TB path).
+# ===========================================================================
+
+@query(
+    "cosine_topk",
+    """
+    WITH base AS (
+      SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nvec
+      FROM embeddings),
+    q AS (SELECT nid AS qid, nvec AS qvec FROM base WHERE nid < 10),
+    scored AS (
+      SELECT q.qid, b.nid,
+             ROUND(
+               list_aggregate(list_transform(list_zip(q.qvec, b.nvec), p -> p[1] * p[2]), 'sum')
+               / (sqrt(list_aggregate(list_transform(q.qvec, x -> x * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(b.nvec, x -> x * x), 'sum'))), 6) AS cos
+      FROM base b CROSS JOIN q WHERE b.nid != q.qid)
+    SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rank FROM (
+      SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+      FROM scored)
+    WHERE rk <= 5
+    """,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN baseline: brute-force cosine top-5 for the first 10 vectors."""
+    out = similarity.brute_force_topk(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    return out.select("qid", "nid", "cos", F.col("rank").cast("bigint").alias("rank"))
+
+
+def _lsh_bucket_oracle_sql(n_planes: int = 8) -> str:
+    terms = []
+    for b in range(n_planes):
+        comp = (
+            f"(('0x' || substr(md5({b} || ':' || i), 1, 4))::INTEGER / 32767.5 - 1.0)"
+        )
+        proj = (
+            f"list_aggregate(list_transform(generate_series(0, dim - 1), "
+            f"i -> vec[i + 1] * {comp}), 'sum')"
+        )
+        terms.append(f"CASE WHEN {proj} >= 0 THEN {1 << b} ELSE 0 END")
+    total = " + ".join(terms)
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS doc,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec,
+             len(embedding) AS dim
+      FROM embeddings)
+    SELECT doc, CAST({total} AS BIGINT) AS bucket FROM base
+    """
+
+
+@query("lsh_buckets", _lsh_bucket_oracle_sql())
+def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucket ids — the bucketed ANN join key at scale."""
+    out = similarity.hyperplane_lsh_buckets(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    return out.select("doc", F.col("bucket").cast("bigint").alias("bucket"))
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Placeholder flagship until the synth pipeline lands."""
+    return QUERIES["pricing_summary"](spark, sf_dir)

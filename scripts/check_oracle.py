@@ -1,0 +1,105 @@
+"""Local replica of the driver's correctness gate: run each
+``__spark_entry__.queries()`` entry and its ``oracle_sql()`` twin on the
+same sf dir, compare row count, column names, and order-insensitive values.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype("string")
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].astype("float64")
+        elif str(df[c].dtype) in ("bool", "boolean"):
+            df[c] = df[c].astype("int64")
+        elif str(df[c].dtype).startswith(("int", "uint", "Int")):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+
+    from ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="check_oracle", cores=8, shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, f"spark error: {exc}"))
+            print(f"FAIL {name}: spark error: {str(exc)[:400]}")
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"ok?  {name}: rows={len(sdf)} (no oracle — rows-only check)")
+            continue
+        try:
+            odf = con.execute(sql).fetchdf()
+        except Exception as exc:  # noqa: BLE001
+            failures.append((name, f"duckdb error: {exc}"))
+            print(f"FAIL {name}: duckdb error: {str(exc)[:400]}")
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            failures.append((name, f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}"))
+            print(f"FAIL {name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+            continue
+        if len(sdf) != len(odf):
+            failures.append((name, f"rows {len(sdf)} vs {len(odf)}"))
+            print(f"FAIL {name}: rows {len(sdf)} vs {len(odf)}")
+            continue
+        a, b = canon(sdf), canon(odf)
+        if not a.equals(b):
+            diff_cols = [c for c in a.columns if not a[c].equals(b[c])]
+            msg = f"values differ in {diff_cols}"
+            mism = None
+            for c in diff_cols:
+                neq = a[c].fillna("<NA>") != b[c].fillna("<NA>")
+                idx = neq[neq].index[:3].tolist()
+                mism = [(c, i, a[c].iloc[i], b[c].iloc[i]) for i in idx]
+                break
+            failures.append((name, msg))
+            print(f"FAIL {name}: {msg}; first: {mism}")
+            continue
+        print(f"PASS {name}: rows={len(sdf)}")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
