@@ -427,6 +427,112 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc", F.col("bucket").cast("bigint").alias("bucket"))
 
 
+# ===========================================================================
+# Reference-semantics suite over the synthetic ID-document corpus
+# (ocr_spark.synth builds byte-identical texts in both engines from orders).
+# ===========================================================================
+
+from ocr_spark.synth import SYNTH_CORPUS_SQL, synth_corpus  # noqa: E402
+
+
+@query("synth_corpus", SYNTH_CORPUS_SQL)
+def q_synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base check: both engines must build the exact same document texts."""
+    return synth_corpus(spark, sf_dir)
+
+
+from ocr_spark import oracle_sql as OSQL  # noqa: E402
+
+
+def _mode_corpus_sql(mode: int) -> str:
+    return f"SELECT doc_id, text FROM ({SYNTH_CORPUS_SQL}) WHERE mode = {mode}"
+
+
+def _synth_with_words(spark: SparkSession, sf_dir: str, mode: int) -> DataFrame:
+    df = synth_corpus(spark, sf_dir).filter(F.col("mode") == mode)
+    return df.select(
+        "doc_id",
+        F.col("text"),
+        split_words(F.col("text")).alias("words"),
+        F.when(F.length("text") == 0, F.array().cast("array<string>"))
+        .otherwise(F.split("text", "\n"))
+        .alias("lines"),
+    )
+
+
+@query("extract_aadhaar", OSQL.aadhaar_fields_sql(_mode_corpus_sql(0)))
+def q_extract_aadhaar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1-X10: all aadhaar extraction strategies over the synthetic corpus."""
+    df = _synth_with_words(spark, sf_dir, 0)
+    fields = FIELD_BUILDERS["aadhaar"](F.col("text"), F.col("words"), F.col("lines"))
+    return df.select("doc_id", *[c.cast("string").alias(n) for n, c in fields.items()])
+
+
+@query("extract_pan", OSQL.pan_fields_sql(_mode_corpus_sql(1)))
+def q_extract_pan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11-X15: strict/ambiguous/fuzzy-corrected/loose PAN extraction."""
+    df = _synth_with_words(spark, sf_dir, 1)
+    fields = FIELD_BUILDERS["pan"](F.col("text"), F.col("words"), F.col("lines"))
+    return df.select("doc_id", *[c.cast("string").alias(n) for n, c in fields.items()])
+
+
+_RC_FIELDS = [
+    "registration_number", "owner_name", "engine_number", "chassis_number",
+    "fuel_type", "vehicle_class", "seating_capacity",
+]
+
+
+@query("extract_vehicle_rc", OSQL.rc_fields_sql(_mode_corpus_sql(2)))
+def q_extract_rc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X16-X18: registration-number ambiguity guard + RC field extraction."""
+    df = _synth_with_words(spark, sf_dir, 2)
+    fields = FIELD_BUILDERS["vehicle_rc"](F.col("text"), F.col("words"), F.col("lines"))
+    return df.select("doc_id", *[fields[n].cast("string").alias(n) for n in _RC_FIELDS])
+
+
+def _classify_oracle() -> str:
+    cs = OSQL.classify_sql("text")
+    cols = ", ".join(
+        [f"{cs['doc_type']} AS doc_type"]
+        + [f"CAST({cs[f'score_{t}']} AS BIGINT) AS score_{t}" for t in C.TYPE_KEYWORDS]
+    )
+    return f"SELECT doc_id, {cols} FROM ({SYNTH_CORPUS_SQL})"
+
+
+@query("classify_documents", _classify_oracle())
+def q_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: keyword/regex classification scoring + priority argmax."""
+    df = synth_corpus(spark, sf_dir)
+    cls = classify(F.col("text"))
+    return df.select(
+        "doc_id",
+        cls["doc_type"].alias("doc_type"),
+        *[cls[f"score_{t}"].cast("bigint").alias(f"score_{t}") for t in C.TYPE_KEYWORDS],
+    )
+
+
+def _textstats_oracle() -> str:
+    cs = OSQL.classify_sql("text")
+    dist = OSQL.distribution_score_sql("text", cs["doc_type"])
+    nar = OSQL.non_alnum_ratio_sql("text")
+    return f"""
+    SELECT doc_id, {dist} AS dist_score, {nar} AS nar
+    FROM ({SYNTH_CORPUS_SQL})
+    """
+
+
+@query("distribution_scores", _textstats_oracle())
+def q_distribution_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 + F11: char-class ratio scoring against per-type profiles."""
+    df = synth_corpus(spark, sf_dir)
+    cls = classify(F.col("text"))
+    return df.select(
+        "doc_id",
+        distribution_score(F.col("text"), cls["doc_type"]).alias("dist_score"),
+        non_alnum_ratio(F.col("text")).alias("nar"),
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Placeholder flagship until the synth pipeline lands."""
     return QUERIES["pricing_summary"](spark, sf_dir)
