@@ -390,6 +390,12 @@ def classify_sql(text: str = "text") -> dict[str, str]:
     return {"doc_type": chain, **{f"score_{t}": s for t, s in scores.items()}}
 
 
+def dbl(x: float) -> str:
+    """DuckDB float literal forced to DOUBLE: bare literals parse as DECIMAL
+    and constant-fold exactly, diverging bitwise from Spark's doubles."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
 def distribution_score_sql(text: str, doc_type_sql: str) -> str:
     """distribution_score mirror (scoring.py:56-75) — same operation order."""
     total = f"length({text})"
@@ -399,18 +405,18 @@ def distribution_score_sql(text: str, doc_type_sql: str) -> str:
     sr = f"({special} / {total})"
     branches = []
     for dt, prof in C.DISTRIBUTION_PROFILES.items():
-        mn, mxs = prof["min_numeric_ratio"], prof["max_special_char_ratio"]
+        mn, mxs = dbl(prof["min_numeric_ratio"]), dbl(prof["max_special_char_ratio"])
         score = (
-            f"(1.0 - (CASE WHEN {nr} < {mn} THEN ({mn} - {nr}) / {mn} * {C.DIST_NUMERIC_PENALTY} "
-            f"ELSE 0.0 END) - (CASE WHEN {sr} > {mxs} THEN ({sr} - {mxs}) / (1.0 - {mxs}) "
-            f"* {C.DIST_SPECIAL_PENALTY} ELSE 0.0 END))"
+            f"({dbl(1.0)} - (CASE WHEN {nr} < {mn} THEN ({mn} - {nr}) / {mn} * {dbl(C.DIST_NUMERIC_PENALTY)} "
+            f"ELSE {dbl(0.0)} END) - (CASE WHEN {sr} > {mxs} THEN ({sr} - {mxs}) / ({dbl(1.0)} - {mxs}) "
+            f"* {dbl(C.DIST_SPECIAL_PENALTY)} ELSE {dbl(0.0)} END))"
         )
-        branches.append(f"WHEN {doc_type_sql} = '{dt}' THEN greatest(0.0, {score})")
-    chain = "CASE " + " ".join(branches) + " ELSE 1.0 END"
-    return f"(CASE WHEN {total} = 0 THEN 0.0 ELSE {chain} END)"
+        branches.append(f"WHEN {doc_type_sql} = '{dt}' THEN greatest({dbl(0.0)}, {score})")
+    chain = "CASE " + " ".join(branches) + f" ELSE {dbl(1.0)} END"
+    return f"(CASE WHEN {total} = 0 THEN {dbl(0.0)} ELSE {chain} END)"
 
 
 def non_alnum_ratio_sql(text: str) -> str:
     total = f"length({text})"
     alnum = f"(length({text}) - length(regexp_replace({text}, '[\\p{{L}}\\p{{N}}\\s]', '', 'g')))"
-    return f"(CASE WHEN {total} = 0 THEN 0.0 ELSE 1.0 - {alnum} / {total} END)"
+    return f"(CASE WHEN {total} = 0 THEN {dbl(0.0)} ELSE {dbl(1.0)} - {alnum} / {total} END)"

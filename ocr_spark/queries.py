@@ -533,6 +533,170 @@ def q_distribution_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# Scoring + decision pipeline (A8/A10 + decision CASE chain) over the synth
+# corpus, with the reference's component aliases and exact FP operation order.
+# ===========================================================================
+
+_MODE_TYPE = {0: "aadhaar", 1: "pan", 2: "vehicle_rc"}
+_FIXED_PARTS = {"image_quality": 0.8, "fuzzy": 0.6, "kv": 0.5, "spatial": 1.0}
+
+
+def _score_decide_frame(spark: SparkSession, sf_dir: str, mode: int) -> DataFrame:
+    t = _MODE_TYPE[mode]
+    df = _synth_with_words(spark, sf_dir, mode)
+    text = F.col("text")
+    fields = FIELD_BUILDERS[t](text, F.col("words"), F.col("lines"))
+
+    weights = C.FIELD_WEIGHTS[t]
+    total_w = sum(weights.values())
+    got: Column = F.lit(0.0)
+    for fname, w in weights.items():
+        got = got + F.when(fields[fname].isNotNull(), F.lit(w)).otherwise(F.lit(0.0))
+    schema = got / total_w
+
+    mandatory: Column = F.lit(True)
+    for fname in C.REQUIRED_FIELDS[t]:
+        mandatory = mandatory & fields[fname].isNotNull()
+
+    crit_missing: Column = F.lit(0)
+    for fname, w in weights.items():
+        if w >= C.CRITICAL_FIELD_WEIGHT:
+            crit_missing = crit_missing + F.when(fields[fname].isNull(), 1).otherwise(0)
+
+    n_words = F.size(F.col("words"))
+    ocr_conf = F.when(n_words < C.MIN_WORDS_DETECTED, F.lit(0.0)).otherwise(F.lit(1.0))
+    dist = distribution_score(text, F.lit(t))
+    nar = non_alnum_ratio(text)
+
+    parts = {
+        "image_quality": F.lit(_FIXED_PARTS["image_quality"]),
+        "ocr_confidence": ocr_conf,
+        "regex": schema,
+        "fuzzy": F.lit(_FIXED_PARTS["fuzzy"]),
+        "layout": ocr_conf,
+        "kv": F.lit(_FIXED_PARTS["kv"]),
+        "consistency": F.when(mandatory, F.lit(1.0)).otherwise(F.lit(0.5)),
+        "schema": schema,
+        "distribution": dist,
+        "spatial": F.lit(_FIXED_PARTS["spatial"]),
+    }
+    final = final_confidence(parts)
+    dec = decision_columns(
+        final_score=final,
+        quality_passed=F.lit(True),
+        text_detected=n_words > 0,
+        mandatory=mandatory,
+        non_alnum=nar,
+        multi_document=F.lit(False),
+        conflicting_schemas=F.lit(False),
+        has_business_failures=crit_missing > 0,
+    )
+    return df.select(
+        "doc_id",
+        F.lit(t).alias("doc_type"),
+        schema.alias("schema_score"),
+        dist.alias("dist_score"),
+        nar.alias("nar"),
+        mandatory.cast("int").alias("mandatory_present"),
+        crit_missing.cast("bigint").alias("critical_missing"),
+        final.alias("final_score"),
+        dec["decision"].alias("decision"),
+        dec["hard_rejection"].cast("int").alias("hard_rejection"),
+    )
+
+
+def _dbl(x: float) -> str:
+    """DuckDB float literal forced to DOUBLE — bare literals parse as
+    DECIMAL and constant-fold exactly, diverging from Spark's doubles."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+def _score_decide_oracle() -> str:
+    w_total_global = _dbl(sum(C.SCORE_WEIGHTS.values()))
+    selects = []
+    field_sql_gen = {
+        0: OSQL.aadhaar_fields_sql,
+        1: OSQL.pan_fields_sql,
+        2: OSQL.rc_fields_sql,
+    }
+    for mode, t in _MODE_TYPE.items():
+        fields_sql = field_sql_gen[mode](_mode_corpus_sql(mode))
+        weights = C.FIELD_WEIGHTS[t]
+        total_w = _dbl(sum(weights.values()))
+        got = " + ".join(
+            f"(CASE WHEN f.{fn} IS NOT NULL THEN {_dbl(w)} ELSE {_dbl(0.0)} END)"
+            for fn, w in weights.items()
+        )
+        schema = f"(({_dbl(0.0)} + {got}) / {total_w})"
+        mandatory = " AND ".join(f"f.{fn} IS NOT NULL" for fn in C.REQUIRED_FIELDS[t])
+        crit = " + ".join(
+            f"(CASE WHEN f.{fn} IS NULL THEN 1 ELSE 0 END)"
+            for fn, w in weights.items() if w >= C.CRITICAL_FIELD_WEIGHT
+        )
+        dist = OSQL.distribution_score_sql("c.text", f"'{t}'")
+        nar = OSQL.non_alnum_ratio_sql("c.text")
+        n_words = "len(string_split_regex(trim(c.text), '\\s+'))"
+        ocr_conf = (
+            f"(CASE WHEN {n_words} < {C.MIN_WORDS_DETECTED} "
+            f"THEN {_dbl(0.0)} ELSE {_dbl(1.0)} END)"
+        )
+        consistency = f"(CASE WHEN ({mandatory}) THEN {_dbl(1.0)} ELSE {_dbl(0.5)} END)"
+        sw = C.SCORE_WEIGHTS
+        num = (
+            f"{_dbl(sw['image_quality'])} * {_dbl(_FIXED_PARTS['image_quality'])}"
+            f" + {_dbl(sw['ocr_confidence'])} * {ocr_conf}"
+            f" + {_dbl(sw['regex_match'])} * {schema}"
+            f" + {_dbl(sw['fuzzy_match'])} * {_dbl(_FIXED_PARTS['fuzzy'])}"
+            f" + {_dbl(sw['layout_validity'])} * {ocr_conf}"
+            f" + {_dbl(sw['kv_match'])} * {_dbl(_FIXED_PARTS['kv'])}"
+            f" + {_dbl(sw['consistency'])} * {consistency}"
+            f" + {_dbl(sw['schema_completeness'])} * {schema}"
+            f" + {_dbl(sw['distribution'])} * {dist}"
+            f" + {_dbl(sw['spatial_compactness'])} * {_dbl(_FIXED_PARTS['spatial'])}"
+        )
+        final = f"greatest({_dbl(0.0)}, least({_dbl(1.0)}, ({num}) / {w_total_global}))"
+        biz = f"(({crit}) > 0)"
+        decision = (
+            f"CASE WHEN NOT ({n_words} > 0) THEN 'reject' "
+            f"WHEN NOT TRUE THEN 'reject' "
+            f"WHEN NOT ({mandatory}) THEN 'reject' "
+            f"WHEN {nar} > {_dbl(C.MAX_NON_ALPHANUMERIC)} THEN 'reject' "
+            f"WHEN FALSE THEN 'reject' "
+            f"WHEN FALSE THEN 'review' "
+            f"WHEN {final} >= {_dbl(C.ACCEPT_THRESHOLD)} THEN "
+            f"(CASE WHEN {biz} THEN 'review' ELSE 'accept' END) "
+            f"WHEN {final} >= {_dbl(C.REVIEW_THRESHOLD)} THEN 'review' ELSE 'reject' END"
+        )
+        hard = (
+            f"(NOT ({n_words} > 0)) OR (({n_words} > 0) AND NOT ({mandatory})) "
+            f"OR (({n_words} > 0) AND ({mandatory}) AND {nar} > {_dbl(C.MAX_NON_ALPHANUMERIC)})"
+        )
+        selects.append(f"""
+        SELECT c.doc_id, '{t}' AS doc_type,
+               {schema} AS schema_score,
+               {dist} AS dist_score,
+               {nar} AS nar,
+               CAST(CASE WHEN ({mandatory}) THEN 1 ELSE 0 END AS INTEGER) AS mandatory_present,
+               CAST(({crit}) AS BIGINT) AS critical_missing,
+               {final} AS final_score,
+               {decision} AS decision,
+               CAST(CASE WHEN ({hard}) THEN 1 ELSE 0 END AS INTEGER) AS hard_rejection
+        FROM ({_mode_corpus_sql(mode)}) c JOIN ({fields_sql}) f USING (doc_id)
+        """)
+    return " UNION ALL ".join(selects)
+
+
+@query("score_and_decide", _score_decide_oracle())
+def q_score_and_decide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 schema score + A10 confidence + decision chain, per doc type."""
+    frames = [_score_decide_frame(spark, sf_dir, m) for m in _MODE_TYPE]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Placeholder flagship until the synth pipeline lands."""
     return QUERIES["pricing_summary"](spark, sf_dir)
