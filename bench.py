@@ -1,0 +1,146 @@
+"""Headline benchmark: extraction pipeline throughput + driver-query suite.
+
+Prints ONE JSON line:
+  {"metric": "headline_wall_sec", "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": <sf>,
+   "extraction": {"pages": N, "secs": s, "docs_per_sec": r}}
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  BENCH_PAGES          synthetic page count for the extraction stage (default 24000)
+  BENCH_QUERIES        comma-list to restrict the query suite
+
+CLI:
+  python bench.py                 # full headline run
+  python bench.py --pipeline-only # extraction stage only (used by scaling.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+HEADLINE = [
+    "pricing_summary",
+    "topk_orders_per_priority",
+    "region_revenue",
+    "events_hourly",
+    "event_sessions",
+    "exact_dedup",
+    "minhash_band_signatures",
+    "lsh_candidate_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_topk",
+    "lsh_buckets",
+    "synth_corpus",
+    "classify_documents",
+    "extract_aadhaar",
+    "extract_pan",
+    "extract_vehicle_rc",
+    "score_and_decide",
+    "word_stats",
+    "lang_id",
+    "doc_quality",
+    "doc_fingerprint",
+    "quality_gate",
+    "date_normalize",
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan (noop sink computes every column, unlike count)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def corpus_path(n_pages: int) -> str:
+    """Deterministic page+payload corpus, built once per size and cached."""
+    from ocr_spark.fixtures.corpus import write_corpus
+
+    d = f"/tmp/ocr_spark_bench_corpus_{n_pages}"
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        write_corpus(d, n_pages)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def run_extraction(spark, n_pages: int) -> dict:
+    from ocr_spark.pipeline import run_pipeline
+
+    d = corpus_path(n_pages)  # generation excluded from the timed window
+    pages = os.path.join(d, "pages.parquet")
+    payloads = os.path.join(d, "payloads.parquet")
+    if not os.path.exists(payloads):
+        payloads = None
+
+    # Warm-up on a tiny corpus: spins up the per-core Python workers and
+    # compiles the codegen stages once, as a long-lived cluster would have
+    # already done. Excluded from the timed window; the cold-start cost is
+    # documented in BENCH.md.
+    wd = corpus_path(200)
+    wp = os.path.join(wd, "payloads.parquet")
+    _force(run_pipeline(spark, os.path.join(wd, "pages.parquet"),
+                        wp if os.path.exists(wp) else None))
+
+    t0 = time.monotonic()
+    df = run_pipeline(spark, pages, payloads)
+    _force(df)
+    secs = time.monotonic() - t0
+    return {"pages": n_pages, "secs": round(secs, 3),
+            "docs_per_sec": round(n_pages / secs, 1)}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "24000"))
+    pipeline_only = "--pipeline-only" in sys.argv
+
+    from ocr_spark.session import get_spark
+
+    spark = get_spark(app_name="ocr_spark_bench", cores=cores,
+                  extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    extraction = run_extraction(spark, n_pages)
+
+    timings: dict[str, float] = {}
+    if not pipeline_only:
+        from ocr_spark.queries import QUERIES
+
+        only = os.environ.get("BENCH_QUERIES")
+        names = [n for n in (only.split(",") if only else HEADLINE) if n in QUERIES]
+        for name in names:
+            t0 = time.monotonic()
+            _force(QUERIES[name](spark, sf_dir))
+            timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()) + extraction["secs"], 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "cores": cores,
+        "extraction": extraction,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,7 +16,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -45,19 +45,21 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        n_bands: int = 4, shingle_n: int = 3) -> DataFrame:
     """Per-band minhash signature: min over md5(band || shingle). Portable
-    (md5 exists in every engine) and deterministic. One row per (id, band)."""
+    (md5 exists in every engine) and deterministic. One row per (id, band).
+
+    Shape: explode shingles × bands into flat rows (md5 runs inside
+    whole-stage codegen, not an interpreted HOF lambda), then one hash agg
+    with map-side partial MIN — the same plan a 100 TB corpus wants."""
     sh = word_shingles(F.col(text_col), shingle_n)
-    bands = F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band")
-    out = df.select(F.col(id_col).alias("doc"), sh.alias("shingles")).select(
-        "doc", "shingles", bands
+    flat = (
+        df.select(F.col(id_col).alias("doc"), F.explode(sh).alias("shingle"))
+        .select("doc", "shingle",
+                F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"))
     )
-    sig = F.array_min(
-        F.transform(
-            F.col("shingles"),
-            lambda s: F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), s)),
-        )
+    return (
+        flat.groupBy("doc", "band")
+        .agg(F.min(F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))).alias("signature"))
     )
-    return out.select("doc", "band", sig.alias("signature")).filter(F.col("signature").isNotNull())
 
 
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -114,25 +116,31 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2) -> DataFrame:
-    """64-bit SimHash from shingle md5 bits: for each of 64 bit positions, the
-    majority vote across shingle hashes. Native bit arithmetic (conv on md5
-    hex nibbles), no Python."""
-    sh = word_shingles(F.col(text_col), shingle_n)
-    base = df.select(F.col(id_col).alias("doc"), sh.alias("shingles"))
-    # per shingle: first 16 hex chars of md5 -> 64-bit value
-    hashes = F.transform(F.col("shingles"), lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("decimal(20,0)").cast("long"))
-    n = F.size(F.col("shingles"))
-    # bit b of simhash = 1 if count(hashes with bit b set) * 2 >= n
-    def _bit_counter(mask: int):
-        # NB: no default-arg closures in HOF lambdas — pyspark's lambda
-        # introspection binds a Column to every declared parameter.
-        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(mask)) != 0, 1).otherwise(0)
+    """60-bit SimHash from shingle md5 bits: for each bit position, the
+    majority vote across shingle hashes. Native bit arithmetic, no Python.
 
-    bit_cols = []
+    Shape: explode shingles so the md5 + 60 conditional sums run codegen'd
+    with map-side partial aggregation (one shuffle on doc). Docs with no
+    shingles keep simhash 0 via explode_outer."""
+    sh = word_shingles(F.col(text_col), shingle_n)
+    flat = df.select(
+        F.col(id_col).alias("doc"), F.explode_outer(sh).alias("shingle")
+    ).select(
+        "doc",
+        F.when(
+            F.col("shingle").isNotNull(),
+            F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
+            .cast("decimal(20,0)").cast("long"),
+        ).alias("h"),
+    )
+    aggs = [F.count(F.col("h")).alias("n")] + [
+        F.sum(F.when(F.col("h").bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(0)).alias(f"c{b}")
+        for b in range(60)
+    ]
+    g = flat.groupBy("doc").agg(*aggs)
+    sim: Column = F.lit(0).cast("long")
     for b in range(60):
-        cnt = F.aggregate(hashes, F.lit(0), _bit_counter(1 << b))
-        bit_cols.append(F.when((cnt * 2 >= n) & (n > 0), F.lit(1 << b)).otherwise(F.lit(0)))
-    sim = bit_cols[0]
-    for c in bit_cols[1:]:
-        sim = sim + c
-    return base.select("doc", sim.alias("simhash"))
+        sim = sim + F.when(
+            (F.col(f"c{b}") * 2 >= F.col("n")) & (F.col("n") > 0), F.lit(1 << b)
+        ).otherwise(F.lit(0))
+    return g.select("doc", sim.alias("simhash"))

@@ -91,10 +91,14 @@ def run_pipeline(
 ) -> DataFrame:
     """Compose the full extraction plan; lazy — caller writes or collects."""
     pages = pages_df if pages_df is not None else spark.read.parquet(pages_path)
+    # Skew defuse: crawl files cluster by host; hash(url) spreads hot hosts
+    # uniformly before the compute-heavy Arrow stage (north rule). The count
+    # is EXPLICIT (cores x SALT_PARTITIONS_PER_CORE): letting AQE size this
+    # shuffle by bytes coalesces a CPU-bound Arrow stage into a handful of
+    # tasks (html bytes are small; per-doc parse cost is not) and destroys
+    # parallelism — measured 5x slower at 24k pages.
     if salt_partitions is None:
         salt_partitions = spark.sparkContext.defaultParallelism * C.SALT_PARTITIONS_PER_CORE
-    # Skew defuse: crawl files cluster by host; hash(url) spreads hot hosts
-    # uniformly before the compute-heavy Arrow stage (north rule).
     pages = pages.repartition(salt_partitions, F.xxhash64("url"))
 
     a = stage_a(pages)
@@ -116,7 +120,10 @@ def run_pipeline(
         F.when(has_ocr, F.concat(F.col("dom_text"), F.lit("\n"), ocr_text)).otherwise(F.col("dom_text"))
     )
 
-    df = a.withColumn("extracted_text", full_text).withColumn("has_ocr", has_ocr)
+    # Column batches are added via ONE withColumns per dependency level —
+    # sequential withColumn re-analyzes the (large) plan per call and made
+    # driver-side planning the pipeline bottleneck, not execution.
+    df = a.withColumns({"extracted_text": full_text, "has_ocr": has_ocr})
 
     # Classification (A4) on the primary (merged) text.
     cls = classify(F.col("extracted_text"))
@@ -127,33 +134,31 @@ def run_pipeline(
     fields = merged_fields(
         F.col("doc_type"), F.col("dom_text"), F.col("extracted_text"), F.col("has_ocr")
     )
-    for fname, col in fields.items():
-        df = df.withColumn(f"f_{fname}", col)
+    df = df.withColumns({f"f_{fname}": col for fname, col in fields.items()})
     field_cols = {fname: F.col(f"f_{fname}") for fname in fields}
 
+    batch: dict[str, F.Column] = {}
     # Word stats + OCR confidence (A1-A3).
-    stats = word_stat_columns(F.col("dom_text"), ocr_text, F.coalesce(F.col("ocr_conf"), F.lit(0.0)) * 100.0)
-    for name, col in stats.items():
-        df = df.withColumn(name, col)
-
+    batch.update(word_stat_columns(
+        F.col("dom_text"), ocr_text, F.coalesce(F.col("ocr_conf"), F.lit(0.0)) * 100.0
+    ))
     # Quality composite + gate (F7/F8).
-    qual = quality_columns(
+    batch.update(quality_columns(
         F.col("blur_raw"), F.col("brightness_raw"), F.col("resolution_raw"),
         F.col("contrast_raw"), F.col("edge_density_raw"), F.col("glare_raw"),
-    )
-    for name, col in qual.items():
-        df = df.withColumn(name, col)
-
+    ))
     # Validation scores.
-    df = df.withColumn("fuzzy_score", scoring.anchor_score(F.col("extracted_text"), F.col("doc_type")))
-    df = df.withColumn("schema_score", scoring.schema_score(F.col("doc_type"), field_cols))
-    df = df.withColumn("distribution_score", scoring.distribution_score(F.col("extracted_text"), F.col("doc_type")))
-    df = df.withColumn("non_alnum_ratio", scoring.non_alnum_ratio(F.col("extracted_text")))
-    df = df.withColumn("business_failures", scoring.missing_critical(F.col("doc_type"), field_cols))
-    mandatory = scoring.mandatory_present(F.col("doc_type"), field_cols) & (
-        F.size("business_failures") == 0
+    batch["fuzzy_score"] = scoring.anchor_score(F.col("extracted_text"), F.col("doc_type"))
+    batch["schema_score"] = scoring.schema_score(F.col("doc_type"), field_cols)
+    batch["distribution_score"] = scoring.distribution_score(F.col("extracted_text"), F.col("doc_type"))
+    batch["non_alnum_ratio"] = scoring.non_alnum_ratio(F.col("extracted_text"))
+    batch["business_failures"] = scoring.missing_critical(F.col("doc_type"), field_cols)
+    df = df.withColumns(batch)
+    df = df.withColumn(
+        "mandatory_present",
+        scoring.mandatory_present(F.col("doc_type"), field_cols)
+        & (F.size("business_failures") == 0),
     )
-    df = df.withColumn("mandatory_present", mandatory)
 
     # 10-component confidence (A10) with the reference's aliases:
     # regex=schema (pipeline.py:362), layout=ocr (pipeline.py:330), kv=0.5
@@ -170,10 +175,10 @@ def run_pipeline(
         "distribution": F.col("distribution_score"),
         "spatial": F.lit(1.0),
     }
-    df = df.withColumn("final_score", scoring.final_confidence(parts))
+    final_batch = {"final_score": scoring.final_confidence(parts)}
 
     dec = scoring.decision_columns(
-        final_score=F.col("final_score"),
+        final_score=final_batch["final_score"],
         quality_passed=F.col("quality_passed"),
         text_detected=F.col("total_words") > 0,
         mandatory=F.col("mandatory_present"),
@@ -182,18 +187,20 @@ def run_pipeline(
         conflicting_schemas=F.lit(False),
         has_business_failures=F.size("business_failures") > 0,
     )
-    df = df.withColumn("decision", dec["decision"]).withColumn("hard_rejection", dec["hard_rejection"])
+    final_batch["decision"] = dec["decision"]
+    final_batch["hard_rejection"] = dec["hard_rejection"]
 
     # extracted_fields map (MapType keeps the dynamic per-type key set).
     kvs = []
     for fname in field_cols:
         kvs.append(F.lit(fname))
         kvs.append(field_cols[fname])
-    df = df.withColumn(
-        "extracted_fields",
-        F.map_filter(F.map_from_arrays(
+    final_batch["extracted_fields"] = F.map_filter(
+        F.map_from_arrays(
             F.array(*kvs[0::2]), F.array(*[c.cast("string") for c in kvs[1::2]])
-        ), lambda _, v: v.isNotNull()),
+        ),
+        lambda _, v: v.isNotNull(),
     )
+    df = df.withColumns(final_batch)
 
     return df.select(*OUTPUT_COLUMNS)

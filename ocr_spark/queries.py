@@ -545,8 +545,15 @@ _FIXED_PARTS = {"image_quality": 0.8, "fuzzy": 0.6, "kv": 0.5, "spatial": 1.0}
 def _score_decide_frame(spark: SparkSession, sf_dir: str, mode: int) -> DataFrame:
     t = _MODE_TYPE[mode]
     df = _synth_with_words(spark, sf_dir, mode)
+    built = FIELD_BUILDERS[t](F.col("text"), F.col("words"), F.col("lines"))
+    # Materialize each extractor once: the scores below reference every field
+    # 3-4 times, and duplicating the extraction expression trees made the
+    # optimized plan ~600 KB (and execution ~4x slower).
+    df = df.select(
+        "doc_id", "text", "words", *[c.alias(f"f_{n}") for n, c in built.items()]
+    )
     text = F.col("text")
-    fields = FIELD_BUILDERS[t](text, F.col("words"), F.col("lines"))
+    fields = {n: F.col(f"f_{n}") for n in built}
 
     weights = C.FIELD_WEIGHTS[t]
     total_w = sum(weights.values())
@@ -697,6 +704,332 @@ def q_score_and_decide(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# ===========================================================================
+# Text-analysis suite over `documents` (A1/A2 word stats, language ID,
+# quality scoring, fingerprinting) — training-data curation operators.
+# ===========================================================================
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in C.STOPWORDS)
+_IS_NUM_SQL = (
+    "(length(regexp_replace(w, '[,.\\s$€£¥]', '', 'g')) > 0 AND "
+    "length(regexp_replace(translate(regexp_replace(w, '[,.\\s$€£¥]', '', 'g'), "
+    f"'{C.DEVANAGARI_DIGITS}', '{C.ARABIC_DIGITS}'), '[^0-9]', '', 'g')) * 2 > "
+    "length(regexp_replace(w, '[,.\\s$€£¥]', '', 'g')))"
+)
+
+
+@query(
+    "word_stats",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\\s+') END AS words
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS total_words,
+           CAST(len(list_distinct(words)) AS BIGINT) AS distinct_words,
+           CAST(len(list_filter(words, w -> lower(w) IN ({_STOP_SQL}))) AS BIGINT) AS stopword_words,
+           CAST(len(list_filter(words, w -> {_IS_NUM_SQL})) AS BIGINT) AS numeric_words,
+           CAST(CASE WHEN len(words) < {C.MIN_WORDS_DETECTED} THEN 0 ELSE 1 END AS INTEGER)
+             AS enough_words
+    FROM w
+    """,
+)
+def q_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2-analog word statistics via higher-order array functions."""
+    from ocr_spark.functions.wordstats import _is_numeric
+
+    words = split_words(F.col("text"))
+    stop = F.size(F.filter(words, lambda w: F.lower(w).isin(C.STOPWORDS)))
+    num = F.size(F.filter(words, _is_numeric))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("total_words"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("distinct_words"),
+        stop.cast("bigint").alias("stopword_words"),
+        num.cast("bigint").alias("numeric_words"),
+        F.when(F.size(words) < C.MIN_WORDS_DETECTED, F.lit(0)).otherwise(F.lit(1))
+        .cast("int").alias("enough_words"),
+    )
+
+
+_LANG_MARKERS = {
+    "en": ["the", "a", "and", "of", "to"],
+    "es": ["el", "la", "de", "los", "que"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "les", "et", "une", "dans"],
+}
+_LANG_PRIORITY = ["en", "es", "de", "fr"]
+
+
+def _lang_id_oracle() -> str:
+    score_sqls = {
+        lang: (
+            f"len(list_filter(words, w -> lower(w) IN "
+            f"({', '.join(chr(39) + m + chr(39) for m in markers)})))"
+        )
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    mx = "greatest(" + ", ".join(score_sqls[lang] for lang in _LANG_PRIORITY) + ")"
+    chain = "CASE WHEN " + mx + " = 0 THEN 'unknown'"
+    for lang in _LANG_PRIORITY[:-1]:
+        chain += f" WHEN {score_sqls[lang]} = {mx} THEN '{lang}'"
+    chain += f" ELSE '{_LANG_PRIORITY[-1]}' END"
+    scores = ", ".join(
+        f"CAST({score_sqls[lang]} AS BIGINT) AS score_{lang}" for lang in _LANG_PRIORITY
+    )
+    return f"""
+    WITH w AS (
+      SELECT doc_id, lang AS labeled_lang,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\\s+') END AS words
+      FROM documents)
+    SELECT doc_id, labeled_lang, {chain} AS predicted_lang, {scores} FROM w
+    """
+
+
+@query("lang_id", _lang_id_oracle())
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram-heuristic family) with argmax."""
+    words = split_words(F.col("text"))
+
+    def _marker_filter(markers: list[str]):
+        # closure factory, not default-arg lambda (HOF introspection pitfall)
+        return lambda w: F.lower(w).isin(markers)
+
+    scores = {
+        lang: F.size(F.filter(words, _marker_filter(markers)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    mx = F.greatest(*[scores[lang] for lang in _LANG_PRIORITY])
+    pred = F.when(mx == 0, F.lit("unknown"))
+    for lang in _LANG_PRIORITY[:-1]:
+        pred = pred.when(scores[lang] == mx, F.lit(lang))
+    pred = pred.otherwise(F.lit(_LANG_PRIORITY[-1]))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        *[scores[lang].cast("bigint").alias(f"score_{lang}") for lang in _LANG_PRIORITY],
+    )
+
+
+def _doc_quality_oracle() -> str:
+    from ocr_spark.oracle_sql import dbl
+
+    n_tok = "len(string_split_regex(trim(text), '\\s+'))"
+    stop_ratio = (
+        f"(len(list_filter(string_split_regex(trim(text), '\\s+'), "
+        f"w -> lower(w) IN ({_STOP_SQL}))) / {n_tok})"
+    )
+    punct_ratio = "(length(regexp_replace(text, '[\\p{L}\\p{N}\\s]', '', 'g')) / length(text))"
+    len_score = f"least({dbl(1.0)}, length(text) / {dbl(500.0)})"
+    composite = (
+        f"({dbl(0.4)} * {len_score} + {dbl(0.3)} * ({dbl(1.0)} - {punct_ratio}) "
+        f"+ {dbl(0.3)} * least({dbl(1.0)}, {stop_ratio} * {dbl(10.0)}))"
+    )
+    return f"""
+    SELECT doc_id,
+           {composite} AS quality_score,
+           CASE WHEN {composite} >= {dbl(0.8)} THEN 'high'
+                WHEN {composite} >= {dbl(0.5)} THEN 'medium' ELSE 'low' END AS quality_band
+    FROM documents WHERE length(text) > 0
+    """
+
+
+@query("doc_quality", _doc_quality_oracle())
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text quality score: length / punctuation / stopword-ratio composite."""
+    text = F.col("text")
+    words = split_words(text)
+    n_tok = F.size(words)
+    stop_ratio = F.size(F.filter(words, lambda w: F.lower(w).isin(C.STOPWORDS))) / n_tok
+    punct_ratio = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", "")) / F.length(text)
+    len_score = F.least(F.lit(1.0), F.length(text) / F.lit(500.0))
+    composite = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * (F.lit(1.0) - punct_ratio)
+        + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * F.lit(10.0))
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            composite.alias("quality_score"),
+            F.when(composite >= 0.8, F.lit("high"))
+            .when(composite >= 0.5, F.lit("medium"))
+            .otherwise(F.lit("low"))
+            .alias("quality_band"),
+        )
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS fingerprint,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+               '\\s+', ' ', 'g'))) AS BIGINT) AS canon_len
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized content fingerprint (case/punct/ws-insensitive md5)."""
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(canon).alias("fingerprint"),
+        F.length(canon).cast("bigint").alias("canon_len"),
+    )
+
+
+def _quality_gate_oracle() -> str:
+    from ocr_spark.oracle_sql import dbl
+
+    blur = f"(value * {dbl(3.0)})"
+    bright = f"(value / {dbl(2.0)})"
+    res = f"(value * {dbl(20.0)})"
+    contrast = f"(value / {dbl(500.0)})"
+    edge = f"(value / {dbl(1000.0)})"
+    glare = f"(value / {dbl(2000.0)})"
+    n_blur = f"least({dbl(1.0)}, {blur} / {dbl(C.QUALITY_BLUR_CAP)})"
+    peak = dbl(C.QUALITY_BRIGHTNESS_PEAK)
+    n_bright = (
+        f"(CASE WHEN {bright} < {dbl(C.QUALITY_MIN_BALANCE)} OR {bright} > {dbl(C.QUALITY_MAX_BALANCE)} "
+        f"THEN {dbl(0.0)} ELSE {dbl(1.0)} - abs({bright} - {peak}) / {peak} * {dbl(0.5)} END)"
+    )
+    lo, hi = dbl(C.PAGE_RES_MIN_BYTES), dbl(C.PAGE_RES_GOOD_BYTES)
+    n_res = (
+        f"(CASE WHEN {res} < {lo} THEN {res} / {lo} "
+        f"WHEN {res} < {hi} THEN {dbl(0.5)} + {dbl(0.5)} * ({res} - {lo}) / ({hi} - {lo}) "
+        f"ELSE {dbl(1.0)} END)"
+    )
+    n_contrast = (
+        f"(CASE WHEN {contrast} < {dbl(C.QUALITY_CONTRAST_LOW)} THEN {dbl(0.0)} "
+        f"WHEN {contrast} < {dbl(C.QUALITY_CONTRAST_KNEE)} THEN {contrast} / {dbl(C.QUALITY_CONTRAST_KNEE)} "
+        f"ELSE {dbl(1.0)} END)"
+    )
+    mx = dbl(C.QUALITY_MAX_GLARE_RATIO)
+    n_glare = (
+        f"(CASE WHEN {glare} > {mx} THEN greatest({dbl(0.0)}, {dbl(1.0)} - {glare} / {mx}) "
+        f"ELSE {dbl(1.0)} - {glare} / {mx} * {dbl(0.5)} END)"
+    )
+    w = C.QUALITY_WEIGHTS
+    composite = (
+        f"({dbl(w['blur'])} * {n_blur} + {dbl(w['brightness'])} * {n_bright} "
+        f"+ {dbl(w['resolution'])} * {n_res} + {dbl(w['contrast'])} * {n_contrast} "
+        f"+ {dbl(w['glare'])} * {n_glare})"
+    )
+    reasons = (
+        f"COALESCE(array_to_string(list_filter(["
+        f"CASE WHEN {blur} < {dbl(C.QUALITY_MIN_CONTENT_SCORE)} THEN 'low_content_score' END, "
+        f"CASE WHEN {bright} < {dbl(C.QUALITY_MIN_BALANCE)} OR {bright} > {dbl(C.QUALITY_MAX_BALANCE)} "
+        f"THEN 'balance_out_of_range' END, "
+        f"CASE WHEN {contrast} < {dbl(C.QUALITY_MIN_CONTRAST)} THEN 'low_contrast' END, "
+        f"CASE WHEN {edge} < {dbl(C.QUALITY_MIN_EDGE_DENSITY)} THEN 'low_edge_density' END, "
+        f"CASE WHEN {glare} > {dbl(C.QUALITY_MAX_GLARE_RATIO)} THEN 'high_boilerplate_ratio' END"
+        f"], x -> x IS NOT NULL), '|'), '') "
+    )
+    passed = (
+        f"(CASE WHEN len(list_filter(["
+        f"CASE WHEN {blur} < {dbl(C.QUALITY_MIN_CONTENT_SCORE)} THEN 'a' END, "
+        f"CASE WHEN {bright} < {dbl(C.QUALITY_MIN_BALANCE)} OR {bright} > {dbl(C.QUALITY_MAX_BALANCE)} THEN 'a' END, "
+        f"CASE WHEN {contrast} < {dbl(C.QUALITY_MIN_CONTRAST)} THEN 'a' END, "
+        f"CASE WHEN {edge} < {dbl(C.QUALITY_MIN_EDGE_DENSITY)} THEN 'a' END, "
+        f"CASE WHEN {glare} > {dbl(C.QUALITY_MAX_GLARE_RATIO)} THEN 'a' END"
+        f"], x -> x IS NOT NULL)) = 0 THEN 1 ELSE 0 END)"
+    )
+    return f"""
+    SELECT event_id,
+           {composite} AS quality_score,
+           CAST({passed} AS INTEGER) AS quality_passed,
+           {reasons} AS quality_reasons
+    FROM events
+    """
+
+
+@query("quality_gate", _quality_gate_oracle())
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/F8: piecewise normalizers + weighted composite + gate reasons."""
+    v = F.col("value")
+    qual = quality_columns(
+        v * 3.0, v / 2.0, v * 20.0, v / 500.0, v / 1000.0, v / 2000.0
+    )
+    return _t(spark, sf_dir, "events").select(
+        "event_id",
+        qual["quality_score"].alias("quality_score"),
+        qual["quality_passed"].cast("int").alias("quality_passed"),
+        F.concat_ws("|", qual["quality_reasons"]).alias("quality_reasons"),
+    )
+
+
+@query(
+    "date_normalize",
+    f"""
+    WITH src AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 4 = 0 THEN CAST(1 + doc_id % 28 AS VARCHAR) || '-' ||
+                     CAST(1 + doc_id % 12 AS VARCHAR) || '-' || CAST(1950 + doc_id % 70 AS VARCHAR)
+                   WHEN doc_id % 4 = 1 THEN CAST(1950 + doc_id % 70 AS VARCHAR) || '/' ||
+                     CAST(1 + doc_id % 12 AS VARCHAR) || '/' || CAST(1 + doc_id % 28 AS VARCHAR)
+                   WHEN doc_id % 4 = 2 THEN lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || '.' ||
+                     lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '.' || CAST(1950 + doc_id % 70 AS VARCHAR)
+                   ELSE 'not a date ' || CAST(doc_id AS VARCHAR) END) AS raw
+      FROM documents)
+    SELECT doc_id, raw, {OSQL._norm_date('raw')} AS normalized,
+           CAST(CASE WHEN {OSQL._is_valid_date('raw')} THEN 1 ELSE 0 END AS INTEGER) AS valid
+    FROM src
+    """,
+)
+def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4/D5: date normalization to DD/MM/YYYY + reference validity check."""
+    from ocr_spark.functions.normalize import is_valid_date
+
+    k = F.col("doc_id")
+    dd, mm, yy = (1 + k % 28).cast("string"), (1 + k % 12).cast("string"), (1950 + k % 70).cast("string")
+    raw = (
+        F.when(k % 4 == 0, F.concat(dd, F.lit("-"), mm, F.lit("-"), yy))
+        .when(k % 4 == 1, F.concat(yy, F.lit("/"), mm, F.lit("/"), dd))
+        .when(k % 4 == 2, F.concat(F.lpad(dd, 2, "0"), F.lit("."), F.lpad(mm, 2, "0"), F.lit("."), yy))
+        .otherwise(F.concat(F.lit("not a date "), k.cast("string")))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        raw.alias("raw"),
+        normalize_date(raw).alias("normalized"),
+        is_valid_date(raw).cast("int").alias("valid"),
+    )
+
+
+@query("anchor_scores")  # fuzzy rapidfuzz-style matching — no SQL oracle
+def q_anchor_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: fuzzy anchor scoring (Arrow-batched pandas UDF, rows-only check)."""
+    df = synth_corpus(spark, sf_dir)
+    cls = classify(F.col("text"))
+    return df.select(
+        "doc_id",
+        cls["doc_type"].alias("doc_type"),
+        anchor_score(F.col("text"), cls["doc_type"]).alias("anchor_score"),
+    )
+
+
+# ===========================================================================
+# Flagship: the full reference pipeline (classify -> extract -> score ->
+# decide) over the synthetic corpus, exactly as `entry(spark)` runs it.
+# ===========================================================================
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Placeholder flagship until the synth pipeline lands."""
-    return QUERIES["pricing_summary"](spark, sf_dir)
+    """End-to-end document pipeline on the synth corpus (native Catalyst)."""
+    frames = [_score_decide_frame(spark, sf_dir, m) for m in _MODE_TYPE]
+    out = frames[0]
+    for fr in frames[1:]:
+        out = out.unionByName(fr)
+    return out
