@@ -274,8 +274,12 @@ def write_corpus(out_dir: str, n_rows: int) -> tuple[str, str]:
     pages, payloads = build_corpus(n_rows)
     p1 = os.path.join(out_dir, "pages.parquet")
     p2 = os.path.join(out_dir, "payloads.parquet")
-    pq.write_table(pages, p1)
-    pq.write_table(payloads, p2)
+    # Small row groups: a single-row-group file caps the Spark scan (and the
+    # shuffle write feeding the salt repartition) at ONE task — a serial
+    # Amdahl fraction that wrecks scaling. Real crawls arrive as many files;
+    # 2048-row groups reproduce that parallelism for the benchmark corpus.
+    pq.write_table(pages, p1, row_group_size=2048)
+    pq.write_table(payloads, p2, row_group_size=2048)
     return p1, p2
 
 

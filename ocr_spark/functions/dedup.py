@@ -21,13 +21,21 @@ from pyspark.sql import functions as F
 
 
 def word_shingles(text, n: int = 3):
-    """Ordered n-gram word shingles of a text column (array<string>)."""
+    """Ordered n-gram word shingles of a text column (array<string>).
+
+    Built as zip_with over shifted slices, NOT transform(sequence(...)) with
+    an outer `words` reference — an outer array referenced inside an HOF
+    lambda is re-evaluated per element (O(W^2) per row, measured)."""
     words = F.split(F.trim(text), r"\s+")
     cnt = F.size(words)
-    return F.when(cnt >= n, F.array_distinct(F.transform(
-        F.sequence(F.lit(1), cnt - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.get(words, i - 1 + j) for j in range(n)]),
-    ))).otherwise(F.array().cast("array<string>"))
+    m = cnt - (n - 1)
+    zipped = F.slice(words, 1, m)
+    for j in range(1, n):
+        zipped = F.zip_with(zipped, F.slice(words, j + 1, m),
+                            lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(cnt >= n, F.array_distinct(zipped)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

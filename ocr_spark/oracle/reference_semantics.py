@@ -29,7 +29,7 @@ import re
 from ocr_spark import config as C
 from ocr_spark.extraction.html_extract import extract_page
 from ocr_spark.extraction.recognizer import decode_payload, recognize_batch
-from ocr_spark.functions.fuzzy import partial_token_sort_ratio
+from ocr_spark.functions.fuzzy import token_sort_gate
 
 # ---------------------------------------------------------------------------
 # Normalization (reference validation/normalization.py)
@@ -573,13 +573,14 @@ def anchor_score(text: str, doc_type: str) -> float:
     if cfg is None:
         return 0.0
     text_lower = text.lower()
+    ts_text = " ".join(sorted(text_lower.split()))
     found_req = sum(
         1 for a in cfg["required"]
-        if a in text_lower or partial_token_sort_ratio(a, text_lower) >= cfg["threshold"]
+        if a in text_lower or token_sort_gate(a, ts_text, cfg["threshold"])
     )
     found_opt = sum(
         1 for a in cfg["optional"]
-        if a in text_lower or partial_token_sort_ratio(a, text_lower) >= cfg["threshold"]
+        if a in text_lower or token_sort_gate(a, ts_text, cfg["threshold"])
     )
     req_ratio = found_req / len(cfg["required"]) if cfg["required"] else 1.0
     return min(1.0, req_ratio + min(C.ANCHOR_OPTIONAL_BONUS_CAP, found_opt * C.ANCHOR_OPTIONAL_BONUS))
