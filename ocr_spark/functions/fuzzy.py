@@ -44,24 +44,39 @@ def partial_token_sort_ratio(s1: str, s2: str) -> float:
 
 
 def partial_ratio_at_least(short: str, long: str, threshold: float) -> bool:
-    """Exactly ``partial_ratio(short, long) >= threshold``, computed with
-    difflib's quick-ratio upper bounds to skip hopeless windows and an early
-    exit on the first window that clears the bar. Callers only ever threshold
-    the ratio, so the boolean is bit-faithful while ~10x cheaper on long
-    texts (quick_ratio >= ratio guarantees no window is wrongly skipped)."""
+    """True iff some same-length window of ``long`` (every offset) matches
+    ``short`` with SequenceMatcher ratio*100 >= threshold.
+
+    Vectorized pruning: difflib's ``quick_ratio`` upper bound
+    (2*sum_c min(count_a[c], count_win[c]) / 2n) is computed for ALL window
+    offsets at once via numpy sliding character histograms (prefix sums per
+    distinct char of ``short`` — chars outside it contribute 0 to the min).
+    Only offsets clearing the bound run the exact (quadratic) ratio. The
+    bound >= ratio, so no qualifying window is ever skipped."""
+    import numpy as np
+
     if not short or not long:
         return 0.0 >= threshold
     if len(short) > len(long):
         short, long = long, short
     n = len(short)
-    step = max(1, n // 4)
+    arr = np.frombuffer(long.encode("utf-32-le"), dtype=np.uint32)
+    sarr = np.frombuffer(short.encode("utf-32-le"), dtype=np.uint32)
+    chars, s_counts = np.unique(sarr, return_counts=True)
+    n_windows = len(long) - n + 1
+    overlap = np.zeros(n_windows, dtype=np.int64)
+    for c, sc in zip(chars, s_counts):
+        cum = np.concatenate(([0], np.cumsum(arr == c)))
+        win = cum[n:] - cum[:-n]
+        overlap += np.minimum(win, sc)
+    bound = overlap * (100.0 / n)  # == quick_ratio * 100 for equal lengths
+    candidates = np.nonzero(bound >= threshold)[0]
+    if len(candidates) == 0:
+        return False
     sm = SequenceMatcher(a=short, autojunk=False)
-    for start in range(0, len(long) - n + 1, step):
-        sm.set_seq2(long[start : start + n])
-        if sm.real_quick_ratio() * 100.0 < threshold:
-            continue
-        if sm.quick_ratio() * 100.0 < threshold:
-            continue
+    # best-bound-first: the likeliest window exits the loop immediately
+    for start in candidates[np.argsort(-bound[candidates], kind="stable")]:
+        sm.set_seq2(long[int(start) : int(start) + n])
         if sm.ratio() * 100.0 >= threshold:
             return True
     return False

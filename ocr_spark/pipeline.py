@@ -106,7 +106,12 @@ def run_pipeline(
     if payloads_path or payloads_df is not None:
         payloads = payloads_df if payloads_df is not None else spark.read.parquet(payloads_path)
         b = stage_b(payloads)
-        a = a.join(b, "url", "left")
+        # Payloads are the minority side (~20% of pages carry one) — the
+        # broadcast hint avoids re-shuffling + sorting the heavy stage-A
+        # output on url. At 100 TB, if the payload side outgrows broadcast,
+        # the plan is to bucket BOTH tables by url so the join is
+        # shuffle-free (tableio bucketing), not to fall back to SMJ.
+        a = a.join(F.broadcast(b), "url", "left")
     else:
         a = a.withColumn("ocr_text", F.lit(None).cast("string")).withColumn(
             "ocr_conf", F.lit(None).cast("double")

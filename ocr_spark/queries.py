@@ -722,7 +722,7 @@ _IS_NUM_SQL = (
     "word_stats",
     f"""
     WITH w AS (
-      SELECT doc_id,
+      SELECT doc_id, text,
              CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
                   ELSE string_split_regex(trim(text), '\\s+') END AS words
       FROM documents)
@@ -732,7 +732,9 @@ _IS_NUM_SQL = (
            CAST(len(list_filter(words, w -> lower(w) IN ({_STOP_SQL}))) AS BIGINT) AS stopword_words,
            CAST(len(list_filter(words, w -> {_IS_NUM_SQL})) AS BIGINT) AS numeric_words,
            CAST(CASE WHEN len(words) < {C.MIN_WORDS_DETECTED} THEN 0 ELSE 1 END AS INTEGER)
-             AS enough_words
+             AS enough_words,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT)
+             AS bpe_tokens
     FROM w
     """,
 )
@@ -751,6 +753,9 @@ def q_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.cast("bigint").alias("numeric_words"),
         F.when(F.size(words) < C.MIN_WORDS_DETECTED, F.lit(0)).otherwise(F.lit(1))
         .cast("int").alias("enough_words"),
+        # BPE-ish tokenization: word pieces + individual punctuation marks
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"), 0))
+        .cast("bigint").alias("bpe_tokens"),
     )
 
 
@@ -1019,6 +1024,297 @@ def q_anchor_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         cls["doc_type"].alias("doc_type"),
         anchor_score(F.col("text"), cls["doc_type"]).alias("anchor_score"),
     )
+
+
+# ===========================================================================
+# Geometry / layout operators (SURVEY.md §2.3 J3, §2.4 A12-A14, §2.5 W3,
+# region.py BoundingBox math) over deterministic synthetic boxes and points.
+# ===========================================================================
+
+_BOX_SQL = """
+    SELECT p_partkey AS box_id,
+           CAST(p_partkey % 500 AS BIGINT) AS x,
+           CAST((p_partkey * 7) % 400 AS BIGINT) AS y,
+           CAST(40 + p_partkey % 60 AS BIGINT) AS w,
+           CAST(30 + p_partkey % 50 AS BIGINT) AS h,
+           CAST(p_partkey % 20 AS BIGINT) AS page
+    FROM part
+"""
+
+_POINT_SQL = """
+    SELECT s_suppkey AS word_id,
+           CAST((s_suppkey * 13) % 540 AS BIGINT) AS cx,
+           CAST((s_suppkey * 11) % 430 AS BIGINT) AS cy,
+           CAST(s_suppkey % 20 AS BIGINT) AS page
+    FROM supplier
+"""
+
+
+def _boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.col("p_partkey")
+    return _t(spark, sf_dir, "part").select(
+        k.alias("box_id"),
+        (k % 500).cast("bigint").alias("x"),
+        ((k * 7) % 400).cast("bigint").alias("y"),
+        (40 + k % 60).cast("bigint").alias("w"),
+        (30 + k % 50).cast("bigint").alias("h"),
+        (k % 20).cast("bigint").alias("page"),
+    )
+
+
+@query(
+    "word_region_containment",
+    f"""
+    WITH b AS ({_BOX_SQL}), p AS ({_POINT_SQL})
+    SELECT p.word_id, b.box_id
+    FROM p JOIN b ON p.page = b.page
+      AND p.cx BETWEEN b.x AND b.x + b.w AND p.cy BETWEEN b.y AND b.y + b.h
+    """,
+)
+def q_word_region_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: point-in-box range join, equi-key on page + interval predicates
+    (broadcast the small side at scale)."""
+    k = F.col("s_suppkey")
+    points = _t(spark, sf_dir, "supplier").select(
+        k.alias("word_id"),
+        ((k * 13) % 540).cast("bigint").alias("cx"),
+        ((k * 11) % 430).cast("bigint").alias("cy"),
+        (k % 20).cast("bigint").alias("page"),
+    )
+    b = _boxes(spark, sf_dir)
+    cond = (
+        (points.page == b.page)
+        & points.cx.between(b.x, b.x + b.w)
+        & points.cy.between(b.y, b.y + b.h)
+    )
+    return points.join(b, cond).select("word_id", "box_id")
+
+
+@query(
+    "bbox_iou_pairs",
+    f"""
+    WITH b AS ({_BOX_SQL})
+    SELECT a.box_id AS box_a, c.box_id AS box_b,
+           CAST(greatest(0, least(a.x + a.w, c.x + c.w) - greatest(a.x, c.x))
+              * greatest(0, least(a.y + a.h, c.y + c.h) - greatest(a.y, c.y)) AS BIGINT)
+             AS intersection_area,
+           CAST(a.w * a.h + c.w * c.h
+              - greatest(0, least(a.x + a.w, c.x + c.w) - greatest(a.x, c.x))
+              * greatest(0, least(a.y + a.h, c.y + c.h) - greatest(a.y, c.y)) AS BIGINT)
+             AS union_area
+    FROM b a JOIN b c ON a.page = c.page AND a.box_id < c.box_id
+    WHERE greatest(0, least(a.x + a.w, c.x + c.w) - greatest(a.x, c.x))
+        * greatest(0, least(a.y + a.h, c.y + c.h) - greatest(a.y, c.y)) > 0
+    """,
+)
+def q_bbox_iou_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BoundingBox IoU math (region.py:41-64) as integer-exact areas over a
+    page-blocked self-join (the NMS building block SO2)."""
+    b = _boxes(spark, sf_dir)
+    a = b.select(*[F.col(c).alias(f"a_{c}") for c in b.columns])
+    c = b.select(*[F.col(c).alias(f"b_{c}") for c in b.columns])
+    j = a.join(c, (F.col("a_page") == F.col("b_page")) & (F.col("a_box_id") < F.col("b_box_id")))
+    ix = F.greatest(
+        F.lit(0),
+        F.least(F.col("a_x") + F.col("a_w"), F.col("b_x") + F.col("b_w"))
+        - F.greatest(F.col("a_x"), F.col("b_x")),
+    )
+    iy = F.greatest(
+        F.lit(0),
+        F.least(F.col("a_y") + F.col("a_h"), F.col("b_y") + F.col("b_h"))
+        - F.greatest(F.col("a_y"), F.col("b_y")),
+    )
+    inter = ix * iy
+    union = F.col("a_w") * F.col("a_h") + F.col("b_w") * F.col("b_h") - inter
+    return (
+        j.select(
+            F.col("a_box_id").alias("box_a"),
+            F.col("b_box_id").alias("box_b"),
+            inter.cast("bigint").alias("intersection_area"),
+            union.cast("bigint").alias("union_area"),
+        )
+        .filter(F.col("intersection_area") > 0)
+    )
+
+
+@query(
+    "spatial_dispersion",
+    f"""
+    WITH p AS ({_POINT_SQL})
+    SELECT page,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(cx) AS BIGINT) AS sum_x,
+           CAST(SUM(cx * cx) AS BIGINT) AS sum_x2,
+           CAST(SUM(cy) AS BIGINT) AS sum_y,
+           CAST(SUM(cy * cy) AS BIGINT) AS sum_y2,
+           CAST(MAX(cx) - MIN(cx) AS BIGINT) AS spread_x,
+           CAST(MAX(cy) - MIN(cy) AS BIGINT) AS spread_y
+    FROM p GROUP BY page
+    """,
+)
+def q_spatial_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/A13: dispersion + cluster-spread aggregates carried as exact
+    integer moments (stddev = f(sum, sum2, n) downstream — FP-order-free)."""
+    k = F.col("s_suppkey")
+    p = _t(spark, sf_dir, "supplier").select(
+        ((k * 13) % 540).cast("bigint").alias("cx"),
+        ((k * 11) % 430).cast("bigint").alias("cy"),
+        (k % 20).cast("bigint").alias("page"),
+    )
+    return p.groupBy("page").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum("cx").alias("sum_x"),
+        F.sum(F.col("cx") * F.col("cx")).alias("sum_x2"),
+        F.sum("cy").alias("sum_y"),
+        F.sum(F.col("cy") * F.col("cy")).alias("sum_y2"),
+        (F.max("cx") - F.min("cx")).alias("spread_x"),
+        (F.max("cy") - F.min("cy")).alias("spread_y"),
+    )
+
+
+@query(
+    "region_merge",
+    f"""
+    WITH b AS ({_BOX_SQL})
+    SELECT page,
+           CAST(MIN(x) AS BIGINT) AS mx,
+           CAST(MIN(y) AS BIGINT) AS my,
+           CAST(MAX(x + w) AS BIGINT) AS mx2,
+           CAST(MAX(y + h) AS BIGINT) AS my2,
+           CAST(COUNT(*) AS BIGINT) AS n_regions
+    FROM b GROUP BY page
+    """,
+)
+def q_region_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: cluster-union region merge — enclosing bbox per group."""
+    b = _boxes(spark, sf_dir)
+    return b.groupBy("page").agg(
+        F.min("x").alias("mx"),
+        F.min("y").alias("my"),
+        F.max(F.col("x") + F.col("w")).alias("mx2"),
+        F.max(F.col("y") + F.col("h")).alias("my2"),
+        F.count(F.lit(1)).alias("n_regions"),
+    )
+
+
+@query(
+    "token_ordinals",
+    """
+    WITH s AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS parts FROM documents
+               WHERE length(trim(text)) > 0),
+    e AS (SELECT doc_id, parts, unnest(generate_series(1, len(parts))) AS i FROM s)
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS word_num, parts[i] AS word FROM e
+    """,
+)
+def q_token_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: order-preserving ordinal assignment via posexplode of the word
+    array (the reference's line_num/word_num bookkeeping, engine.py:74)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.posexplode(split_words(F.col("text"))).alias("word_num", "word"))
+        .select("doc_id", F.col("word_num").cast("bigint").alias("word_num"), "word")
+    )
+
+
+@query(
+    "numeric_deconfusion",
+    """
+    SELECT doc_id,
+           regexp_replace(translate('Rs O' || CAST(doc_id AS VARCHAR) || 'l.S0 total B8 Z2 end',
+                'OoIliSsBGZz', '00111558622'), '[^0-9.,\\-]', '', 'g') AS cleaned
+    FROM documents
+    """,
+)
+def q_numeric_deconfusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: numeric-context OCR de-confusion (O->0, l->1, S->5 ... then strip
+    non-numeric) over deterministic noisy amounts."""
+    from ocr_spark.functions.normalize import normalize_numeric_field
+
+    noisy = F.concat(
+        F.lit("Rs O"), F.col("doc_id").cast("string"), F.lit("l.S0 total B8 Z2 end")
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", normalize_numeric_field(noisy).alias("cleaned")
+    )
+
+
+# ===========================================================================
+# Multimodal columns: binary payloads + typed metadata through mapInPandas
+# (decode stage is a deterministic byte-derived stand-in; the Spark plumbing
+# — schema, batching, flat-map frame sampling — is the production path).
+# ===========================================================================
+
+def _image_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic binary payload table derived from documents (no external
+    data): payload = sha256 bytes of the text; small per-doc dimensions."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.unhex(F.sha2(F.col("text"), 256)).alias("payload"),
+        (16 + F.col("doc_id") % 17).cast("int").alias("width"),
+        (16 + F.col("doc_id") % 13).cast("int").alias("height"),
+        F.lit("fake-rgb").alias("codec"),
+    )
+
+
+@query(
+    "image_metadata",
+    """
+    SELECT doc_id, 'image' AS modality,
+           CAST(16 + doc_id % 17 AS INTEGER) AS width,
+           CAST(16 + doc_id % 13 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           'fake-rgb' AS codec
+    FROM documents
+    """,
+)
+def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata extraction; payload bytes never leave the Arrow stage."""
+    from ocr_spark.operators.multimodal import image_metadata
+
+    return image_metadata(_image_payload_df(spark, sf_dir))
+
+
+@query("image_features")  # python decode stage — rows-only check
+def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> luma stats + edge energy + 8x8 perceptual hash."""
+    from ocr_spark.operators.multimodal import image_features
+
+    return image_features(_image_payload_df(spark, sf_dir))
+
+
+@query("image_resize")  # python decode stage — rows-only check
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize kernel; emits dimensions + checksum."""
+    from ocr_spark.operators.multimodal import image_resize
+
+    return image_resize(_image_payload_df(spark, sf_dir), 8, 8)
+
+
+@query("video_frame_sample")  # python decode stage — rows-only check
+def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-Nth-frame sampling (flat-map: >1 output row per video)."""
+    from ocr_spark.operators.multimodal import video_frame_sample
+
+    vids = _image_payload_df(spark, sf_dir).withColumns({
+        "n_frames": (5 + F.col("doc_id") % 20).cast("int"),
+        "codec": F.lit("fake-video"),
+    })
+    return video_frame_sample(vids, every_n=5)
+
+
+@query("audio_features")  # python decode stage — rows-only check
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM decode -> RMS / zero-crossings / clip ratio."""
+    from ocr_spark.operators.multimodal import audio_features
+
+    aud = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.unhex(F.sha2(F.col("text"), 256)).alias("payload"),
+        (1000 + F.col("doc_id") % 3000).cast("int").alias("n_samples"),
+        F.lit("fake-pcm").alias("codec"),
+    )
+    return audio_features(aud)
 
 
 # ===========================================================================

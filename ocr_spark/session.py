@@ -31,6 +31,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "64m")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Throughput GC: the interpreted-expression blocks allocate heavily;
+        # G1's pacing cost ~30% of wall at 32 threads (measured at 96k pages:
+        # 19.5s G1 -> 14.1s ParallelGC).
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
