@@ -51,6 +51,14 @@ HEADLINE = [
     "doc_fingerprint",
     "quality_gate",
     "date_normalize",
+    "word_region_containment",
+    "bbox_iou_pairs",
+    "spatial_dispersion",
+    "region_merge",
+    "token_ordinals",
+    "image_metadata",
+    "image_features",
+    "audio_features",
 ]
 
 
