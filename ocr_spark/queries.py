@@ -319,7 +319,8 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_pairs",
     f"""
     WITH sh AS (
-      SELECT d.doc_id AS doc, d.lang, d.source, s.shingles
+      SELECT d.doc_id AS doc, d.lang, d.source,
+             list_transform(s.shingles, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS shingles
       FROM documents d JOIN ({_SHINGLE_SQL}) s ON d.doc_id = s.doc)
     SELECT a.doc AS doc_a, b.doc AS doc_b,
            ROUND(CASE WHEN len(list_distinct(a.shingles || b.shingles)) > 0
