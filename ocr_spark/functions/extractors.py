@@ -33,14 +33,17 @@ from ocr_spark.functions.normalize import (
 
 
 def _is_valid_name(name: Column, stoplist: list[str], max_len: int | None = None) -> Column:
-    low = F.lower(name)
-    no_stop = ~F.array_contains(
-        F.array(*[low.contains(kw) for kw in stoplist]), F.lit(True)
-    )
-    ws = F.split(name, " ")
-    enough = F.size(ws) >= 2
-    alpha = F.forall(ws, lambda w: w.rlike(r"^\p{L}{2,}$"))
-    cond = no_stop & enough & alpha
+    """Semantics of the original split/forall/contains chain, restructured to
+    reference `name` only 3x: interpreted mode re-evaluates the (expensive)
+    candidate expression once per reference, and the old shape touched it
+    ~11x. Equivalences: the shape regex ^\\p{L}{2,}( \\p{L}{2,})+$ is exactly
+    "split on single spaces yields >= 2 tokens, every token >= 2 letters"
+    (consecutive spaces produce an empty token and fail both forms); the
+    stoplist alternation is exactly any-substring-contains."""
+    import re as _re
+
+    stop_re = "|".join(_re.escape(kw.lower()) for kw in stoplist)
+    cond = (~F.lower(name).rlike(stop_re)) & name.rlike(r"^\p{L}{2,}( \p{L}{2,})+$")
     if max_len is not None:
         cond = cond & (F.length(name) <= max_len)
     return F.coalesce(cond, F.lit(False))

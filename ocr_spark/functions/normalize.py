@@ -28,23 +28,25 @@ def clean_whitespace(col: Column) -> Column:
 
 
 def normalize_date(col: Column) -> Column:
-    """D4 — normalization.py:50-72: to DD/MM/YYYY, else NULL."""
-    clean = F.regexp_replace(col, r"[^\d/\-.]", "")
-    dmy = r"^(\d{1,2})[/\-.](\d{1,2})[/\-.](\d{4})$"
-    ymd = r"^(\d{4})[/\-.](\d{1,2})[/\-.](\d{1,2})$"
+    """D4 — normalization.py:50-72: to DD/MM/YYYY, else NULL.
 
-    def pad(x: Column) -> Column:
-        return F.lpad(x, 2, "0")
+    Shape: canonicalize separators once, then pad-in-place — the original
+    per-group regexp_extract form referenced the input 8x, and interpreted
+    mode re-evaluates the (often expensive, keyword-anchored) input
+    expression per reference. Output-identical: DMY with 4-digit year ->
+    zero-padded DD/MM/YYYY; YMD flipped likewise; anything else NULL."""
+    uni = F.regexp_replace(F.regexp_replace(col, r"[^\d/\-.]", ""), r"[\-.]", "/")
 
-    d1 = F.regexp_extract(clean, dmy, 1)
-    m1 = F.regexp_extract(clean, dmy, 2)
-    y1 = F.regexp_extract(clean, dmy, 3)
-    y2 = F.regexp_extract(clean, ymd, 1)
-    m2 = F.regexp_extract(clean, ymd, 2)
-    d2 = F.regexp_extract(clean, ymd, 3)
+    def pad_dm(x: Column) -> Column:
+        # zero-pad 1-digit day then 1-digit month of a D/M/YYYY string
+        return F.regexp_replace(
+            F.regexp_replace(x, r"^(\d)/", "0$1/"), r"/(\d)/(\d{4})$", "/0$1/$2"
+        )
+
+    flip = F.regexp_replace(uni, r"^(\d{4})/(\d{1,2})/(\d{1,2})$", "$3/$2/$1")
     return (
-        F.when(d1 != "", F.concat(pad(d1), F.lit("/"), pad(m1), F.lit("/"), y1))
-        .when(y2 != "", F.concat(pad(d2), F.lit("/"), pad(m2), F.lit("/"), y2))
+        F.when(uni.rlike(r"^\d{1,2}/\d{1,2}/\d{4}$"), pad_dm(uni))
+        .when(uni.rlike(r"^\d{4}/\d{1,2}/\d{1,2}$"), pad_dm(flip))
         .otherwise(F.lit(None).cast("string"))
     )
 
