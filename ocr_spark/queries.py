@@ -1027,6 +1027,44 @@ def q_anchor_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_oracle() -> str:
+    bsql = ORACLE["lsh_buckets"]
+    return f"""
+    WITH bk AS ({bsql}),
+    base AS (
+      SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nvec, b.bucket
+      FROM embeddings e JOIN bk b ON e.vec_id = b.doc)
+    SELECT a.nid AS doc_a, b.nid AS doc_b,
+           ROUND(list_aggregate(list_transform(list_zip(a.nvec, b.nvec), p -> p[1]*p[2]), 'sum')
+             / (sqrt(list_aggregate(list_transform(a.nvec, x -> x*x), 'sum'))
+                * sqrt(list_aggregate(list_transform(b.nvec, x -> x*x), 'sum'))), 6) AS cos
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.nid < b.nid
+    WHERE ROUND(list_aggregate(list_transform(list_zip(a.nvec, b.nvec), p -> p[1]*p[2]), 'sum')
+             / (sqrt(list_aggregate(list_transform(a.nvec, x -> x*x), 'sum'))
+                * sqrt(list_aggregate(list_transform(b.nvec, x -> x*x), 'sum'))), 6) >= CAST(0.3 AS DOUBLE)
+    """
+
+
+@query("embedding_near_dup", _near_dup_oracle())
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, the ANN scale path: sign-LSH
+    bucket join first (shuffle key = bucket, never the full cross join),
+    exact cosine + threshold only within buckets. The DuckDB twin mirrors
+    the same bucketed plan; brute-force cosine is verified separately by
+    `cosine_topk`, and the bucketing itself by `lsh_buckets`."""
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = similarity.hyperplane_lsh_buckets(emb, "vec_id", "embedding")
+    base = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("nvec"),
+    ).join(buckets.select(F.col("doc").alias("nid"), "bucket"), "nid")
+    a = base.select(F.col("nid").alias("doc_a"), F.col("nvec").alias("va"), "bucket")
+    b = base.select(F.col("nid").alias("doc_b"), F.col("nvec").alias("vb"), "bucket")
+    pairs = a.join(b, "bucket").filter(F.col("doc_a") < F.col("doc_b"))
+    cos = F.round(similarity.cosine(F.col("va"), F.col("vb")), similarity.ROUND)
+    return pairs.select("doc_a", "doc_b", cos.alias("cos")).filter(F.col("cos") >= 0.3)
+
+
 # ===========================================================================
 # Geometry / layout operators (SURVEY.md §2.3 J3, §2.4 A12-A14, §2.5 W3,
 # region.py BoundingBox math) over deterministic synthetic boxes and points.

@@ -30,7 +30,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.sql.files.maxPartitionBytes", "64m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Heap scales with cores (as cluster memory scales with executors):
+        # allocation rate grows with task slots, and an undersized heap turns
+        # into GC pressure — measured 17% at local[32] (8g -> 24g).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", f"{max(6, (cores * 3) // 4)}g"),
+        )
         # Throughput GC: the interpreted-expression blocks allocate heavily;
         # G1's pacing cost ~30% of wall at 32 threads (measured at 96k pages:
         # 19.5s G1 -> 14.1s ParallelGC).
