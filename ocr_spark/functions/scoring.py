@@ -32,8 +32,10 @@ def _anchor_score_udf(text: pd.Series, doc_type: pd.Series) -> pd.Series:
             continue
         low = t.lower()
         # token-sort once per doc; per-anchor matching uses the thresholded
-        # gate (identical boolean to partial_token_sort_ratio >= threshold,
-        # with upper-bound pruning — see fuzzy.partial_ratio_at_least)
+        # gate. NOTE: the gate checks EVERY window offset (an intentional
+        # behavior change from the older partial_ratio, which strode windows
+        # by n//4 — ~0.2% of random inputs flip, and all-offsets is closer to
+        # rapidfuzz). Upper-bound pruning: fuzzy.partial_ratio_at_least.
         ts_text = " ".join(sorted(low.split()))
         found_req = sum(
             1 for a in cfg["required"]

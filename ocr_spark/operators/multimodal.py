@@ -11,6 +11,14 @@ implement a deterministic byte-derived fake (documented below) and raise
 the codec boundary (resize math, feature extraction, frame sampling,
 batching) is the production code path.
 
+Cross-engine verifiability: the fake seed is ``sha256(payload.hex())`` —
+hashing the lowercase-hex TEXT of the bytes rather than the raw bytes — so
+engines whose sha256 is string-only (DuckDB) can reproduce every value, and
+all float outputs are derived from exact integer sums with a fixed final
+expression (identical IEEE 754 double result in any engine). Luma is carried
+as integer milliluma ``L = 299*R + 587*G + 114*B`` (i.e. 1000x the 0.299 /
+0.587 / 0.114 Rec.601 weights).
+
 Scale notes (100 TB):
 - payload bytes never leave the Arrow stage that consumes them — each
   operator projects them away in its output schema (column-pruning
@@ -23,6 +31,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import hashlib
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -53,47 +62,59 @@ def _require_codec(codec: str) -> None:
         )
 
 
+def _seed(data: bytes) -> bytes:
+    """Hex-armored seed: sha256 over the lowercase-hex text of the bytes.
+    String-only-sha256 engines (DuckDB) reproduce this as
+    ``sha256(to_hex-chain)``, which the value-level oracles rely on."""
+    return hashlib.sha256(data.hex().encode("ascii")).digest()
+
+
 def _decode_rgb(payload: bytes, width: int, height: int, codec: str = "fake-rgb") -> np.ndarray:
-    """Codec boundary. Deterministic fake: the payload bytes are tiled into
-    an HxWx3 uint8 array (sha256-extended so any byte change perturbs every
+    """Codec boundary. Deterministic fake: the seed bytes are tiled into an
+    HxWx3 uint8 array (sha256-derived so any byte change perturbs every
     pixel). Swap with a real decoder in production."""
     _require_codec(codec)
     need = width * height * 3
-    seed = hashlib.sha256(payload).digest()
+    seed = _seed(payload)
     reps = need // len(seed) + 1
     buf = (seed * reps)[:need]
     return np.frombuffer(buf, dtype=np.uint8).reshape(height, width, 3).copy()
 
 
 def _decode_pcm(payload: bytes, n_samples: int, codec: str = "fake-pcm") -> np.ndarray:
-    """Codec boundary for audio: deterministic int16 PCM derived from the
-    payload bytes."""
+    """Codec boundary for audio: deterministic little-endian int16 PCM
+    derived from the seed bytes."""
     _require_codec(codec)
-    seed = hashlib.sha256(payload).digest()
+    seed = _seed(payload)
     reps = (n_samples * 2) // len(seed) + 1
     buf = (seed * reps)[: n_samples * 2]
     return np.frombuffer(buf, dtype="<i2").astype(np.int64)
 
 
-def _luma(img: np.ndarray) -> np.ndarray:
-    return 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+def _milliluma(img: np.ndarray) -> np.ndarray:
+    """Integer milliluma: 1000x Rec.601 luma, exact in int64."""
+    i = img.astype(np.int64)
+    return 299 * i[..., 0] + 587 * i[..., 1] + 114 * i[..., 2]
 
 
-def _phash8(gray: np.ndarray) -> str:
-    """8x8 average-hash over a block-mean downsample — deterministic,
-    library-free perceptual fingerprint."""
-    h, w = gray.shape
+def _phash8(lum: np.ndarray) -> str:
+    """8x8 average-hash over block sums of integer milliluma: bit(i,j) is
+    ``block_mean > global_mean``, evaluated as the exact integer comparison
+    ``block_sum * n_pixels > total_sum * block_size`` (no float rounding, so
+    any engine reproduces the hash bit-for-bit). Requires h, w >= 8."""
+    h, w = lum.shape
+    if h < 8 or w < 8:
+        raise ValueError(f"phash requires dims >= 8, got {h}x{w}")
+    n = h * w
+    total = int(lum.sum())
     ys = (np.arange(9) * h) // 8
     xs = (np.arange(9) * w) // 8
-    cells = np.empty((8, 8))
+    val = 0
     for i in range(8):
         for j in range(8):
-            block = gray[ys[i]:max(ys[i + 1], ys[i] + 1), xs[j]:max(xs[j + 1], xs[j] + 1)]
-            cells[i, j] = block.mean()
-    bits = (cells > cells.mean()).flatten()
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
+            block = lum[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+            bit = int(block.sum()) * n > total * block.size
+            val = (val << 1) | int(bit)
     return f"{val:016x}"
 
 
@@ -117,19 +138,33 @@ def image_metadata(df: DataFrame) -> DataFrame:
 
 
 def image_features(df: DataFrame) -> DataFrame:
-    """Decode -> luma stats + gradient edge energy + 8x8 perceptual hash."""
+    """Decode -> luma stats + gradient edge energy + 8x8 perceptual hash.
+
+    All three doubles are a fixed final expression over exact int64 sums
+    (``SL``, ``SL2``, edge-diff sums), mirrored verbatim by the DuckDB
+    oracle, so the values are bit-identical cross-engine."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for doc_id, payload, w, h, codec in zip(
                 b["doc_id"], b["payload"], b["width"], b["height"], b["codec"]
             ):
-                img = _decode_rgb(bytes(payload), int(w), int(h), codec)
-                g = _luma(img)
-                gx = np.abs(np.diff(g, axis=1)).mean() if g.shape[1] > 1 else 0.0
-                gy = np.abs(np.diff(g, axis=0)).mean() if g.shape[0] > 1 else 0.0
-                rows.append((int(doc_id), int(w), int(h), float(g.mean()),
-                             float(g.std()), float(gx + gy), _phash8(g)))
+                w, h = int(w), int(h)
+                lum = _milliluma(_decode_rgb(bytes(payload), w, h, codec))
+                n = w * h
+                sl = int(lum.sum())
+                sl2 = int((lum * lum).sum())
+                sdx = int(np.abs(np.diff(lum, axis=1)).sum()) if w > 1 else 0
+                sdy = int(np.abs(np.diff(lum, axis=0)).sum()) if h > 1 else 0
+                m = sl / n / 1000.0
+                var = sl2 / n / 1000000.0 - m * m
+                rows.append((
+                    int(doc_id), w, h,
+                    m,
+                    math.sqrt(max(var, 0.0)),
+                    sdx / (h * (w - 1)) / 1000.0 + sdy / ((h - 1) * w) / 1000.0,
+                    _phash8(lum),
+                ))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "width", "height", "mean_luma", "std_luma",
                 "edge_energy", "phash",
@@ -142,7 +177,9 @@ def image_features(df: DataFrame) -> DataFrame:
 
 def image_resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     """Nearest-neighbor resize (pure numpy index math — the real path for a
-    production resize kernel); emits size + checksum, not the bitmap."""
+    production resize kernel); emits size + checksum, not the bitmap. The
+    checksum is hex-armored (sha256 of the hex text of the resized bytes)
+    for the same cross-engine reason as the seed."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
@@ -153,8 +190,9 @@ def image_resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 yi = (np.arange(out_h) * img.shape[0]) // out_h
                 xi = (np.arange(out_w) * img.shape[1]) // out_w
                 out = img[yi][:, xi]
+                digest = hashlib.sha256(out.tobytes().hex().encode("ascii"))
                 rows.append((int(doc_id), out_w, out_h, out.nbytes,
-                             hashlib.sha256(out.tobytes()).hexdigest()[:16]))
+                             digest.hexdigest()[:16]))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "out_width", "out_height", "out_bytes", "checksum",
             ])
@@ -166,7 +204,8 @@ def image_resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 def video_frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Sample every Nth frame of a (fake-)video payload; one output row per
-    sampled frame (a flat-map: mapInPandas output is not 1:1 with input)."""
+    sampled frame (a flat-map: mapInPandas output is not 1:1 with input).
+    Frame fi decodes from ``payload || fi_le32`` so each frame differs."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
@@ -178,7 +217,7 @@ def video_frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
                 for fi in range(0, int(n_frames), every_n):
                     frame = _decode_rgb(bytes(payload) + fi.to_bytes(4, "little"),
                                         int(w), int(h), "fake-rgb")
-                    rows.append((int(doc_id), fi, _phash8(_luma(frame))))
+                    rows.append((int(doc_id), fi, _phash8(_milliluma(frame))))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_index", "frame_phash"])
 
     return df.select("doc_id", "payload", "width", "height", "n_frames", "codec").mapInPandas(
@@ -187,18 +226,21 @@ def video_frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
 
 
 def audio_features(df: DataFrame) -> DataFrame:
-    """PCM decode -> RMS, zero-crossing count, clipping ratio."""
+    """PCM decode -> RMS, zero-crossing count, clipping ratio. RMS and clip
+    ratio are fixed final expressions over exact integer sums (see
+    image_features) so the oracle reproduces them bit-for-bit."""
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = []
             for doc_id, payload, n_samples, codec in zip(
                 b["doc_id"], b["payload"], b["n_samples"], b["codec"]
             ):
-                pcm = _decode_pcm(bytes(payload), int(n_samples), codec)
-                rms = float(np.sqrt(np.mean(pcm.astype(np.float64) ** 2)))
-                zc = int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1])))
-                clip = float(np.mean(np.abs(pcm) >= 32767))
-                rows.append((int(doc_id), int(n_samples), rms, zc, clip))
+                n = int(n_samples)
+                pcm = _decode_pcm(bytes(payload), n, codec)
+                sv2 = int((pcm * pcm).sum())
+                zc = int(np.sum((pcm[1:] < 0) != (pcm[:-1] < 0)))
+                n_clip = int(np.sum(np.abs(pcm) >= 32767))
+                rows.append((int(doc_id), n, math.sqrt(sv2 / n), zc, n_clip / n))
             yield pd.DataFrame(rows, columns=[
                 "doc_id", "n_samples", "rms", "zero_crossings", "clip_ratio",
             ])

@@ -1015,9 +1015,43 @@ def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("anchor_scores")  # fuzzy rapidfuzz-style matching — no SQL oracle
+def _anchor_scores_oracle() -> str:
+    """Substring-form twin of the fuzzy anchor UDF. Exact on the synthetic
+    corpus because the token-sort fuzzy gate provably never fires beyond
+    plain substring containment there — asserted per-document per-anchor by
+    tests/test_oracle_semantics.py::test_anchor_gate_substring_decidable.
+    The score arithmetic mirrors scoring._anchor_score_udf operation-for-
+    operation (int counts -> one division -> one min chain), so doubles are
+    bit-identical."""
+    cs = OSQL.classify_sql("text")
+
+    def hit(a: str) -> str:
+        esc = a.replace("'", "''")
+        return f"CASE WHEN contains(lower(text), '{esc}') THEN 1 ELSE 0 END"
+
+    branches = []
+    for dt, cfg in C.ANCHORS.items():
+        req = " + ".join(hit(a) for a in cfg["required"])
+        opt = " + ".join(hit(a) for a in cfg["optional"])
+        bonus = (
+            f"LEAST(CAST({C.ANCHOR_OPTIONAL_BONUS_CAP} AS DOUBLE), "
+            f"({opt}) * CAST({C.ANCHOR_OPTIONAL_BONUS} AS DOUBLE))"
+        )
+        score = (
+            f"LEAST(CAST(1 AS DOUBLE), "
+            f"({req}) / CAST({len(cfg['required'])} AS BIGINT) + {bonus})"
+        )
+        branches.append(f"WHEN doc_type = '{dt}' THEN {score}")
+    case = "CASE " + " ".join(branches) + " ELSE CAST(0 AS DOUBLE) END"
+    return f"""
+    WITH c AS (SELECT doc_id, text, {cs['doc_type']} AS doc_type FROM ({SYNTH_CORPUS_SQL}))
+    SELECT doc_id, doc_type, {case} AS anchor_score FROM c
+    """
+
+
+@query("anchor_scores", _anchor_scores_oracle())
 def q_anchor_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5: fuzzy anchor scoring (Arrow-batched pandas UDF, rows-only check)."""
+    """A5: fuzzy anchor scoring (Arrow-batched pandas UDF)."""
     df = synth_corpus(spark, sf_dir)
     cls = classify(F.col("text"))
     return df.select(
@@ -1314,7 +1348,99 @@ def q_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_metadata(_image_payload_df(spark, sf_dir))
 
 
-@query("image_features")  # python decode stage — rows-only check
+# The multimodal fake decode is closed-form over sha256 hex text (see
+# operators/multimodal.py docstring), so DuckDB reproduces every value:
+# seed byte m of doc = byte m of sha256(sha256(text)), pixel (y,x) channel c
+# reads seed byte (3*(y*w+x)+c) % 32, and all float outputs are fixed final
+# expressions over exact integer sums.
+
+_HEXMAP_SQL = "SELECT lower(lpad(to_hex(v), 2, '0')) AS hh, v FROM range(0, 256) t(v)"
+_CHAN_SQL = "SELECT 0 AS c, 299 AS coef UNION ALL SELECT 1, 587 UNION ALL SELECT 2, 114"
+_IMG_SQL = """
+  SELECT doc_id, sha256(sha256(text)) AS seedhex,
+         16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+  FROM documents
+"""
+
+# Integer-milliluma pixels of a seedhex-tiled image; expects a CTE `img`
+# with (doc_id, seedhex, w, h [, fi]).
+def _pixel_sql(extra_key: str = "") -> str:
+    key = f"{extra_key}, " if extra_key else ""
+    return f"""
+  SELECT i.doc_id, {key}i.w, i.h, gy.y, gx.x,
+         CAST(SUM(ch.coef * hm.v) AS BIGINT) AS L
+  FROM img i
+  JOIN range(0, 32) gy(y) ON gy.y < i.h
+  JOIN range(0, 32) gx(x) ON gx.x < i.w
+  JOIN ({_CHAN_SQL}) ch ON true
+  JOIN hexmap hm
+    ON hm.hh = substr(i.seedhex, 2 * ((3 * (gy.y * i.w + gx.x) + ch.c) % 32) + 1, 2)
+  GROUP BY i.doc_id, {key}i.w, i.h, gy.y, gx.x
+"""
+
+
+# 8x8 average-hash nibbles from pixel CTE `pxb` (cell-mean > global-mean as
+# the exact integer comparison block_sum*n > total*block_size — the same
+# definition as multimodal._phash8).
+def _phash_sql(key: str) -> str:
+    return f"""
+stats AS (
+  SELECT {key}, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(L) AS BIGINT) AS sl,
+         CAST(SUM(L * L) AS BIGINT) AS sl2, ANY_VALUE(w) AS w, ANY_VALUE(h) AS h
+  FROM pxb GROUP BY {key}
+),
+cells AS (
+  SELECT {key}, ((y + 1) * 8 + h - 1) // h - 1 AS ci, ((x + 1) * 8 + w - 1) // w - 1 AS cj,
+         CAST(SUM(L) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM pxb GROUP BY {key}, ci, cj
+),
+bits AS (
+  SELECT c.*, c.ci * 8 + c.cj AS k,
+         CASE WHEN c.s * st.n > st.sl * c.cnt THEN 1 ELSE 0 END AS bit
+  FROM cells c JOIN stats st USING ({key})
+),
+nibs AS (
+  SELECT {key}, k // 4 AS m,
+         CAST(SUM(bit * CASE k % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END) AS INTEGER) AS d
+  FROM bits GROUP BY {key}, m
+),
+ph AS (
+  SELECT {key}, string_agg(substr('0123456789abcdef', d + 1, 1), '' ORDER BY m) AS phash
+  FROM nibs GROUP BY {key}
+)
+"""
+
+
+def _image_features_oracle() -> str:
+    return f"""
+    WITH hexmap AS ({_HEXMAP_SQL}),
+    img AS ({_IMG_SQL}),
+    pxb AS ({_pixel_sql()}),
+    {_phash_sql("doc_id")},
+    diffs AS (
+      SELECT doc_id,
+             ABS(L - LAG(L) OVER (PARTITION BY doc_id, y ORDER BY x)) AS dxv,
+             ABS(L - LAG(L) OVER (PARTITION BY doc_id, x ORDER BY y)) AS dyv
+      FROM pxb
+    ),
+    edge AS (
+      SELECT doc_id, CAST(SUM(dxv) AS BIGINT) AS sdx, CAST(SUM(dyv) AS BIGINT) AS sdy
+      FROM diffs GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(s.w AS INTEGER) AS width, CAST(s.h AS INTEGER) AS height,
+           s.sl / s.n / CAST(1000 AS DOUBLE) AS mean_luma,
+           sqrt(greatest(s.sl2 / s.n / CAST(1000000 AS DOUBLE)
+                - (s.sl / s.n / CAST(1000 AS DOUBLE)) * (s.sl / s.n / CAST(1000 AS DOUBLE)),
+                CAST(0 AS DOUBLE))) AS std_luma,
+           e.sdx / (s.h * (s.w - 1)) / CAST(1000 AS DOUBLE)
+             + e.sdy / ((s.h - 1) * s.w) / CAST(1000 AS DOUBLE) AS edge_energy,
+           ph.phash
+    FROM stats s JOIN edge e USING (doc_id) JOIN ph USING (doc_id)
+    """
+
+
+@query("image_features", _image_features_oracle())
 def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode -> luma stats + edge energy + 8x8 perceptual hash."""
     from ocr_spark.operators.multimodal import image_features
@@ -1322,7 +1448,27 @@ def q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(_image_payload_df(spark, sf_dir))
 
 
-@query("image_resize")  # python decode stage — rows-only check
+def _image_resize_oracle() -> str:
+    return f"""
+    WITH img AS ({_IMG_SQL}),
+    outb AS (
+      SELECT i.doc_id, oy.v AS oy, ox.v AS ox, ch.c AS c,
+             substr(i.seedhex,
+                    2 * ((3 * (((oy.v * i.h) // 8) * i.w + (ox.v * i.w) // 8) + ch.c) % 32) + 1,
+                    2) AS pair
+      FROM img i, range(0, 8) oy(v), range(0, 8) ox(v), ({_CHAN_SQL}) ch
+    ),
+    hx AS (
+      SELECT doc_id, string_agg(pair, '' ORDER BY oy, ox, c) AS hexstr
+      FROM outb GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(8 AS INTEGER) AS out_width, CAST(8 AS INTEGER) AS out_height,
+           CAST(192 AS INTEGER) AS out_bytes, substr(sha256(hexstr), 1, 16) AS checksum
+    FROM hx
+    """
+
+
+@query("image_resize", _image_resize_oracle())
 def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor resize kernel; emits dimensions + checksum."""
     from ocr_spark.operators.multimodal import image_resize
@@ -1330,7 +1476,26 @@ def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_resize(_image_payload_df(spark, sf_dir), 8, 8)
 
 
-@query("video_frame_sample")  # python decode stage — rows-only check
+def _video_frame_oracle() -> str:
+    # Frame fi's seed hashes payload.hex() || fi as 4 little-endian hex bytes
+    # (fi < 256 here, so the suffix is lpad(hex(fi)) || '000000').
+    return f"""
+    WITH hexmap AS ({_HEXMAP_SQL}),
+    img AS (
+      SELECT doc_id,
+             sha256(sha256(text) || lower(lpad(to_hex(f.v), 2, '0')) || '000000') AS seedhex,
+             f.v AS fi, 16 + doc_id % 17 AS w, 16 + doc_id % 13 AS h
+      FROM documents
+      JOIN range(0, 24) f(v) ON f.v < 5 + doc_id % 20 AND f.v % 5 = 0
+    ),
+    pxb AS ({_pixel_sql("i.fi")}),
+    {_phash_sql("doc_id, fi")}
+    SELECT doc_id, CAST(fi AS INTEGER) AS frame_index, phash AS frame_phash
+    FROM ph
+    """
+
+
+@query("video_frame_sample", _video_frame_oracle())
 def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Every-Nth-frame sampling (flat-map: >1 output row per video)."""
     from ocr_spark.operators.multimodal import video_frame_sample
@@ -1342,7 +1507,46 @@ def q_video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_sample(vids, every_n=5)
 
 
-@query("audio_features")  # python decode stage — rows-only check
+def _audio_features_oracle() -> str:
+    return f"""
+    WITH hexmap AS ({_HEXMAP_SQL}),
+    aud AS (
+      SELECT doc_id, sha256(sha256(text)) AS seedhex, 1000 + doc_id % 3000 AS n
+      FROM documents
+    ),
+    sv AS (
+      SELECT a.doc_id, a.n, k.v AS k,
+             CASE WHEN b0.v + 256 * b1.v >= 32768
+                  THEN b0.v + 256 * b1.v - 65536
+                  ELSE b0.v + 256 * b1.v END AS v
+      FROM aud a
+      JOIN range(0, 4000) k(v) ON k.v < a.n
+      JOIN hexmap b0 ON b0.hh = substr(a.seedhex, 2 * ((2 * k.v) % 32) + 1, 2)
+      JOIN hexmap b1 ON b1.hh = substr(a.seedhex, 2 * ((2 * k.v + 1) % 32) + 1, 2)
+    ),
+    svl AS (
+      SELECT doc_id, v, LAG(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+      FROM sv
+    ),
+    zc AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN (v < 0) != (pv < 0) THEN 1 ELSE 0 END) AS INTEGER) AS zcnt
+      FROM svl GROUP BY doc_id
+    ),
+    st AS (
+      SELECT doc_id, CAST(ANY_VALUE(n) AS BIGINT) AS n, CAST(SUM(v * v) AS BIGINT) AS sv2,
+             CAST(SUM(CASE WHEN ABS(v) >= 32767 THEN 1 ELSE 0 END) AS BIGINT) AS nclip
+      FROM sv GROUP BY doc_id
+    )
+    SELECT st.doc_id, CAST(st.n AS INTEGER) AS n_samples,
+           sqrt(st.sv2 / st.n) AS rms,
+           zc.zcnt AS zero_crossings,
+           st.nclip / st.n AS clip_ratio
+    FROM st JOIN zc USING (doc_id)
+    """
+
+
+@query("audio_features", _audio_features_oracle())
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCM decode -> RMS / zero-crossings / clip ratio."""
     from ocr_spark.operators.multimodal import audio_features

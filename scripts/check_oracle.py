@@ -55,9 +55,11 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
+    n_run = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        n_run += 1
         try:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as exc:  # noqa: BLE001
@@ -97,7 +99,7 @@ def main() -> int:
             continue
         print(f"PASS {name}: rows={len(sdf)}")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} pass")
+    print(f"\n{n_run - len(failures)}/{n_run} pass")
     return 1 if failures else 0
 
 

@@ -179,3 +179,44 @@ def test_word_stats_weights():
     assert s["ocr_confidence_score"] == 1.0
     # below min_words_detected -> 0
     assert R.word_stats(["a", "b"], [])["ocr_confidence_score"] == 0.0
+
+
+def test_anchor_gate_substring_decidable():
+    """The anchor_scores DuckDB oracle (queries._anchor_scores_oracle) is
+    substring-form; it is exact only because the fuzzy token-sort gate never
+    fires beyond plain substring containment on the synthetic corpus. Assert
+    that per document per anchor, so a corpus change that breaks the
+    invariant fails HERE, not in the driver's value-hash gate."""
+    import os
+
+    import duckdb
+    import pytest
+
+    from ocr_spark import config as C
+    from ocr_spark.functions.fuzzy import token_sort_gate
+    from ocr_spark.queries import SYNTH_CORPUS_SQL, _classify_oracle
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata not present")
+    con = duckdb.connect()
+    for t in ("orders", "documents"):
+        p = os.path.join(sf, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    rows = con.execute(
+        f"SELECT c.doc_id, c.text, o.doc_type FROM ({SYNTH_CORPUS_SQL}) c "
+        f"JOIN ({_classify_oracle()}) o USING (doc_id)"
+    ).fetchall()
+    assert len(rows) > 0
+    for doc_id, text, dt in rows:
+        cfg = C.ANCHORS.get(dt)
+        if cfg is None:
+            continue
+        low = text.lower()
+        ts = " ".join(sorted(low.split()))
+        for a in cfg["required"] + cfg["optional"]:
+            if a not in low:
+                assert not token_sort_gate(a, ts, cfg["threshold"]), (
+                    f"fuzzy gate fired beyond substring: doc {doc_id} ({dt}) anchor {a!r}"
+                )
