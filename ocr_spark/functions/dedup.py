@@ -9,9 +9,14 @@ Scale notes (100 TB):
   apply; the hash (not the text) is the shuffle key, so wide rows don't
   travel twice.
 - minhash_lsh shuffles once per band on (band, signature); candidate pairs
-  explode only within buckets, never across the corpus.
-- ngram_jaccard_pairs is quadratic within its blocking key — use only behind
-  LSH blocking or a bounded group (here: lang+source blocks).
+  explode only within buckets, never across the corpus, and oversize
+  (boilerplate-degenerate) buckets are capped — see lsh_candidate_pairs.
+- ngram_jaccard_pairs is quadratic within its blocking key; the corpus-scale
+  composition is lsh_jaccard_pairs (exact Jaccard only on LSH candidates).
+
+Id-uniqueness assumption: per-doc aggregating operators (minhash_signatures,
+simhash64) group by the id column, so duplicate id values collapse to one
+output row; callers own id uniqueness (the reference keys documents by url).
 """
 
 from __future__ import annotations
@@ -70,19 +75,45 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+DEFAULT_MAX_BUCKET = 64
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n_bands: int = 4, shingle_n: int = 3) -> DataFrame:
+                        n_bands: int = 4, shingle_n: int = 3,
+                        max_bucket_size: int = DEFAULT_MAX_BUCKET) -> DataFrame:
     """Candidate near-dup pairs: ids sharing any band signature. The shuffle
-    key is (band, signature) — bucket-local joins only."""
+    key is (band, signature) — bucket-local joins only.
+
+    Degenerate-bucket cap (100 TB): mass-duplicated boilerplate puts 10^6
+    docs behind ONE signature; gathering them into one collect_set row and
+    exploding ~n² pairs in-row is a single-task OOM. Buckets larger than
+    ``max_bucket_size`` are dropped — identical/boilerplate text shares
+    EVERY signature, so its members are exact_dedup's job, not pairwise
+    LSH's — which bounds any task at max_bucket_size² pairs. Dropped
+    buckets are observable via :func:`lsh_oversize_buckets` (log/alert on
+    it in jobs; silent truncation is not acceptable at scale)."""
     sigs = minhash_signatures(df, id_col, text_col, n_bands, shingle_n)
     grouped = sigs.groupBy("band", "signature").agg(F.collect_set("doc").alias("docs"))
     pairs = (
-        grouped.filter(F.size("docs") > 1)
+        grouped.filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket_size))
         .select(F.explode(_pairs_expr(F.array_sort("docs"))).alias("p"))
         .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .distinct()
     )
     return pairs
+
+
+def lsh_oversize_buckets(df: DataFrame, id_col: str, text_col: str,
+                         n_bands: int = 4, shingle_n: int = 3,
+                         max_bucket_size: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """The (band, signature, n_docs) buckets lsh_candidate_pairs DROPS under
+    its cap — the job-side observability hook for the no-silent-caps rule."""
+    sigs = minhash_signatures(df, id_col, text_col, n_bands, shingle_n)
+    return (
+        sigs.groupBy("band", "signature")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
+    )
 
 
 def _pairs_expr(sorted_docs):
@@ -102,33 +133,70 @@ def _pairs_expr(sorted_docs):
     )
 
 
+def _hashed_shingles(text_col, shingle_n: int):
+    """word_shingles md5-hashed to int64 — set ops over longs are several
+    times cheaper than over shingle strings and shrink shuffled arrays ~3x.
+    Collisions are negligible (60-bit space vs ~100 shingles/doc) and both
+    engines hash identically, so values stay cross-engine exact."""
+    return F.transform(
+        word_shingles(text_col, shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
+        .cast("decimal(20,0)").cast("long"),
+    )
+
+
+def _jaccard(sh_a, sh_b):
+    inter = F.size(F.array_intersect(sh_a, sh_b))
+    union = F.size(F.array_union(sh_a, sh_b))
+    return F.round(
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)), 9
+    )
+
+
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         block_cols: list[str], shingle_n: int = 3,
                         threshold: float = 0.0) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs within a blocking key.
 
-    Shingles are md5-hashed to int64 BEFORE the quadratic join: set
-    intersection over longs is several times cheaper than over shingle
-    strings, and the shuffled arrays shrink ~3x. Hash collisions are
-    negligible (60-bit space vs ~100 shingles/doc) and both engines hash
-    identically, so the values stay cross-engine exact."""
+    Quadratic within each block — ONLY safe when the blocking key bounds
+    group size by construction. For corpus-scale near-dup work use
+    :func:`lsh_jaccard_pairs`, which blocks on LSH buckets instead of a
+    low-cardinality column key."""
     base = df.select(
         F.col(id_col).alias("doc"),
         *[F.col(c) for c in block_cols],
-        F.transform(
-            word_shingles(F.col(text_col), shingle_n),
-            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10)
-            .cast("decimal(20,0)").cast("long"),
-        ).alias("sh"),
+        _hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
     )
     a = base.select(F.col("doc").alias("doc_a"), *block_cols, F.col("sh").alias("sh_a"))
     b = base.select(F.col("doc").alias("doc_b"), *block_cols, F.col("sh").alias("sh_b"))
     joined = a.join(b, on=block_cols).filter(F.col("doc_a") < F.col("doc_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
     return (
-        joined.select("doc_a", "doc_b", F.round(jac, 9).alias("jaccard"))
+        joined.select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def lsh_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n_bands: int = 4, shingle_n: int = 3,
+                      threshold: float = 0.0,
+                      max_bucket_size: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY on LSH candidate pairs — the
+    100 TB composition: minhash banding prunes the corpus to bucket-local
+    candidates (one shuffle on (band, signature), bounded buckets), then
+    the exact set comparison runs per candidate pair (two hash joins on
+    doc id), never quadratically within a low-cardinality block."""
+    pairs = lsh_candidate_pairs(df, id_col, text_col, n_bands, shingle_n,
+                                max_bucket_size)
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        _hashed_shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    joined = (
+        pairs.join(base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
+    )
+    return (
+        joined.select("doc_a", "doc_b", _jaccard("sh_a", "sh_b").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

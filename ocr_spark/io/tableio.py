@@ -69,6 +69,45 @@ class SnapshotTable:
             return None
         return spark.read.parquet(*[os.path.join(self.path, f) for f in files])
 
+    # -- bounded resume metadata (O(audit), no data scan) ---------------------
+
+    def last_batch_id(self, checkpoint: str) -> int | None:
+        """Highest committed streaming batch_id for a checkpoint lineage, from
+        snapshot metrics alone. Scoped to the checkpoint: a NEW checkpoint
+        restarts batch ids at 0, so its batches must not be confused with an
+        old lineage's."""
+        best = None
+        for m in self.current_snapshot().get("metrics", {}).values():
+            if m.get("checkpoint") == checkpoint and "batch_id" in m:
+                b = int(m["batch_id"])
+                best = b if best is None else max(best, b)
+        return best
+
+    @staticmethod
+    def _run_of(rel_file: str) -> str:
+        # data files live under data/run-<id>/part-*.parquet; audit rows
+        # carry the bare <id>
+        parts = rel_file.replace("\\", "/").split("/")
+        return parts[1].removeprefix("run-") if len(parts) > 1 else ""
+
+    def candidate_committed_files(
+        self, buckets: set[int], url_lo: str, url_hi: str
+    ) -> list[str]:
+        """Data files that COULD contain already-committed rows for the given
+        bucket set and url bounds — decided entirely from the per-run audit
+        rows (partition_id + [url_min, url_max] per bucket), i.e. O(audit)
+        metadata work. Runs whose committed url ranges are disjoint from the
+        probe bounds are pruned wholesale; only overlapping runs' files need
+        a (column-pruned, predicate-pushed) scan."""
+        snap = self.current_snapshot()
+        runs = {
+            a["run_id"]
+            for a in snap["audit"]
+            if a["partition_id"] in buckets
+            and not (a["url_max"] < url_lo or a["url_min"] > url_hi)
+        }
+        return [f for f in snap["data_files"] if self._run_of(f) in runs]
+
     # -- commit path ----------------------------------------------------------
 
     def filter_uncommitted(self, df: DataFrame, url_col: str = "url") -> DataFrame:

@@ -27,8 +27,10 @@ from ocr_spark import config as C
 from ocr_spark.functions import similarity
 from ocr_spark.functions.classify import classify
 from ocr_spark.functions.dedup import (
+    DEFAULT_MAX_BUCKET,
     exact_dedup,
     lsh_candidate_pairs,
+    lsh_jaccard_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash64,
@@ -297,22 +299,50 @@ def q_minhash_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc", F.col("band").cast("bigint").alias("band"), "signature")
 
 
-@query(
-    "lsh_candidate_pairs",
-    f"""
+_LSH_PAIRS_SQL = f"""
     WITH sh AS ({_SHINGLE_SQL}),
     b AS (SELECT doc, shingles, unnest(range(0, 4)) AS band FROM sh),
     sigs AS (
       SELECT doc, band,
              list_aggregate(list_transform(shingles, s -> md5(band || '|' || s)), 'min') AS signature
-      FROM b WHERE len(shingles) > 0)
+      FROM b WHERE len(shingles) > 0),
+    bs AS (SELECT band, signature FROM sigs GROUP BY band, signature
+           HAVING COUNT(*) <= {DEFAULT_MAX_BUCKET}),
+    capped AS (SELECT s.* FROM sigs s JOIN bs USING (band, signature))
     SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-    FROM sigs a JOIN sigs b ON a.band = b.band AND a.signature = b.signature AND a.doc < b.doc
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.signature = b.signature AND a.doc < b.doc
+"""
+
+
+@query("lsh_candidate_pairs", _LSH_PAIRS_SQL)
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding: near-dup candidates shuffle only on (band, signature);
+    boilerplate-degenerate buckets above the cap are dropped (exact_dedup's
+    job) in BOTH engines."""
+    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", n_bands=4)
+
+
+@query(
+    "lsh_jaccard_pairs",
+    f"""
+    WITH pairs AS ({_LSH_PAIRS_SQL}),
+    hs AS (
+      SELECT s.doc, list_transform(s.shingles, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS sh
+      FROM ({_SHINGLE_SQL}) s)
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                 THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(a.sh || b.sh))
+                 ELSE 0.0 END, 9) AS jaccard
+    FROM pairs p JOIN hs a ON a.doc = p.doc_a JOIN hs b ON b.doc = p.doc_b
     """,
 )
-def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH banding: near-dup candidates shuffle only on (band, signature)."""
-    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", n_bands=4)
+def q_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ONLY on LSH candidates — the composed corpus-scale
+    near-dup plan (banding prunes; the quadratic comparison never runs
+    within a low-cardinality block)."""
+    return lsh_jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", n_bands=4)
 
 
 @query(

@@ -16,6 +16,8 @@ bounds micro-batch size; watermarks bound window state.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
@@ -33,10 +35,12 @@ def stream_pages_to_table(
 ) -> StreamingQuery:
     """File-source stream of page parquet -> extraction -> snapshot commits.
 
-    Each micro-batch runs the full batch pipeline and lands as one snapshot;
-    the source checkpoint gives at-least-once delivery and the committed-
-    bucket anti-join inside run_pipeline's table layer makes replays
-    idempotent (effectively exactly-once at the snapshot level)."""
+    Each micro-batch runs the full batch pipeline and lands as one snapshot.
+    Exactly-once comes in two bounded layers (neither scans the full output
+    table): a checkpoint-scoped batch_id replay guard (O(1) snapshot
+    metadata), and a url anti-join whose committed side is pruned to only
+    the runs whose audit url ranges overlap the batch envelope (O(audit)
+    metadata + a scan of just those runs' files)."""
     from ocr_spark.io.tableio import part_key
     from ocr_spark.pipeline import run_pipeline
 
@@ -49,21 +53,41 @@ def stream_pages_to_table(
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # Incremental feeds need URL-level resume, not the batch job's
-        # bucket-level filter_uncommitted: a micro-batch touches rows in
-        # every bucket, so one committed batch would wrongly mask all later
-        # ones. Anti-join against committed urls instead (at scale: the
-        # audit table's per-bucket url ranges prune this join's input).
-        committed = table.read(spark)
-        fresh = (
-            batch_df.join(committed.select("url"), "url", "left_anti")
-            if committed is not None else batch_df
+        # Exactly-once layer 1 (O(1) metadata): within one checkpoint
+        # lineage the source re-delivers a crashed micro-batch with the SAME
+        # batch_id and content, so an already-committed id is a pure replay.
+        last = table.last_batch_id(checkpoint_dir)
+        if last is not None and batch_id <= last:
+            return
+        # Layer 2 — cross-batch/cross-checkpoint url dedup. The committed
+        # side is NOT the full output table: the audit rows' per-bucket url
+        # ranges prune it to only the runs whose committed ranges overlap
+        # this batch's (bucket, url) envelope — O(audit) metadata work plus
+        # a column-pruned scan of just the overlapping runs' files. A feed
+        # of fresh urls (disjoint ranges, the steady state) anti-joins
+        # against NOTHING.
+        stats = batch_df.agg(
+            F.min("url").alias("lo"),
+            F.max("url").alias("hi"),
+            F.collect_set(part_key(F.col("url"), table.n_buckets)).alias("buckets"),
+        ).first()
+        files = table.candidate_committed_files(
+            set(stats["buckets"]), stats["lo"], stats["hi"]
         )
+        if files:
+            committed_urls = (
+                spark.read.parquet(*[os.path.join(table.path, f) for f in files])
+                .filter(F.col("url").between(stats["lo"], stats["hi"]))
+                .select("url")
+            )
+            fresh = batch_df.join(committed_urls, "url", "left_anti")
+        else:
+            fresh = batch_df
         if fresh.isEmpty():
             return
         result = run_pipeline(spark, pages_path=None, pages_df=fresh)
         result = result.withColumn("part_key", part_key(F.col("url"), table.n_buckets))
-        table.commit(result, metrics={"batch_id": batch_id})
+        table.commit(result, metrics={"batch_id": batch_id, "checkpoint": checkpoint_dir})
 
     writer = stream.writeStream.foreachBatch(_process).option(
         "checkpointLocation", checkpoint_dir

@@ -43,3 +43,37 @@ def test_pipeline_output_invariant_to_partitioning(spark, skewed_pages):
     rb = {r["url"]: (r["extracted_text"], r["decision"], r["final_score"])
           for r in b.select("url", "extracted_text", "decision", "final_score").collect()}
     assert ra == rb
+
+
+def test_lsh_mega_bucket_capped(spark):
+    """A boilerplate signature shared by 10^4 docs must NOT materialize ~10^8
+    pairs in one task: the bucket cap drops it (those docs are exact_dedup's
+    job), genuine near-dup pairs still come through, and the dropped bucket
+    is observable."""
+    from ocr_spark.functions.dedup import (
+        exact_dedup,
+        lsh_candidate_pairs,
+        lsh_oversize_buckets,
+    )
+
+    boiler = [(i, "cookie consent banner please accept our terms of service today") 
+              for i in range(10_000)]
+    near = [
+        (20_000, "the quick brown fox jumps over the lazy dog near the river"),
+        (20_001, "the quick brown fox jumps over the lazy dog near the creek"),
+    ]
+    df = spark.createDataFrame(boiler + near, ["doc_id", "text"])
+
+    pairs = lsh_candidate_pairs(df, "doc_id", "text", n_bands=4).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (20_000, 20_001) in got
+    # no pair from the mega bucket (10^4 choose 2 would be ~5*10^7 rows)
+    assert all(a >= 20_000 for a, _ in got), sorted(got)[:5]
+
+    over = lsh_oversize_buckets(df, "doc_id", "text", n_bands=4).collect()
+    assert len(over) == 4  # the boilerplate text occupies all 4 bands
+    assert all(r["n_docs"] == 10_000 for r in over)
+
+    # and the mega bucket IS exact dedup's catch
+    dd = exact_dedup(df, "doc_id", "text").filter(F.col("dup_count") > 1).collect()
+    assert len(dd) == 1 and dd[0]["dup_count"] == 10_000

@@ -92,3 +92,58 @@ def test_windowed_event_counts_matches_batch(spark, tmp_path):
     if missing:
         max_emitted = max(k[0] for k in got)
         assert all(k[0] > max_emitted for k in missing)
+
+
+def test_committed_side_scan_is_o_audit(spark, tmp_path):
+    """Bounded resume: the streaming anti-join's committed side must be
+    pruned to overlapping runs via audit metadata, not a full table scan."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.io.tableio import SnapshotTable, part_key
+
+    table = SnapshotTable(str(tmp_path / "t"), n_buckets=16)
+
+    def commit_urls(prefix):
+        df = spark.createDataFrame(
+            [(f"{prefix}{i:04d}", f"text {prefix}{i}") for i in range(50)],
+            "url string, extracted_text string",
+        ).withColumn("part_key", part_key(F.col("url"), 16))
+        table.commit(df, metrics={"batch_id": 0, "checkpoint": f"ck-{prefix}"})
+
+    commit_urls("https://a.example/")   # run 1: urls a*
+    commit_urls("https://z.example/")   # run 2: urls z*
+
+    # probe overlapping only the a-range: run 2's files must be pruned away
+    all_buckets = set(range(16))
+    fa = table.candidate_committed_files(all_buckets, "https://a.example/0000",
+                                         "https://a.example/9999")
+    fz = table.candidate_committed_files(all_buckets, "https://z.example/0000",
+                                         "https://z.example/9999")
+    fnone = table.candidate_committed_files(all_buckets, "https://m.example/0",
+                                            "https://m.example/9")
+    allf = table.current_snapshot()["data_files"]
+    runs = {SnapshotTable._run_of(f) for f in allf}
+    assert len(runs) == 2
+    assert {SnapshotTable._run_of(f) for f in fa} != runs  # not O(table)
+    assert len({SnapshotTable._run_of(f) for f in fa}) == 1
+    assert len({SnapshotTable._run_of(f) for f in fz}) == 1
+    assert {SnapshotTable._run_of(f) for f in fa} != {SnapshotTable._run_of(f) for f in fz}
+    assert fnone == []  # disjoint feed -> anti-join against NOTHING
+
+    # bucket pruning: probing a single bucket keeps only files of runs that
+    # committed that bucket (both runs here, but the range still prunes)
+    assert table.candidate_committed_files(set(), "https://a.example/0000",
+                                           "https://a.example/9999") == []
+
+
+def test_batch_id_replay_guard_is_checkpoint_scoped(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ocr_spark.io.tableio import SnapshotTable, part_key
+
+    table = SnapshotTable(str(tmp_path / "t2"), n_buckets=8)
+    df = spark.createDataFrame([("u1", "t")], "url string, extracted_text string")
+    df = df.withColumn("part_key", part_key(F.col("url"), 8))
+    table.commit(df, metrics={"batch_id": 3, "checkpoint": "ckA"})
+    assert table.last_batch_id("ckA") == 3
+    assert table.last_batch_id("ckB") is None  # fresh lineage falls through
