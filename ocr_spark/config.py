@@ -293,3 +293,21 @@ SALT_PARTITIONS_PER_CORE = 2
 # through a shuffled (or storage-bucketed) join instead of OOMing the driver
 # during broadcast build.
 PAYLOAD_BROADCAST_MAX_ROWS = 500_000
+
+# Conflicting-schema detection (text analog of spatial_validator.py:150-187
+# field-cluster spread): >= 2 DISTINCT core document ids on one page = two
+# documents of the same schema side by side -> hard reject. Patterns are
+# RE2/Java/Python-common (no lookbehind); the optional VID prefix form is
+# matched-and-filtered so an aadhaar VID sidecar is never counted as a core
+# id. Matches are normalized (separators stripped) before the distinct.
+CORE_ID_PATTERNS = {
+    "aadhaar": r"(?:VID\s)?\b[0-9]{4}\s[0-9]{4}\s[0-9]{4}\b|\b[0-9]{12}\b",
+    "pan": r"\b[A-Z]{5}[0-9]{4}[A-Z]\b",
+    "vehicle_rc": r"\b[A-Z]{2}[-\s]?[0-9]{2}[-\s]?[A-Z]{1,2}[-\s]?[0-9]{4}\b",
+}
+
+# Multi-document detection (document_detector.py:26 min_area_ratio analog):
+# a DOM content cluster (run of content blocks between structural-boilerplate
+# boundaries) counts as a document region iff it holds at least this share
+# of the page's content chars; >1 region -> multi_document (review).
+MIN_REGION_CONTENT_RATIO = 0.20

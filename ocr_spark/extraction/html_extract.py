@@ -74,6 +74,7 @@ class PageExtract:
     payload_ids: list[str] = field(default_factory=list)
     n_blocks: int = 0
     n_content_blocks: int = 0
+    n_doc_regions: int = 0         # content clusters >= MIN_REGION_CONTENT_RATIO
     total_chars: int = 0           # decoded html length
     text_chars: int = 0            # all block text chars (content + boiler)
     content_chars: int = 0         # content-block text chars only
@@ -159,20 +160,36 @@ def extract_page(html_bytes: bytes) -> PageExtract:
     text_chars = 0
     link_chars = 0
     lens: list[int] = []
+    # Content clusters = runs of content blocks between structural-boilerplate
+    # boundaries; their char mass feeds multi-document detection (analog of
+    # document_detector.py region extraction — a nav/aside/footer between two
+    # content runs is the DOM's "gap between physical documents").
+    cluster_chars: list[int] = [0]
     for b in blocks:
         text_chars += b.n_chars
         link_chars += b.n_link_chars
         lens.append(b.n_chars)
+        if b.in_boiler:
+            if cluster_chars[-1]:
+                cluster_chars.append(0)
+            continue
         if (
-            not b.in_boiler
-            and b.link_density <= C.MAX_LINK_DENSITY
+            b.link_density <= C.MAX_LINK_DENSITY
             and b.n_words >= C.MIN_BLOCK_WORDS
         ):
             b.is_content = True
             content_parts.append(b.text)
             content_chars += b.n_chars
+            cluster_chars[-1] += b.n_chars
 
     text = "\n".join(content_parts)
+
+    # A cluster is a document region iff it holds >= MIN_REGION_CONTENT_RATIO
+    # of the content chars (document_detector.py:26 min_area_ratio analog).
+    n_doc_regions = sum(
+        1 for c in cluster_chars
+        if content_chars and c >= C.MIN_REGION_CONTENT_RATIO * content_chars
+    )
 
     total_chars = len(cleaned)
     n = len(lens)
@@ -187,6 +204,7 @@ def extract_page(html_bytes: bytes) -> PageExtract:
         payload_ids=payload_ids,
         n_blocks=n,
         n_content_blocks=len(content_parts),
+        n_doc_regions=n_doc_regions,
         total_chars=total_chars,
         text_chars=text_chars,
         content_chars=content_chars,

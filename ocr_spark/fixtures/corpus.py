@@ -198,7 +198,25 @@ def make_page(i: int) -> dict:
         blocks = []
     else:
         blocks = _BUILDERS[doc_type](r[3:], lang)
-    content = [_norm(b) for b in blocks]
+
+    # Conflict slice: a second DISTINCT aadhaar id on the same page (two
+    # cards of one schema) -> conflicting_schemas hard-reject branch.
+    conflict = bucket % 23 == 11 and doc_type == "aadhaar"
+    if conflict:
+        n2 = (2000 + r[34] % 8000, 1000 + r[35] % 9000, 1000 + r[36] % 9000)
+        blocks.append(
+            f"Duplicate card surrendered at office {n2[0]:04d} {n2[1]:04d} {n2[2]:04d}"
+        )
+
+    # Multi-document slice: the SAME document repeated as a second content
+    # cluster behind a structural separator (two physical documents on one
+    # scan) -> multi_document review branch. Same ids -> no schema conflict.
+    multi = (
+        bucket % 23 == 7
+        and doc_type in ("aadhaar", "pan", "vehicle_rc")
+        and not conflict
+    )
+    content = [_norm(b) for b in blocks] * (2 if multi else 1)
 
     # Payload sidecar on ~20% of urls: a field string rasterized to glyphs.
     payload_text = None
@@ -220,6 +238,11 @@ def make_page(i: int) -> dict:
     body_parts = [f"<p>{b}</p>" for b in blocks]
     if payload_text is not None:
         body_parts.append(f'<figure><img data-payload-id="{url}" alt="scan"/></figure>')
+    mains = f"<main>{''.join(body_parts)}</main>"
+    if multi:
+        # duplicate document behind an <aside> separator: two content
+        # clusters for the region detector
+        mains += f"<aside>{nav}</aside>{mains}"
 
     html = (
         "<!DOCTYPE html><html><head><title>Records portal</title>"
@@ -227,7 +250,7 @@ def make_page(i: int) -> dict:
         f"<script>var t={bucket % 997};</script></head>"
         f"<body><nav>{nav}</nav>"
         "<!-- generator: records-portal -->"
-        f"<main>{''.join(body_parts)}</main>"
+        f"{mains}"
         f"<footer>{footer}</footer></body></html>"
     )
 

@@ -155,6 +155,34 @@ def final_confidence(parts: dict[str, Column]) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Conflicting-schema detection — text analog of the field-cluster spread
+# (spatial_validator.py:150-187): two far-apart clusters of one schema's
+# field boxes become, in DOM-text land, two DISTINCT core ids of the
+# classified type on one page.
+# ---------------------------------------------------------------------------
+
+def distinct_core_ids(text: Column, doc_type: Column) -> Column:
+    """Count of distinct normalized core-id matches for the classified type
+    (config.CORE_ID_PATTERNS). VID-prefixed digit groups are matched-and-
+    filtered, never counted; separators are stripped before the distinct so
+    a spaced and a continuous rendering of one id count once."""
+    chain = None
+    for dt, pat in C.CORE_ID_PATTERNS.items():
+        ids = F.array_distinct(
+            F.transform(
+                F.filter(
+                    F.regexp_extract_all(text, F.lit(pat), F.lit(0)),
+                    lambda m: ~m.startswith("VID"),
+                ),
+                lambda m: F.regexp_replace(m, r"[-\s]", ""),
+            )
+        )
+        branch = F.size(ids)
+        chain = F.when(doc_type == dt, branch) if chain is None else chain.when(doc_type == dt, branch)
+    return chain.otherwise(F.lit(0))
+
+
+# ---------------------------------------------------------------------------
 # Decision CASE chain (decision.py:84-201) — exact hard-reject precedence
 # ---------------------------------------------------------------------------
 

@@ -18,7 +18,7 @@ from ocr_spark.extraction.html_extract import extract_page
 
 STAGE_A_SCHEMA = (
     "url string, warc_ts timestamp, lang string, dom_text string, "
-    "payload_id string, n_blocks int, n_content_blocks int, "
+    "payload_id string, n_blocks int, n_content_blocks int, n_doc_regions int, "
     "total_chars long, text_chars long, content_chars long, link_chars long, "
     "tag_count long, blur_raw double, brightness_raw double, contrast_raw double, "
     "edge_density_raw double, glare_raw double, resolution_raw double"
@@ -41,6 +41,7 @@ def _stage_a_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
                 pa.array([r.payload_ids[0] if r.payload_ids else None for r in results], pa.string()),
                 pa.array([r.n_blocks for r in results], pa.int32()),
                 pa.array([r.n_content_blocks for r in results], pa.int32()),
+                pa.array([r.n_doc_regions for r in results], pa.int32()),
                 pa.array([r.total_chars for r in results], pa.int64()),
                 pa.array([r.text_chars for r in results], pa.int64()),
                 pa.array([r.content_chars for r in results], pa.int64()),
@@ -62,6 +63,7 @@ def _stage_a_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBat
                     pa.field("payload_id", pa.string()),
                     pa.field("n_blocks", pa.int32()),
                     pa.field("n_content_blocks", pa.int32()),
+                    pa.field("n_doc_regions", pa.int32()),
                     pa.field("total_chars", pa.int64()),
                     pa.field("text_chars", pa.int64()),
                     pa.field("content_chars", pa.int64()),

@@ -695,6 +695,21 @@ def final_confidence(parts: dict[str, float]) -> float:
     return max(0.0, min(1.0, num / total if total > 0 else num))
 
 
+def distinct_core_ids(text: str, doc_type: str) -> int:
+    """Conflicting-schema signal (spatial_validator.py:150-187 text analog):
+    distinct normalized core ids of the classified type. Mirrors
+    scoring.distinct_core_ids expression-for-expression."""
+    pat = C.CORE_ID_PATTERNS.get(doc_type)
+    if not pat:
+        return 0
+    ids = {
+        re.sub(r"[-\s]", "", m)
+        for m in re.findall(pat, text)
+        if not m.startswith("VID")
+    }
+    return len(ids)
+
+
 def make_decision(
     final_score: float,
     quality_passed: bool,
@@ -789,12 +804,17 @@ def process_page(html_bytes: bytes, payload_blob: bytes | None = None) -> dict:
     }
     final = final_confidence(parts)
     nar = non_alnum_ratio(full_text)
+    multi_document = page.n_doc_regions > 1
+    conflicting = distinct_core_ids(full_text, doc_type) > 1
     decision, hard = make_decision(
         final, quality["passed"], stats["total_words"] > 0, mandatory_present,
-        nar, business_failures=business_failures,
+        nar, multi_document=multi_document, conflicting_schemas=conflicting,
+        business_failures=business_failures,
     )
 
     return {
+        "multi_document": multi_document,
+        "conflicting_schemas": conflicting,
         "extracted_text": full_text,
         "dom_text": dom_text,
         "ocr_text": ocr_text,

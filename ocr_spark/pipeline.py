@@ -31,6 +31,7 @@ OUTPUT_COLUMNS = [
     "quality_reasons", "ocr_confidence_score", "total_words", "low_confidence_words",
     "numeric_words", "mean_confidence", "fuzzy_score", "schema_score",
     "distribution_score", "non_alnum_ratio", "business_failures",
+    "multi_document", "conflicting_schemas",
 ]
 
 
@@ -197,6 +198,17 @@ def run_pipeline(
     cls = classify(F.col("extracted_text"))
     df = df.withColumn("doc_type", cls["doc_type"])
 
+    # Multi-document + conflicting-schema flags (reference pipeline.py:
+    # 170-197 and spatial_validator.py:150-187, graft analogs): >1 content
+    # cluster holding >= MIN_REGION_CONTENT_RATIO of the page's content
+    # chars -> multi_document (review); >= 2 distinct core ids of the
+    # classified type -> conflicting_schemas (hard reject).
+    df = df.withColumns({
+        "multi_document": F.col("n_doc_regions") > 1,
+        "conflicting_schemas":
+            scoring.distinct_core_ids(F.col("extracted_text"), F.col("doc_type")) > 1,
+    })
+
     # Field extraction (X1-X18) with dual-pass merge — materialized as
     # concrete columns so every downstream score reads them once.
     fields = merged_fields(
@@ -251,8 +263,8 @@ def run_pipeline(
         text_detected=F.col("total_words") > 0,
         mandatory=F.col("mandatory_present"),
         non_alnum=F.col("non_alnum_ratio"),
-        multi_document=F.lit(False),
-        conflicting_schemas=F.lit(False),
+        multi_document=F.col("multi_document"),
+        conflicting_schemas=F.col("conflicting_schemas"),
         has_business_failures=F.size("business_failures") > 0,
     )
     final_batch["decision"] = dec["decision"]

@@ -620,6 +620,11 @@ def _score_decide_frame(spark: SparkSession, sf_dir: str, mode: int) -> DataFram
         "spatial": F.lit(_FIXED_PARTS["spatial"]),
     }
     final = final_confidence(parts)
+    # Conflicting-schema flag (text-only corpus has no blocks, so
+    # multi_document stays False exactly as the reference's box-less path).
+    from ocr_spark.functions.scoring import distinct_core_ids
+
+    conflicting = distinct_core_ids(text, F.lit(t)) > 1
     dec = decision_columns(
         final_score=final,
         quality_passed=F.lit(True),
@@ -627,7 +632,7 @@ def _score_decide_frame(spark: SparkSession, sf_dir: str, mode: int) -> DataFram
         mandatory=mandatory,
         non_alnum=nar,
         multi_document=F.lit(False),
-        conflicting_schemas=F.lit(False),
+        conflicting_schemas=conflicting,
         has_business_failures=crit_missing > 0,
     )
     return df.select(
@@ -638,6 +643,7 @@ def _score_decide_frame(spark: SparkSession, sf_dir: str, mode: int) -> DataFram
         nar.alias("nar"),
         mandatory.cast("int").alias("mandatory_present"),
         crit_missing.cast("bigint").alias("critical_missing"),
+        conflicting.cast("int").alias("conflicting_schemas"),
         final.alias("final_score"),
         dec["decision"].alias("decision"),
         dec["hard_rejection"].cast("int").alias("hard_rejection"),
@@ -695,12 +701,21 @@ def _score_decide_oracle() -> str:
         )
         final = f"greatest({_dbl(0.0)}, least({_dbl(1.0)}, ({num}) / {w_total_global}))"
         biz = f"(({crit}) > 0)"
+        # conflicting-schema flag: >= 2 distinct normalized core ids of this
+        # type (scoring.distinct_core_ids twin; RE2-safe — no lookbehind)
+        pat = C.CORE_ID_PATTERNS[t]
+        conflict = (
+            f"(len(list_distinct(list_transform(list_filter("
+            f"regexp_extract_all(c.text, '{pat}'), "
+            f"m -> NOT starts_with(m, 'VID')), "
+            f"m -> regexp_replace(m, '[-\\s]', '', 'g')))) > 1)"
+        )
         decision = (
             f"CASE WHEN NOT ({n_words} > 0) THEN 'reject' "
             f"WHEN NOT TRUE THEN 'reject' "
             f"WHEN NOT ({mandatory}) THEN 'reject' "
             f"WHEN {nar} > {_dbl(C.MAX_NON_ALPHANUMERIC)} THEN 'reject' "
-            f"WHEN FALSE THEN 'reject' "
+            f"WHEN {conflict} THEN 'reject' "
             f"WHEN FALSE THEN 'review' "
             f"WHEN {final} >= {_dbl(C.ACCEPT_THRESHOLD)} THEN "
             f"(CASE WHEN {biz} THEN 'review' ELSE 'accept' END) "
@@ -708,7 +723,9 @@ def _score_decide_oracle() -> str:
         )
         hard = (
             f"(NOT ({n_words} > 0)) OR (({n_words} > 0) AND NOT ({mandatory})) "
-            f"OR (({n_words} > 0) AND ({mandatory}) AND {nar} > {_dbl(C.MAX_NON_ALPHANUMERIC)})"
+            f"OR (({n_words} > 0) AND ({mandatory}) AND {nar} > {_dbl(C.MAX_NON_ALPHANUMERIC)}) "
+            f"OR (({n_words} > 0) AND ({mandatory}) "
+            f"AND NOT ({nar} > {_dbl(C.MAX_NON_ALPHANUMERIC)}) AND {conflict})"
         )
         selects.append(f"""
         SELECT c.doc_id, '{t}' AS doc_type,
@@ -717,6 +734,7 @@ def _score_decide_oracle() -> str:
                {nar} AS nar,
                CAST(CASE WHEN ({mandatory}) THEN 1 ELSE 0 END AS INTEGER) AS mandatory_present,
                CAST(({crit}) AS BIGINT) AS critical_missing,
+               CAST(CASE WHEN {conflict} THEN 1 ELSE 0 END AS INTEGER) AS conflicting_schemas,
                {final} AS final_score,
                {decision} AS decision,
                CAST(CASE WHEN ({hard}) THEN 1 ELSE 0 END AS INTEGER) AS hard_rejection

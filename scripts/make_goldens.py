@@ -40,6 +40,8 @@ def main(n_rows: int = GOLDEN_ROWS) -> str:
                 "doc_type": r["doc_type"],
                 "decision": r["decision"],
                 "final_score": round(r["final_score"], 12),
+                "multi_document": r["multi_document"],
+                "conflicting_schemas": r["conflicting_schemas"],
             }, sort_keys=True) + "\n")
     return out
 

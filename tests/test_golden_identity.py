@@ -64,6 +64,8 @@ def test_full_differential_vs_oracle(pipeline_rows):
         assert r["doc_type"] == o["doc_type"], f"doc {i} type"
         assert r["decision"] == o["decision"], f"doc {i} decision"
         assert bool(r["hard_rejection"]) == o["hard_rejection"], f"doc {i} hard"
+        assert bool(r["multi_document"]) == o["multi_document"], f"doc {i} multi"
+        assert bool(r["conflicting_schemas"]) == o["conflicting_schemas"], f"doc {i} conflict"
         assert abs(r["final_score"] - o["final_score"]) < 1e-9, f"doc {i} score"
         assert abs(r["quality_score"] - o["quality"]["composite_score"]) < 1e-9, f"doc {i} quality"
         assert r["quality_passed"] == o["quality"]["passed"], f"doc {i} gate"
@@ -75,6 +77,27 @@ def test_full_differential_vs_oracle(pipeline_rows):
         assert abs(r["distribution_score"] - o["score_parts"]["distribution"]) < 1e-9, f"doc {i} dist"
         of = {k: ("true" if v is True else str(v)) for k, v in o["fields"].items()}
         assert dict(r["extracted_fields"]) == of, f"doc {i} fields"
+
+
+def test_multi_doc_and_conflict_branches_exercised(pipeline_rows, goldens):
+    """The decision chain's REVIEW-on-multi-document and reject-on-
+    conflicting-schemas branches must be live end-to-end: the corpus carries
+    fixtures that reach each, and the Spark pipeline agrees with the golden
+    flags (reference pipeline.py:170-197 / spatial_validator.py:150-187)."""
+    multi_review = [
+        u for u, g in goldens.items()
+        if g["multi_document"] and not g["conflicting_schemas"] and g["decision"] == "review"
+    ]
+    conflict_reject = [
+        u for u, g in goldens.items()
+        if g["conflicting_schemas"] and g["decision"] == "reject"
+    ]
+    assert multi_review, "no REVIEW-on-multi-document fixture in the corpus"
+    assert conflict_reject, "no reject-on-conflict fixture in the corpus"
+    for u in multi_review:
+        assert pipeline_rows[u]["multi_document"] and pipeline_rows[u]["decision"] == "review"
+    for u in conflict_reject:
+        assert pipeline_rows[u]["conflicting_schemas"] and pipeline_rows[u]["decision"] == "reject"
 
 
 def test_salt_partition_invariance(spark, corpus_dir, goldens):
