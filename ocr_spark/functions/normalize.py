@@ -78,6 +78,61 @@ def is_valid_date(ds: Column, min_year: int = C.DATE_MIN_YEAR) -> Column:
     return F.coalesce(fmt_ok & three & num_ok & in_range, F.lit(False))
 
 
+def clean_text(col: Column) -> Column:
+    """F10 — utils.py:235-251 (clean_text): strip Devanagari danda/pipes,
+    remove stray dashes, drop everything outside the Devanagari-preserving
+    keep-class, collapse whitespace. The reference's ``\\w`` (re.UNICODE) is
+    written as the dialect-common ``\\p{L}\\p{N}_`` so Java regex, RE2
+    (DuckDB oracle) and Python agree character-for-character."""
+    x = F.regexp_replace(col, r"[।॥|]+", "")
+    x = F.regexp_replace(x, r"\s+[-–—]\s+", " ")
+    x = F.regexp_replace(x, "[^\\p{L}\\p{N}_\\sऀ-ॿ.,/:()\\-]", "")
+    return F.trim(F.regexp_replace(x, r"\s+", " "))
+
+
+def standardize_date(col: Column) -> Column:
+    """D5 — normalization.py:74-89 (standardize_date): separator normalize
+    then permissive parse to YYYY-MM-DD. The reference delegates to
+    dateutil.parser (month-first; day/month swap when the first field
+    exceeds 12; true-calendar validity incl. leap years). This reproduces
+    those decisions natively for the separator-structured forms
+    a-b-YYYY / YYYY-a-b (with -, . or / separators); other inputs -> NULL.
+    tests/test_oracle_semantics.py fuzzes it against real dateutil."""
+    t = F.trim(F.regexp_replace(col, r"[./]", "-"))
+    dmy = r"^(\d{1,2})-(\d{1,2})-(\d{4})$"
+    ymd = r"^(\d{4})-(\d{1,2})-(\d{1,2})$"
+    a = F.regexp_extract(t, dmy, 1).try_cast("int")
+    b = F.regexp_extract(t, dmy, 2).try_cast("int")
+    y1 = F.regexp_extract(t, dmy, 3).try_cast("int")
+    y2 = F.regexp_extract(t, ymd, 1).try_cast("int")
+    m2 = F.regexp_extract(t, ymd, 2).try_cast("int")
+    d2 = F.regexp_extract(t, ymd, 3).try_cast("int")
+    # dateutil's field assignment: month-first unless the first field can't
+    # be a month
+    m1 = F.when(a <= 12, a).otherwise(b)
+    d1 = F.when(a <= 12, b).otherwise(a)
+
+    def fmt(y: Column, m: Column, d: Column) -> Column:
+        leap = ((y % 4 == 0) & (y % 100 != 0)) | (y % 400 == 0)
+        dim = (
+            F.when(m.isin(1, 3, 5, 7, 8, 10, 12), F.lit(31))
+            .when(m == 2, F.when(leap, 29).otherwise(28))
+            .otherwise(F.lit(30))
+        )
+        ok = m.between(1, 12) & (d >= 1) & (d <= dim)
+        out = F.concat_ws(
+            "-", y.cast("string"), F.lpad(m.cast("string"), 2, "0"),
+            F.lpad(d.cast("string"), 2, "0"),
+        )
+        return F.when(ok, out).otherwise(F.lit(None).cast("string"))
+
+    return (
+        F.when(t.rlike(dmy), fmt(y1, m1, d1))
+        .when(t.rlike(ymd), fmt(y2, m2, d2))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 def non_empty(col: Column) -> Column:
     """regexp_extract returns '' on no-match; promote to NULL for coalesce."""
     return F.nullif(col, F.lit(""))

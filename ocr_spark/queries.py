@@ -888,13 +888,18 @@ def _doc_quality_oracle() -> str:
            {composite} AS quality_score,
            CASE WHEN {composite} >= {dbl(0.8)} THEN 'high'
                 WHEN {composite} >= {dbl(0.5)} THEN 'medium' ELSE 'low' END AS quality_band
-    FROM documents WHERE length(text) > 0
+    FROM documents WHERE length(trim(text)) > 0
     """
 
 
 @query("doc_quality", _doc_quality_oracle())
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Text quality score: length / punctuation / stopword-ratio composite."""
+    """Text quality score: length / punctuation / stopword-ratio composite.
+
+    Both engines filter on length(trim(text)) > 0: on whitespace-only text
+    Spark's split_words yields [] (NULL composite) while DuckDB's
+    string_split_regex yields [''] — excluding those rows identically keeps
+    the value hash stable for any corpus (ADVICE r1)."""
     text = F.col("text")
     words = split_words(text)
     n_tok = F.size(words)
@@ -908,7 +913,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _t(spark, sf_dir, "documents")
-        .filter(F.length("text") > 0)
+        .filter(F.length(F.trim("text")) > 0)
         .select(
             "doc_id",
             composite.alias("quality_score"),
@@ -1060,6 +1065,177 @@ def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.alias("raw"),
         normalize_date(raw).alias("normalized"),
         is_valid_date(raw).cast("int").alias("valid"),
+    )
+
+
+@query(
+    "date_standardize",
+    """
+    WITH src AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 28 AS INTEGER) AS dd,
+             CAST(1 + doc_id % 12 AS INTEGER) AS mm,
+             CAST(1950 + doc_id % 70 AS INTEGER) AS yy,
+             CAST(29 + doc_id % 3 AS INTEGER) AS bad,
+             doc_id % 5 AS mode
+      FROM documents),
+    expect AS (
+      -- the dateutil decisions computed from first principles: month-first
+      -- unless the first field exceeds 12; true-calendar validity
+      SELECT doc_id, mode, yy,
+             CASE WHEN mode = 0 THEN (CASE WHEN dd <= 12 THEN dd ELSE mm END)
+                  WHEN mode = 1 OR mode = 2 THEN mm
+                  WHEN mode = 3 THEN 2 END AS m,
+             CASE WHEN mode = 0 THEN (CASE WHEN dd <= 12 THEN mm ELSE dd END)
+                  WHEN mode = 1 OR mode = 2 THEN dd
+                  WHEN mode = 3 THEN bad END AS d
+      FROM src)
+    SELECT doc_id,
+           CASE WHEN mode = 4 THEN NULL
+                WHEN mode = 3 AND NOT (d = 29 AND ((yy % 4 = 0 AND yy % 100 != 0) OR yy % 400 = 0))
+                  THEN NULL
+                ELSE CAST(yy AS VARCHAR) || '-' || lpad(CAST(m AS VARCHAR), 2, '0')
+                     || '-' || lpad(CAST(d AS VARCHAR), 2, '0') END AS standardized
+    FROM expect
+    """,
+)
+def q_date_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: YYYY-MM-DD standardizer (reference normalization.py:74-89, the
+    dateutil path) over mixed-form inputs incl. month-first ambiguity and
+    Feb-overflow/leap edge cases. The DuckDB twin computes the expected
+    output from first principles, so it cross-checks the parser, swap rule,
+    and calendar validity independently."""
+    from ocr_spark.functions.normalize import standardize_date
+
+    k = F.col("doc_id")
+    dd = (1 + k % 28).cast("string")
+    mm = (1 + k % 12).cast("string")
+    yy = (1950 + k % 70).cast("string")
+    bad = (29 + k % 3).cast("string")
+    raw = (
+        F.when(k % 5 == 0, F.concat(dd, F.lit("-"), mm, F.lit("-"), yy))
+        .when(k % 5 == 1, F.concat(yy, F.lit("/"), mm, F.lit("/"), dd))
+        .when(k % 5 == 2, F.concat(mm, F.lit("."), dd, F.lit("."), yy))
+        .when(k % 5 == 3, F.concat(bad, F.lit("-02-"), yy))
+        .otherwise(F.concat(F.lit("not a date "), k.cast("string")))
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", standardize_date(raw).alias("standardized")
+    )
+
+
+_CLEAN_NOISE_SQL = (
+    "'। टिप्पणी ' || text || ' ॥ x@#y | ' || 'हिंदी पाठ – ' || CAST(doc_id AS VARCHAR) || ' — अंत'"
+)
+
+
+@query(
+    "clean_text",
+    f"""
+    WITH src AS (SELECT doc_id, {_CLEAN_NOISE_SQL} AS noisy FROM documents)
+    SELECT doc_id,
+           trim(regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(noisy, '[।॥|]+', '', 'g'),
+                 '\\s+[-–—]\\s+', ' ', 'g'),
+               '[^\\p{{L}}\\p{{N}}_\\sऀ-ॿ.,/:()\\-]', '', 'g'),
+             '\\s+', ' ', 'g')) AS cleaned
+    FROM src
+    """,
+)
+def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: OCR text cleaner (reference utils.py:235-251) over danda/pipe/
+    symbol-noised Hindi+English text — native regexp_replace chain."""
+    from ocr_spark.functions.normalize import clean_text
+
+    noisy = F.concat(
+        F.lit("। टिप्पणी "), F.col("text"), F.lit(" ॥ x@#y | "),
+        F.lit("हिंदी पाठ – "), F.col("doc_id").cast("string"), F.lit(" — अंत"),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", clean_text(noisy).alias("cleaned")
+    )
+
+
+_FIELDS_SQL = """
+    SELECT (p_partkey - 1) % 40 AS doc_id,
+           'f' || CAST((p_partkey - 1) // 40 AS VARCHAR) AS field_name,
+           'val' || CAST((p_partkey * 4) % 10 AS VARCHAR) AS field_value
+    FROM part WHERE p_partkey <= 120
+"""
+
+_LINES_SQL = """
+    SELECT s_suppkey % 40 AS doc_id,
+           s_suppkey AS line_idx,
+           CASE WHEN s_suppkey % 10 = 0 THEN 'val' || CAST(s_suppkey % 10 AS VARCHAR)
+                ELSE 'row text val' || CAST(s_suppkey % 10 AS VARCHAR) || ' tail' END AS line_text,
+           CAST((s_suppkey * 13) % 500 AS BIGINT) AS x,
+           CAST((s_suppkey * 11) % 400 AS BIGINT) AS y
+    FROM supplier
+"""
+
+
+@query(
+    "field_box_substring_join",
+    f"""
+    WITH f AS ({_FIELDS_SQL}), l AS ({_LINES_SQL}),
+    m AS (
+      SELECT f.doc_id, f.field_name, f.field_value, l.line_idx, l.x, l.y,
+             ROW_NUMBER() OVER (PARTITION BY f.doc_id, f.field_name
+                                ORDER BY l.line_idx) AS rn
+      FROM f JOIN l ON f.doc_id = l.doc_id
+       AND (contains(lower(l.line_text), lower(f.field_value))
+            OR contains(lower(f.field_value), lower(l.line_text))))
+    SELECT doc_id, field_name, field_value, line_idx, x, y
+    FROM m WHERE rn = 1
+    """,
+)
+def q_field_box_substring_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: field<->OCR-line substring theta join with first-match-wins
+    (reference spatial_validator.py:82-115 _map_fields_to_boxes: field value
+    in line text OR line text in field value, first line index wins).
+
+    Scale shape: the contains() predicate rides on a doc_id EQUI join —
+    the nested-loop part is per-document (bounded by lines-per-doc), never
+    corpus-wide."""
+    p = F.col("p_partkey")
+    fields = (
+        _t(spark, sf_dir, "part")
+        .filter(p <= 120)
+        .select(
+            ((p - 1) % 40).alias("doc_id"),
+            F.concat(F.lit("f"), ((p - 1) / 40).cast("int").cast("string")).alias("field_name"),
+            F.concat(F.lit("val"), ((p * 4) % 10).cast("string")).alias("field_value"),
+        )
+    )
+    s = F.col("s_suppkey")
+    lines = _t(spark, sf_dir, "supplier").select(
+        (s % 40).alias("doc_id"),
+        s.alias("line_idx"),
+        F.when(
+            s % 10 == 0, F.concat(F.lit("val"), (s % 10).cast("string"))
+        ).otherwise(
+            F.concat(F.lit("row text val"), (s % 10).cast("string"), F.lit(" tail"))
+        ).alias("line_text"),
+        ((s * 13) % 500).cast("bigint").alias("x"),
+        ((s * 11) % 400).cast("bigint").alias("y"),
+    )
+    joined = fields.join(
+        lines,
+        (fields["doc_id"] == lines["doc_id"])
+        & (
+            F.lower(lines["line_text"]).contains(F.lower(fields["field_value"]))
+            | F.lower(fields["field_value"]).contains(F.lower(lines["line_text"]))
+        ),
+    )
+    w = Window.partitionBy(fields["doc_id"], "field_name").orderBy("line_idx")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            fields["doc_id"], "field_name", "field_value", "line_idx", "x", "y"
+        )
     )
 
 

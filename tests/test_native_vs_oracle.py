@@ -126,3 +126,68 @@ def test_scores_match_oracle(adv_df, text):
     assert abs(row["dist_aadhaar"] - R.distribution_score(text, "aadhaar")) < 1e-9, text
     assert abs(row["dist_pan"] - R.distribution_score(text, "pan")) < 1e-9, text
     assert abs(row["nar"] - R.non_alnum_ratio(text)) < 1e-9, text
+
+
+def test_clean_text_matches_reference_regex_chain(spark):
+    """F10: the native clean_text column must reproduce the reference's
+    utils.py:235-251 regex chain byte-for-byte on danda-noise Hindi text."""
+    import re
+
+    def ref_clean(text: str) -> str:  # verbatim reference semantics
+        text = re.sub(r"[।॥|]+", "", text)
+        text = re.sub(r"\s+[-–—]\s+", " ", text)
+        text = re.sub(r"[^\w\sऀ-ॿ.,/:()\-]", "", text, flags=re.UNICODE)
+        text = re.sub(r"\s+", " ", text)
+        return text.strip()
+
+    from ocr_spark.functions.normalize import clean_text
+
+    cases = [
+        "सरकार । भारत ॥ कार्यालय | दिल्ली",
+        "नाम : रमेश कुमार — पता : दिल्ली - ११०००१",
+        "noisy @#$% symbols मिश्रित text (with) pare.ns, क/ख:ग",
+        "dash - kept –stray– kept2 — removed — end",
+        "।।double danda।। and ||pipes||",
+        "पिन ४००००१ और 400001 both digit systems",
+        "  leading   trailing   ",
+        "",
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], ["t"]).select(
+        "t", clean_text(F.col("t")).alias("c")
+    )
+    for r in df.collect():
+        assert r["c"] == ref_clean(r["t"]), repr(r["t"])
+
+
+def test_standardize_date_matches_dateutil(spark):
+    """D5: on separator-structured inputs the native standardizer must agree
+    with the reference's actual dateutil path (normalization.py:74-89)."""
+    import re
+
+    pytest.importorskip("dateutil")
+    from dateutil import parser
+
+    from ocr_spark.functions.normalize import standardize_date
+
+    cases = []
+    for k in range(200):
+        dd, mm, yy = 1 + k % 28, 1 + k % 12, 1950 + k % 70
+        cases += [
+            f"{dd}-{mm}-{yy}", f"{yy}/{mm}/{dd}", f"{mm}.{dd}.{yy}",
+            f"{29 + k % 3}-02-{yy}", f"not a date {k}", f"31-04-{yy}",
+            f"{dd:02d}/{mm:02d}/{yy}",
+        ]
+    df = spark.createDataFrame([(c,) for c in cases], ["t"]).select(
+        "t", standardize_date(F.col("t")).alias("s")
+    )
+    structured = re.compile(r"^(\d{1,2}|\d{4})-\d{1,2}-(\d{4}|\d{1,2})$")
+    for r in df.collect():
+        clean = re.sub(r"[./]", "-", r["t"])
+        try:
+            exp = parser.parse(clean).strftime("%Y-%m-%d")
+        except (ValueError, OverflowError):
+            exp = None
+        if structured.match(clean):
+            assert r["s"] == exp, r["t"]
+        else:  # outside the documented surface: native returns NULL
+            assert r["s"] is None, r["t"]
