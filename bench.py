@@ -35,6 +35,7 @@ HEADLINE = [
     "exact_dedup",
     "minhash_band_signatures",
     "lsh_candidate_pairs",
+    "lsh_jaccard_pairs",
     "ngram_jaccard_pairs",
     "simhash",
     "cosine_topk",
@@ -51,6 +52,9 @@ HEADLINE = [
     "doc_fingerprint",
     "quality_gate",
     "date_normalize",
+    "date_standardize",
+    "clean_text",
+    "field_box_substring_join",
     "word_region_containment",
     "bbox_iou_pairs",
     "spatial_dispersion",
@@ -90,6 +94,16 @@ def run_extraction(spark, n_pages: int) -> dict:
     payloads = os.path.join(d, "payloads.parquet")
     if not os.path.exists(payloads):
         payloads = None
+
+    # Compressed html is tiny in bytes but expensive per row: with the
+    # default byte-sized split a 10-20 MB corpus file scans as ONE task and
+    # serializes the scan + salt-shuffle write (measured Amdahl term in the
+    # 8->16 scaling runs). Split the scan so every core gets work; at
+    # production scale (many 100 MB-1 GB files) the default applies.
+    size = os.path.getsize(pages)
+    par = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark_split = max(1 << 20, size // (par * 2))
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(spark_split))
 
     # Warm-up on a tiny corpus: spins up the per-core Python workers and
     # compiles the codegen stages once, as a long-lived cluster would have

@@ -139,7 +139,10 @@ def extract_page(html_bytes: bytes) -> PageExtract:
                         boiler_depth += 1
                 cur.in_boiler = boiler_depth > 0
         else:
-            text = _htmlmod.unescape(tok)
+            # unescape is identity without '&' — skipping it for the common
+            # case cuts one transient string per text token (allocation rate
+            # is the scaling limiter on shared-LLC hosts, BENCH.md)
+            text = _htmlmod.unescape(tok) if "&" in tok else tok
             stripped = _WS_RE.sub(" ", text)
             if stripped.strip():
                 cur.text += stripped

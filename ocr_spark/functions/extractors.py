@@ -148,9 +148,11 @@ def aadhaar_name(text: Column, lines: Column) -> Column:
     )
 
 
-def aadhaar_dob(text: Column) -> Column:
-    """X5 — the SECOND _extract_dob definition wins (aadhaar.py:438-454)."""
-    t = devanagari_to_arabic(text)
+def aadhaar_dob(text: Column, arab: Column | None = None) -> Column:
+    """X5 — the SECOND _extract_dob definition wins (aadhaar.py:438-454).
+    ``arab`` lets callers share ONE Devanagari fold of the text across the
+    four folding extractors (interpreted mode has no cross-column CSE)."""
+    t = arab if arab is not None else devanagari_to_arabic(text)
     val = F.regexp_extract(
         t, r"(?i)(?:dob|date\s+of\s+birth|yob|year\s+of\s+birth)\s*[:.\-]?\s*(\d{2}/\d{2}/\d{4}|\d{4})", 1
     )
@@ -169,9 +171,9 @@ def aadhaar_gender(text: Column) -> Column:
     )
 
 
-def aadhaar_pin(text: Column) -> Column:
+def aadhaar_pin(text: Column, arab: Column | None = None) -> Column:
     """X7 — aadhaar.py:383-395."""
-    t = devanagari_to_arabic(text)
+    t = arab if arab is not None else devanagari_to_arabic(text)
     return _first(
         F.filter(
             F.regexp_extract_all(t, F.lit(r"\b(\d{6})\b"), 1),
@@ -180,9 +182,10 @@ def aadhaar_pin(text: Column) -> Column:
     )
 
 
-def aadhaar_enrollment(text: Column) -> Column:
+def aadhaar_enrollment(text: Column, arab: Column | None = None) -> Column:
     """X8 — aadhaar.py:397-403."""
-    return non_empty(F.regexp_extract(devanagari_to_arabic(text), r"\b(\d{4}/\d{5}/\d{5})\b", 1))
+    t = arab if arab is not None else devanagari_to_arabic(text)
+    return non_empty(F.regexp_extract(t, r"\b(\d{4}/\d{5}/\d{5})\b", 1))
 
 
 def aadhaar_address(text: Column) -> Column:
@@ -191,9 +194,9 @@ def aadhaar_address(text: Column) -> Column:
     return F.when(raw != "", F.trim(F.regexp_replace(raw, r"\s+", " ")))
 
 
-def aadhaar_issue_date(text: Column) -> Column:
+def aadhaar_issue_date(text: Column, arab: Column | None = None) -> Column:
     """X9 — aadhaar.py:405-418: first normalizable DD/MM/YYYY anywhere."""
-    t = devanagari_to_arabic(text)
+    t = arab if arab is not None else devanagari_to_arabic(text)
     return _first(
         F.filter(
             F.transform(F.regexp_extract_all(t, F.lit(r"\b(\d{2}/\d{2}/\d{4})\b"), 1), normalize_date),
@@ -202,17 +205,24 @@ def aadhaar_issue_date(text: Column) -> Column:
     )
 
 
-def aadhaar_fields(text: Column, words: Column, lines: Column) -> dict[str, Column]:
+def aadhaar_fields(text: Column, words: Column, lines: Column,
+                   arab: Column | None = None) -> dict[str, Column]:
+    """Pass ``arab`` (a materialized devanagari_to_arabic(text) column) to
+    fold the text ONCE per row instead of once per consuming field — the
+    projection runs interpreted (HOFs disable codegen), and interpreted mode
+    re-evaluates shared subtrees per output column."""
+    if arab is None:
+        arab = devanagari_to_arabic(text)
     return {
         "aadhaar_number": aadhaar_number(text, words),
         "vid": aadhaar_vid(text),
         "name": aadhaar_name(text, lines),
-        "date_of_birth": aadhaar_dob(text),
+        "date_of_birth": aadhaar_dob(text, arab),
         "gender": aadhaar_gender(text),
-        "pin_code": aadhaar_pin(text),
-        "enrollment_id": aadhaar_enrollment(text),
+        "pin_code": aadhaar_pin(text, arab),
+        "enrollment_id": aadhaar_enrollment(text, arab),
         "address": aadhaar_address(text),
-        "issue_date": aadhaar_issue_date(text),
+        "issue_date": aadhaar_issue_date(text, arab),
     }
 
 

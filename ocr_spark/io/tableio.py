@@ -57,6 +57,22 @@ class SnapshotTable:
         with open(os.path.join(self.manifest_dir, snap_name)) as f:
             return json.load(f)
 
+    def snapshot(self, snapshot_id: int) -> dict:
+        """Time travel: load a specific committed snapshot (Iceberg
+        ``VERSION AS OF`` analog). Snapshots are immutable JSON manifests, so
+        any historical state stays readable until expired."""
+        path = os.path.join(self.manifest_dir, f"snapshot-{snapshot_id:06d}.json")
+        with open(path) as f:
+            return json.load(f)
+
+    def read_at(self, spark: SparkSession, snapshot_id: int) -> DataFrame | None:
+        """Read the table AS OF a snapshot id — only the data files that
+        snapshot referenced."""
+        files = self.snapshot(snapshot_id)["data_files"]
+        if not files:
+            return None
+        return spark.read.parquet(*[os.path.join(self.path, f) for f in files])
+
     def committed_partitions(self) -> list[int]:
         return sorted({a["partition_id"] for a in self.current_snapshot()["audit"]})
 

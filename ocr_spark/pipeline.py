@@ -41,20 +41,25 @@ def _split_lines(text):
     )
 
 
-def merged_fields(doc_type, dom_text, full_text, has_ocr) -> dict:
+def merged_fields(doc_type, dom_text, full_text, has_ocr,
+                  arab_dom=None, arab_full=None) -> dict:
     """Dual-pass extraction + priority merge (J1, reference pipeline.py:285-316).
 
     Standard pass = DOM text; enhanced pass = DOM + recognized payload text.
     Enhanced fills gaps only for the type's priority fields; the aadhaar
     id_number alias is set only on the enhanced-fill path (pipeline.py:303-305
-    — the std-pass alias is commented out in aadhaar.py:38)."""
+    — the std-pass alias is commented out in aadhaar.py:38).
+    arab_dom/arab_full: materialized Devanagari folds shared across the
+    folding extractors (one fold per row per pass, not one per field)."""
     dom_words, dom_lines = split_words(dom_text), _split_lines(dom_text)
     full_words, full_lines = split_words(full_text), _split_lines(full_text)
 
     per_type: dict[str, dict] = {}
     for t, builder in FIELD_BUILDERS.items():
-        std = builder(dom_text, dom_words, dom_lines)
-        enh = builder(full_text, full_words, full_lines)
+        kw_std = {"arab": arab_dom} if t == "aadhaar" and arab_dom is not None else {}
+        kw_enh = {"arab": arab_full} if t == "aadhaar" and arab_full is not None else {}
+        std = builder(dom_text, dom_words, dom_lines, **kw_std)
+        enh = builder(full_text, full_words, full_lines, **kw_enh)
         priority = C.PRIORITY_FIELDS[t]
         merged = {}
         for fname, col in std.items():
@@ -147,6 +152,11 @@ def run_pipeline(
 
     if payloads_path or payloads_df is not None:
         payloads = payloads_df if payloads_df is not None else spark.read.parquet(payloads_path)
+        # Same salt treatment as pages: payload files are small in BYTES but
+        # each row is expensive to recognize, so a byte-sized scan split
+        # would run stage B on a handful of tasks. Spread by hash(url)
+        # explicitly (north rule: both Arrow stages get skew-defused input).
+        payloads = payloads.repartition(salt_partitions, F.xxhash64("url"))
         b = stage_b(payloads)
         # Payloads are the minority side (~20% of pages carry one). The
         # broadcast hint avoids re-shuffling + sorting the stage-A output on
@@ -210,9 +220,17 @@ def run_pipeline(
     })
 
     # Field extraction (X1-X18) with dual-pass merge — materialized as
-    # concrete columns so every downstream score reads them once.
+    # concrete columns so every downstream score reads them once. The
+    # Devanagari folds are materialized too (shared by four extractors each).
+    from ocr_spark.functions.normalize import devanagari_to_arabic
+
+    df = df.withColumns({
+        "_arab_dom": devanagari_to_arabic(F.col("dom_text")),
+        "_arab_full": devanagari_to_arabic(F.col("extracted_text")),
+    })
     fields = merged_fields(
-        F.col("doc_type"), F.col("dom_text"), F.col("extracted_text"), F.col("has_ocr")
+        F.col("doc_type"), F.col("dom_text"), F.col("extracted_text"), F.col("has_ocr"),
+        arab_dom=F.col("_arab_dom"), arab_full=F.col("_arab_full"),
     )
     df = df.withColumns({f"f_{fname}": col for fname, col in fields.items()})
     field_cols = {fname: F.col(f"f_{fname}") for fname in fields}

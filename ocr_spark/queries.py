@@ -493,9 +493,18 @@ def _synth_with_words(spark: SparkSession, sf_dir: str, mode: int) -> DataFrame:
 
 @query("extract_aadhaar", OSQL.aadhaar_fields_sql(_mode_corpus_sql(0)))
 def q_extract_aadhaar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1-X10: all aadhaar extraction strategies over the synthetic corpus."""
-    df = _synth_with_words(spark, sf_dir, 0)
-    fields = FIELD_BUILDERS["aadhaar"](F.col("text"), F.col("words"), F.col("lines"))
+    """X1-X10: all aadhaar extraction strategies over the synthetic corpus.
+    The Devanagari fold is materialized ONCE (multi-referenced columns are
+    not inlined by CollapseProject) and shared by the four folding fields —
+    the projection runs interpreted, which has no cross-column CSE."""
+    from ocr_spark.functions.normalize import devanagari_to_arabic
+
+    df = _synth_with_words(spark, sf_dir, 0).withColumn(
+        "arab", devanagari_to_arabic(F.col("text"))
+    )
+    fields = FIELD_BUILDERS["aadhaar"](
+        F.col("text"), F.col("words"), F.col("lines"), arab=F.col("arab")
+    )
     return df.select("doc_id", *[c.cast("string").alias(n) for n, c in fields.items()])
 
 
@@ -782,7 +791,7 @@ _IS_NUM_SQL = (
            CAST(len(list_filter(words, w -> {_IS_NUM_SQL})) AS BIGINT) AS numeric_words,
            CAST(CASE WHEN len(words) < {C.MIN_WORDS_DETECTED} THEN 0 ELSE 1 END AS INTEGER)
              AS enough_words,
-           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT)
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS BIGINT)
              AS bpe_tokens
     FROM w
     """,

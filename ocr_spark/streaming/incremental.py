@@ -97,6 +97,52 @@ def stream_pages_to_table(
     return writer.start()
 
 
+def streaming_first_seen(
+    df: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): emit only
+    the FIRST occurrence of each content hash across the entire stream —
+    streaming exact-dedup for a continuous crawl feed.
+
+    State is keyed by a hash bucket (pmod(xxhash64(content_hash))), so the
+    dedup set shards across executors exactly like the batch exact_dedup
+    shuffle. Here the per-bucket state is the raw hash set; at 100 TB the
+    same operator shape holds with the state store backend (RocksDB) and a
+    bloom-fronted set, which this sandbox's HDFS-backed state store stands
+    in for."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = (
+        df.withColumn("content_hash", F.sha2(F.col(text_col), 256))
+        .withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("content_hash"), F.lit(n_buckets)).cast("int"),
+        )
+    )
+    out_schema = f"bucket int, {id_col} string, content_hash string"
+
+    def first_seen(key, pdfs, state: GroupState):
+        seen = set(state.get[0]) if state.exists else set()
+        rows = []
+        for pdf in pdfs:
+            for ident, h in zip(pdf[id_col], pdf["content_hash"]):
+                if h not in seen:
+                    seen.add(h)
+                    rows.append((key[0], ident, h))
+        state.update((list(seen),))
+        yield pd.DataFrame(rows, columns=["bucket", id_col, "content_hash"])
+
+    return hashed.groupBy("bucket").applyInPandasWithState(
+        first_seen, out_schema, "hashes array<string>", "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     window: str = "1 hour",

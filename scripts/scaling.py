@@ -59,26 +59,30 @@ def cpu_control(procs: int) -> float:
 def main() -> None:
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 96000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    core_list = [int(c) for c in sys.argv[3].split(",")] if len(sys.argv) > 3 else [4, 8, 16, 32]
     sys.path.insert(0, REPO)
     from bench import corpus_path
 
     corpus_path(n_pages)
     corpus_path(200)  # warm-up corpus
 
-    runs8 = [run_job(8, n_pages) for _ in range(reps)]
-    runs32 = [run_job(32, n_pages) for _ in range(reps)]
-    t8, t32 = max(runs8), max(runs32)
-    ctl8, ctl32 = cpu_control(8), cpu_control(32)
+    runs = {c: [run_job(c, n_pages) for _ in range(reps)] for c in core_list}
+    best = {c: max(r) for c, r in runs.items()}
+    ctl = {c: cpu_control(c) for c in core_list}
     result = {
         "n_pages": n_pages,
         "reps": reps,
-        "local8_docs_per_sec": t8,
-        "local8_all_runs": runs8,
-        "local32_docs_per_sec": t32,
-        "local32_all_runs": runs32,
-        "scaling_efficiency_8_to_32": round(t32 / (4.0 * t8), 3),
-        "cpu_control_efficiency_8_to_32": round(ctl32 / (4.0 * ctl8), 3),
+        "docs_per_sec": {str(c): best[c] for c in core_list},
+        "all_runs": {str(c): runs[c] for c in core_list},
+        "efficiency": {},
+        "cpu_control_efficiency": {},
     }
+    for lo in core_list:
+        for hi in core_list:
+            if hi > lo:
+                k = f"{lo}_to_{hi}"
+                result["efficiency"][k] = round(best[hi] / (hi / lo * best[lo]), 3)
+                result["cpu_control_efficiency"][k] = round(ctl[hi] / (hi / lo * ctl[lo]), 3)
     print(json.dumps(result))
 
 

@@ -97,3 +97,25 @@ def test_partial_and_full_runs_identical_content(spark, paths):
     a = {(r["url"], r["extracted_text"], r["decision"]) for r in t1.read(spark).collect()}
     b = {(r["url"], r["extracted_text"], r["decision"]) for r in t2.read(spark).collect()}
     assert a == b
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """Iceberg VERSION-AS-OF analog: every committed snapshot stays readable
+    with exactly the rows it referenced."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.io.tableio import SnapshotTable, part_key
+
+    table = SnapshotTable(str(tmp_path / "tt"), n_buckets=8)
+    for tag, n in (("a", 5), ("b", 7)):
+        df = spark.createDataFrame(
+            [(f"u-{tag}-{i}", f"text {tag}{i}") for i in range(n)],
+            "url string, extracted_text string",
+        ).withColumn("part_key", part_key(F.col("url"), 8))
+        table.commit(df)
+    assert table.current_snapshot()["snapshot_id"] == 2
+    assert table.read_at(spark, 1).count() == 5
+    assert table.read_at(spark, 2).count() == 12
+    assert table.read(spark).count() == 12
+    urls1 = {r["url"] for r in table.read_at(spark, 1).select("url").collect()}
+    assert urls1 == {f"u-a-{i}" for i in range(5)}

@@ -147,3 +147,48 @@ def test_batch_id_replay_guard_is_checkpoint_scoped(spark, tmp_path):
     table.commit(df, metrics={"batch_id": 3, "checkpoint": "ckA"})
     assert table.last_batch_id("ckA") == 3
     assert table.last_batch_id("ckB") is None  # fresh lineage falls through
+
+
+def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
+    """applyInPandasWithState exact-dedup: a duplicate arriving in a LATER
+    micro-batch must be suppressed by the persisted per-bucket state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ocr_spark.streaming.incremental import streaming_first_seen
+
+    feed = tmp_path / "dedup_feed"
+    feed.mkdir()
+    # maxFilesPerTrigger=1 -> each file is its own micro-batch; the state
+    # store must carry the seen-hash set across batches within the query
+    pq.write_table(
+        pa.table({"url": ["u1", "u2", "u3"], "text": ["alpha", "beta", "alpha"]}),
+        str(feed / "b1.parquet"),
+    )
+    pq.write_table(
+        pa.table({"url": ["u4", "u5"], "text": ["alpha", "gamma"]}),
+        str(feed / "b2.parquet"),  # u4 dups b1's alpha in a LATER batch
+    )
+    os.utime(str(feed / "b1.parquet"), (1, 1))  # force b1-first file order
+    os.utime(str(feed / "b2.parquet"), (2, 2))
+
+    stream = (
+        spark.readStream.schema("url string, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(feed))
+    )
+    q = (
+        streaming_first_seen(stream)
+        .writeStream.outputMode("append").format("memory")
+        .queryName("first_seen")
+        .option("checkpointLocation", str(tmp_path / "fs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    assert len(q.recentProgress) >= 2  # genuinely multiple micro-batches
+    got = {r["url"] for r in spark.sql("select * from first_seen").collect()}
+    assert "u1" in got and "u2" in got
+    assert "u3" not in got       # in-batch dup suppressed
+    assert "u4" not in got       # cross-batch dup suppressed by state
+    assert "u5" in got           # fresh content emitted
