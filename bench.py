@@ -39,6 +39,7 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "simhash",
     "cosine_topk",
+    "ivf_topk",
     "lsh_buckets",
     "synth_corpus",
     "classify_documents",

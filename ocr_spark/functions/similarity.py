@@ -56,6 +56,87 @@ def brute_force_topk(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def l2sq(a, b):
+    """Squared L2 distance, sequential fold (identical op order cross-engine)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+               n_centroids: int = 8) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid
+    (argmin squared-L2, ties to the lowest centroid id) -> (nid, nvec, cell).
+
+    Centroids here are the first ``n_centroids`` vectors by id — a
+    deterministic seeding so the DuckDB oracle reproduces the index
+    bit-for-bit; production swaps in k-means-trained centroids (same plan
+    shape: the centroid side stays a broadcast dim table either way).
+
+    Scale shape: vectors x centroids is a broadcast fan-out (K small), one
+    codegen'd projection computes K distances per row, and the downstream
+    search shuffles on ``cell`` only — never an all-pairs join."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nvec"),
+    )
+    cents = base.filter(F.col("nid") < n_centroids).select(
+        F.col("nid").alias("cid"), F.col("nvec").alias("cvec")
+    )
+    d = base.join(F.broadcast(cents)).select(
+        "nid", "nvec", "cid", F.round(l2sq(F.col("nvec"), F.col("cvec")), ROUND).alias("dist")
+    )
+    w = Window.partitionBy("nid").orderBy(F.asc("dist"), F.asc("cid"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("nid", "nvec", F.col("cid").alias("cell"))
+    )
+
+
+def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
+             n_queries: int = 10, n_centroids: int = 8, nprobe: int = 2) -> DataFrame:
+    """IVF approximate top-k: each query probes only its ``nprobe`` nearest
+    cells and ranks exact cosine within them — the inverted-file ANN scale
+    path (brute_force_topk is the recall baseline). Returns
+    (qid, nid, cos, rank); rank is per-query among probed cells."""
+    from pyspark.sql.window import Window
+
+    assigned = ivf_assign(df, id_col, vec_col, n_centroids)
+    cents = assigned.filter(F.col("nid") < n_centroids).select(
+        F.col("nid").alias("cid"), F.col("nvec").alias("cvec")
+    )
+    queries = assigned.filter(F.col("nid") < n_queries).select(
+        F.col("nid").alias("qid"), F.col("nvec").alias("qvec")
+    )
+    # probe list: the nprobe nearest centroids per query (tiny x tiny)
+    qd = queries.join(F.broadcast(cents)).select(
+        "qid", "qvec", "cid",
+        F.round(l2sq(F.col("qvec"), F.col("cvec")), ROUND).alias("dist"),
+    )
+    wq = Window.partitionBy("qid").orderBy(F.asc("dist"), F.asc("cid"))
+    probes = (
+        qd.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= nprobe)
+        .select("qid", "qvec", F.col("cid").alias("cell"))
+    )
+    # search only within probed cells: shuffle key = cell, probe side tiny
+    scored = assigned.join(F.broadcast(probes), "cell").filter(
+        F.col("nid") != F.col("qid")
+    ).select(
+        "qid", "nid", F.round(cosine(F.col("qvec"), F.col("nvec")), ROUND).alias("cos")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "cos", "rank")
+    )
+
+
 def hyperplane_lsh_buckets(df: DataFrame, id_col: str, vec_col: str,
                            n_planes: int = 8) -> DataFrame:
     """Sign-LSH bucket id per vector: bit b = sign(dot(vec, plane_b)) where

@@ -1332,6 +1332,56 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", cos.alias("cos")).filter(F.col("cos") >= 0.3)
 
 
+def _ivf_oracle(n_centroids: int = 8, n_queries: int = 10,
+                nprobe: int = 2, k: int = 5) -> str:
+    def l2 (a, b):
+        return (f"ROUND(list_aggregate(list_transform(list_zip({a}, {b}), "
+                f"p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 6)")
+
+    dot = ("list_aggregate(list_transform(list_zip(p.qvec, a.nvec), "
+           "q -> q[1]*q[2]), 'sum')")
+    nrm = ("(sqrt(list_aggregate(list_transform(p.qvec, x -> x*x), 'sum')) * "
+           "sqrt(list_aggregate(list_transform(a.nvec, x -> x*x), 'sum')))")
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nvec
+      FROM embeddings),
+    cents AS (SELECT nid AS cid, nvec AS cvec FROM base WHERE nid < {n_centroids}),
+    ad AS (
+      SELECT b.nid, b.nvec, c.cid, {l2("b.nvec", "c.cvec")} AS dist
+      FROM base b CROSS JOIN cents c),
+    assigned AS (
+      SELECT nid, nvec, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY nid ORDER BY dist, cid) AS rk
+        FROM ad) WHERE rk = 1),
+    queries AS (SELECT nid AS qid, nvec AS qvec FROM assigned WHERE nid < {n_queries}),
+    qd AS (
+      SELECT q.qid, q.qvec, c.cid, {l2("q.qvec", "c.cvec")} AS dist
+      FROM queries q CROSS JOIN cents c),
+    probes AS (
+      SELECT qid, qvec, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cid) AS rk
+        FROM qd) WHERE rk <= {nprobe}),
+    scored AS (
+      SELECT p.qid, a.nid, ROUND({dot} / {nrm}, 6) AS cos
+      FROM assigned a JOIN probes p ON a.cell = p.cell AND a.nid != p.qid)
+    SELECT qid, nid, cos, CAST(rk AS BIGINT) AS rank FROM (
+      SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+      FROM scored)
+    WHERE rk <= {k}
+    """
+
+
+@query("ivf_topk", _ivf_oracle())
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: coarse-quantizer cell assignment (broadcast fan-out over K
+    centroids), nprobe-cell probing, exact cosine only within probed cells —
+    the inverted-file scale path next to the sign-LSH one. cosine_topk is
+    the exact-recall baseline for the same queries."""
+    out = similarity.ivf_topk(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    return out.select("qid", "nid", "cos", F.col("rank").cast("bigint").alias("rank"))
+
+
 # ===========================================================================
 # Geometry / layout operators (SURVEY.md §2.3 J3, §2.4 A12-A14, §2.5 W3,
 # region.py BoundingBox math) over deterministic synthetic boxes and points.

@@ -1,0 +1,47 @@
+"""ANN operator tests: IVF cell assignment shape and recall vs the exact
+brute-force baseline."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    if not os.path.isdir(SF):
+        pytest.skip("driver testdata not present")
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_ivf_assignment_partitions_all_vectors(emb):
+    from ocr_spark.functions.similarity import ivf_assign
+
+    a = ivf_assign(emb, "vec_id", "embedding", n_centroids=8)
+    rows = a.collect()
+    assert len(rows) == emb.count()          # every vector in exactly one cell
+    cells = {r["cell"] for r in rows}
+    assert cells <= set(range(8))
+    assert len(cells) > 1                    # quantizer actually separates
+    by_id = {r["nid"]: r["cell"] for r in rows}
+    for cid in range(8):
+        assert by_id[cid] == cid             # a centroid's own cell is itself
+
+
+def test_ivf_recall_vs_brute_force(emb):
+    """nprobe=2 of 8 cells must still recover a solid share of the exact
+    top-5 — and every IVF hit must be a real neighbor (cos matches exact)."""
+    from ocr_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    exact = {(r["qid"], r["nid"]): r["cos"]
+             for r in brute_force_topk(emb, "vec_id", "embedding").collect()}
+    approx = {(r["qid"], r["nid"]): r["cos"]
+              for r in ivf_topk(emb, "vec_id", "embedding").collect()}
+    for key, cos in approx.items():
+        if key in exact:
+            assert cos == exact[key]          # same rounded cosine
+    hits = len(set(approx) & set(exact))
+    assert hits / len(exact) >= 0.3, f"recall {hits}/{len(exact)}"
