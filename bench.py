@@ -51,6 +51,8 @@ HEADLINE = [
     "lang_id",
     "doc_quality",
     "doc_fingerprint",
+    "ngram_lm_score",
+    "pii_scrub",
     "quality_gate",
     "date_normalize",
     "date_standardize",

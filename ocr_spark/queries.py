@@ -1332,6 +1332,85 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", cos.alias("cos")).filter(F.col("cos") >= 0.3)
 
 
+_PII_SUFFIX = (
+    " contact sales.lead@example.org or +91 98765 43210 ref 2345 6789 0123"
+)
+
+
+def _pii_oracle() -> str:
+    from ocr_spark.functions.curation import PII_PATTERNS
+
+    expr = "noisy"
+    counts = []
+    for name, pat in PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({expr}, '{pat}'))")
+        expr = f"regexp_replace({expr}, '{pat}', '[{name.upper()}]', 'g')"
+    n = " + ".join(counts)
+    return f"""
+    WITH src AS (SELECT doc_id, text || '{_PII_SUFFIX}' AS noisy FROM documents)
+    SELECT doc_id, {expr} AS scrubbed, CAST({n} AS BIGINT) AS n_redactions
+    FROM src
+    """
+
+
+@query("pii_scrub", _pii_oracle())
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data PII scrubbing: typed redaction of emails / phones /
+    12-digit ids — a pure codegen'd regexp projection (no shuffle)."""
+    from ocr_spark.functions.curation import pii_scrub
+
+    noisy = F.concat(F.col("text"), F.lit(_PII_SUFFIX))
+    scrubbed, n = pii_scrub(noisy)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", scrubbed.alias("scrubbed"), n.cast("bigint").alias("n_redactions")
+    )
+
+
+def _lm_oracle() -> str:
+    return """
+    WITH base AS (
+      SELECT doc_id AS doc,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS words
+      FROM documents),
+    flat AS (SELECT doc, unnest(words) AS w FROM base),
+    uni AS (SELECT w, COUNT(*) AS c1 FROM flat GROUP BY w),
+    vocab AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uni),
+    bgl AS (
+      SELECT doc,
+             list_transform(generate_series(1, len(words) - 1), i -> words[i]) AS w1s,
+             list_transform(generate_series(1, len(words) - 1),
+                            i -> words[i] || ' ' || words[i + 1]) AS bgs
+      FROM base),
+    bigrams AS (SELECT doc, unnest(w1s) AS w1, unnest(bgs) AS bg FROM bgl),
+    big AS (SELECT bg, COUNT(*) AS c2 FROM bigrams GROUP BY bg),
+    terms AS (
+      SELECT b.doc,
+             CAST(ROUND(ln((big.c2 + 1) / (uni.c1 + vocab.v)) * 1000000) AS BIGINT) AS t
+      FROM bigrams b JOIN big USING (bg) JOIN uni ON uni.w = b.w1 CROSS JOIN vocab),
+    per_doc AS (
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(t) AS BIGINT) AS sum_logp_micro
+      FROM terms GROUP BY doc)
+    SELECT b.doc, COALESCE(p.n_terms, 0) AS n_terms,
+           COALESCE(p.sum_logp_micro, 0) AS sum_logp_micro,
+           CASE WHEN p.n_terms IS NOT NULL THEN
+             ROUND(exp(-p.sum_logp_micro / p.n_terms / CAST(1000000 AS DOUBLE)), 6)
+           END AS ppl
+    FROM (SELECT doc FROM base) b LEFT JOIN per_doc p USING (doc)
+    """
+
+
+@query("ngram_lm_score", _lm_oracle())
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM self-perplexity quality score (CCNet/Gopher-style filter):
+    corpus-trained counts, add-one smoothing, exact BIGINT micro-nat sums
+    so the per-doc aggregate is order-free cross-engine."""
+    from ocr_spark.functions.curation import ngram_lm_score
+
+    return ngram_lm_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 def _ivf_oracle(n_centroids: int = 8, n_queries: int = 10,
                 nprobe: int = 2, k: int = 5) -> str:
     def l2 (a, b):
