@@ -45,3 +45,23 @@ def test_ivf_recall_vs_brute_force(emb):
             assert cos == exact[key]          # same rounded cosine
     hits = len(set(approx) & set(exact))
     assert hits / len(exact) >= 0.3, f"recall {hits}/{len(exact)}"
+
+
+def test_ngram_lm_score_partition_invariant(spark):
+    """The micro-nat integer design must make per-doc LM sums independent of
+    partitioning/aggregation order (float sums would not be)."""
+    import os
+
+    import pytest
+
+    if not os.path.isdir(SF):
+        pytest.skip("driver testdata not present")
+    from ocr_spark.functions.curation import ngram_lm_score
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {r["doc"]: (r["n_terms"], r["sum_logp_micro"], r["ppl"])
+         for r in ngram_lm_score(df, "doc_id", "text").collect()}
+    b = {r["doc"]: (r["n_terms"], r["sum_logp_micro"], r["ppl"])
+         for r in ngram_lm_score(df.repartition(13), "doc_id", "text").collect()}
+    assert a == b
+    assert any(v[2] is not None and v[2] > 0 for v in a.values())
