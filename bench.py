@@ -55,6 +55,7 @@ HEADLINE = [
     "pii_scrub",
     "quality_gate",
     "date_normalize",
+    "url_host_stats",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

@@ -40,6 +40,33 @@ def pii_scrub(text: Column) -> tuple[Column, Column]:
     return scrubbed, n
 
 
+def url_host_stats(df: DataFrame, url_col: str) -> DataFrame:
+    """Per-host crawl statistics (the host-level view every web-corpus
+    filter starts from): host, TLD, document count, path-depth totals.
+    Pure regexp parsing (dialect-common — no parse_url, which DuckDB
+    lacks) + one hash aggregation keyed on host (map-side partials; hot
+    hosts are exactly what this op is for measuring)."""
+    url = F.col(url_col)
+    # [^/:?#]+ stops at the port colon / path / query, so no lookahead is
+    # needed (RE2, the oracle dialect, has none)
+    host = F.regexp_extract(url, r"^[a-z]+://([^/:?#]+)", 1)
+    path = F.regexp_extract(url, r"^[a-z]+://[^/?#]*(/[^?#]*)", 1)
+    depth = (F.length(path) - F.length(F.regexp_replace(path, "/", ""))).cast("bigint")
+    return (
+        df.select(
+            host.alias("host"),
+            F.regexp_extract(host, r"\.([a-z]+)$", 1).alias("tld"),
+            depth.alias("depth"),
+        )
+        .groupBy("host", "tld")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("depth").alias("sum_depth"),
+            F.max("depth").alias("max_depth"),
+        )
+    )
+
+
 def _doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     words = F.when(
         F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")

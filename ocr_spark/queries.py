@@ -1411,6 +1411,54 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_lm_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+_URL_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN
+                  'https://www' || CAST(doc_id % 5 AS VARCHAR) || '.site'
+                  || CAST(doc_id % 97 AS VARCHAR) || '.co.in/a/b' || CAST(doc_id % 7 AS VARCHAR) || '?q=1'
+                WHEN doc_id % 3 = 1 THEN
+                  'http://cdn' || CAST(doc_id % 11 AS VARCHAR) || '.example.org:8080/x/y/z'
+                ELSE 'https://host' || CAST(doc_id % 23 AS VARCHAR) || '.io/' END AS url
+    FROM documents
+"""
+
+
+@query(
+    "url_host_stats",
+    f"""
+    WITH u AS ({_URL_SQL}),
+    p AS (
+      SELECT regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
+             regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path
+      FROM u),
+    d AS (
+      SELECT host, regexp_extract(host, '\\.([a-z]+)$', 1) AS tld,
+             CAST(length(path) - length(replace(path, '/', '')) AS BIGINT) AS depth
+      FROM p)
+    SELECT host, tld, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(depth) AS BIGINT) AS sum_depth,
+           CAST(MAX(depth) AS BIGINT) AS max_depth
+    FROM d GROUP BY host, tld
+    """,
+)
+def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl statistics over deterministic synthetic urls (hosts
+    with ports, query strings, country TLDs, bare roots)."""
+    from ocr_spark.functions.curation import url_host_stats
+
+    k = F.col("doc_id")
+    url = (
+        F.when(k % 3 == 0, F.concat(
+            F.lit("https://www"), (k % 5).cast("string"), F.lit(".site"),
+            (k % 97).cast("string"), F.lit(".co.in/a/b"), (k % 7).cast("string"), F.lit("?q=1")))
+        .when(k % 3 == 1, F.concat(
+            F.lit("http://cdn"), (k % 11).cast("string"), F.lit(".example.org:8080/x/y/z")))
+        .otherwise(F.concat(F.lit("https://host"), (k % 23).cast("string"), F.lit(".io/")))
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    return url_host_stats(docs, "url")
+
+
 def _ivf_oracle(n_centroids: int = 8, n_queries: int = 10,
                 nprobe: int = 2, k: int = 5) -> str:
     def l2 (a, b):
