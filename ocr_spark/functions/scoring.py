@@ -59,11 +59,28 @@ def anchor_score(text: Column, doc_type: Column) -> Column:
 # A6 — token distribution score (distribution.py:17-68), native
 # ---------------------------------------------------------------------------
 
-def distribution_score(text: Column, doc_type: Column) -> Column:
+def char_class_counts(text: Column) -> dict[str, Column]:
+    """The three char-class counts A6/F11 share. Callers on the hot path
+    should materialize these as their own columns (one select) before
+    building scores: interpreted projections have no cross-column CSE, so
+    an inlined count is re-run per reference — these regexp scans are the
+    dominant cost of the distribution/nar family when inlined."""
     total = F.length(text)
     # Python isdigit / isalnum are Unicode-aware -> \p{N} / \p{L}\p{N}.
     numeric = total - F.length(F.regexp_replace(text, r"\p{N}", ""))
     special = F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
+    return {"total": total, "numeric": numeric, "special": special}
+
+
+def distribution_score(text: Column, doc_type: Column) -> Column:
+    c = char_class_counts(text)
+    return distribution_score_from_counts(
+        doc_type, c["total"], c["numeric"], c["special"])
+
+
+def distribution_score_from_counts(
+    doc_type: Column, total: Column, numeric: Column, special: Column
+) -> Column:
     nr = numeric / total
     sr = special / total
     out: Column = F.lit(None).cast("double")
@@ -127,9 +144,14 @@ def missing_critical(doc_type: Column, fields: dict[str, Column]) -> Column:
 # ---------------------------------------------------------------------------
 
 def non_alnum_ratio(text: Column) -> Column:
-    total = F.length(text)
-    alnum_space = F.length(text) - F.length(F.regexp_replace(text, r"[\p{L}\p{N}\s]", ""))
-    return F.when(total == 0, F.lit(0.0)).otherwise(1.0 - alnum_space / total)
+    c = char_class_counts(text)
+    return non_alnum_ratio_from_counts(c["total"], c["special"])
+
+
+def non_alnum_ratio_from_counts(total: Column, special: Column) -> Column:
+    # 1 - (total - special)/total == special/total, kept in the reference's
+    # subtraction form for bit-exact FP parity (pipeline.py:609-624).
+    return F.when(total == 0, F.lit(0.0)).otherwise(1.0 - (total - special) / total)
 
 
 # ---------------------------------------------------------------------------

@@ -40,10 +40,13 @@ from ocr_spark.functions.normalize import normalize_date
 from ocr_spark.functions.quality import quality_columns
 from ocr_spark.functions.scoring import (
     anchor_score,
+    char_class_counts,
     decision_columns,
     distribution_score,
+    distribution_score_from_counts,
     final_confidence,
     non_alnum_ratio,
+    non_alnum_ratio_from_counts,
     schema_score,
 )
 from ocr_spark.functions.wordstats import split_words
@@ -54,6 +57,20 @@ ORACLE: dict[str, str] = {}
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cpu(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan feeding a CPU-dense projection (regex scoring, shingle/minhash
+    explode, embedding math). Small-bytes single-row-group files scan as ONE
+    split and serialize the whole stage onto one core; repartition with an
+    explicit count (AQE respects it, unlike byte-coalesced column-only
+    repartition) when the scan is under-parallel. A no-op at production
+    scale, where the scan already has >= cores splits."""
+    df = _t(spark, sf_dir, name)
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par * 2)
+    return df
 
 
 def query(name: str, sql: str | None = None):
@@ -280,7 +297,7 @@ _SHINGLE_SQL = """
 )
 def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one shuffle on the content hash, never on the text."""
-    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return exact_dedup(_cpu(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @query(
@@ -295,7 +312,7 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash per (doc, band): md5-based, portable bit-for-bit."""
-    sig = minhash_signatures(_t(spark, sf_dir, "documents"), "doc_id", "text", n_bands=4)
+    sig = minhash_signatures(_cpu(spark, sf_dir, "documents"), "doc_id", "text", n_bands=4)
     return sig.select("doc", F.col("band").cast("bigint").alias("band"), "signature")
 
 
@@ -320,7 +337,7 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: near-dup candidates shuffle only on (band, signature);
     boilerplate-degenerate buckets above the cap are dropped (exact_dedup's
     job) in BOTH engines."""
-    return lsh_candidate_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", n_bands=4)
+    return lsh_candidate_pairs(_cpu(spark, sf_dir, "documents"), "doc_id", "text", n_bands=4)
 
 
 @query(
@@ -342,7 +359,7 @@ def q_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard ONLY on LSH candidates — the composed corpus-scale
     near-dup plan (banding prunes; the quadratic comparison never runs
     within a low-cardinality block)."""
-    return lsh_jaccard_pairs(_t(spark, sf_dir, "documents"), "doc_id", "text", n_bands=4)
+    return lsh_jaccard_pairs(_cpu(spark, sf_dir, "documents"), "doc_id", "text", n_bands=4)
 
 
 @query(
@@ -363,7 +380,7 @@ def q_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard within (lang, source) blocks — bounded quadratic."""
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", ["lang", "source"]
+        _cpu(spark, sf_dir, "documents"), "doc_id", "text", ["lang", "source"]
     )
 
 
@@ -394,7 +411,7 @@ def _simhash_oracle_sql() -> str:
 @query("simhash", _simhash_oracle_sql())
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash: majority vote per bit over shingle md5 hashes."""
-    out = simhash64(_t(spark, sf_dir, "documents"), "doc_id", "text", shingle_n=2)
+    out = simhash64(_cpu(spark, sf_dir, "documents"), "doc_id", "text", shingle_n=2)
     return out.select("doc", F.col("simhash").cast("bigint").alias("simhash"))
 
 
@@ -425,7 +442,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN baseline: brute-force cosine top-5 for the first 10 vectors."""
-    out = similarity.brute_force_topk(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    out = similarity.brute_force_topk(_cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding")
     return out.select("qid", "nid", "cos", F.col("rank").cast("bigint").alias("rank"))
 
 
@@ -454,7 +471,7 @@ def _lsh_bucket_oracle_sql(n_planes: int = 8) -> str:
 @query("lsh_buckets", _lsh_bucket_oracle_sql())
 def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucket ids — the bucketed ANN join key at scale."""
-    out = similarity.hyperplane_lsh_buckets(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    out = similarity.hyperplane_lsh_buckets(_cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding")
     return out.select("doc", F.col("bucket").cast("bigint").alias("bucket"))
 
 
@@ -565,11 +582,25 @@ def _textstats_oracle() -> str:
 def q_distribution_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 + F11: char-class ratio scoring against per-type profiles."""
     df = synth_corpus(spark, sf_dir)
-    cls = classify(F.col("text"))
-    return df.select(
+    # Materialize doc_type and the char-class counts ONCE: the score chain
+    # below references doc_type 3x and the counts ~6x, and an interpreted
+    # projection re-runs an inlined classify/regexp tree per reference
+    # (measured 107 s -> ~8 s at sf0.1 from this split alone).
+    counts = char_class_counts(F.col("text"))
+    base = df.select(
         "doc_id",
-        distribution_score(F.col("text"), cls["doc_type"]).alias("dist_score"),
-        non_alnum_ratio(F.col("text")).alias("nar"),
+        classify(F.col("text"))["doc_type"].alias("doc_type"),
+        counts["total"].alias("_total"),
+        counts["numeric"].alias("_numeric"),
+        counts["special"].alias("_special"),
+    )
+    return base.select(
+        "doc_id",
+        distribution_score_from_counts(
+            F.col("doc_type"), F.col("_total"), F.col("_numeric"), F.col("_special")
+        ).alias("dist_score"),
+        non_alnum_ratio_from_counts(
+            F.col("_total"), F.col("_special")).alias("nar"),
     )
 
 
@@ -803,7 +834,7 @@ def q_word_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = split_words(F.col("text"))
     stop = F.size(F.filter(words, lambda w: F.lower(w).isin(C.STOPWORDS)))
     num = F.size(F.filter(words, _is_numeric))
-    return _t(spark, sf_dir, "documents").select(
+    return _cpu(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(words).cast("bigint").alias("total_words"),
         F.size(F.array_distinct(words)).cast("bigint").alias("distinct_words"),
@@ -870,7 +901,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang in _LANG_PRIORITY[:-1]:
         pred = pred.when(scores[lang] == mx, F.lit(lang))
     pred = pred.otherwise(F.lit(_LANG_PRIORITY[-1]))
-    return _t(spark, sf_dir, "documents").select(
+    return _cpu(spark, sf_dir, "documents").select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
         pred.alias("predicted_lang"),
@@ -921,7 +952,7 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.3) * F.least(F.lit(1.0), stop_ratio * F.lit(10.0))
     )
     return (
-        _t(spark, sf_dir, "documents")
+        _cpu(spark, sf_dir, "documents")
         .filter(F.length(F.trim("text")) > 0)
         .select(
             "doc_id",
@@ -952,7 +983,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""), r"\s+", " "
         )
     )
-    return _t(spark, sf_dir, "documents").select(
+    return _cpu(spark, sf_dir, "documents").select(
         "doc_id",
         F.md5(canon).alias("fingerprint"),
         F.length(canon).cast("bigint").alias("canon_len"),
@@ -1069,7 +1100,7 @@ def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 4 == 2, F.concat(F.lpad(dd, 2, "0"), F.lit("."), F.lpad(mm, 2, "0"), F.lit("."), yy))
         .otherwise(F.concat(F.lit("not a date "), k.cast("string")))
     )
-    return _t(spark, sf_dir, "documents").select(
+    return _cpu(spark, sf_dir, "documents").select(
         "doc_id",
         raw.alias("raw"),
         normalize_date(raw).alias("normalized"),
@@ -1128,7 +1159,7 @@ def q_date_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 5 == 3, F.concat(bad, F.lit("-02-"), yy))
         .otherwise(F.concat(F.lit("not a date "), k.cast("string")))
     )
-    return _t(spark, sf_dir, "documents").select(
+    return _cpu(spark, sf_dir, "documents").select(
         "doc_id", standardize_date(raw).alias("standardized")
     )
 
@@ -1162,7 +1193,7 @@ def q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("। टिप्पणी "), F.col("text"), F.lit(" ॥ x@#y | "),
         F.lit("हिंदी पाठ – "), F.col("doc_id").cast("string"), F.lit(" — अंत"),
     )
-    return _t(spark, sf_dir, "documents").select(
+    return _cpu(spark, sf_dir, "documents").select(
         "doc_id", clean_text(noisy).alias("cleaned")
     )
 
@@ -1286,11 +1317,16 @@ def _anchor_scores_oracle() -> str:
 def q_anchor_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5: fuzzy anchor scoring (Arrow-batched pandas UDF)."""
     df = synth_corpus(spark, sf_dir)
-    cls = classify(F.col("text"))
-    return df.select(
+    # doc_type is referenced twice (output + UDF argument); materialize it
+    # so the classify keyword/regex tree runs once, not twice.
+    base = df.select(
+        "doc_id", "text",
+        classify(F.col("text"))["doc_type"].alias("doc_type"),
+    )
+    return base.select(
         "doc_id",
-        cls["doc_type"].alias("doc_type"),
-        anchor_score(F.col("text"), cls["doc_type"]).alias("anchor_score"),
+        "doc_type",
+        anchor_score(F.col("text"), F.col("doc_type")).alias("anchor_score"),
     )
 
 
@@ -1319,7 +1355,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine + threshold only within buckets. The DuckDB twin mirrors
     the same bucketed plan; brute-force cosine is verified separately by
     `cosine_topk`, and the bucketing itself by `lsh_buckets`."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _cpu(spark, sf_dir, "embeddings")
     buckets = similarity.hyperplane_lsh_buckets(emb, "vec_id", "embedding")
     base = emb.select(
         F.col("vec_id").alias("nid"),
@@ -1361,7 +1397,7 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     noisy = F.concat(F.col("text"), F.lit(_PII_SUFFIX))
     scrubbed, n = pii_scrub(noisy)
-    return _t(spark, sf_dir, "documents").select(
+    return _cpu(spark, sf_dir, "documents").select(
         "doc_id", scrubbed.alias("scrubbed"), n.cast("bigint").alias("n_redactions")
     )
 
@@ -1408,7 +1444,7 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the per-doc aggregate is order-free cross-engine."""
     from ocr_spark.functions.curation import ngram_lm_score
 
-    return ngram_lm_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return ngram_lm_score(_cpu(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 _URL_SQL = """
@@ -1455,7 +1491,7 @@ def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("http://cdn"), (k % 11).cast("string"), F.lit(".example.org:8080/x/y/z")))
         .otherwise(F.concat(F.lit("https://host"), (k % 23).cast("string"), F.lit(".io/")))
     )
-    docs = _t(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
     return url_host_stats(docs, "url")
 
 
@@ -1505,7 +1541,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids), nprobe-cell probing, exact cosine only within probed cells —
     the inverted-file scale path next to the sign-LSH one. cosine_topk is
     the exact-recall baseline for the same queries."""
-    out = similarity.ivf_topk(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    out = similarity.ivf_topk(_cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding")
     return out.select("qid", "nid", "cos", F.col("rank").cast("bigint").alias("rank"))
 
 
@@ -1693,7 +1729,7 @@ def q_token_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: order-preserving ordinal assignment via posexplode of the word
     array (the reference's line_num/word_num bookkeeping, engine.py:74)."""
     return (
-        _t(spark, sf_dir, "documents")
+        _cpu(spark, sf_dir, "documents")
         .filter(F.length(F.trim("text")) > 0)
         .select("doc_id", F.posexplode(split_words(F.col("text"))).alias("word_num", "word"))
         .select("doc_id", F.col("word_num").cast("bigint").alias("word_num"), "word")
@@ -1717,7 +1753,7 @@ def q_numeric_deconfusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     noisy = F.concat(
         F.lit("Rs O"), F.col("doc_id").cast("string"), F.lit("l.S0 total B8 Z2 end")
     )
-    return _t(spark, sf_dir, "documents").select(
+    return _cpu(spark, sf_dir, "documents").select(
         "doc_id", normalize_numeric_field(noisy).alias("cleaned")
     )
 
@@ -1731,7 +1767,7 @@ def q_numeric_deconfusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _image_payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic binary payload table derived from documents (no external
     data): payload = sha256 bytes of the text; small per-doc dimensions."""
-    return _t(spark, sf_dir, "documents").select(
+    return _cpu(spark, sf_dir, "documents").select(
         "doc_id",
         F.unhex(F.sha2(F.col("text"), 256)).alias("payload"),
         (16 + F.col("doc_id") % 17).cast("int").alias("width"),
@@ -1961,7 +1997,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCM decode -> RMS / zero-crossings / clip ratio."""
     from ocr_spark.operators.multimodal import audio_features
 
-    aud = _t(spark, sf_dir, "documents").select(
+    aud = _cpu(spark, sf_dir, "documents").select(
         "doc_id",
         F.unhex(F.sha2(F.col("text"), 256)).alias("payload"),
         (1000 + F.col("doc_id") % 3000).cast("int").alias("n_samples"),

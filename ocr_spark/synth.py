@@ -234,8 +234,20 @@ def synth_text_sql(ksql: str = "o_orderkey") -> str:
 
 
 def synth_corpus(spark, sf_dir: str) -> DataFrame:
-    """(doc_id, mode, text) — one synthetic document per order row."""
-    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    """(doc_id, mode, text) — one synthetic document per order row.
+
+    The text synthesis and everything downstream of it (classify, extract,
+    score) is CPU-dense while the input bytes are tiny: a single-row-group
+    orders.parquet scans as ONE split, which would serialize the whole
+    stage onto one core. Repartition the pruned key column (8 bytes/row)
+    before the expensive projection whenever the scan yields fewer splits
+    than cores; with an explicit partition count AQE will not coalesce it
+    back down (byte-based coalescing starves CPU-bound stages). At
+    production scale the scan has >= cores splits and this is a no-op."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_orderkey")
+    par = spark.sparkContext.defaultParallelism
+    if o.rdd.getNumPartitions() < par:
+        o = o.repartition(par * 2)
     k = F.col("o_orderkey")
     return o.select(
         k.alias("doc_id"),
