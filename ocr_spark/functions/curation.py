@@ -47,10 +47,15 @@ def url_host_stats(df: DataFrame, url_col: str) -> DataFrame:
     lacks) + one hash aggregation keyed on host (map-side partials; hot
     hosts are exactly what this op is for measuring)."""
     url = F.col(url_col)
-    # [^/:?#]+ stops at the port colon / path / query, so no lookahead is
-    # needed (RE2, the oracle dialect, has none)
-    host = F.regexp_extract(url, r"^[a-z]+://([^/:?#]+)", 1)
-    path = F.regexp_extract(url, r"^[a-z]+://[^/?#]*(/[^?#]*)", 1)
+    # Scheme match is case-insensitive (RFC 3986 schemes are); the host
+    # branch tries an IPv6/IPvFuture bracket literal first (inside which
+    # ':' is not a port separator), then the reg-name form, where
+    # [^/:?#]+ stops at the port colon / path / query with no lookahead
+    # (RE2, the oracle dialect, has none). Hosts canonicalize lowercase.
+    raw_host = F.regexp_extract(
+        url, r"(?i)^[a-z][a-z0-9+.-]*://(\[[^\]]+\]|[^/:?#]+)", 1)
+    host = F.lower(F.regexp_replace(raw_host, r"^\[|\]$", ""))
+    path = F.regexp_extract(url, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
     depth = (F.length(path) - F.length(F.regexp_replace(path, "/", ""))).cast("bigint")
     return (
         df.select(

@@ -15,12 +15,29 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from ocr_spark import config as C
-from ocr_spark.functions.fuzzy import token_sort_gate
+from ocr_spark.functions.fuzzy import WindowGate, token_sort_gate_shared
 
 
 # ---------------------------------------------------------------------------
 # A5 — fuzzy anchor score (anchors.py:18-94), Arrow-batched
 # ---------------------------------------------------------------------------
+
+def _sorted_anchors() -> dict[str, dict[str, list[tuple[str, str]]]]:
+    """(raw, token-sorted) anchor pairs per doc type — config constants,
+    token-sorted once per process instead of once per (document, anchor)."""
+    from ocr_spark.functions.fuzzy import _token_sort
+
+    out = {}
+    for dt, cfg in C.ANCHORS.items():
+        out[dt] = {
+            k: [(a, _token_sort(a.lower())) for a in cfg[k]]
+            for k in ("required", "optional")
+        }
+    return out
+
+
+_SORTED_ANCHORS = _sorted_anchors()
+
 
 @F.pandas_udf(DoubleType())
 def _anchor_score_udf(text: pd.Series, doc_type: pd.Series) -> pd.Series:
@@ -31,19 +48,21 @@ def _anchor_score_udf(text: pd.Series, doc_type: pd.Series) -> pd.Series:
             out.append(0.0)
             continue
         low = t.lower()
-        # token-sort once per doc; per-anchor matching uses the thresholded
-        # gate. NOTE: the gate checks EVERY window offset (an intentional
-        # behavior change from the older partial_ratio, which strode windows
-        # by n//4 — ~0.2% of random inputs flip, and all-offsets is closer to
-        # rapidfuzz). Upper-bound pruning: fuzzy.partial_ratio_at_least.
-        ts_text = " ".join(sorted(low.split()))
+        # token-sort + per-char window histograms once per doc; per-anchor
+        # matching uses the thresholded gate over that shared state. NOTE:
+        # the gate checks EVERY window offset (an intentional behavior
+        # change from the older partial_ratio, which strode windows by
+        # n//4 — ~0.2% of random inputs flip, and all-offsets is closer to
+        # rapidfuzz). Upper-bound pruning: fuzzy.WindowGate.
+        gate = WindowGate(" ".join(sorted(low.split())))
+        sa = _SORTED_ANCHORS[dt]
         found_req = sum(
-            1 for a in cfg["required"]
-            if a in low or token_sort_gate(a, ts_text, cfg["threshold"])
+            1 for a, ts_a in sa["required"]
+            if a in low or token_sort_gate_shared(ts_a, gate, cfg["threshold"])
         )
         found_opt = sum(
-            1 for a in cfg["optional"]
-            if a in low or token_sort_gate(a, ts_text, cfg["threshold"])
+            1 for a, ts_a in sa["optional"]
+            if a in low or token_sort_gate_shared(ts_a, gate, cfg["threshold"])
         )
         req_ratio = found_req / len(cfg["required"]) if cfg["required"] else 1.0
         out.append(min(1.0, req_ratio + min(C.ANCHOR_OPTIONAL_BONUS_CAP,

@@ -101,10 +101,10 @@ def _phash8(lum: np.ndarray) -> str:
     """8x8 average-hash over block sums of integer milliluma: bit(i,j) is
     ``block_mean > global_mean``, evaluated as the exact integer comparison
     ``block_sum * n_pixels > total_sum * block_size`` (no float rounding, so
-    any engine reproduces the hash bit-for-bit). Requires h, w >= 8."""
+    any engine reproduces the hash bit-for-bit). Dims smaller than 8 are
+    legal: the grid then contains empty blocks, whose comparison
+    ``0 * n > total * 0`` is False, i.e. they contribute 0 bits."""
     h, w = lum.shape
-    if h < 8 or w < 8:
-        raise ValueError(f"phash requires dims >= 8, got {h}x{w}")
     n = h * w
     total = int(lum.sum())
     ys = (np.arange(9) * h) // 8
@@ -158,11 +158,15 @@ def image_features(df: DataFrame) -> DataFrame:
                 sdy = int(np.abs(np.diff(lum, axis=0)).sum()) if h > 1 else 0
                 m = sl / n / 1000.0
                 var = sl2 / n / 1000000.0 - m * m
+                # 1-pixel-wide/tall images have no gradient along that
+                # axis: contribute 0.0 for it instead of dividing by zero.
+                edge = (sdx / (h * (w - 1)) / 1000.0 if w > 1 else 0.0) \
+                    + (sdy / ((h - 1) * w) / 1000.0 if h > 1 else 0.0)
                 rows.append((
                     int(doc_id), w, h,
                     m,
                     math.sqrt(max(var, 0.0)),
-                    sdx / (h * (w - 1)) / 1000.0 + sdy / ((h - 1) * w) / 1000.0,
+                    edge,
                     _phash8(lum),
                 ))
             yield pd.DataFrame(rows, columns=[

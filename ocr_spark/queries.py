@@ -619,9 +619,17 @@ def _score_decide_frame(spark: SparkSession, sf_dir: str, mode: int) -> DataFram
     built = FIELD_BUILDERS[t](F.col("text"), F.col("words"), F.col("lines"))
     # Materialize each extractor once: the scores below reference every field
     # 3-4 times, and duplicating the extraction expression trees made the
-    # optimized plan ~600 KB (and execution ~4x slower).
+    # optimized plan ~600 KB (and execution ~4x slower). Same for the
+    # char-class counts: dist/nar are each referenced twice below (parts ->
+    # final_confidence and the output projection) and would re-run their
+    # regexp scans per reference if inlined.
+    counts = char_class_counts(F.col("text"))
     df = df.select(
-        "doc_id", "text", "words", *[c.alias(f"f_{n}") for n, c in built.items()]
+        "doc_id", "text", "words",
+        counts["total"].alias("_total"),
+        counts["numeric"].alias("_numeric"),
+        counts["special"].alias("_special"),
+        *[c.alias(f"f_{n}") for n, c in built.items()],
     )
     text = F.col("text")
     fields = {n: F.col(f"f_{n}") for n in built}
@@ -644,8 +652,9 @@ def _score_decide_frame(spark: SparkSession, sf_dir: str, mode: int) -> DataFram
 
     n_words = F.size(F.col("words"))
     ocr_conf = F.when(n_words < C.MIN_WORDS_DETECTED, F.lit(0.0)).otherwise(F.lit(1.0))
-    dist = distribution_score(text, F.lit(t))
-    nar = non_alnum_ratio(text)
+    dist = distribution_score_from_counts(
+        F.lit(t), F.col("_total"), F.col("_numeric"), F.col("_special"))
+    nar = non_alnum_ratio_from_counts(F.col("_total"), F.col("_special"))
 
     parts = {
         "image_quality": F.lit(_FIXED_PARTS["image_quality"]),
@@ -1449,11 +1458,15 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _URL_SQL = """
     SELECT doc_id,
-           CASE WHEN doc_id % 3 = 0 THEN
+           CASE WHEN doc_id % 5 = 0 THEN
                   'https://www' || CAST(doc_id % 5 AS VARCHAR) || '.site'
                   || CAST(doc_id % 97 AS VARCHAR) || '.co.in/a/b' || CAST(doc_id % 7 AS VARCHAR) || '?q=1'
-                WHEN doc_id % 3 = 1 THEN
+                WHEN doc_id % 5 = 1 THEN
                   'http://cdn' || CAST(doc_id % 11 AS VARCHAR) || '.example.org:8080/x/y/z'
+                WHEN doc_id % 5 = 2 THEN
+                  'HTTPS://UP' || CAST(doc_id % 13 AS VARCHAR) || '.Example.COM/a'
+                WHEN doc_id % 5 = 3 THEN
+                  'http://[2001:db8::' || CAST(doc_id % 9 AS VARCHAR) || ']:8080/x/y'
                 ELSE 'https://host' || CAST(doc_id % 23 AS VARCHAR) || '.io/' END AS url
     FROM documents
 """
@@ -1464,8 +1477,10 @@ _URL_SQL = """
     f"""
     WITH u AS ({_URL_SQL}),
     p AS (
-      SELECT regexp_extract(url, '^[a-z]+://([^/:?#]+)', 1) AS host,
-             regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path
+      SELECT lower(regexp_replace(
+               regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://(\\[[^\\]]+\\]|[^/:?#]+)', 1),
+               '^\\[|\\]$', '', 'g')) AS host,
+             regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) AS path
       FROM u),
     d AS (
       SELECT host, regexp_extract(host, '\\.([a-z]+)$', 1) AS tld,
@@ -1479,16 +1494,21 @@ _URL_SQL = """
 )
 def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host crawl statistics over deterministic synthetic urls (hosts
-    with ports, query strings, country TLDs, bare roots)."""
+    with ports, query strings, country TLDs, bare roots, uppercase schemes
+    and mixed-case hosts, IPv6 bracket literals with ports)."""
     from ocr_spark.functions.curation import url_host_stats
 
     k = F.col("doc_id")
     url = (
-        F.when(k % 3 == 0, F.concat(
+        F.when(k % 5 == 0, F.concat(
             F.lit("https://www"), (k % 5).cast("string"), F.lit(".site"),
             (k % 97).cast("string"), F.lit(".co.in/a/b"), (k % 7).cast("string"), F.lit("?q=1")))
-        .when(k % 3 == 1, F.concat(
+        .when(k % 5 == 1, F.concat(
             F.lit("http://cdn"), (k % 11).cast("string"), F.lit(".example.org:8080/x/y/z")))
+        .when(k % 5 == 2, F.concat(
+            F.lit("HTTPS://UP"), (k % 13).cast("string"), F.lit(".Example.COM/a")))
+        .when(k % 5 == 3, F.concat(
+            F.lit("http://[2001:db8::"), (k % 9).cast("string"), F.lit("]:8080/x/y")))
         .otherwise(F.concat(F.lit("https://host"), (k % 23).cast("string"), F.lit(".io/")))
     )
     docs = _cpu(spark, sf_dir, "documents").select("doc_id", url.alias("url"))

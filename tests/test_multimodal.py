@@ -81,3 +81,26 @@ def test_unknown_codec_raises(payloads):
     bad = payloads.withColumn("codec", F.lit("jpeg"))
     with pytest.raises(Exception, match="NotImplementedError|codec"):
         MM.image_features(bad).collect()
+
+
+def test_image_features_degenerate_dims(spark):
+    """1-pixel-wide/tall and sub-8x8 images are legal: the missing gradient
+    axis contributes 0.0 and empty phash blocks contribute 0 bits."""
+    docs = spark.createDataFrame(
+        [(0, 1, 1), (1, 1, 16), (2, 16, 1), (3, 4, 4)],
+        ["doc_id", "width", "height"],
+    )
+    tiny = docs.select(
+        "doc_id",
+        F.unhex(F.sha2(F.col("doc_id").cast("string"), 256)).alias("payload"),
+        F.col("width").cast("int"),
+        F.col("height").cast("int"),
+        F.lit("fake-rgb").alias("codec"),
+    )
+    rows = {r["doc_id"]: r for r in MM.image_features(tiny).collect()}
+    assert len(rows) == 4
+    assert rows[0]["edge_energy"] == 0.0          # no gradient on either axis
+    assert rows[1]["edge_energy"] >= 0.0 and rows[2]["edge_energy"] >= 0.0
+    for r in rows.values():
+        assert len(r["phash"]) == 16
+        assert r["mean_luma"] >= 0.0
