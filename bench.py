@@ -40,6 +40,7 @@ HEADLINE = [
     "minhash_band_signatures",
     "lsh_candidate_pairs",
     "lsh_jaccard_pairs",
+    "dedup_decide",
     "ngram_jaccard_pairs",
     "simhash",
     "cosine_topk",

@@ -78,9 +78,18 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
 DEFAULT_MAX_BUCKET = 64
 
 
+def _banded_buckets(df: DataFrame, id_col: str, text_col: str,
+                    n_bands: int, shingle_n: int) -> DataFrame:
+    """(band, signature, docs) LSH buckets — the shared base of the pair
+    generator and its oversize-bucket observability views."""
+    sigs = minhash_signatures(df, id_col, text_col, n_bands, shingle_n)
+    return sigs.groupBy("band", "signature").agg(F.collect_set("doc").alias("docs"))
+
+
 def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
                         n_bands: int = 4, shingle_n: int = 3,
-                        max_bucket_size: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+                        max_bucket_size: int = DEFAULT_MAX_BUCKET,
+                        observation=None) -> DataFrame:
     """Candidate near-dup pairs: ids sharing any band signature. The shuffle
     key is (band, signature) — bucket-local joins only.
 
@@ -89,11 +98,22 @@ def lsh_candidate_pairs(df: DataFrame, id_col: str, text_col: str,
     exploding ~n² pairs in-row is a single-task OOM. Buckets larger than
     ``max_bucket_size`` are dropped — identical/boilerplate text shares
     EVERY signature, so its members are exact_dedup's job, not pairwise
-    LSH's — which bounds any task at max_bucket_size² pairs. Dropped
-    buckets are observable via :func:`lsh_oversize_buckets` (log/alert on
-    it in jobs; silent truncation is not acceptable at scale)."""
-    sigs = minhash_signatures(df, id_col, text_col, n_bands, shingle_n)
-    grouped = sigs.groupBy("band", "signature").agg(F.collect_set("doc").alias("docs"))
+    LSH's — which bounds any task at max_bucket_size² pairs.
+
+    No-silent-caps: pass a ``pyspark.sql.Observation`` as ``observation``
+    and the SAME action that produces the pairs records
+    ``oversize_buckets`` (count dropped) and ``max_bucket_docs`` — zero
+    extra pass; jobs log/alert on it (``observation.get`` after the
+    action). :func:`lsh_oversize_buckets` lists the dropped buckets
+    themselves for offline inspection."""
+    grouped = _banded_buckets(df, id_col, text_col, n_bands, shingle_n)
+    if observation is not None:
+        grouped = grouped.observe(
+            observation,
+            F.sum(F.when(F.size("docs") > max_bucket_size, 1).otherwise(0))
+            .alias("oversize_buckets"),
+            F.max(F.size("docs")).alias("max_bucket_docs"),
+        )
     pairs = (
         grouped.filter((F.size("docs") > 1) & (F.size("docs") <= max_bucket_size))
         .select(F.explode(_pairs_expr(F.array_sort("docs"))).alias("p"))
@@ -107,11 +127,12 @@ def lsh_oversize_buckets(df: DataFrame, id_col: str, text_col: str,
                          n_bands: int = 4, shingle_n: int = 3,
                          max_bucket_size: int = DEFAULT_MAX_BUCKET) -> DataFrame:
     """The (band, signature, n_docs) buckets lsh_candidate_pairs DROPS under
-    its cap — the job-side observability hook for the no-silent-caps rule."""
-    sigs = minhash_signatures(df, id_col, text_col, n_bands, shingle_n)
+    its cap — the offline view behind the no-silent-caps rule (for in-job
+    accounting with no extra pass, pass an Observation to
+    lsh_candidate_pairs instead)."""
     return (
-        sigs.groupBy("band", "signature")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+        _banded_buckets(df, id_col, text_col, n_bands, shingle_n)
+        .select("band", "signature", F.size("docs").alias("n_docs"))
         .filter(F.col("n_docs") > max_bucket_size)
     )
 
@@ -230,3 +251,54 @@ def simhash64(df: DataFrame, id_col: str, text_col: str, shingle_n: int = 2) -> 
             (F.col(f"c{b}") * 2 >= F.col("n")) & (F.col("n") > 0), F.lit(1 << b)
         ).otherwise(F.lit(0))
     return g.select("doc", sim.alias("simhash"))
+
+
+def dedup_decide(df: DataFrame, id_col: str, text_col: str,
+                 threshold: float = 0.6,
+                 n_bands: int = 4, shingle_n: int = 3,
+                 max_bucket_size: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Full corpus-retention pass: exact dedup -> LSH near-dup on the
+    surviving representatives -> per-document keep/drop decision.
+
+    The composition a real curation job runs (reference has no dedup at
+    all; this is the training-data-pipeline surface):
+
+    1. exact duplicates collapse by content hash (one shuffle on the
+       sha256, never the text); the min-id of each hash group is kept;
+    2. ONLY the representatives go through minhash banding + exact
+       Jaccard on candidates (lsh_jaccard_pairs) — exact dups would
+       otherwise flood every band bucket;
+    3. of each near-dup pair above ``threshold`` the greater id drops.
+       (Greedy pairwise, not connected components: a->b and b->c drops
+       b and c without re-rooting c on a — the standard single-pass rule;
+       transitive clustering is a separate graph job.)
+
+    Returns (doc_id, decision, reason): decision in {keep, drop}, reason
+    in {exact_dup, near_dup, none}. Scale shape: two hash-shuffles (hash,
+    id) plus the LSH plan; the near-drop id set is tiny relative to the
+    corpus and AQE broadcasts the final join.
+    """
+    hashed = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.sha2(F.col(text_col), 256).alias("content_hash"),
+    )
+    keep = hashed.groupBy("content_hash").agg(F.min("doc_id").alias("keep_id"))
+    docs = hashed.join(keep, "content_hash").select("doc_id", "text", "keep_id")
+    reps = docs.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id", "text")
+    near_drop = (
+        lsh_jaccard_pairs(reps, "doc_id", "text", n_bands, shingle_n,
+                          threshold, max_bucket_size)
+        .select(F.col("doc_b").alias("near_id"))
+        .distinct()
+    )
+    out = docs.join(near_drop, docs.doc_id == near_drop.near_id, "left")
+    is_exact = F.col("doc_id") != F.col("keep_id")
+    is_near = F.col("near_id").isNotNull()
+    return out.select(
+        "doc_id",
+        F.when(is_exact | is_near, F.lit("drop")).otherwise(F.lit("keep")).alias("decision"),
+        F.when(is_exact, F.lit("exact_dup"))
+        .when(is_near, F.lit("near_dup"))
+        .otherwise(F.lit("none")).alias("reason"),
+    )

@@ -64,30 +64,25 @@ def l2sq(a, b):
     )
 
 
-def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
-               n_centroids: int = 8) -> DataFrame:
-    """IVF coarse quantizer: assign every vector to its nearest centroid
-    (argmin squared-L2, ties to the lowest centroid id) -> (nid, nvec, cell).
+FIXED_POINT = 1 << 30  # int64 fixed-point scale for order-free vector sums
 
-    Centroids here are the first ``n_centroids`` vectors by id — a
-    deterministic seeding so the DuckDB oracle reproduces the index
-    bit-for-bit; production swaps in k-means-trained centroids (same plan
-    shape: the centroid side stays a broadcast dim table either way).
 
-    Scale shape: vectors x centroids is a broadcast fan-out (K small), one
-    codegen'd projection computes K distances per row, and the downstream
-    search shuffles on ``cell`` only — never an all-pairs join."""
+def _seed_centroids(base: DataFrame, n_centroids: int) -> DataFrame:
+    """Deterministic seeding: the first ``n_centroids`` vectors by id."""
+    return base.filter(F.col("nid") < n_centroids).select(
+        F.col("nid").cast("int").alias("cid"), F.col("nvec").alias("cvec")
+    )
+
+
+def _assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """(nid, nvec, cell): nearest centroid by squared-L2, ties to the lowest
+    centroid id. Broadcast fan-out (K small) + one shuffle on nid for the
+    argmin — never an all-pairs join."""
     from pyspark.sql.window import Window
 
-    base = df.select(
-        F.col(id_col).alias("nid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nvec"),
-    )
-    cents = base.filter(F.col("nid") < n_centroids).select(
-        F.col("nid").alias("cid"), F.col("nvec").alias("cvec")
-    )
     d = base.join(F.broadcast(cents)).select(
-        "nid", "nvec", "cid", F.round(l2sq(F.col("nvec"), F.col("cvec")), ROUND).alias("dist")
+        "nid", "nvec", "cid",
+        F.round(l2sq(F.col("nvec"), F.col("cvec")), ROUND).alias("dist"),
     )
     w = Window.partitionBy("nid").orderBy(F.asc("dist"), F.asc("cid"))
     return (
@@ -97,18 +92,107 @@ def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
     )
 
 
+def train_centroids(df: DataFrame, id_col: str, vec_col: str,
+                    n_centroids: int = 8, n_iters: int = 2) -> DataFrame:
+    """Deterministic fixed-iteration Lloyd's k-means -> (cid, cvec).
+
+    Seeding is the first ``n_centroids`` vectors by id; each iteration
+    re-assigns every vector (broadcast centroid fan-out, shuffle on nid)
+    and recomputes each centroid as the element-wise mean of its members.
+    Cross-engine exactness: components are quantized to int64 fixed-point
+    (round(x * 2^30)) before summing, so the per-cell SUM is
+    order-independent, and the mean is the fixed final expression
+    ``round((sum / 2^30) / count, 6)`` — the DuckDB oracle unrolls the
+    same iterations and reproduces every centroid bit-for-bit. Cells left
+    empty by an iteration keep their previous centroid.
+
+    Scale shape: per iteration, the heavy side is one pass over the
+    vectors plus a (cell, pos) hash aggregation whose result is K x dim
+    rows — the classic distributed-k-means reduce; nothing on the driver
+    but the plan."""
+    base = df.select(
+        F.col(id_col).alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nvec"),
+    )
+    cents = _seed_centroids(base, n_centroids)
+    for _ in range(n_iters):
+        assigned = _assign_cells(base, cents)
+        comp = (
+            assigned.select("cell", F.posexplode("nvec").alias("pos", "v"))
+            .select(
+                "cell", "pos",
+                F.round(F.col("v") * FIXED_POINT).cast("bigint").alias("q"),
+            )
+            .groupBy("cell", "pos")
+            .agg(F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cell", "pos",
+                F.round((F.col("sq") / F.lit(float(FIXED_POINT))) / F.col("n"),
+                        ROUND).alias("comp"),
+            )
+        )
+        newc = (
+            comp.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "comp"))).alias("pc"))
+            .select(
+                F.col("cell").alias("cid"),
+                F.transform(F.col("pc"), lambda s: s["comp"]).alias("cvec"),
+            )
+        )
+        # empty cells keep their previous centroid
+        cents = (
+            cents.alias("old")
+            .join(newc.alias("new"), "cid", "left")
+            .select(
+                "cid",
+                F.coalesce(F.col("new.cvec"), F.col("old.cvec")).alias("cvec"),
+            )
+        )
+    return cents
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str,
+               n_centroids: int = 8, centroids: DataFrame | None = None) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid
+    (argmin squared-L2, ties to the lowest centroid id) -> (nid, nvec, cell).
+
+    ``centroids`` (cid, cvec) defaults to the first-N deterministic seeding;
+    pass train_centroids(...) for a k-means-trained quantizer (same plan
+    shape: the centroid side stays a broadcast dim table either way).
+
+    Scale shape: vectors x centroids is a broadcast fan-out (K small), one
+    codegen'd projection computes K distances per row, and the downstream
+    search shuffles on ``cell`` only — never an all-pairs join."""
+    base = df.select(
+        F.col(id_col).alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nvec"),
+    )
+    cents = centroids if centroids is not None else _seed_centroids(base, n_centroids)
+    return _assign_cells(base, cents)
+
+
 def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
-             n_queries: int = 10, n_centroids: int = 8, nprobe: int = 2) -> DataFrame:
+             n_queries: int = 10, n_centroids: int = 8, nprobe: int = 2,
+             train_iters: int = 2) -> DataFrame:
     """IVF approximate top-k: each query probes only its ``nprobe`` nearest
     cells and ranks exact cosine within them — the inverted-file ANN scale
     path (brute_force_topk is the recall baseline). Returns
-    (qid, nid, cos, rank); rank is per-query among probed cells."""
+    (qid, nid, cos, rank); rank is per-query among probed cells.
+
+    ``train_iters`` Lloyd's iterations train the quantizer (0 = raw first-N
+    seeding); trained cells track the data distribution, so the same nprobe
+    recovers more true neighbors."""
     from pyspark.sql.window import Window
 
-    assigned = ivf_assign(df, id_col, vec_col, n_centroids)
-    cents = assigned.filter(F.col("nid") < n_centroids).select(
-        F.col("nid").alias("cid"), F.col("nvec").alias("cvec")
+    base = df.select(
+        F.col(id_col).alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nvec"),
     )
+    if train_iters > 0:
+        cents = train_centroids(df, id_col, vec_col, n_centroids, train_iters)
+    else:
+        cents = _seed_centroids(base, n_centroids)
+    assigned = _assign_cells(base, cents)
     queries = assigned.filter(F.col("nid") < n_queries).select(
         F.col("nid").alias("qid"), F.col("nvec").alias("qvec")
     )

@@ -52,6 +52,8 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 _SUPPORTED_CODECS = {"fake-rgb", "fake-pcm", "fake-video"}
+_REAL_IMAGE_CODECS = {"png", "jpeg", "jpg", "bmp", "gif", "webp"}
+_REAL_AUDIO_CODECS = {"flac", "ogg", "mp3"}
 
 
 def _require_codec(codec: str) -> None:
@@ -70,9 +72,23 @@ def _seed(data: bytes) -> bytes:
 
 
 def _decode_rgb(payload: bytes, width: int, height: int, codec: str = "fake-rgb") -> np.ndarray:
-    """Codec boundary. Deterministic fake: the seed bytes are tiled into an
-    HxWx3 uint8 array (sha256-derived so any byte change perturbs every
-    pixel). Swap with a real decoder in production."""
+    """Codec boundary. Real image codecs dispatch to Pillow when it is
+    importable (production containers; the decoded size wins over the
+    width/height hints) and raise NotImplementedError naming the missing
+    library otherwise. The deterministic fake — seed bytes tiled into an
+    HxWx3 uint8 array, sha256-derived so any byte change perturbs every
+    pixel — remains the oracle-checkable path."""
+    if codec in _REAL_IMAGE_CODECS:
+        try:
+            from PIL import Image  # noqa: PLC0415 — worker-side optional dep
+        except ImportError as e:
+            raise NotImplementedError(
+                f"codec {codec!r} needs Pillow, which is not installed: {e}"
+            ) from e
+        import io
+
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img, dtype=np.uint8).copy()
     _require_codec(codec)
     need = width * height * 3
     seed = _seed(payload)
@@ -82,8 +98,38 @@ def _decode_rgb(payload: bytes, width: int, height: int, codec: str = "fake-rgb"
 
 
 def _decode_pcm(payload: bytes, n_samples: int, codec: str = "fake-pcm") -> np.ndarray:
-    """Codec boundary for audio: deterministic little-endian int16 PCM
-    derived from the seed bytes."""
+    """Codec boundary for audio. ``wav`` decodes for real via the stdlib
+    ``wave`` module (16-bit PCM, channel 0 of multi-channel); compressed
+    codecs dispatch to soundfile when importable and raise
+    NotImplementedError naming the missing library otherwise. The
+    deterministic fake — little-endian int16 PCM derived from the seed
+    bytes — remains the oracle-checkable path. Real decodes return the
+    container's actual sample count; the ``n_samples`` hint only sizes the
+    fake."""
+    if codec == "wav":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            if w.getsampwidth() != 2:
+                raise NotImplementedError(
+                    f"wav: only 16-bit PCM supported, got {8 * w.getsampwidth()}-bit"
+                )
+            nch = w.getnchannels()
+            frames = w.readframes(w.getnframes())
+        arr = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+        return arr[::nch] if nch > 1 else arr
+    if codec in _REAL_AUDIO_CODECS:
+        try:
+            import soundfile  # noqa: PLC0415 — worker-side optional dep
+        except ImportError as e:
+            raise NotImplementedError(
+                f"codec {codec!r} needs soundfile, which is not installed: {e}"
+            ) from e
+        import io
+
+        data, _sr = soundfile.read(io.BytesIO(payload), dtype="int16", always_2d=True)
+        return data[:, 0].astype(np.int64)
     _require_codec(codec)
     seed = _seed(payload)
     reps = (n_samples * 2) // len(seed) + 1
@@ -239,8 +285,9 @@ def audio_features(df: DataFrame) -> DataFrame:
             for doc_id, payload, n_samples, codec in zip(
                 b["doc_id"], b["payload"], b["n_samples"], b["codec"]
             ):
-                n = int(n_samples)
-                pcm = _decode_pcm(bytes(payload), n, codec)
+                pcm = _decode_pcm(bytes(payload), int(n_samples), codec)
+                # fakes return exactly n_samples; real containers win
+                n = len(pcm)
                 sv2 = int((pcm * pcm).sum())
                 zc = int(np.sum((pcm[1:] < 0) != (pcm[:-1] < 0)))
                 n_clip = int(np.sum(np.abs(pcm) >= 32767))

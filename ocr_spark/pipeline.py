@@ -107,9 +107,17 @@ def _bucketize(spark: SparkSession, a: DataFrame, b: DataFrame,
     ``bucket(N, url)`` partition-transform analog on plain parquet) and read
     them back: the url join then runs bucket-local with ZERO Exchange —
     the default strategy at 100 TB, where neither side broadcasts and a
-    corpus-wide shuffle of extracted text is the job's dominant cost."""
+    corpus-wide shuffle of extracted text is the job's dominant cost.
+
+    Table names are derived from the bucket location, so two concurrent
+    pipelines sharing a metastore cannot clobber each other's bucketed
+    tables mid-join (they would with fixed names)."""
+    import hashlib
+
+    run_id = hashlib.sha256(location.encode("utf-8")).hexdigest()[:12]
     out = []
-    for name, df in (("graft_stage_a_bucketed", a), ("graft_stage_b_bucketed", b)):
+    for stage, df in (("a", a), ("b", b)):
+        name = f"graft_stage_{stage}_bucketed_{run_id}"
         (df.write.bucketBy(n_buckets, "url").sortBy("url")
          .option("path", f"{location}/{name}")
          .mode("overwrite").format("parquet").saveAsTable(name))

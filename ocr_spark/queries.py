@@ -273,7 +273,8 @@ def topk_users_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard) — training-data-pipeline operators.
 # ===========================================================================
 
-_SHINGLE_SQL = """
+def _shingle_sql(src: str = "documents") -> str:
+    return f"""
     SELECT doc_id AS doc,
            CASE WHEN len(string_split_regex(trim(text), '\\s+')) >= 3 THEN
              list_distinct(list_transform(
@@ -282,8 +283,11 @@ _SHINGLE_SQL = """
                     string_split_regex(trim(text), '\\s+')[i+1] || ' ' ||
                     string_split_regex(trim(text), '\\s+')[i+2]))
            ELSE CAST([] AS VARCHAR[]) END AS shingles
-    FROM documents
+    FROM {src}
 """
+
+
+_SHINGLE_SQL = _shingle_sql()
 
 
 @query(
@@ -316,8 +320,9 @@ def q_minhash_band_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sig.select("doc", F.col("band").cast("bigint").alias("band"), "signature")
 
 
-_LSH_PAIRS_SQL = f"""
-    WITH sh AS ({_SHINGLE_SQL}),
+def _lsh_pairs_sql(src: str = "documents") -> str:
+    return f"""
+    WITH sh AS ({_shingle_sql(src)}),
     b AS (SELECT doc, shingles, unnest(range(0, 4)) AS band FROM sh),
     sigs AS (
       SELECT doc, band,
@@ -332,6 +337,28 @@ _LSH_PAIRS_SQL = f"""
 """
 
 
+_LSH_PAIRS_SQL = _lsh_pairs_sql()
+
+
+def _lsh_jaccard_sql(src: str = "documents", threshold: float | None = None) -> str:
+    thr = "" if threshold is None else (
+        f"\n    WHERE jaccard >= CAST({threshold!r} AS DOUBLE)")
+    return f"""
+    SELECT * FROM (
+    WITH pairs AS ({_lsh_pairs_sql(src)}),
+    hs AS (
+      SELECT s.doc, list_transform(s.shingles, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS sh
+      FROM ({_shingle_sql(src)}) s)
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                 THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(a.sh || b.sh))
+                 ELSE 0.0 END, 9) AS jaccard
+    FROM pairs p JOIN hs a ON a.doc = p.doc_a JOIN hs b ON b.doc = p.doc_b
+    ){thr}
+"""
+
+
 @query("lsh_candidate_pairs", _LSH_PAIRS_SQL)
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH banding: near-dup candidates shuffle only on (band, signature);
@@ -340,26 +367,65 @@ def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(_cpu(spark, sf_dir, "documents"), "doc_id", "text", n_bands=4)
 
 
-@query(
-    "lsh_jaccard_pairs",
-    f"""
-    WITH pairs AS ({_LSH_PAIRS_SQL}),
-    hs AS (
-      SELECT s.doc, list_transform(s.shingles, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS sh
-      FROM ({_SHINGLE_SQL}) s)
-    SELECT p.doc_a, p.doc_b,
-           ROUND(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
-                 THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                      / len(list_distinct(a.sh || b.sh))
-                 ELSE 0.0 END, 9) AS jaccard
-    FROM pairs p JOIN hs a ON a.doc = p.doc_a JOIN hs b ON b.doc = p.doc_b
-    """,
-)
+@query("lsh_jaccard_pairs", _lsh_jaccard_sql())
 def q_lsh_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard ONLY on LSH candidates — the composed corpus-scale
     near-dup plan (banding prunes; the quadratic comparison never runs
     within a low-cardinality block)."""
     return lsh_jaccard_pairs(_cpu(spark, sf_dir, "documents"), "doc_id", "text", n_bands=4)
+
+
+_DEDUP_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id,
+           text || ' near duplicate trailing banner words' AS text
+    FROM documents WHERE doc_id % 11 = 0
+"""
+
+
+@query(
+    "dedup_decide",
+    f"""
+    WITH corpus AS ({_DEDUP_CORPUS_SQL}),
+    ex AS (
+      SELECT sha256(text) AS content_hash, MIN(doc_id) AS keep_id
+      FROM corpus GROUP BY sha256(text)),
+    docs AS (
+      SELECT c.doc_id, c.text, e.keep_id
+      FROM corpus c JOIN ex e ON sha256(c.text) = e.content_hash),
+    reps AS (SELECT doc_id, text FROM docs WHERE doc_id = keep_id),
+    near AS (
+      SELECT DISTINCT doc_b AS near_id
+      FROM ({_lsh_jaccard_sql("reps", threshold=0.6)}))
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id != d.keep_id OR n.near_id IS NOT NULL
+                THEN 'drop' ELSE 'keep' END AS decision,
+           CASE WHEN d.doc_id != d.keep_id THEN 'exact_dup'
+                WHEN n.near_id IS NOT NULL THEN 'near_dup'
+                ELSE 'none' END AS reason
+    FROM docs d LEFT JOIN near n ON d.doc_id = n.near_id
+    """,
+)
+def q_dedup_decide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retention pass (exact dedup -> LSH near-dup on
+    representatives -> keep/drop per doc) over a corpus augmented with
+    deterministic exact copies (doc_id+100000) and near-copies with a
+    trailing banner (doc_id+200000) — the full composition a curation job
+    runs, value-oracled across both engines."""
+    from ocr_spark.functions.dedup import dedup_decide
+
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    copies = docs.filter(k % 7 == 0).select((k + 100000).alias("doc_id"), "text")
+    nears = docs.filter(k % 11 == 0).select(
+        (k + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate trailing banner words")).alias("text"),
+    )
+    corpus = docs.unionByName(copies).unionByName(nears)
+    return dedup_decide(corpus, "doc_id", "text", threshold=0.6)
 
 
 @query(
@@ -1516,7 +1582,7 @@ def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_oracle(n_centroids: int = 8, n_queries: int = 10,
-                nprobe: int = 2, k: int = 5) -> str:
+                nprobe: int = 2, k: int = 5, train_iters: int = 2) -> str:
     def l2 (a, b):
         return (f"ROUND(list_aggregate(list_transform(list_zip({a}, {b}), "
                 f"p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 6)")
@@ -1525,11 +1591,45 @@ def _ivf_oracle(n_centroids: int = 8, n_queries: int = 10,
            "q -> q[1]*q[2]), 'sum')")
     nrm = ("(sqrt(list_aggregate(list_transform(p.qvec, x -> x*x), 'sum')) * "
            "sqrt(list_aggregate(list_transform(a.nvec, x -> x*x), 'sum')))")
+
+    # Unrolled fixed-iteration Lloyd's, mirroring similarity.train_centroids
+    # exactly: int64 fixed-point component sums (order-free), mean as the
+    # fixed expression round((sum / 2^30) / count, 6), empty cells keep the
+    # previous centroid. cents{i} is the centroid table after iteration i.
+    fp = "CAST(1073741824.0 AS DOUBLE)"
+    train = ""
+    for i in range(1, train_iters + 1):
+        prev = f"cents{i - 1}"
+        train += f"""
+    ad{i} AS (
+      SELECT b.nid, b.nvec, c.cid, {l2("b.nvec", "c.cvec")} AS dist
+      FROM base b CROSS JOIN {prev} c),
+    asg{i} AS (
+      SELECT nid, nvec, cid AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY nid ORDER BY dist, cid) AS rk
+        FROM ad{i}) WHERE rk = 1),
+    compsrc{i} AS (
+      SELECT cell, u.pos AS pos, CAST(round(u.v * {fp}) AS BIGINT) AS q
+      FROM (SELECT cell,
+                   unnest(list_transform(nvec, (v, i) -> {{'pos': i, 'v': v}})) AS u
+            FROM asg{i})),
+    comp{i} AS (
+      SELECT cell, pos,
+             ROUND((CAST(SUM(q) AS DOUBLE) / {fp}) / COUNT(*), 6) AS comp
+      FROM compsrc{i} GROUP BY cell, pos),
+    newc{i} AS (
+      SELECT cell AS cid, list(comp ORDER BY pos) AS cvec
+      FROM comp{i} GROUP BY cell),
+    cents{i} AS (
+      SELECT o.cid, COALESCE(n.cvec, o.cvec) AS cvec
+      FROM {prev} o LEFT JOIN newc{i} n ON o.cid = n.cid),"""
+
     return f"""
     WITH base AS (
       SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nvec
       FROM embeddings),
-    cents AS (SELECT nid AS cid, nvec AS cvec FROM base WHERE nid < {n_centroids}),
+    cents0 AS (SELECT nid AS cid, nvec AS cvec FROM base WHERE nid < {n_centroids}),{train}
+    cents AS (SELECT cid, cvec FROM cents{train_iters}),
     ad AS (
       SELECT b.nid, b.nvec, c.cid, {l2("b.nvec", "c.cvec")} AS dist
       FROM base b CROSS JOIN cents c),
@@ -1557,10 +1657,12 @@ def _ivf_oracle(n_centroids: int = 8, n_queries: int = 10,
 
 @query("ivf_topk", _ivf_oracle())
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: coarse-quantizer cell assignment (broadcast fan-out over K
-    centroids), nprobe-cell probing, exact cosine only within probed cells —
-    the inverted-file scale path next to the sign-LSH one. cosine_topk is
-    the exact-recall baseline for the same queries."""
+    """IVF ANN: k-means-trained coarse quantizer (2 deterministic Lloyd's
+    iterations, int64 fixed-point sums so both engines derive bit-identical
+    centroids), cell assignment via broadcast fan-out over K centroids,
+    nprobe-cell probing, exact cosine only within probed cells — the
+    inverted-file scale path next to the sign-LSH one. cosine_topk is the
+    exact-recall baseline for the same queries."""
     out = similarity.ivf_topk(_cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding")
     return out.select("qid", "nid", "cos", F.col("rank").cast("bigint").alias("rank"))
 

@@ -44,6 +44,16 @@ def stream_pages_to_table(
     from ocr_spark.io.tableio import part_key
     from ocr_spark.pipeline import run_pipeline
 
+    # The layer-1 replay guard scopes batch ids by this string: normalize
+    # it so the same logical checkpoint passed as relative vs absolute (or
+    # with a trailing slash) still matches the ids recorded in snapshot
+    # metrics — a mismatch is only a lost O(1) fast path (layer 2 still
+    # dedups), but there is no reason to lose it. URI checkpoints
+    # (s3://, hdfs://) only get the trailing-slash strip.
+    if "://" not in checkpoint_dir:
+        checkpoint_dir = os.path.abspath(checkpoint_dir)
+    checkpoint_dir = checkpoint_dir.rstrip("/") or "/"
+
     stream = (
         spark.readStream.schema(PAGE_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))

@@ -104,3 +104,69 @@ def test_image_features_degenerate_dims(spark):
     for r in rows.values():
         assert len(r["phash"]) == 16
         assert r["mean_luma"] >= 0.0
+
+
+def test_real_codec_dispatch():
+    """Codec boundary dispatch: wav decodes for real via stdlib wave;
+    Pillow/soundfile codecs either decode (lib present) or raise a
+    NotImplementedError naming the missing library — never fall through
+    to the fake."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    # real 16-bit mono WAV, 100 samples of a known ramp
+    samples = np.arange(-50, 50, dtype="<i2")
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(samples.tobytes())
+    pcm = MM._decode_pcm(buf.getvalue(), 7, "wav")   # hint ignored for real
+    assert pcm.tolist() == list(range(-50, 50))
+
+    # stereo: channel 0 wins
+    buf2 = io.BytesIO()
+    inter = np.empty(20, dtype="<i2")
+    inter[0::2] = np.arange(10)          # L
+    inter[1::2] = 999                    # R
+    with wave_mod.open(buf2, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(inter.tobytes())
+    assert MM._decode_pcm(buf2.getvalue(), 0, "wav").tolist() == list(range(10))
+
+    # optional-library codecs: decode or a clear error, never the fake
+    try:
+        from PIL import Image  # noqa: F401
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    if not have_pil:
+        with pytest.raises(NotImplementedError, match="Pillow"):
+            MM._decode_rgb(b"\x89PNG fake bytes", 4, 4, "png")
+    else:
+        import io as _io
+
+        from PIL import Image
+        img = Image.new("RGB", (3, 2), (10, 20, 30))
+        out = _io.BytesIO()
+        img.save(out, format="PNG")
+        arr = MM._decode_rgb(out.getvalue(), 0, 0, "png")
+        assert arr.shape == (2, 3, 3) and arr[0, 0].tolist() == [10, 20, 30]
+
+    try:
+        import soundfile  # noqa: F401
+        have_sf = True
+    except ImportError:
+        have_sf = False
+    if not have_sf:
+        with pytest.raises(NotImplementedError, match="soundfile"):
+            MM._decode_pcm(b"fLaC fake", 0, "flac")
+
+    # unknown codecs still fail loudly
+    with pytest.raises(NotImplementedError, match="codec"):
+        MM._decode_rgb(b"x", 4, 4, "tiff")

@@ -47,6 +47,38 @@ def test_ivf_recall_vs_brute_force(emb):
     assert hits / len(exact) >= 0.3, f"recall {hits}/{len(exact)}"
 
 
+def test_trained_centroids_beat_seeding(emb):
+    """2 Lloyd's iterations must not lose recall vs raw first-N seeding at
+    the same nprobe (and on this corpus they strictly gain)."""
+    from ocr_spark.functions.similarity import brute_force_topk, ivf_topk
+
+    exact = {(r["qid"], r["nid"])
+             for r in brute_force_topk(emb, "vec_id", "embedding").collect()}
+
+    def recall(train_iters):
+        approx = {(r["qid"], r["nid"]) for r in ivf_topk(
+            emb, "vec_id", "embedding", train_iters=train_iters).collect()}
+        return len(approx & exact) / len(exact)
+
+    seeded, trained = recall(0), recall(2)
+    assert trained >= seeded, f"trained {trained} < seeded {seeded}"
+    assert trained >= 0.5, f"trained recall only {trained}"
+
+
+def test_train_centroids_deterministic_and_partition_invariant(emb):
+    """Fixed-point sums make trained centroids independent of input
+    partitioning (float sums over unordered groups would not be)."""
+    from ocr_spark.functions.similarity import train_centroids
+
+    a = {r["cid"]: r["cvec"]
+         for r in train_centroids(emb, "vec_id", "embedding").collect()}
+    b = {r["cid"]: r["cvec"]
+         for r in train_centroids(
+             emb.repartition(13), "vec_id", "embedding").collect()}
+    assert a == b
+    assert len(a) == 8
+
+
 def test_ngram_lm_score_partition_invariant(spark):
     """The micro-nat integer design must make per-doc LM sums independent of
     partitioning/aggregation order (float sums would not be)."""

@@ -77,3 +77,28 @@ def test_lsh_mega_bucket_capped(spark):
     # and the mega bucket IS exact dedup's catch
     dd = exact_dedup(df, "doc_id", "text").filter(F.col("dup_count") > 1).collect()
     assert len(dd) == 1 and dd[0]["dup_count"] == 10_000
+
+
+def test_lsh_cap_observation_single_action(spark):
+    """The no-silent-caps hook: an Observation attached to
+    lsh_candidate_pairs reports dropped-bucket counts from the SAME action
+    that produced the pairs (no second pass over the corpus)."""
+    from pyspark.sql import Observation
+
+    from ocr_spark.functions.dedup import lsh_candidate_pairs
+
+    boiler = [(i, "cookie consent banner please accept our terms of service today")
+              for i in range(200)]
+    near = [
+        (20_000, "the quick brown fox jumps over the lazy dog near the river"),
+        (20_001, "the quick brown fox jumps over the lazy dog near the creek"),
+    ]
+    df = spark.createDataFrame(boiler + near, ["doc_id", "text"])
+
+    obs = Observation("lsh_caps")
+    pairs = lsh_candidate_pairs(df, "doc_id", "text", n_bands=4,
+                                observation=obs).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(20_000, 20_001)}
+    m = obs.get
+    assert m["oversize_buckets"] == 4      # boilerplate fills all 4 bands
+    assert m["max_bucket_docs"] == 200
