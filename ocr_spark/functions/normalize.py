@@ -90,15 +90,50 @@ def clean_text(col: Column) -> Column:
     return F.trim(F.regexp_replace(x, r"\s+", " "))
 
 
+_MONTH_NAMES = {
+    1: ("jan", "january"), 2: ("feb", "february"), 3: ("mar", "march"),
+    4: ("apr", "april"), 5: ("may",), 6: ("jun", "june"),
+    7: ("jul", "july"), 8: ("aug", "august"),
+    9: ("sep", "sept", "september"), 10: ("oct", "october"),
+    11: ("nov", "november"), 12: ("dec", "december"),
+}
+
+
+def _month_from_name(name: Column) -> Column:
+    """English month name/abbrev (lowercased) -> 1..12, else NULL — the
+    textual-month subset dateutil's parserinfo recognizes."""
+    chain = None
+    for n, names in _MONTH_NAMES.items():
+        cond = name.isin(*names)
+        chain = F.when(cond, F.lit(n)) if chain is None else chain.when(cond, F.lit(n))
+    return chain.otherwise(F.lit(None).cast("int"))
+
+
 def standardize_date(col: Column) -> Column:
     """D5 — normalization.py:74-89 (standardize_date): separator normalize
     then permissive parse to YYYY-MM-DD. The reference delegates to
     dateutil.parser (month-first; day/month swap when the first field
     exceeds 12; true-calendar validity incl. leap years). This reproduces
     those decisions natively for the separator-structured forms
-    a-b-YYYY / YYYY-a-b (with -, . or / separators); other inputs -> NULL.
+    a-b-YYYY / YYYY-a-b (with -, . or / separators) and the textual-month
+    forms ``D Month YYYY`` / ``Month D, YYYY`` (English names and
+    abbreviations, any case); remaining dateutil surface (2-digit years,
+    partial dates with today-defaults) -> NULL, documented gap.
     tests/test_oracle_semantics.py fuzzes it against real dateutil."""
     t = F.trim(F.regexp_replace(col, r"[./]", "-"))
+    # textual-month view: commas out, runs of space/dot/dash collapse to
+    # one dash, lowercased — "March 5, 1999" and "5-mar-1999" both become
+    # name-number-number / number-name-number
+    tt = F.lower(F.trim(F.regexp_replace(
+        F.regexp_replace(col, r",", " "), r"[.\s/-]+", "-")))
+    dmy_txt = r"^(\d{1,2})-([a-z]+)-(\d{4})$"
+    mdy_txt = r"^([a-z]+)-(\d{1,2})-(\d{4})$"
+    d_t1 = F.regexp_extract(tt, dmy_txt, 1).try_cast("int")
+    m_t1 = _month_from_name(F.regexp_extract(tt, dmy_txt, 2))
+    y_t1 = F.regexp_extract(tt, dmy_txt, 3).try_cast("int")
+    m_t2 = _month_from_name(F.regexp_extract(tt, mdy_txt, 1))
+    d_t2 = F.regexp_extract(tt, mdy_txt, 2).try_cast("int")
+    y_t2 = F.regexp_extract(tt, mdy_txt, 3).try_cast("int")
     dmy = r"^(\d{1,2})-(\d{1,2})-(\d{4})$"
     ymd = r"^(\d{4})-(\d{1,2})-(\d{1,2})$"
     a = F.regexp_extract(t, dmy, 1).try_cast("int")
@@ -129,6 +164,8 @@ def standardize_date(col: Column) -> Column:
     return (
         F.when(t.rlike(dmy), fmt(y1, m1, d1))
         .when(t.rlike(ymd), fmt(y2, m2, d2))
+        .when(tt.rlike(dmy_txt), fmt(y_t1, m_t1, d_t1))
+        .when(tt.rlike(mdy_txt), fmt(y_t2, m_t2, d_t2))
         .otherwise(F.lit(None).cast("string"))
     )
 

@@ -253,11 +253,22 @@ def run_pipeline(
         F.col("blur_raw"), F.col("brightness_raw"), F.col("resolution_raw"),
         F.col("contrast_raw"), F.col("edge_density_raw"), F.col("glare_raw"),
     ))
+    # Char-class counts materialize first: the distribution score references
+    # them ~6x and an interpreted projection re-runs inlined regexp scans
+    # per reference (no cross-column CSE).
+    counts = scoring.char_class_counts(F.col("extracted_text"))
+    df = df.withColumns({
+        "_cc_total": counts["total"],
+        "_cc_numeric": counts["numeric"],
+        "_cc_special": counts["special"],
+    })
     # Validation scores.
     batch["fuzzy_score"] = scoring.anchor_score(F.col("extracted_text"), F.col("doc_type"))
     batch["schema_score"] = scoring.schema_score(F.col("doc_type"), field_cols)
-    batch["distribution_score"] = scoring.distribution_score(F.col("extracted_text"), F.col("doc_type"))
-    batch["non_alnum_ratio"] = scoring.non_alnum_ratio(F.col("extracted_text"))
+    batch["distribution_score"] = scoring.distribution_score_from_counts(
+        F.col("doc_type"), F.col("_cc_total"), F.col("_cc_numeric"), F.col("_cc_special"))
+    batch["non_alnum_ratio"] = scoring.non_alnum_ratio_from_counts(
+        F.col("_cc_total"), F.col("_cc_special"))
     batch["business_failures"] = scoring.missing_critical(F.col("doc_type"), field_cols)
     df = df.withColumns(batch)
     df = df.withColumn(

@@ -1192,18 +1192,21 @@ def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(1 + doc_id % 12 AS INTEGER) AS mm,
              CAST(1950 + doc_id % 70 AS INTEGER) AS yy,
              CAST(29 + doc_id % 3 AS INTEGER) AS bad,
-             doc_id % 5 AS mode
+             doc_id % 7 AS mode
       FROM documents),
     expect AS (
       -- the dateutil decisions computed from first principles: month-first
-      -- unless the first field exceeds 12; true-calendar validity
+      -- unless the first field exceeds 12; textual months bind the month
+      -- regardless of order; true-calendar validity
       SELECT doc_id, mode, yy,
              CASE WHEN mode = 0 THEN (CASE WHEN dd <= 12 THEN dd ELSE mm END)
                   WHEN mode = 1 OR mode = 2 THEN mm
-                  WHEN mode = 3 THEN 2 END AS m,
+                  WHEN mode = 3 THEN 2
+                  WHEN mode >= 5 THEN mm END AS m,
              CASE WHEN mode = 0 THEN (CASE WHEN dd <= 12 THEN mm ELSE dd END)
                   WHEN mode = 1 OR mode = 2 THEN dd
-                  WHEN mode = 3 THEN bad END AS d
+                  WHEN mode = 3 THEN bad
+                  WHEN mode >= 5 THEN dd END AS d
       FROM src)
     SELECT doc_id,
            CASE WHEN mode = 4 THEN NULL
@@ -1216,10 +1219,11 @@ def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_date_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D5: YYYY-MM-DD standardizer (reference normalization.py:74-89, the
-    dateutil path) over mixed-form inputs incl. month-first ambiguity and
-    Feb-overflow/leap edge cases. The DuckDB twin computes the expected
-    output from first principles, so it cross-checks the parser, swap rule,
-    and calendar validity independently."""
+    dateutil path) over mixed-form inputs incl. month-first ambiguity,
+    Feb-overflow/leap edge cases, and textual months ("17 Mar 1999",
+    "March 17, 1999"). The DuckDB twin computes the expected output from
+    first principles, so it cross-checks the parser, swap rule, month-name
+    table, and calendar validity independently."""
     from ocr_spark.functions.normalize import standardize_date
 
     k = F.col("doc_id")
@@ -1227,11 +1231,24 @@ def q_date_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = (1 + k % 12).cast("string")
     yy = (1950 + k % 70).cast("string")
     bad = (29 + k % 3).cast("string")
+    abbr = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                   "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]]),
+        (1 + k % 12).cast("int"))
+    full = F.element_at(
+        F.array(*[F.lit(x) for x in
+                  ["January", "February", "March", "April", "May", "June",
+                   "July", "August", "September", "October", "November",
+                   "December"]]),
+        (1 + k % 12).cast("int"))
     raw = (
-        F.when(k % 5 == 0, F.concat(dd, F.lit("-"), mm, F.lit("-"), yy))
-        .when(k % 5 == 1, F.concat(yy, F.lit("/"), mm, F.lit("/"), dd))
-        .when(k % 5 == 2, F.concat(mm, F.lit("."), dd, F.lit("."), yy))
-        .when(k % 5 == 3, F.concat(bad, F.lit("-02-"), yy))
+        F.when(k % 7 == 0, F.concat(dd, F.lit("-"), mm, F.lit("-"), yy))
+        .when(k % 7 == 1, F.concat(yy, F.lit("/"), mm, F.lit("/"), dd))
+        .when(k % 7 == 2, F.concat(mm, F.lit("."), dd, F.lit("."), yy))
+        .when(k % 7 == 3, F.concat(bad, F.lit("-02-"), yy))
+        .when(k % 7 == 5, F.concat(dd, F.lit(" "), abbr, F.lit(" "), yy))
+        .when(k % 7 == 6, F.concat(full, F.lit(" "), dd, F.lit(", "), yy))
         .otherwise(F.concat(F.lit("not a date "), k.cast("string")))
     )
     return _cpu(spark, sf_dir, "documents").select(

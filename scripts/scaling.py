@@ -43,6 +43,34 @@ def _burn(q):
     q.put(n)
 
 
+def _memburn(q):
+    """Streaming read-modify-write over a 64 MB buffer (far beyond LLC):
+    counts passes in a fixed window, so N processes measure aggregate
+    MEMORY BANDWIDTH the way _burn measures aggregate ALU throughput."""
+    import numpy as np
+
+    a = np.zeros(8_000_000, dtype=np.float64)
+    t0 = time.monotonic()
+    n = 0
+    while time.monotonic() - t0 < 2.5:
+        a += 1.0
+        n += 1
+    q.put(n)
+
+
+def mem_control(procs: int) -> float:
+    os.sched_setaffinity(0, set(range(procs)))
+    try:
+        q = mp.Queue()
+        ps = [mp.Process(target=_memburn, args=(q,)) for _ in range(procs)]
+        [p.start() for p in ps]
+        total = sum(q.get() for _ in ps)
+        [p.join() for p in ps]
+        return total
+    finally:
+        os.sched_setaffinity(0, set(range(os.cpu_count())))
+
+
 def cpu_control(procs: int) -> float:
     os.sched_setaffinity(0, set(range(procs)))
     try:
@@ -56,7 +84,77 @@ def cpu_control(procs: int) -> float:
         os.sched_setaffinity(0, set(range(os.cpu_count())))
 
 
+def pairs_mode(n_pages: int, n_iters: int, lo: int, hi: int) -> None:
+    """Interleaved pinned pairs with a pure-CPU control bracketing each
+    pair: run control(lo)+control(hi), job(lo), job(hi), controls again.
+    A pair is CLEAN when both bracket control efficiencies sit in
+    [0.95, 1.05] (the box scaled compute faithfully during that window);
+    the reported statistic is the MEDIAN of clean-pair efficiencies —
+    best-of-runs is kept only as context. Each job() is itself internally
+    best-of-3 (bench.py), which damps within-run co-tenant spikes."""
+    import statistics
+
+    sys.path.insert(0, REPO)
+    from bench import corpus_path
+
+    corpus_path(n_pages)
+    # warm-up corpora (bench.py sizes them max(2000, 64*cores))
+    for cores in (lo, hi):
+        corpus_path(max(2000, 64 * cores))
+
+    ratio = hi / lo
+    pairs = []
+    for it in range(n_iters):
+        c_lo1, c_hi1 = cpu_control(lo), cpu_control(hi)
+        m_lo1, m_hi1 = mem_control(lo), mem_control(hi)
+        j_lo = run_job(lo, n_pages)
+        j_hi = run_job(hi, n_pages)
+        c_lo2, c_hi2 = cpu_control(lo), cpu_control(hi)
+        m_lo2, m_hi2 = mem_control(lo), mem_control(hi)
+        ctl1 = c_hi1 / (ratio * c_lo1)
+        ctl2 = c_hi2 / (ratio * c_lo2)
+        # memory-bandwidth control, reported as ABSOLUTE per-arm rates too:
+        # the job can be hit by co-tenant bandwidth pressure that an ALU
+        # control never senses; bracket rates falling between iterations
+        # flag exactly those windows.
+        mem1 = m_hi1 / (ratio * m_lo1)
+        mem2 = m_hi2 / (ratio * m_lo2)
+        eff = j_hi / (ratio * j_lo)
+        clean = all(0.95 <= c <= 1.05 for c in (ctl1, ctl2))
+        pairs.append({
+            "iter": it, "docs_per_sec_lo": j_lo, "docs_per_sec_hi": j_hi,
+            "eff": round(eff, 3), "ctl_before": round(ctl1, 3),
+            "ctl_after": round(ctl2, 3),
+            "mem_eff_before": round(mem1, 3), "mem_eff_after": round(mem2, 3),
+            "mem_abs": [m_lo1, m_hi1, m_lo2, m_hi2],
+            "clean": clean,
+        })
+        print(json.dumps(pairs[-1]), file=sys.stderr, flush=True)
+    clean_effs = sorted(p["eff"] for p in pairs if p["clean"])
+    all_effs = sorted(p["eff"] for p in pairs)
+    best_lo = max(p["docs_per_sec_lo"] for p in pairs)
+    best_hi = max(p["docs_per_sec_hi"] for p in pairs)
+    print(json.dumps({
+        "mode": "pairs", "n_pages": n_pages, "lo_cores": lo, "hi_cores": hi,
+        "n_pairs": n_iters, "n_clean_pairs": len(clean_effs),
+        "median_clean_pair_eff": (round(statistics.median(clean_effs), 3)
+                                  if clean_effs else None),
+        "median_all_pair_eff": round(statistics.median(all_effs), 3),
+        "best_pair_eff": max(all_effs),
+        "best_of_runs_eff": round(best_hi / (ratio * best_lo), 3),
+        "docs_per_sec_best": {str(lo): best_lo, str(hi): best_hi},
+        "pairs": pairs,
+    }))
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "pairs":
+        n_pages = int(sys.argv[2]) if len(sys.argv) > 2 else 192000
+        n_iters = int(sys.argv[3]) if len(sys.argv) > 3 else 6
+        lo = int(sys.argv[4]) if len(sys.argv) > 4 else 8
+        hi = int(sys.argv[5]) if len(sys.argv) > 5 else 32
+        pairs_mode(n_pages, n_iters, lo, hi)
+        return
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 96000
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     core_list = [int(c) for c in sys.argv[3].split(",")] if len(sys.argv) > 3 else [4, 8, 16, 32]

@@ -169,6 +169,10 @@ def test_standardize_date_matches_dateutil(spark):
 
     from ocr_spark.functions.normalize import standardize_date
 
+    abbr = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+            "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
+    full = ["January", "February", "March", "April", "May", "June",
+            "July", "August", "September", "October", "November", "December"]
     cases = []
     for k in range(200):
         dd, mm, yy = 1 + k % 28, 1 + k % 12, 1950 + k % 70
@@ -176,18 +180,24 @@ def test_standardize_date_matches_dateutil(spark):
             f"{dd}-{mm}-{yy}", f"{yy}/{mm}/{dd}", f"{mm}.{dd}.{yy}",
             f"{29 + k % 3}-02-{yy}", f"not a date {k}", f"31-04-{yy}",
             f"{dd:02d}/{mm:02d}/{yy}",
+            f"{dd} {abbr[mm - 1]} {yy}", f"{full[mm - 1]} {dd}, {yy}",
+            f"{dd}-{abbr[mm - 1].lower()}-{yy}", f"31 Feb {yy}",
         ]
     df = spark.createDataFrame([(c,) for c in cases], ["t"]).select(
         "t", standardize_date(F.col("t")).alias("s")
     )
     structured = re.compile(r"^(\d{1,2}|\d{4})-\d{1,2}-(\d{4}|\d{1,2})$")
+    months_re = "|".join(abbr + full).lower()
+    textual = re.compile(
+        rf"^(\d{{1,2}}-({months_re})-\d{{4}}|({months_re})-\d{{1,2}}-\d{{4}})$")
     for r in df.collect():
         clean = re.sub(r"[./]", "-", r["t"])
+        tclean = re.sub(r"[.\s/-]+", "-", re.sub(",", " ", r["t"])).lower().strip("-")
         try:
             exp = parser.parse(clean).strftime("%Y-%m-%d")
         except (ValueError, OverflowError):
             exp = None
-        if structured.match(clean):
+        if structured.match(clean) or textual.match(tclean):
             assert r["s"] == exp, r["t"]
         else:  # outside the documented surface: native returns NULL
             assert r["s"] is None, r["t"]
