@@ -87,11 +87,13 @@ def cpu_control(procs: int) -> float:
 def pairs_mode(n_pages: int, n_iters: int, lo: int, hi: int) -> None:
     """Interleaved pinned pairs with a pure-CPU control bracketing each
     pair: run control(lo)+control(hi), job(lo), job(hi), controls again.
-    A pair is CLEAN when both bracket control efficiencies sit in
+    A pair is CLEAN when both bracket ALU-control efficiencies sit in
     [0.95, 1.05] (the box scaled compute faithfully during that window);
-    the reported statistic is the MEDIAN of clean-pair efficiencies —
-    best-of-runs is kept only as context. Each job() is itself internally
-    best-of-3 (bench.py), which damps within-run co-tenant spikes."""
+    MEM_STABLE when same-arm bandwidth brackets agree within 15%; QUIET
+    when every bracket ran within 25% of the session's best bandwidth.
+    The reported statistics are the medians over clean and clean+quiet
+    pairs — best-of-runs is kept only as context. Each job() is itself
+    internally best-of-2/3 (bench.py), damping within-run spikes."""
     import statistics
 
     sys.path.insert(0, REPO)
@@ -111,40 +113,89 @@ def pairs_mode(n_pages: int, n_iters: int, lo: int, hi: int) -> None:
         j_hi = run_job(hi, n_pages)
         c_lo2, c_hi2 = cpu_control(lo), cpu_control(hi)
         m_lo2, m_hi2 = mem_control(lo), mem_control(hi)
-        ctl1 = c_hi1 / (ratio * c_lo1)
-        ctl2 = c_hi2 / (ratio * c_lo2)
-        # memory-bandwidth control, reported as ABSOLUTE per-arm rates too:
-        # the job can be hit by co-tenant bandwidth pressure that an ALU
-        # control never senses; bracket rates falling between iterations
-        # flag exactly those windows.
-        mem1 = m_hi1 / (ratio * m_lo1)
-        mem2 = m_hi2 / (ratio * m_lo2)
-        eff = j_hi / (ratio * j_lo)
-        clean = all(0.95 <= c <= 1.05 for c in (ctl1, ctl2))
-        pairs.append({
-            "iter": it, "docs_per_sec_lo": j_lo, "docs_per_sec_hi": j_hi,
-            "eff": round(eff, 3), "ctl_before": round(ctl1, 3),
-            "ctl_after": round(ctl2, 3),
-            "mem_eff_before": round(mem1, 3), "mem_eff_after": round(mem2, 3),
-            "mem_abs": [m_lo1, m_hi1, m_lo2, m_hi2],
-            "clean": clean,
-        })
+        pairs.append(make_pair(it, ratio, j_lo, j_hi,
+                               (c_lo1, c_hi1, c_lo2, c_hi2),
+                               (m_lo1, m_hi1, m_lo2, m_hi2)))
         print(json.dumps(pairs[-1]), file=sys.stderr, flush=True)
-    clean_effs = sorted(p["eff"] for p in pairs if p["clean"])
+    print(json.dumps(summarize_pairs(pairs, ratio, n_pages, lo, hi)))
+
+
+def make_pair(it: int, ratio: float, j_lo: float, j_hi: float,
+              ctl: tuple, mem: tuple) -> dict:
+    """One pair record from raw job rates + bracket control rates
+    (ctl/mem order: lo-before, hi-before, lo-after, hi-after)."""
+    c_lo1, c_hi1, c_lo2, c_hi2 = ctl
+    m_lo1, m_hi1, m_lo2, m_hi2 = mem
+    ctl1 = c_hi1 / (ratio * c_lo1)
+    ctl2 = c_hi2 / (ratio * c_lo2)
+    # memory-bandwidth control, reported as ABSOLUTE per-arm rates too:
+    # the job can be hit by co-tenant bandwidth pressure that an ALU
+    # control never senses; bracket rates falling between iterations
+    # flag exactly those windows.
+    mem1 = m_hi1 / (ratio * m_lo1)
+    mem2 = m_hi2 / (ratio * m_lo2)
+    eff = j_hi / (ratio * j_lo)
+    clean = all(0.95 <= c <= 1.05 for c in (ctl1, ctl2))
+    # Same-arm memory-bandwidth brackets must agree (no co-tenant
+    # bandwidth episode began or ended inside the pair's window).
+    mem_stable = (min(m_lo1, m_lo2) / max(m_lo1, m_lo2) >= 0.85
+                  and min(m_hi1, m_hi2) / max(m_hi1, m_hi2) >= 0.85)
+    return {
+        "iter": it, "docs_per_sec_lo": j_lo, "docs_per_sec_hi": j_hi,
+        "eff": round(eff, 3), "ctl_before": round(ctl1, 3),
+        "ctl_after": round(ctl2, 3),
+        # eff divided by what the box itself scaled pure ALU work at in
+        # the same window — separates the job's scaling from the host's
+        # frequency/SMT ceiling (matters at 8->32 where all-cores-active
+        # clocks lower than 8-active; a real N->4N adds NODES, keeping
+        # per-core clocks).
+        "eff_vs_cpu_ceiling": round(eff / ((ctl1 + ctl2) / 2), 3),
+        "mem_eff_before": round(mem1, 3), "mem_eff_after": round(mem2, 3),
+        "mem_abs": [m_lo1, m_hi1, m_lo2, m_hi2],
+        "clean": clean, "mem_stable": mem_stable,
+    }
+
+
+def summarize_pairs(pairs: list, ratio: float, n_pages: int,
+                    lo: int, hi: int) -> dict:
+    """Headline statistics over pair records. Mutates pairs to add the
+    session-relative ``quiet`` flag (every memory-bandwidth bracket within
+    25% of the session's best for its arm — computable only once all pairs
+    exist)."""
+    import statistics
+
+    best_mem_lo = max(max(p["mem_abs"][0], p["mem_abs"][2]) for p in pairs)
+    best_mem_hi = max(max(p["mem_abs"][1], p["mem_abs"][3]) for p in pairs)
+    for p in pairs:
+        p["quiet"] = (min(p["mem_abs"][0], p["mem_abs"][2]) >= 0.75 * best_mem_lo
+                      and min(p["mem_abs"][1], p["mem_abs"][3]) >= 0.75 * best_mem_hi)
+
+    def med(sel):
+        effs = sorted(p["eff"] for p in pairs if sel(p))
+        return round(statistics.median(effs), 3) if effs else None
+
     all_effs = sorted(p["eff"] for p in pairs)
     best_lo = max(p["docs_per_sec_lo"] for p in pairs)
     best_hi = max(p["docs_per_sec_hi"] for p in pairs)
-    print(json.dumps({
+    return {
         "mode": "pairs", "n_pages": n_pages, "lo_cores": lo, "hi_cores": hi,
-        "n_pairs": n_iters, "n_clean_pairs": len(clean_effs),
-        "median_clean_pair_eff": (round(statistics.median(clean_effs), 3)
-                                  if clean_effs else None),
+        "n_pairs": len(pairs),
+        "n_clean_pairs": sum(p["clean"] for p in pairs),
+        "n_clean_quiet_pairs": sum(p["clean"] and p["mem_stable"] and p["quiet"]
+                                   for p in pairs),
+        "median_clean_pair_eff": med(lambda p: p["clean"]),
+        "median_clean_quiet_pair_eff": med(
+            lambda p: p["clean"] and p["mem_stable"] and p["quiet"]),
         "median_all_pair_eff": round(statistics.median(all_effs), 3),
+        "median_eff_vs_cpu_ceiling": round(statistics.median(
+            sorted(p["eff_vs_cpu_ceiling"] for p in pairs
+                   if p["mem_stable"] and p["quiet"])
+            or [p["eff_vs_cpu_ceiling"] for p in pairs]), 3),
         "best_pair_eff": max(all_effs),
         "best_of_runs_eff": round(best_hi / (ratio * best_lo), 3),
         "docs_per_sec_best": {str(lo): best_lo, str(hi): best_hi},
         "pairs": pairs,
-    }))
+    }
 
 
 def main() -> None:
