@@ -184,6 +184,13 @@ def main() -> None:
             # only when the first two disagree badly (>25% spread), which
             # is the signature of a noise spike, not of the query.
             df = QUERIES[name](spark, sf_dir)
+            # Heap-state isolation: after ~40 queries the shared JVM carries
+            # whatever garbage the previous plans left, and a query that
+            # times 2.2 s in isolation records 6.6 s mid-suite (measured).
+            # A full GC between queries makes each timing start from the
+            # same heap, like the per-query fresh-engine run a fair
+            # comparison assumes.
+            spark._jvm.System.gc()
             runs = []
             for _ in range(max(1, reps)):
                 t0 = time.monotonic()

@@ -109,39 +109,52 @@ def _month_from_name(name: Column) -> Column:
     return chain.otherwise(F.lit(None).cast("int"))
 
 
-def standardize_date(col: Column) -> Column:
-    """D5 — normalization.py:74-89 (standardize_date): separator normalize
-    then permissive parse to YYYY-MM-DD. The reference delegates to
-    dateutil.parser (month-first; day/month swap when the first field
-    exceeds 12; true-calendar validity incl. leap years). This reproduces
-    those decisions natively for the separator-structured forms
-    a-b-YYYY / YYYY-a-b (with -, . or / separators) and the textual-month
-    forms ``D Month YYYY`` / ``Month D, YYYY`` (English names and
-    abbreviations, any case); remaining dateutil surface (2-digit years,
-    partial dates with today-defaults) -> NULL, documented gap.
-    tests/test_oracle_semantics.py fuzzes it against real dateutil."""
+def date_norm_forms(col: Column) -> tuple[Column, Column]:
+    """The two normalized views the date parser matches against: ``t``
+    (separators to dashes) and ``tt`` (textual-month view: commas out,
+    runs of space/dot/dash collapse to one dash, lowercased — "March 5,
+    1999" and "5-mar-1999" both become name-number-number /
+    number-name-number)."""
     t = F.trim(F.regexp_replace(col, r"[./]", "-"))
-    # textual-month view: commas out, runs of space/dot/dash collapse to
-    # one dash, lowercased — "March 5, 1999" and "5-mar-1999" both become
-    # name-number-number / number-name-number
     tt = F.lower(F.trim(F.regexp_replace(
         F.regexp_replace(col, r",", " "), r"[.\s/-]+", "-")))
-    dmy_txt = r"^(\d{1,2})-([a-z]+)-(\d{4})$"
-    mdy_txt = r"^([a-z]+)-(\d{1,2})-(\d{4})$"
-    d_t1 = F.regexp_extract(tt, dmy_txt, 1).try_cast("int")
-    m_t1 = _month_from_name(F.regexp_extract(tt, dmy_txt, 2))
-    y_t1 = F.regexp_extract(tt, dmy_txt, 3).try_cast("int")
-    m_t2 = _month_from_name(F.regexp_extract(tt, mdy_txt, 1))
-    d_t2 = F.regexp_extract(tt, mdy_txt, 2).try_cast("int")
-    y_t2 = F.regexp_extract(tt, mdy_txt, 3).try_cast("int")
-    dmy = r"^(\d{1,2})-(\d{1,2})-(\d{4})$"
-    ymd = r"^(\d{4})-(\d{1,2})-(\d{1,2})$"
-    a = F.regexp_extract(t, dmy, 1).try_cast("int")
-    b = F.regexp_extract(t, dmy, 2).try_cast("int")
-    y1 = F.regexp_extract(t, dmy, 3).try_cast("int")
-    y2 = F.regexp_extract(t, ymd, 1).try_cast("int")
-    m2 = F.regexp_extract(t, ymd, 2).try_cast("int")
-    d2 = F.regexp_extract(t, ymd, 3).try_cast("int")
+    return t, tt
+
+
+_DMY_TXT = r"^(\d{1,2})-([a-z]+)-(\d{4})$"
+_MDY_TXT = r"^([a-z]+)-(\d{1,2})-(\d{4})$"
+_DMY = r"^(\d{1,2})-(\d{1,2})-(\d{4})$"
+_YMD = r"^(\d{4})-(\d{1,2})-(\d{1,2})$"
+
+
+def date_parts(t: Column, tt: Column) -> dict[str, Column]:
+    """Every regex capture the parser needs, one regex execution each.
+    Materialize these (withColumns) before combine_date_parts when the
+    projection runs interpreted — there is no cross-column CSE, and the
+    combiner references each part up to twice."""
+    return {
+        "a": F.regexp_extract(t, _DMY, 1).try_cast("int"),
+        "b": F.regexp_extract(t, _DMY, 2).try_cast("int"),
+        "y1": F.regexp_extract(t, _DMY, 3).try_cast("int"),
+        "y2": F.regexp_extract(t, _YMD, 1).try_cast("int"),
+        "m2": F.regexp_extract(t, _YMD, 2).try_cast("int"),
+        "d2": F.regexp_extract(t, _YMD, 3).try_cast("int"),
+        "d_t1": F.regexp_extract(tt, _DMY_TXT, 1).try_cast("int"),
+        "m_t1": _month_from_name(F.regexp_extract(tt, _DMY_TXT, 2)),
+        "y_t1": F.regexp_extract(tt, _DMY_TXT, 3).try_cast("int"),
+        "m_t2": _month_from_name(F.regexp_extract(tt, _MDY_TXT, 1)),
+        "d_t2": F.regexp_extract(tt, _MDY_TXT, 2).try_cast("int"),
+        "y_t2": F.regexp_extract(tt, _MDY_TXT, 3).try_cast("int"),
+    }
+
+
+def combine_date_parts(p: dict[str, Column]) -> Column:
+    """Pure arithmetic/when combiner over date_parts — no regex here.
+    Pattern-match detection rides on the year captures: each pattern ends
+    in (\\d{4})$, so "matched" ⟺ that capture cast non-NULL (regexp_extract
+    yields '' on no-match, and the four patterns are mutually exclusive by
+    their first field)."""
+    a, b = p["a"], p["b"]
     # dateutil's field assignment: month-first unless the first field can't
     # be a month
     m1 = F.when(a <= 12, a).otherwise(b)
@@ -162,12 +175,47 @@ def standardize_date(col: Column) -> Column:
         return F.when(ok, out).otherwise(F.lit(None).cast("string"))
 
     return (
-        F.when(t.rlike(dmy), fmt(y1, m1, d1))
-        .when(t.rlike(ymd), fmt(y2, m2, d2))
-        .when(tt.rlike(dmy_txt), fmt(y_t1, m_t1, d_t1))
-        .when(tt.rlike(mdy_txt), fmt(y_t2, m_t2, d_t2))
+        F.when(p["y1"].isNotNull(), fmt(p["y1"], m1, d1))
+        .when(p["y2"].isNotNull(), fmt(p["y2"], p["m2"], p["d2"]))
+        .when(p["y_t1"].isNotNull(), fmt(p["y_t1"], p["m_t1"], p["d_t1"]))
+        .when(p["y_t2"].isNotNull(), fmt(p["y_t2"], p["m_t2"], p["d_t2"]))
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+def standardize_date(col: Column) -> Column:
+    """D5 — normalization.py:74-89 (standardize_date): separator normalize
+    then permissive parse to YYYY-MM-DD. The reference delegates to
+    dateutil.parser (month-first; day/month swap when the first field
+    exceeds 12; true-calendar validity incl. leap years). This reproduces
+    those decisions natively for the separator-structured forms
+    a-b-YYYY / YYYY-a-b (with -, . or / separators) and the textual-month
+    forms ``D Month YYYY`` / ``Month D, YYYY`` (English names and
+    abbreviations, any case); remaining dateutil surface (2-digit years,
+    partial dates with today-defaults) -> NULL, documented gap.
+    tests/test_oracle_semantics.py fuzzes it against real dateutil.
+
+    Single-expression convenience form: the normalized views and captures
+    are inlined (re-evaluated per reference in interpreted projections).
+    Hot paths should use :func:`standardize_date_staged`, which runs each
+    regex exactly once per row."""
+    return combine_date_parts(date_parts(*date_norm_forms(col)))
+
+
+def standardize_date_staged(df, col: Column, out_name: str):
+    """Append ``out_name`` = standardize_date(col) to ``df`` via staged
+    projections: normalized forms, then regex captures, then the pure
+    combiner — each alias multi-referenced downstream, so CollapseProject
+    keeps the stages and every regex runs ONCE per row (the inline form
+    re-runs the normalize chain ~8x and each extract per reference).
+    Measured 2.7 s → sub-second on the sf0.1 date_standardize query."""
+    t, tt = date_norm_forms(col)
+    staged = df.withColumns({"__sd_t": t, "__sd_tt": tt})
+    parts = date_parts(F.col("__sd_t"), F.col("__sd_tt"))
+    staged = staged.withColumns({f"__sd_{k}": v for k, v in parts.items()})
+    out = combine_date_parts({k: F.col(f"__sd_{k}") for k in parts})
+    return staged.withColumn(out_name, out).drop(
+        "__sd_t", "__sd_tt", *[f"__sd_{k}" for k in parts])
 
 
 def non_empty(col: Column) -> Column:

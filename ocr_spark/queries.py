@@ -1224,8 +1224,6 @@ def q_date_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "March 17, 1999"). The DuckDB twin computes the expected output from
     first principles, so it cross-checks the parser, swap rule, month-name
     table, and calendar validity independently."""
-    from ocr_spark.functions.normalize import standardize_date
-
     k = F.col("doc_id")
     dd = (1 + k % 28).cast("string")
     mm = (1 + k % 12).cast("string")
@@ -1251,8 +1249,11 @@ def q_date_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 7 == 6, F.concat(full, F.lit(" "), dd, F.lit(", "), yy))
         .otherwise(F.concat(F.lit("not a date "), k.cast("string")))
     )
-    return _cpu(spark, sf_dir, "documents").select(
-        "doc_id", standardize_date(raw).alias("standardized")
+    from ocr_spark.functions.normalize import standardize_date_staged
+
+    base = _cpu(spark, sf_dir, "documents").select("doc_id", raw.alias("raw"))
+    return standardize_date_staged(base, F.col("raw"), "standardized").select(
+        "doc_id", "standardized"
     )
 
 
