@@ -41,6 +41,7 @@ HEADLINE = [
     "lsh_candidate_pairs",
     "lsh_jaccard_pairs",
     "dedup_decide",
+    "dedup_components",
     "ngram_jaccard_pairs",
     "simhash",
     "cosine_topk",
@@ -183,7 +184,12 @@ def main() -> None:
             # doing that minute, not the plan cost. A third run is added
             # only when the first two disagree badly (>25% spread), which
             # is the signature of a noise spike, not of the query.
-            df = QUERIES[name](spark, sf_dir)
+            # Iterative queries (driver-side convergence loops) do their
+            # work during plan CONSTRUCTION (checkpoint-per-round), so the
+            # build must sit inside the timed window — timing only the
+            # final force would read back a cached result in ~0 s.
+            iterative = name in {"dedup_components"}
+            df = None if iterative else QUERIES[name](spark, sf_dir)
             # Heap-state isolation: after ~40 queries the shared JVM carries
             # whatever garbage the previous plans left, and a query that
             # times 2.2 s in isolation records 6.6 s mid-suite (measured).
@@ -191,15 +197,15 @@ def main() -> None:
             # same heap, like the per-query fresh-engine run a fair
             # comparison assumes.
             spark._jvm.System.gc()
-            runs = []
-            for _ in range(max(1, reps)):
+
+            def one_run() -> float:
                 t0 = time.monotonic()
-                _force(df)
-                runs.append(time.monotonic() - t0)
+                _force(QUERIES[name](spark, sf_dir) if iterative else df)
+                return time.monotonic() - t0
+
+            runs = [one_run() for _ in range(max(1, reps))]
             if len(runs) >= 2 and max(runs) > 1.25 * min(runs):
-                t0 = time.monotonic()
-                _force(df)
-                runs.append(time.monotonic() - t0)
+                runs.append(one_run())
             timings[name] = round(min(runs), 3)
 
     total = round(sum(timings.values()) + extraction["secs"], 3)

@@ -302,3 +302,62 @@ def dedup_decide(df: DataFrame, id_col: str, text_col: str,
         .when(is_near, F.lit("near_dup"))
         .otherwise(F.lit("none")).alias("reason"),
     )
+
+
+def connected_components(nodes: DataFrame, edges: DataFrame,
+                         node_col: str = "node",
+                         a_col: str = "doc_a", b_col: str = "doc_b",
+                         max_iters: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: returns (node, component) where component is the SMALLEST
+    node id reachable from the node — a unique fixpoint, so the result is
+    deterministic under any partitioning or iteration interleaving.
+
+    The transitive-closure step dedup_decide deliberately leaves to a graph
+    job: near-dup EDGES (a~b, b~c) become retention CLUSTERS ({a,b,c}),
+    letting a curation pass keep exactly one representative per cluster
+    (min id) instead of applying the greedy pairwise rule.
+
+    Scale shape (the standard large-graph CC loop): each iteration is one
+    shuffle-join of the symmetrized edge list against the label table on
+    node id plus one map-side-combined MIN aggregation; rounds needed =
+    component diameter, and near-dup clusters are shallow (a handful of
+    hops even at corpus scale — mass-duplication collapses through the
+    shared minimum immediately). Labels are localCheckpoint()ed each round
+    to truncate the lineage (swap for reliable checkpoint() on a real
+    cluster) and convergence is detected by counting changed labels — one
+    action per round, on data already materialized by the checkpoint.
+    Raises if max_iters rounds do not converge (no silent partial result).
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(
+        edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = nodes.select(
+        F.col(node_col).alias("node"), F.col(node_col).alias("component")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        prop = (
+            sym.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("cand"))
+        )
+        merged = (
+            labels.join(prop, "node", "left")
+            .select(
+                "node",
+                F.col("component").alias("_old"),
+                F.least(F.col("component"),
+                        F.coalesce(F.col("cand"), F.col("component"))
+                        ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("component") != F.col("_old")).count()
+        labels = merged.select("node", "component")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(component diameter exceeds max_iters)")

@@ -429,6 +429,46 @@ def q_dedup_decide(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE corpus AS ({_DEDUP_CORPUS_SQL}),
+    jac AS (SELECT doc_a, doc_b
+            FROM ({{jaccard}})),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM jac),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node)
+    SELECT node AS doc_id, MIN(r) AS component FROM reach GROUP BY node
+    """.replace("{jaccard}", _lsh_jaccard_sql("corpus", threshold=0.6)),
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: LSH+Jaccard edges (threshold 0.6)
+    over the augmented dedup corpus, then min-label connected components —
+    (a~b, b~c) collapses to one retention cluster {a,b,c} labelled by its
+    smallest doc_id. The DuckDB twin computes the same fixpoint through a
+    recursive reachability CTE, independently cross-checking the
+    propagation loop, so the oracle covers the iteration logic itself."""
+    from ocr_spark.functions.dedup import connected_components, lsh_jaccard_pairs
+
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    copies = docs.filter(k % 7 == 0).select((k + 100000).alias("doc_id"), "text")
+    nears = docs.filter(k % 11 == 0).select(
+        (k + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate trailing banner words")).alias("text"),
+    )
+    corpus = docs.unionByName(copies).unionByName(nears)
+    edges = lsh_jaccard_pairs(corpus, "doc_id", "text", n_bands=4, threshold=0.6)
+    comp = connected_components(
+        corpus.select(F.col("doc_id").alias("node")), edges
+    )
+    return comp.select(F.col("node").alias("doc_id"), "component")
+
+
+@query(
     "ngram_jaccard_pairs",
     f"""
     WITH sh AS (

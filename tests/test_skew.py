@@ -102,3 +102,51 @@ def test_lsh_cap_observation_single_action(spark):
     m = obs.get
     assert m["oversize_buckets"] == 4      # boilerplate fills all 4 bands
     assert m["max_bucket_docs"] == 200
+
+
+def test_connected_components_transitive_chain(spark):
+    """a-b, b-c chain plus an isolated node: one cluster {1,2,3} labelled
+    by its min id, singleton keeps its own label."""
+    from ocr_spark.functions.dedup import connected_components
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (9,)], "node bigint")
+    edges = spark.createDataFrame([(2, 3), (1, 2)], "doc_a bigint, doc_b bigint")
+    got = {r["node"]: r["component"]
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 9: 9}
+
+
+def test_connected_components_label_flows_against_edge_direction(spark):
+    """Edges are undirected: the min id sits at the 'b' end here, and must
+    still win the whole component."""
+    from ocr_spark.functions.dedup import connected_components
+
+    nodes = spark.createDataFrame([(5,), (6,), (7,)], "node bigint")
+    edges = spark.createDataFrame([(7, 5), (6, 7)], "doc_a bigint, doc_b bigint")
+    got = {r["node"]: r["component"]
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_connected_components_no_edges_identity(spark):
+    from ocr_spark.functions.dedup import connected_components
+
+    nodes = spark.createDataFrame([(4,), (8,)], "node bigint")
+    edges = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    got = {r["node"]: r["component"]
+           for r in connected_components(nodes, edges).collect()}
+    assert got == {4: 4, 8: 8}
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """A 4-hop path cannot converge in 1 round; the operator must refuse
+    to return a partial labelling."""
+    import pytest as _pytest
+
+    from ocr_spark.functions.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "node bigint")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "doc_a bigint, doc_b bigint")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iters=1)
