@@ -318,9 +318,10 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     letting a curation pass keep exactly one representative per cluster
     (min id) instead of applying the greedy pairwise rule.
 
-    Scale shape (the standard large-graph CC loop): each iteration is one
-    shuffle-join of the symmetrized edge list against the label table on
-    node id plus one map-side-combined MIN aggregation; rounds needed =
+    Scale shape (the standard large-graph CC loop): the symmetrized edge
+    list is computed once and cached, so each iteration is one join of the
+    cached edges against the label table on node id plus one
+    map-side-combined MIN aggregation; rounds needed =
     component diameter, and near-dup clusters are shallow (a handful of
     hops even at corpus scale — mass-duplication collapses through the
     shared minimum immediately). Labels are localCheckpoint()ed each round
@@ -329,35 +330,45 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     action per round, on data already materialized by the checkpoint.
     Raises if max_iters rounds do not converge (no silent partial result).
     """
+    # Cache the symmetrized edge list: `edges` is typically an expensive
+    # lazy pipeline (LSH + Jaccard), and without this every iteration of
+    # the loop below would re-execute it from the source scan. persist()
+    # (not checkpoint) keeps the relation visible to Catalyst, so AQE can
+    # still coalesce its partitions and pick the join strategy per round;
+    # the edge pipeline itself runs exactly once.
     sym = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
     ).unionByName(
         edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-    )
+    ).persist()
     labels = nodes.select(
         F.col(node_col).alias("node"), F.col(node_col).alias("component")
     ).localCheckpoint(eager=True)
-    for _ in range(max_iters):
-        prop = (
-            sym.join(labels.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.min("component").alias("cand"))
-        )
-        merged = (
-            labels.join(prop, "node", "left")
-            .select(
-                "node",
-                F.col("component").alias("_old"),
-                F.least(F.col("component"),
-                        F.coalesce(F.col("cand"), F.col("component"))
-                        ).alias("component"),
+    try:
+        for _ in range(max_iters):
+            prop = (
+                sym.join(labels.withColumnRenamed("node", "src"), "src")
+                .groupBy(F.col("dst").alias("node"))
+                .agg(F.min("component").alias("cand"))
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = merged.filter(F.col("component") != F.col("_old")).count()
-        labels = merged.select("node", "component")
-        if changed == 0:
-            return labels
+            merged = (
+                labels.join(prop, "node", "left")
+                .select(
+                    "node",
+                    F.col("component").alias("_old"),
+                    F.least(F.col("component"),
+                            F.coalesce(F.col("cand"), F.col("component"))
+                            ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = merged.filter(
+                F.col("component") != F.col("_old")).count()
+            labels = merged.select("node", "component")
+            if changed == 0:
+                return labels
+    finally:
+        sym.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
         "(component diameter exceeds max_iters)")
