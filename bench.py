@@ -61,6 +61,9 @@ HEADLINE = [
     "doc_quality",
     "doc_fingerprint",
     "ngram_lm_score",
+    "repetition_stats",
+    "corpus_dup_ngrams",
+    "stratified_sample",
     "pii_scrub",
     "quality_gate",
     "date_normalize",

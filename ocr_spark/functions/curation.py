@@ -1,5 +1,7 @@
 """Corpus-curation operators beyond dedup: n-gram language-model quality
-scoring (the CCNet/Gopher-style perplexity filter) and PII scrubbing.
+scoring (the CCNet/Gopher-style perplexity filter), PII scrubbing,
+Gopher-style repetition signals, C4-style corpus-level n-gram sharing,
+and deterministic stratified sampling.
 
 Scale notes (100 TB):
 - the LM is trained and applied in one lazy program: unigram/bigram counts
@@ -11,7 +13,15 @@ Scale notes (100 TB):
   (round(ln(p)*1e6)) so the per-document SUM is order-independent and
   bit-identical cross-engine (float sums over unordered groups are not);
 - pii_scrub is a pure projection — codegen'd regexp_replace chain, no
-  shuffle, safe to fuse into any scan.
+  shuffle, safe to fuse into any scan;
+- repetition_stats shuffles on (doc, n, gram) — the doc id in the key keeps
+  even a pathological single-gram corpus spread across reducers;
+- corpus_dup_ngrams shuffles on the gram for the document-frequency count
+  and join; boilerplate grams are exactly the hot keys this op measures,
+  and the key is a plain string column AQE's skew-join splitting handles;
+- stratified_sample is a stateless hash filter (no shuffle, no RNG state):
+  the same row always draws the same uniform, so the sample is reproducible
+  across retries, partitionings, and engines.
 """
 
 from __future__ import annotations
@@ -77,6 +87,144 @@ def _doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     return df.select(F.col(id_col).alias("doc"), words.alias("words"))
+
+
+def _word_grams(words: Column, k: int) -> Column:
+    """Length-k word grams joined with single spaces; empty array when the
+    document has fewer than k words (Spark's sequence(1, 0) would descend,
+    so the guard is mandatory, not cosmetic)."""
+    if k == 1:
+        return words
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    gram = lambda i: F.concat_ws(
+        " ", *[F.element_at(words, i + F.lit(j)) for j in range(k)])
+    return F.when(n >= k, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>"))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style within-document repetition signals: most-frequent-word
+    fraction, top-bigram fraction, and the fraction of trigram occurrences
+    whose trigram repeats within the document. High values mark boilerplate,
+    keyword stuffing, and degenerate generations.
+
+    Shape: one scan, one explode of (n, gram) tagged structs for n=1..3,
+    then two hash aggregations — (doc, n, gram) counts, (doc, n) stats —
+    and a conditional pivot back to one row per document. Both shuffle keys
+    contain the doc id, so no corpus-level hot key exists by construction.
+    Fractions are NULL when the document is too short to define them."""
+    base = _doc_words(df, id_col, text_col)
+
+    # One-arg lambda via factory: a two-arg lambda would make Spark bind the
+    # second parameter to the array INDEX, silently shadowing k.
+    def _tag(k: int):
+        return lambda g: F.struct(F.lit(k).alias("n"), g.alias("gram"))
+
+    tagged = F.concat(*[
+        F.transform(_word_grams(F.col("words"), k), _tag(k)) for k in (1, 2, 3)
+    ])
+    flat = (
+        base.select("doc", F.explode(tagged).alias("t"))
+        .select("doc", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
+    )
+    counts = flat.groupBy("doc", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
+    stats = counts.groupBy("doc", "n").agg(
+        F.sum("c").alias("total"),
+        F.max("c").alias("mx"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup"),
+    )
+
+    def pick(n: int, col: str) -> Column:
+        return F.max(F.when(F.col("n") == n, F.col(col)))
+
+    per_doc = stats.groupBy("doc").agg(
+        pick(1, "total").alias("n1"), pick(1, "mx").alias("mx1"),
+        pick(2, "total").alias("n2"), pick(2, "mx").alias("mx2"),
+        pick(3, "total").alias("n3"), pick(3, "dup").alias("d3"),
+    )
+    frac = lambda num, den: F.round(
+        F.col(num).cast("double") / F.col(den), 6)
+    return base.select("doc").join(per_doc, "doc", "left").select(
+        "doc",
+        F.coalesce("n1", F.lit(0)).cast("bigint").alias("n_words"),
+        frac("mx1", "n1").alias("max_word_frac"),
+        frac("mx2", "n2").alias("top_bigram_frac"),
+        frac("d3", "n3").alias("dup_trigram_frac"),
+    )
+
+
+def corpus_dup_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5, min_docs: int = 2
+) -> DataFrame:
+    """C4-style corpus-level boilerplate signal: for each document, the
+    fraction of its DISTINCT word n-grams that occur in >= min_docs
+    documents corpus-wide. Navigation chrome, legal footers, and template
+    text score high; unique prose scores low.
+
+    Shape: distinct (doc, gram) pairs -> document-frequency hash agg keyed
+    on the gram -> join back on the gram -> per-doc conditional sum. The
+    gram-keyed shuffle is the scale surface; hot boilerplate grams are
+    plain string keys AQE skew splitting divides, and each doc contributes
+    a gram once (distinct first), bounding the join fan-out at
+    n_docs-per-gram, never occurrences."""
+    base = _doc_words(df, id_col, text_col)
+    dg = (
+        base.select("doc", F.explode(_word_grams(F.col("words"), n)).alias("gram"))
+        .distinct()
+    )
+    freq = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("dfreq"))
+    per_doc = dg.join(freq, "gram").groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(F.when(F.col("dfreq") >= min_docs, 1).otherwise(0)).alias("n_shared"),
+    )
+    return base.select("doc").join(per_doc, "doc", "left").select(
+        "doc",
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+        F.round(F.col("n_shared").cast("double") / F.col("n_grams"), 6).alias(
+            "shared_frac"),
+    )
+
+
+SAMPLE_SALT = "strat:v1"
+_HASH_SPAN = 1 << 32  # first 8 md5 hex chars -> uniform over [0, 2^32)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = SAMPLE_SALT,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (the language-rebalancing pass
+    of every multilingual corpus build): keep a row iff the first 32 bits of
+    md5(salt:id) fall below rate(stratum) * 2^32.
+
+    Stateless and engine-portable — no RNG, no seed plumbing, no shuffle; a
+    pure codegen'd filter that fuses into the scan, and the keep/drop
+    decision for a given id never changes across retries, partition counts,
+    or re-runs (which is what makes downstream incremental jobs sane).
+    Thresholds compare as exact integers so the rate boundary is not
+    float-fuzzy."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+            1, 8),
+        16, 10,
+    ).cast("bigint")
+    thresh: Column = F.lit(int(round(default_rate * _HASH_SPAN)))
+    for stratum, rate in rates.items():
+        thresh = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round(rate * _HASH_SPAN)))
+        ).otherwise(thresh)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.col(strata_col).alias("stratum"),
+        h.alias("sample_hash"),
+    ).filter(F.col("sample_hash") < thresh)
 
 
 def ngram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

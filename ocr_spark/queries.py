@@ -1639,6 +1639,116 @@ def q_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return url_host_stats(docs, "url")
 
 
+_WORDS_CTE = """
+    base AS (
+      SELECT doc_id AS doc,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS words
+      FROM documents)
+"""
+
+
+@query(
+    "repetition_stats",
+    f"""
+    WITH {_WORDS_CTE},
+    g AS (
+      SELECT doc, 1 AS n, unnest(words) AS gram FROM base
+      UNION ALL
+      SELECT doc, 2 AS n,
+             unnest(list_transform(generate_series(1, len(words) - 1),
+                                   i -> words[i] || ' ' || words[i + 1])) AS gram
+      FROM base
+      UNION ALL
+      SELECT doc, 3 AS n,
+             unnest(list_transform(generate_series(1, len(words) - 2),
+                                   i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS gram
+      FROM base),
+    c AS (SELECT doc, n, gram, COUNT(*) AS c FROM g GROUP BY doc, n, gram),
+    s AS (SELECT doc, n, SUM(c) AS total, MAX(c) AS mx,
+                 SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup
+          FROM c GROUP BY doc, n),
+    p AS (SELECT doc,
+                 MAX(CASE WHEN n = 1 THEN total END) AS n1,
+                 MAX(CASE WHEN n = 1 THEN mx END) AS mx1,
+                 MAX(CASE WHEN n = 2 THEN total END) AS n2,
+                 MAX(CASE WHEN n = 2 THEN mx END) AS mx2,
+                 MAX(CASE WHEN n = 3 THEN total END) AS n3,
+                 MAX(CASE WHEN n = 3 THEN dup END) AS d3
+          FROM s GROUP BY doc)
+    SELECT b.doc, CAST(COALESCE(n1, 0) AS BIGINT) AS n_words,
+           ROUND(CAST(mx1 AS DOUBLE) / n1, 6) AS max_word_frac,
+           ROUND(CAST(mx2 AS DOUBLE) / n2, 6) AS top_bigram_frac,
+           ROUND(CAST(d3 AS DOUBLE) / n3, 6) AS dup_trigram_frac
+    FROM (SELECT doc FROM base) b LEFT JOIN p USING (doc)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (max-word / top-bigram / duplicated-
+    trigram fractions) per document — the stuffing/boilerplate detector of
+    a training-data quality pass."""
+    from ocr_spark.functions.curation import repetition_stats
+
+    return repetition_stats(_cpu(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "corpus_dup_ngrams",
+    f"""
+    WITH {_WORDS_CTE},
+    g AS (
+      SELECT DISTINCT doc, gram FROM (
+        SELECT doc,
+               unnest(list_transform(generate_series(1, len(words) - 2),
+                                     i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS gram
+        FROM base)),
+    freq AS (SELECT gram, COUNT(*) AS dfreq FROM g GROUP BY gram),
+    p AS (SELECT doc, COUNT(*) AS n_grams,
+                 SUM(CASE WHEN dfreq >= 2 THEN 1 ELSE 0 END) AS n_shared
+          FROM g JOIN freq USING (gram) GROUP BY doc)
+    SELECT b.doc, CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+           ROUND(CAST(n_shared AS DOUBLE) / n_grams, 6) AS shared_frac
+    FROM (SELECT doc FROM base) b LEFT JOIN p USING (doc)
+    """,
+)
+def q_corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level boilerplate: per-document fraction of distinct
+    trigrams shared with at least one other document."""
+    from ocr_spark.functions.curation import corpus_dup_ngrams
+
+    return corpus_dup_ngrams(
+        _cpu(spark, sf_dir, "documents"), "doc_id", "text", n=3, min_docs=2)
+
+
+# Thresholds are rate * 2^32 as exact integers (see stratified_sample).
+_STRAT_RATES = {"en": 0.25, "de": 0.75, "es": 0.75, "fr": 0.75}
+_STRAT_CASES = " ".join(
+    f"WHEN '{k}' THEN {int(round(r * (1 << 32)))}" for k, r in _STRAT_RATES.items()
+)
+
+
+@query(
+    "stratified_sample",
+    f"""
+    SELECT doc, stratum, sample_hash FROM (
+      SELECT doc_id AS doc, lang AS stratum,
+             ('0x' || substr(md5('strat:v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS sample_hash
+      FROM documents)
+    WHERE sample_hash < CASE stratum {_STRAT_CASES} ELSE {1 << 32} END
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling: downsample English to
+    25%, mid-resource languages to 75%, keep the rest — reproducible across
+    engines, retries, and partitionings (no RNG)."""
+    from ocr_spark.functions.curation import stratified_sample
+
+    return stratified_sample(
+        _cpu(spark, sf_dir, "documents"), "doc_id", "lang", _STRAT_RATES)
+
+
 def _ivf_oracle(n_centroids: int = 8, n_queries: int = 10,
                 nprobe: int = 2, k: int = 5, train_iters: int = 2) -> str:
     def l2 (a, b):

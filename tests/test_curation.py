@@ -1,0 +1,131 @@
+"""Edge-case tests for the curation operators over documents the sf corpus
+never contains: empty text, whitespace-only text, one- and two-word docs,
+and stratum boundaries of the deterministic sampler."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.curation import (
+    corpus_dup_ngrams,
+    repetition_stats,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "", "en"),
+        (1, "   ", "en"),
+        (2, "solo", "en"),
+        (3, "two words", "en"),
+        (4, "a a a a", "en"),                      # one word repeated
+        (5, "x y x y x y", "de"),                  # repeated bigram + trigram
+        (6, "p q r s t u v w", "zh"),              # all-distinct words
+        (7, "x y x y x y", "fr"),                  # shares trigrams with 5
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+
+def _by_doc(df):
+    return {r["doc"]: r.asDict() for r in df.collect()}
+
+
+def test_repetition_stats_degenerate(docs):
+    out = _by_doc(repetition_stats(docs, "doc_id", "text"))
+    assert len(out) == 8
+    # empty / whitespace-only: zero words, undefined fractions
+    for d in (0, 1):
+        assert out[d]["n_words"] == 0
+        assert out[d]["max_word_frac"] is None
+        assert out[d]["top_bigram_frac"] is None
+        assert out[d]["dup_trigram_frac"] is None
+    # one word: word frac defined, bigram/trigram not
+    assert out[2]["n_words"] == 1
+    assert out[2]["max_word_frac"] == 1.0
+    assert out[2]["top_bigram_frac"] is None
+    assert out[2]["dup_trigram_frac"] is None
+    # two distinct words: one bigram, no trigram
+    assert out[3]["n_words"] == 2
+    assert out[3]["max_word_frac"] == 0.5
+    assert out[3]["top_bigram_frac"] == 1.0
+    assert out[3]["dup_trigram_frac"] is None
+
+
+def test_repetition_stats_values(docs):
+    out = _by_doc(repetition_stats(docs, "doc_id", "text"))
+    # "a a a a": 4 words all "a"; 3 bigrams all "a a"; 2 trigrams both dup
+    assert out[4] == {
+        "doc": 4, "n_words": 4, "max_word_frac": 1.0,
+        "top_bigram_frac": 1.0, "dup_trigram_frac": 1.0,
+    }
+    # "x y x y x y": words 3/6 x; bigrams: "x y"x3, "y x"x2 -> top 3/5;
+    # trigrams: "x y x"x2, "y x y"x2 -> all 4 duplicated
+    assert out[5] == {
+        "doc": 5, "n_words": 6, "max_word_frac": 0.5,
+        "top_bigram_frac": 0.6, "dup_trigram_frac": 1.0,
+    }
+    # all-distinct: no repetition anywhere
+    assert out[6]["max_word_frac"] == 0.125
+    assert out[6]["dup_trigram_frac"] == 0.0
+
+
+def test_corpus_dup_ngrams(docs):
+    out = _by_doc(corpus_dup_ngrams(docs, "doc_id", "text", n=3, min_docs=2))
+    assert len(out) == 8
+    # docs 5 and 7 are identical -> every distinct trigram shared
+    for d in (5, 7):
+        assert out[d]["n_grams"] == 2          # {"x y x", "y x y"}
+        assert out[d]["n_shared"] == 2
+        assert out[d]["shared_frac"] == 1.0
+    # doc 6's trigrams are unique to it
+    assert out[6]["n_grams"] == 6
+    assert out[6]["n_shared"] == 0
+    assert out[6]["shared_frac"] == 0.0
+    # too-short docs: zero grams, NULL fraction
+    for d in (0, 1, 2, 3):
+        assert out[d]["n_grams"] == 0
+        assert out[d]["shared_frac"] is None
+
+
+def test_stratified_sample_matches_python_md5(docs):
+    rates = {"en": 0.25, "de": 0.75}
+    out = {r["doc"]: r for r in
+           stratified_sample(docs, "doc_id", "lang", rates).collect()}
+    langs = {r["doc_id"]: r["lang"] for r in docs.collect()}
+    for doc_id, lang in langs.items():
+        h = int(hashlib.md5(f"strat:v1:{doc_id}".encode()).hexdigest()[:8], 16)
+        rate = rates.get(lang, 1.0)
+        kept = h < rate * (1 << 32)
+        assert (doc_id in out) == kept, (doc_id, lang, h)
+        if kept:
+            assert out[doc_id]["sample_hash"] == h
+            assert out[doc_id]["stratum"] == lang
+
+
+def test_stratified_sample_deterministic_across_partitionings(docs):
+    rates = {"en": 0.5}
+    a = sorted(r["doc"] for r in
+               stratified_sample(docs.repartition(1), "doc_id", "lang", rates).collect())
+    b = sorted(r["doc"] for r in
+               stratified_sample(docs.repartition(7), "doc_id", "lang", rates).collect())
+    assert a == b
+
+
+def test_stratified_sample_rate_extremes(spark):
+    df = spark.createDataFrame(
+        [(i, "t", "en") for i in range(50)], ["doc_id", "text", "lang"])
+    none = stratified_sample(df, "doc_id", "lang", {"en": 0.0})
+    assert none.count() == 0
+    full = stratified_sample(df, "doc_id", "lang", {"en": 1.0})
+    assert full.count() == 50
+
+
+def test_no_shuffle_in_sampler_plan(docs):
+    plan = stratified_sample(docs, "doc_id", "lang", {"en": 0.5})._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
