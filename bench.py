@@ -64,6 +64,8 @@ HEADLINE = [
     "repetition_stats",
     "corpus_dup_ngrams",
     "stratified_sample",
+    "decontaminate",
+    "curation_pass",
     "pii_scrub",
     "quality_gate",
     "date_normalize",

@@ -187,8 +187,80 @@ def corpus_dup_ngrams(
     )
 
 
+def decontaminate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_df: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many of its
+    distinct word n-grams also occur in the evaluation set, and a
+    contaminated flag at >= min_hits overlaps — the pass every training
+    corpus runs before a model ships, so eval numbers measure generalization
+    rather than memorization.
+
+    eval_df carries the eval text under the same (id_col, text_col) names.
+    Shape: distinct eval grams are a small dimension broadcast to every
+    executor (eval sets are benchmark-sized — thousands of docs — while the
+    training side is the 100 TB side; if the eval gram set ever outgrew the
+    broadcast guard, dropping the hint degrades gracefully to a gram-keyed
+    shuffle join, same results). The training side aggregates per doc, so
+    the output is one row per training document with exact hit counts."""
+    eval_grams = (
+        _doc_words(eval_df, id_col, text_col)
+        .select(F.explode(_word_grams(F.col("words"), n)).alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    base = _doc_words(df, id_col, text_col)
+    dg = (
+        base.select("doc", F.explode(_word_grams(F.col("words"), n)).alias("gram"))
+        .distinct()
+    )
+    per_doc = (
+        dg.join(F.broadcast(eval_grams), "gram", "left")
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        )
+    )
+    return base.select("doc").join(per_doc, "doc", "left").select(
+        "doc",
+        F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+        F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(F.col("n_hits").cast("double") / F.col("n_grams"), 6).alias(
+            "hit_frac"),
+        (F.coalesce("n_hits", F.lit(0)) >= min_hits).cast("int").alias(
+            "contaminated"),
+    )
+
+
 SAMPLE_SALT = "strat:v1"
 _HASH_SPAN = 1 << 32  # first 8 md5 hex chars -> uniform over [0, 2^32)
+
+
+def sample_hash(id_col: Column, salt: str = SAMPLE_SALT) -> Column:
+    """Deterministic uniform draw over [0, 2^32) from md5(salt:id) — the
+    shared primitive of every hash-sampled curation decision."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", F.lit(salt), id_col.cast("string"))), 1, 8),
+        16, 10,
+    ).cast("bigint")
+
+
+def rate_threshold(
+    strata_col: Column, rates: dict[str, float], default_rate: float = 1.0
+) -> Column:
+    """Per-stratum keep threshold as an exact integer (rate * 2^32)."""
+    thresh: Column = F.lit(int(round(default_rate * _HASH_SPAN)))
+    for stratum, rate in rates.items():
+        thresh = F.when(
+            strata_col == stratum, F.lit(int(round(rate * _HASH_SPAN)))
+        ).otherwise(thresh)
+    return thresh
 
 
 def stratified_sample(
@@ -209,22 +281,66 @@ def stratified_sample(
     or re-runs (which is what makes downstream incremental jobs sane).
     Thresholds compare as exact integers so the rate boundary is not
     float-fuzzy."""
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
-            1, 8),
-        16, 10,
-    ).cast("bigint")
-    thresh: Column = F.lit(int(round(default_rate * _HASH_SPAN)))
-    for stratum, rate in rates.items():
-        thresh = F.when(
-            F.col(strata_col) == stratum, F.lit(int(round(rate * _HASH_SPAN)))
-        ).otherwise(thresh)
+    h = sample_hash(F.col(id_col), salt)
+    thresh = rate_threshold(F.col(strata_col), rates, default_rate)
     return df.select(
         F.col(id_col).alias("doc"),
         F.col(strata_col).alias("stratum"),
         h.alias("sample_hash"),
     ).filter(F.col("sample_hash") < thresh)
+
+
+def curation_pass(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    strata_col: str,
+    eval_df: DataFrame,
+    rates: dict[str, float],
+    max_word_frac: float = 0.15,
+    dup_trigram_frac: float = 0.02,
+    contamination_n: int = 3,
+    contamination_min_hits: int = 2,
+) -> DataFrame:
+    """The full retention decision a training-data build makes per document,
+    rules applied first-match-wins:
+
+    1. 'repetitive'   — Gopher repetition signals above threshold;
+    2. 'contaminated' — shares >= min_hits distinct n-grams with the eval
+                        set (decontaminate);
+    3. 'sampled_out'  — deterministic per-stratum hash draw above rate;
+    4. 'keep'.
+
+    Returns (doc, reason, keep). Composition shape: the repetition and
+    contamination branches each aggregate to one row per doc (doc-keyed
+    shuffles), then two doc-keyed joins and a codegen'd CASE — no new scale
+    surface beyond the component operators', and the branches share the
+    input scan. Exact dedup is deliberately NOT restated here: it is its own
+    pass (dedup_decide) run before this one, on the raw corpus."""
+    rep = repetition_stats(df, id_col, text_col)
+    dec = decontaminate(
+        df, id_col, text_col, eval_df, contamination_n, contamination_min_hits)
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        sample_hash(F.col(id_col)).alias("sample_hash"),
+        rate_threshold(F.col(strata_col), rates).alias("thresh"),
+    )
+    j = base.join(rep, "doc").join(dec.select("doc", "contaminated"), "doc")
+    repetitive = (
+        F.coalesce(F.col("max_word_frac") > max_word_frac, F.lit(False))
+        | F.coalesce(F.col("dup_trigram_frac") > dup_trigram_frac, F.lit(False))
+    )
+    reason = (
+        F.when(repetitive, "repetitive")
+        .when(F.col("contaminated") == 1, "contaminated")
+        .when(F.col("sample_hash") >= F.col("thresh"), "sampled_out")
+        .otherwise("keep")
+    )
+    return j.select(
+        "doc",
+        reason.alias("reason"),
+        (reason == "keep").cast("int").alias("keep"),
+    )
 
 
 def ngram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

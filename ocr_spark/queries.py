@@ -1721,11 +1721,116 @@ def q_corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cpu(spark, sf_dir, "documents"), "doc_id", "text", n=3, min_docs=2)
 
 
+@query(
+    "decontaminate",
+    f"""
+    WITH {_WORDS_CTE},
+    g AS (
+      SELECT DISTINCT doc, gram FROM (
+        SELECT doc,
+               unnest(list_transform(generate_series(1, len(words) - 2),
+                                     i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS gram
+        FROM base)),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc % 41 = 0),
+    tr AS (SELECT doc, gram FROM g WHERE doc % 41 != 0),
+    p AS (
+      SELECT tr.doc, COUNT(*) AS n_grams,
+             SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+      FROM tr LEFT JOIN ev USING (gram) GROUP BY tr.doc)
+    SELECT b.doc, CAST(COALESCE(n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / n_grams, 6) AS hit_frac,
+           CAST(COALESCE(n_hits, 0) >= 2 AS INT) AS contaminated
+    FROM (SELECT doc FROM base WHERE doc % 41 != 0) b LEFT JOIN p USING (doc)
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every-41st document plays the eval set;
+    training docs are flagged when >= 2 of their distinct trigrams appear in
+    it (broadcast eval-gram dimension, per-doc exact hit counts)."""
+    from ocr_spark.functions.curation import decontaminate
+
+    docs = _cpu(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 41 != 0),
+        "doc_id", "text",
+        docs.filter(F.col("doc_id") % 41 == 0),
+        n=3, min_hits=2,
+    )
+
+
 # Thresholds are rate * 2^32 as exact integers (see stratified_sample).
 _STRAT_RATES = {"en": 0.25, "de": 0.75, "es": 0.75, "fr": 0.75}
 _STRAT_CASES = " ".join(
     f"WHEN '{k}' THEN {int(round(r * (1 << 32)))}" for k, r in _STRAT_RATES.items()
 )
+
+
+@query(
+    "curation_pass",
+    f"""
+    WITH {_WORDS_CTE},
+    train AS (SELECT doc, words FROM base WHERE doc % 41 != 0),
+    g3 AS (
+      SELECT DISTINCT doc, gram FROM (
+        SELECT doc,
+               unnest(list_transform(generate_series(1, len(words) - 2),
+                                     i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS gram
+        FROM base)),
+    ev AS (SELECT DISTINCT gram FROM g3 WHERE doc % 41 = 0),
+    cont AS (
+      SELECT t.doc,
+             CASE WHEN SUM(CASE WHEN ev.gram IS NOT NULL THEN 1 ELSE 0 END) >= 2
+                  THEN 1 ELSE 0 END AS contaminated
+      FROM (SELECT doc, gram FROM g3 WHERE doc % 41 != 0) t
+      LEFT JOIN ev USING (gram) GROUP BY t.doc),
+    uc AS (SELECT doc, w, COUNT(*) AS c
+           FROM (SELECT doc, unnest(words) AS w FROM train) GROUP BY doc, w),
+    mw AS (SELECT doc, ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS mwf
+           FROM uc GROUP BY doc),
+    tc AS (SELECT doc, gram, COUNT(*) AS c FROM (
+             SELECT doc,
+                    unnest(list_transform(generate_series(1, len(words) - 2),
+                                          i -> words[i] || ' ' || words[i + 1] || ' ' || words[i + 2])) AS gram
+             FROM train) GROUP BY doc, gram),
+    dt AS (SELECT doc,
+                  ROUND(CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+                        / SUM(c), 6) AS dtf
+           FROM tc GROUP BY doc),
+    d AS (
+      SELECT t.doc,
+             COALESCE(mw.mwf > CAST(0.15 AS DOUBLE), FALSE)
+               OR COALESCE(dt.dtf > CAST(0.02 AS DOUBLE), FALSE) AS repetitive,
+             COALESCE(cont.contaminated, 0) AS contaminated,
+             ('0x' || substr(md5('strat:v1:' || CAST(t.doc AS VARCHAR)), 1, 8))::BIGINT
+               AS sample_hash,
+             CASE doc.lang {_STRAT_CASES} ELSE {1 << 32} END AS thresh
+      FROM (SELECT doc FROM train) t
+      LEFT JOIN mw USING (doc) LEFT JOIN dt USING (doc) LEFT JOIN cont USING (doc)
+      JOIN documents doc ON doc.doc_id = t.doc),
+    r AS (
+      SELECT doc,
+             CASE WHEN repetitive THEN 'repetitive'
+                  WHEN contaminated = 1 THEN 'contaminated'
+                  WHEN sample_hash >= thresh THEN 'sampled_out'
+                  ELSE 'keep' END AS reason
+      FROM d)
+    SELECT doc, reason, CAST(reason = 'keep' AS INT) AS keep FROM r
+    """,
+)
+def q_curation_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end retention decision (repetition filter -> benchmark
+    decontamination -> stratified sampling) with first-match-wins reasons;
+    every-41st document plays the eval set, as in `decontaminate`."""
+    from ocr_spark.functions.curation import curation_pass
+
+    docs = _cpu(spark, sf_dir, "documents")
+    return curation_pass(
+        docs.filter(F.col("doc_id") % 41 != 0),
+        "doc_id", "text", "lang",
+        docs.filter(F.col("doc_id") % 41 == 0),
+        _STRAT_RATES,
+    )
 
 
 @query(

@@ -125,6 +125,46 @@ def test_stratified_sample_rate_extremes(spark):
     assert full.count() == 50
 
 
+def test_decontaminate(spark):
+    from ocr_spark.functions.curation import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "a b c d e"),        # shares trigrams "a b c","b c d","c d e"
+         (2, "a b c x y"),        # shares only "a b c"
+         (3, "p q r s t"),        # no overlap
+         (4, "")],                # no grams at all
+        ["doc_id", "text"])
+    evald = spark.createDataFrame([(100, "a b c d e f")], ["doc_id", "text"])
+    out = _by_doc(decontaminate(train, "doc_id", "text", evald, n=3, min_hits=2))
+    assert out[1]["n_hits"] == 3 and out[1]["contaminated"] == 1
+    assert out[2]["n_hits"] == 1 and out[2]["contaminated"] == 0
+    assert out[3]["n_hits"] == 0 and out[3]["contaminated"] == 0
+    assert out[4] == {"doc": 4, "n_grams": 0, "n_hits": 0,
+                      "hit_frac": None, "contaminated": 0}
+
+
+def test_curation_pass_precedence(spark):
+    from ocr_spark.functions.curation import curation_pass
+
+    # doc 1 is BOTH repetitive and contaminated -> 'repetitive' must win;
+    # doc 2 contaminated only; doc 3 clean but hash-sampled out at rate 0;
+    # doc 4 clean at rate 1.0 -> keep.
+    train = spark.createDataFrame(
+        [(1, "a b c a b c a b c a b c", "xx"),
+         (2, "a b c d e unique tail words here now", "yy"),
+         (3, "p q r s t u v w distinct only words", "zz"),
+         (4, "m n o just some other words here too", "yy")],
+        ["doc_id", "text", "lang"])
+    evald = spark.createDataFrame([(100, "a b c d e f")], ["doc_id", "text"])
+    out = {r["doc"]: r for r in curation_pass(
+        train, "doc_id", "text", "lang", evald,
+        rates={"zz": 0.0}, contamination_min_hits=1).collect()}
+    assert out[1]["reason"] == "repetitive" and out[1]["keep"] == 0
+    assert out[2]["reason"] == "contaminated"
+    assert out[3]["reason"] == "sampled_out"
+    assert out[4]["reason"] == "keep" and out[4]["keep"] == 1
+
+
 def test_no_shuffle_in_sampler_plan(docs):
     plan = stratified_sample(docs, "doc_id", "lang", {"en": 0.5})._jdf \
         .queryExecution().executedPlan().toString()
