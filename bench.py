@@ -57,6 +57,8 @@ HEADLINE = [
     "anchor_scores",
     "distribution_scores",
     "word_stats",
+    "vocab_topk",
+    "domain_mix",
     "lang_id",
     "doc_quality",
     "doc_fingerprint",

@@ -1722,6 +1722,83 @@ def q_corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "vocab_topk",
+    f"""
+    WITH {_WORDS_CTE},
+    flat AS (SELECT doc, unnest(words) AS w FROM base),
+    v AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cf,
+                 CAST(COUNT(DISTINCT doc) AS BIGINT) AS df
+          FROM flat GROUP BY w),
+    top AS (SELECT w, cf, df FROM v ORDER BY cf DESC, w LIMIT 100)
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, w) AS BIGINT) AS rank,
+           w, cf, df
+    FROM top
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-100 terms by collection
+    frequency (ties broken by term), with document frequency — the vocab
+    report every tokenizer build starts from.
+
+    Scale shape: the (word)-keyed agg has map-side partials, and the vocab
+    table it produces is corpus-bounded (millions of terms, not documents),
+    so the global orderBy+limit compiles to TakeOrdered — per-partition
+    top-100s reduced on the driver, never a total sort. The rank window runs
+    over the 100 surviving rows only."""
+    base = _cpu(spark, sf_dir, "documents")
+    words = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    flat = base.select(F.col("doc_id").alias("doc"), F.explode(words).alias("w"))
+    v = flat.groupBy("w").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.countDistinct("doc").alias("df"),
+    )
+    top = v.orderBy(F.col("cf").desc(), F.col("w")).limit(100)
+    rank = F.row_number().over(
+        Window.orderBy(F.col("cf").desc(), F.col("w"))).cast("bigint")
+    return top.select(rank.alias("rank"), "w", "cf", "df")
+
+
+@query(
+    "domain_mix",
+    f"""
+    WITH {_WORDS_CTE},
+    t AS (SELECT d.lang, d.source, b.doc, len(b.words) AS n_tok
+          FROM base b JOIN documents d ON d.doc_id = b.doc),
+    g AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+          FROM t GROUP BY lang, source)
+    SELECT lang, source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / SUM(n_tokens) OVER (), 6) AS token_share
+    FROM g
+    """,
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix report: documents and tokens per (lang, source) with each
+    cell's share of corpus tokens — the table a data-mixture decision reads.
+    One hash agg keyed on (lang, source); the share window runs over the
+    aggregated cells (|langs| x |sources| rows), not the corpus."""
+    base = _cpu(spark, sf_dir, "documents")
+    words = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    g = (
+        base.select("lang", "source", F.size(words).alias("n_tok"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    share = F.round(
+        F.col("n_tokens").cast("double")
+        / F.sum("n_tokens").over(Window.partitionBy()), 6)
+    return g.select("lang", "source", "n_docs", "n_tokens",
+                    share.alias("token_share"))
+
+
+@query(
     "decontaminate",
     f"""
     WITH {_WORDS_CTE},
