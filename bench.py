@@ -73,6 +73,7 @@ HEADLINE = [
     "date_normalize",
     "numeric_deconfusion",
     "url_host_stats",
+    "canonical_urls",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

@@ -82,6 +82,41 @@ def url_host_stats(df: DataFrame, url_col: str) -> DataFrame:
     )
 
 
+# Tracking query parameters every crawl canonicalizer strips.
+TRACKING_PARAMS = r"(utm_[a-z0-9]+|fbclid|gclid|msclkid)"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize an absolute http(s) URL — the normalization pass that
+    precedes URL-level dedup and host aggregation in a crawl pipeline:
+
+    1. drop the fragment;
+    2. lowercase the scheme://authority prefix (path/query case preserved);
+    3. drop scheme-default ports (:80 for http, :443 for https);
+    4. strip tracking query parameters (utm_*, fbclid, gclid, msclkid);
+    5. drop a now-empty query ('?' with nothing behind it);
+    6. give a bare authority the explicit '/' root path.
+
+    Pure codegen'd regexp projection (no shuffle, fuses into any scan); the
+    regexes stay in the common Java/RE2 dialect (no lookarounds), so the
+    DuckDB oracle runs character-identical logic. Assumes absolute URLs with
+    a scheme, the shape a crawl frontier stores."""
+    u = F.regexp_replace(url, r"#.*", "")
+    prefix = F.lower(F.regexp_extract(u, r"(?i)^([a-z][a-z0-9+.-]*://[^/?#]*)", 1))
+    rest = F.regexp_replace(u, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+    prefix = F.regexp_replace(prefix, r"^(http://.*):80$", "$1")
+    prefix = F.regexp_replace(prefix, r"^(https://.*):443$", "$1")
+    u = F.concat(prefix, rest)
+    # &-prefixed tracking params (global), then a ?-prefixed one (takes the
+    # following separator with it), then a dangling trailing '?'.
+    u = F.regexp_replace(u, r"&" + TRACKING_PARAMS + r"=[^&#]*", "")
+    u = F.regexp_replace(u, r"\?" + TRACKING_PARAMS + r"=[^&#]*&?", "?")
+    u = F.regexp_replace(u, r"\?$", "")
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+)$", "$1/")
+    u = F.regexp_replace(u, r"^([a-z][a-z0-9+.-]*://[^/?#]+)\?", "$1/?")
+    return u
+
+
 def _doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     words = F.when(
         F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
@@ -103,7 +138,9 @@ def _word_grams(words: Column, k: int) -> Column:
         F.array().cast("array<string>"))
 
 
-def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, ns: tuple[int, ...] = (1, 2, 3)
+) -> DataFrame:
     """Gopher-style within-document repetition signals: most-frequent-word
     fraction, top-bigram fraction, and the fraction of trigram occurrences
     whose trigram repeats within the document. High values mark boilerplate,
@@ -113,7 +150,11 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     then two hash aggregations — (doc, n, gram) counts, (doc, n) stats —
     and a conditional pivot back to one row per document. Both shuffle keys
     contain the doc id, so no corpus-level hot key exists by construction.
-    Fractions are NULL when the document is too short to define them."""
+    Fractions are NULL when the document is too short to define them.
+
+    ``ns`` restricts which gram orders are exploded: a caller that drops a
+    fraction column (curation_pass reads only n=1 and n=3) skips that
+    order's explode volume entirely; dropped columns come back NULL."""
     base = _doc_words(df, id_col, text_col)
 
     # One-arg lambda via factory: a two-arg lambda would make Spark bind the
@@ -122,7 +163,7 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         return lambda g: F.struct(F.lit(k).alias("n"), g.alias("gram"))
 
     tagged = F.concat(*[
-        F.transform(_word_grams(F.col("words"), k), _tag(k)) for k in (1, 2, 3)
+        F.transform(_word_grams(F.col("words"), k), _tag(k)) for k in ns
     ])
     flat = (
         base.select("doc", F.explode(tagged).alias("t"))
@@ -317,7 +358,7 @@ def curation_pass(
     surface beyond the component operators', and the branches share the
     input scan. Exact dedup is deliberately NOT restated here: it is its own
     pass (dedup_decide) run before this one, on the raw corpus."""
-    rep = repetition_stats(df, id_col, text_col)
+    rep = repetition_stats(df, id_col, text_col, ns=(1, 3))
     dec = decontaminate(
         df, id_col, text_col, eval_df, contamination_n, contamination_min_hits)
     base = df.select(

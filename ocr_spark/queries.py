@@ -1721,6 +1721,80 @@ def q_corpus_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cpu(spark, sf_dir, "documents"), "doc_id", "text", n=3, min_docs=2)
 
 
+_MESSY_URL_SQL = """
+    SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'HTTP://Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM:80/A/b?x=1&utm_source=feed#frag'
+             WHEN 1 THEN 'https://host' || CAST(doc_id % 5 AS VARCHAR) || '.org:443?utm_campaign=a&utm_medium=b'
+             WHEN 2 THEN 'https://h' || CAST(doc_id % 9 AS VARCHAR) || '.net:8443/p?gclid=abc&q=2'
+             WHEN 3 THEN 'http://plain' || CAST(doc_id % 11 AS VARCHAR) || '.io'
+             WHEN 4 THEN 'http://[2001:db8::' || CAST(doc_id % 3 AS VARCHAR) || ']:80/v?fbclid=z'
+             ELSE 'https://ok' || CAST(doc_id % 13 AS VARCHAR) || '.co/path/q?a=1&b=2'
+           END AS url
+    FROM documents
+"""
+
+_TRACKING_SQL = "(utm_[a-z0-9]+|fbclid|gclid|msclkid)"
+
+
+@query(
+    "canonical_urls",
+    f"""
+    WITH u AS ({_MESSY_URL_SQL}),
+    s1 AS (SELECT doc_id AS doc, url, regexp_replace(url, '#.*', '') AS c FROM u),
+    s2 AS (SELECT doc, url,
+                  regexp_replace(regexp_replace(
+                    lower(regexp_extract(c, '(?i)^([a-z][a-z0-9+.-]*://[^/?#]*)', 1)),
+                    '^(http://.*):80$', '\\1'),
+                    '^(https://.*):443$', '\\1')
+                  || regexp_replace(c, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]*', '') AS c
+           FROM s1),
+    s3 AS (SELECT doc, url,
+                  regexp_replace(regexp_replace(regexp_replace(
+                    c, '&{_TRACKING_SQL}=[^&#]*', '', 'g'),
+                    '\\?{_TRACKING_SQL}=[^&#]*&?', '?'),
+                    '\\?$', '') AS c
+           FROM s2)
+    SELECT doc, url,
+           regexp_replace(regexp_replace(
+             c, '^([a-z][a-z0-9+.-]*://[^/?#]+)$', '\\1/'),
+             '^([a-z][a-z0-9+.-]*://[^/?#]+)\\?', '\\1/?') AS canon
+    FROM s3
+    """,
+)
+def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministic messy urls (fragments,
+    uppercase scheme/host, default and non-default ports, tracking params in
+    every position, bare authorities, IPv6 literals) — the projection that
+    precedes URL-level dedup."""
+    from ocr_spark.functions.curation import canonical_url
+
+    k = F.col("doc_id")
+    m = k % 6
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("HTTP://Site"), (k % 7).cast("string"),
+            F.lit(".COM:80/A/b?x=1&utm_source=feed#frag")))
+        .when(m == 1, F.concat(
+            F.lit("https://host"), (k % 5).cast("string"),
+            F.lit(".org:443?utm_campaign=a&utm_medium=b")))
+        .when(m == 2, F.concat(
+            F.lit("https://h"), (k % 9).cast("string"),
+            F.lit(".net:8443/p?gclid=abc&q=2")))
+        .when(m == 3, F.concat(
+            F.lit("http://plain"), (k % 11).cast("string"), F.lit(".io")))
+        .when(m == 4, F.concat(
+            F.lit("http://[2001:db8::"), (k % 3).cast("string"),
+            F.lit("]:80/v?fbclid=z")))
+        .otherwise(F.concat(
+            F.lit("https://ok"), (k % 13).cast("string"),
+            F.lit(".co/path/q?a=1&b=2")))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), url.alias("url"))
+    return docs.select("doc", "url", canonical_url(F.col("url")).alias("canon"))
+
+
 @query(
     "vocab_topk",
     f"""

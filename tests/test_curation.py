@@ -165,6 +165,34 @@ def test_curation_pass_precedence(spark):
     assert out[4]["reason"] == "keep" and out[4]["keep"] == 1
 
 
+@pytest.mark.parametrize("raw,want", [
+    ("HTTP://A.COM:80/P?x=1#f", "http://a.com/P?x=1"),
+    ("https://a.org:443", "https://a.org/"),
+    ("https://a.org:8443/p", "https://a.org:8443/p"),
+    ("http://h.io?utm_source=x", "http://h.io/"),
+    ("http://h.io/p?utm_a=1&utm_b=2&q=3", "http://h.io/p?q=3"),
+    ("http://h.io/p?q=3&fbclid=zz", "http://h.io/p?q=3"),
+    ("http://h.io/p?gclid=1&msclkid=2", "http://h.io/p"),
+    ("http://[2001:db8::80]/x", "http://[2001:db8::80]/x"),  # :80 inside brackets
+    ("http://h.io/CaseKept/Q?A=B", "http://h.io/CaseKept/Q?A=B"),
+])
+def test_canonical_url(spark, raw, want):
+    from ocr_spark.functions.curation import canonical_url
+
+    got = (spark.createDataFrame([(raw,)], ["url"])
+           .select(canonical_url(F.col("url")).alias("c")).collect()[0]["c"])
+    assert got == want, (raw, got, want)
+
+
+def test_repetition_stats_ns_subset_matches_full(docs):
+    full = _by_doc(repetition_stats(docs, "doc_id", "text"))
+    sub = _by_doc(repetition_stats(docs, "doc_id", "text", ns=(1, 3)))
+    for d, row in sub.items():
+        assert row["top_bigram_frac"] is None
+        for col in ("n_words", "max_word_frac", "dup_trigram_frac"):
+            assert row[col] == full[d][col], (d, col)
+
+
 def test_no_shuffle_in_sampler_plan(docs):
     plan = stratified_sample(docs, "doc_id", "lang", {"en": 0.5})._jdf \
         .queryExecution().executedPlan().toString()
