@@ -150,3 +150,48 @@ def test_connected_components_raises_on_non_convergence(spark):
         [(i, i + 1) for i in range(1, 5)], "doc_a bigint, doc_b bigint")
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, edges, max_iters=1)
+
+
+def test_corpus_dup_ngrams_universal_boilerplate_gram(spark):
+    """A gram shared by EVERY document (the 'all rights reserved' case) is
+    the hot key of the gram-keyed join; results must stay exact and
+    partition-invariant, and the distinct-first shape must bound the join
+    input at one row per (doc, gram)."""
+    from ocr_spark.functions.curation import corpus_dup_ngrams
+
+    rows = [(i, f"unique{i} a b c tail{i} words{i}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for parts in (2, 16):
+        out = {r["doc"]: r for r in
+               corpus_dup_ngrams(df.repartition(parts), "doc_id", "text",
+                                 n=3, min_docs=2).collect()}
+        assert len(out) == 200
+        # every doc: 4 distinct trigrams, exactly one ("a b c") shared
+        assert all(r["n_grams"] == 4 and r["n_shared"] == 1
+                   for r in out.values())
+
+
+def test_decontaminate_eval_doc_overlapping_everything(spark):
+    """One eval doc whose grams hit every training doc: the broadcast
+    eval-gram dimension fans out to all docs without changing exactness."""
+    from ocr_spark.functions.curation import decontaminate
+
+    train = spark.createDataFrame(
+        [(i, f"common ngram here x{i} y{i}") for i in range(100)],
+        ["doc_id", "text"])
+    evald = spark.createDataFrame([(999, "common ngram here")], ["doc_id", "text"])
+    out = decontaminate(train, "doc_id", "text", evald, n=3, min_hits=1)
+    rows = out.collect()
+    assert len(rows) == 100
+    assert all(r["n_hits"] == 1 and r["contaminated"] == 1 for r in rows)
+
+
+def test_vocab_topk_partition_invariant(spark):
+    """TakeOrdered must return the same top-k regardless of partitioning
+    (deterministic (cf DESC, w) total order)."""
+    from ocr_spark.queries import QUERIES
+
+    a = QUERIES["vocab_topk"](spark, "/root/testdata/sf0.001")
+    got = [tuple(r) for r in a.collect()]
+    assert got == sorted(got, key=lambda t: t[0])  # ranks ascending
+    assert all(got[i][2] >= got[i + 1][2] for i in range(len(got) - 1))
