@@ -146,52 +146,68 @@ def repetition_stats(
     whose trigram repeats within the document. High values mark boilerplate,
     keyword stuffing, and degenerate generations.
 
-    Shape: one scan, one explode of (n, gram) tagged structs for n=1..3,
-    then two hash aggregations — (doc, n, gram) counts, (doc, n) stats —
-    and a conditional pivot back to one row per document. Both shuffle keys
-    contain the doc id, so no corpus-level hot key exists by construction.
+    The signals are PER-DOCUMENT statistics, so the plan is a pure
+    projection — ZERO shuffle, zero explode: each gram array is sorted in
+    place and its multiset stats (max multiplicity, mass of repeated values)
+    come from one linear run-length scan inside a HOF aggregate. An earlier
+    explode → (doc, n, gram) groupBy version shipped every gram occurrence
+    through two shuffles (~3 rows per word corpus-wide) and measured 8x
+    slower than a native engine at 500k docs; this shape is embarrassingly
+    parallel and scales with the scan.
+
     Fractions are NULL when the document is too short to define them.
-
-    ``ns`` restricts which gram orders are exploded: a caller that drops a
+    ``ns`` restricts which gram orders are computed: a caller that drops a
     fraction column (curation_pass reads only n=1 and n=3) skips that
-    order's explode volume entirely; dropped columns come back NULL."""
+    order's sort+scan entirely; dropped columns come back NULL."""
     base = _doc_words(df, id_col, text_col)
+    w = F.col("words")
 
-    # One-arg lambda via factory: a two-arg lambda would make Spark bind the
-    # second parameter to the array INDEX, silently shadowing k.
-    def _tag(k: int):
-        return lambda g: F.struct(F.lit(k).alias("n"), g.alias("gram"))
+    def stats(k: int) -> Column | None:
+        return _run_stats(_word_grams(w, k)) if k in ns else None
 
-    tagged = F.concat(*[
-        F.transform(_word_grams(F.col("words"), k), _tag(k)) for k in ns
-    ])
-    flat = (
-        base.select("doc", F.explode(tagged).alias("t"))
-        .select("doc", F.col("t.n").alias("n"), F.col("t.gram").alias("gram"))
-    )
-    counts = flat.groupBy("doc", "n", "gram").agg(F.count(F.lit(1)).alias("c"))
-    stats = counts.groupBy("doc", "n").agg(
-        F.sum("c").alias("total"),
-        F.max("c").alias("mx"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias("dup"),
-    )
+    def frac(s: Column | None, field: str, total: Column) -> Column:
+        if s is None:
+            return F.lit(None).cast("double")
+        return F.when(
+            total > 0, F.round(s[field].cast("double") / total, 6))
 
-    def pick(n: int, col: str) -> Column:
-        return F.max(F.when(F.col("n") == n, F.col(col)))
-
-    per_doc = stats.groupBy("doc").agg(
-        pick(1, "total").alias("n1"), pick(1, "mx").alias("mx1"),
-        pick(2, "total").alias("n2"), pick(2, "mx").alias("mx2"),
-        pick(3, "total").alias("n3"), pick(3, "dup").alias("d3"),
-    )
-    frac = lambda num, den: F.round(
-        F.col(num).cast("double") / F.col(den), 6)
-    return base.select("doc").join(per_doc, "doc", "left").select(
+    n1, n2, n3 = F.size(w), F.size(w) - 1, F.size(w) - 2
+    return base.select(
         "doc",
-        F.coalesce("n1", F.lit(0)).cast("bigint").alias("n_words"),
-        frac("mx1", "n1").alias("max_word_frac"),
-        frac("mx2", "n2").alias("top_bigram_frac"),
-        frac("d3", "n3").alias("dup_trigram_frac"),
+        F.size(w).cast("bigint").alias("n_words"),
+        frac(stats(1), "mx", n1).alias("max_word_frac"),
+        frac(stats(2), "mx", n2).alias("top_bigram_frac"),
+        frac(stats(3), "dup", n3).alias("dup_trigram_frac"),
+    )
+
+
+def _run_stats(grams: Column) -> Column:
+    """Multiset statistics of a gram array without explode or shuffle: sort,
+    then one linear run-length scan in a single HOF aggregate. Returns
+    struct(mx = max multiplicity of any value, dup = total occurrences of
+    values appearing >= 2 times)."""
+    g = F.array_sort(grams)
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"), zero.alias("mx"), zero.alias("dup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint"))
+        # a run reaching 2 retro-credits both members; each longer step adds 1
+        dup_inc = F.when(run == 2, 2).when(run > 2, 1).otherwise(0)
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["mx"], run).alias("mx"),
+            (acc["dup"] + dup_inc).alias("dup"),
+        )
+
+    return F.aggregate(
+        g, init, step,
+        lambda acc: F.struct(acc["mx"].alias("mx"), acc["dup"].alias("dup")),
     )
 
 
@@ -203,16 +219,17 @@ def corpus_dup_ngrams(
     documents corpus-wide. Navigation chrome, legal footers, and template
     text score high; unique prose scores low.
 
-    Shape: distinct (doc, gram) pairs -> document-frequency hash agg keyed
-    on the gram -> join back on the gram -> per-doc conditional sum. The
-    gram-keyed shuffle is the scale surface; hot boilerplate grams are
-    plain string keys AQE skew splitting divides, and each doc contributes
-    a gram once (distinct first), bounding the join fan-out at
-    n_docs-per-gram, never occurrences."""
+    Shape: per-row array_distinct BEFORE the explode (dedup within a doc is
+    row-local — a corpus-wide distinct shuffle for it would ship every gram
+    occurrence), then a document-frequency hash agg keyed on the gram and a
+    join back on the gram with a per-doc conditional sum. The gram-keyed
+    shuffle is the scale surface; hot boilerplate grams are plain string
+    keys AQE skew splitting divides, and each doc contributes a gram once,
+    bounding the join fan-out at n_docs-per-gram, never occurrences."""
     base = _doc_words(df, id_col, text_col)
-    dg = (
-        base.select("doc", F.explode(_word_grams(F.col("words"), n)).alias("gram"))
-        .distinct()
+    dg = base.select(
+        "doc",
+        F.explode(F.array_distinct(_word_grams(F.col("words"), n))).alias("gram"),
     )
     freq = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("dfreq"))
     per_doc = dg.join(freq, "gram").groupBy("doc").agg(
@@ -247,18 +264,21 @@ def decontaminate(
     executor (eval sets are benchmark-sized — thousands of docs — while the
     training side is the 100 TB side; if the eval gram set ever outgrew the
     broadcast guard, dropping the hint degrades gracefully to a gram-keyed
-    shuffle join, same results). The training side aggregates per doc, so
-    the output is one row per training document with exact hit counts."""
+    shuffle join, same results). On the training side, within-doc gram
+    dedup is row-local (array_distinct before the explode — a corpus-wide
+    .distinct() would ship every gram occurrence through a wide shuffle),
+    so the only exchange is the map-side-combined per-doc count. The eval
+    side keeps the corpus-wide .distinct(): it is cross-document and tiny."""
     eval_grams = (
         _doc_words(eval_df, id_col, text_col)
-        .select(F.explode(_word_grams(F.col("words"), n)).alias("gram"))
+        .select(F.explode(F.array_distinct(_word_grams(F.col("words"), n))).alias("gram"))
         .distinct()
         .withColumn("hit", F.lit(1))
     )
     base = _doc_words(df, id_col, text_col)
-    dg = (
-        base.select("doc", F.explode(_word_grams(F.col("words"), n)).alias("gram"))
-        .distinct()
+    dg = base.select(
+        "doc",
+        F.explode(F.array_distinct(_word_grams(F.col("words"), n))).alias("gram"),
     )
     per_doc = (
         dg.join(F.broadcast(eval_grams), "gram", "left")

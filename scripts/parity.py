@@ -66,6 +66,11 @@ def main() -> int:
                 _t(lambda: con.execute(f"CREATE OR REPLACE TEMP TABLE _parity AS ({sql})"))
                 for _ in range(BEST_OF)
             )
+        # Same heap-state isolation bench.py uses: without a full GC between
+        # queries the shared JVM carries the previous plans' garbage and a
+        # query that times 2.5 s in isolation records 10+ s mid-suite
+        # (measured; see BENCH.md measurement protocol).
+        spark._jvm.System.gc()
         st = min(
             _t(lambda: qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save())
             for _ in range(BEST_OF)
