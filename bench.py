@@ -66,6 +66,7 @@ HEADLINE = [
     "repetition_stats",
     "corpus_dup_ngrams",
     "stratified_sample",
+    "pack_shards",
     "decontaminate",
     "curation_pass",
     "pii_scrub",

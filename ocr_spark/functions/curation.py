@@ -404,6 +404,51 @@ def curation_pass(
     )
 
 
+def pack_shards(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tokens_per_shard: int = 100_000,
+    n_buckets: int = 64,
+    salt: str = "shard:v1",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training shards — the step
+    between curation and tokenization. Documents land in one of
+    ``n_buckets`` hash buckets (deterministic md5 draw, so assignment is
+    retry/partition/engine-stable), and within a bucket a running token
+    total packs them greedily in id order: shard = bucket * 2^32 +
+    floor(cumulative_tokens_before / tokens_per_shard).
+
+    Scale shape: the ONLY wide operation is one window partitioned by
+    bucket and ordered by id — per-bucket sorts run in parallel, and no
+    global sort or single-partition window exists anywhere. n_buckets
+    bounds each sort's size at corpus/n_buckets; raise it with the corpus
+    so a bucket's docs fit an executor's spill budget. The cumulative sum
+    is over exact BIGINT token counts, so shard boundaries are identical
+    cross-engine."""
+    from pyspark.sql.window import Window
+
+    n_tok = F.size(
+        F.when(
+            F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+        ).otherwise(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    ).cast("bigint")
+    bucket = (sample_hash(F.col(id_col), salt) % n_buckets).cast("bigint")
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        bucket.alias("bucket"),
+        n_tok.alias("n_tokens"),
+    )
+    w = Window.partitionBy("bucket").orderBy("doc")
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("bigint"),
+    )
+    shard = (F.col("bucket") * F.lit(1 << 32)
+             + F.floor(cum_before / tokens_per_shard)).cast("bigint")
+    return base.select("doc", "bucket", "n_tokens", shard.alias("shard"))
+
+
 def ngram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Bigram-LM document quality score, trained on the corpus itself and
     applied to every document (self-perplexity — boilerplate and gibberish

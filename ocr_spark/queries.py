@@ -1796,6 +1796,37 @@ def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pack_shards",
+    f"""
+    WITH {_WORDS_CTE},
+    b AS (
+      SELECT doc,
+             ('0x' || substr(md5('shard:v1:' || CAST(doc AS VARCHAR)), 1, 8))::BIGINT % 16
+               AS bucket,
+             CAST(len(words) AS BIGINT) AS n_tokens
+      FROM base),
+    c AS (
+      SELECT doc, bucket, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY bucket ORDER BY doc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM b)
+    SELECT doc, bucket, n_tokens,
+           CAST(bucket * 4294967296 + CAST(FLOOR(CAST(cum_before AS DOUBLE) / 5000) AS BIGINT) AS BIGINT) AS shard
+    FROM c
+    """,
+)
+def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-budget shard packing (5k tokens/shard, 16 hash buckets at
+    this test scale): per-bucket windows only — no global sort anywhere."""
+    from ocr_spark.functions.curation import pack_shards
+
+    return pack_shards(
+        _cpu(spark, sf_dir, "documents"), "doc_id", "text",
+        tokens_per_shard=5000, n_buckets=16)
+
+
+@query(
     "vocab_topk",
     f"""
     WITH {_WORDS_CTE},

@@ -193,6 +193,32 @@ def test_repetition_stats_ns_subset_matches_full(docs):
             assert row[col] == full[d][col], (d, col)
 
 
+def test_pack_shards_budget_and_determinism(spark):
+    from ocr_spark.functions.curation import pack_shards
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(10 + i % 7))) for i in range(300)],
+        ["doc_id", "text"])
+    out = pack_shards(df, "doc_id", "text", tokens_per_shard=50, n_buckets=4)
+    rows = out.collect()
+    assert len(rows) == 300
+    # within a shard, cumulative tokens BEFORE each doc stay under budget:
+    # group by shard, docs in id order, running total before last doc < 50
+    by_shard = {}
+    for r in sorted(rows, key=lambda r: (r["shard"], r["doc"])):
+        by_shard.setdefault(r["shard"], []).append(r["n_tokens"])
+    for shard, toks in by_shard.items():
+        assert sum(toks[:-1]) < 50, (shard, toks)
+    # shard id encodes the bucket
+    for r in rows:
+        assert r["shard"] >> 32 == r["bucket"]
+    # partition-count invariance
+    again = {r["doc"]: r["shard"] for r in
+             pack_shards(df.repartition(13), "doc_id", "text",
+                         tokens_per_shard=50, n_buckets=4).collect()}
+    assert again == {r["doc"]: r["shard"] for r in rows}
+
+
 def test_no_shuffle_in_sampler_plan(docs):
     plan = stratified_sample(docs, "doc_id", "lang", {"en": 0.5})._jdf \
         .queryExecution().executedPlan().toString()
