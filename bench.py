@@ -35,6 +35,7 @@ HEADLINE = [
     "customers_without_orders",
     "events_hourly",
     "event_sessions",
+    "asof_view_click",
     "topk_users_by_events",
     "exact_dedup",
     "minhash_band_signatures",

@@ -1,0 +1,65 @@
+"""Temporal joins over event streams.
+
+The as-of join (each left event matched to the latest right event at or
+before it, per key) is the operator every attribution / point-in-time
+feature pipeline needs and Spark lacks natively. The scale-correct shape is
+NOT a range join (quadratic blow-up per key): union both sides tagged,
+shuffle ONCE on the key, sort each key's events by time within its
+partition, and carry the most recent right-side row forward with
+last(ignorenulls) over an unbounded-preceding running frame. One exchange,
+one per-key sort — the same cost as a windowed aggregation, independent of
+how many left rows each right row serves.
+
+Tie semantics: at equal timestamps the right side sorts BEFORE the left
+(side 0 < side 1), so "at or before" includes same-instant matches; ties
+within a side break deterministically on the id column, making the result
+engine-exact (a native ASOF JOIN leaves same-timestamp winners undefined).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    right_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """For each row of ``left``, attach the ``id_col`` (as ``matched_id``),
+    timestamp (as ``matched_ts``) and any ``right_cols`` (as ``matched_<c>``)
+    of the latest ``right`` row with the same ``key`` and ``ts`` at or
+    before the left row's. Unmatched left rows keep NULLs.
+
+    The carried right-side values travel as ONE struct, so last(ignorenulls)
+    picks a whole row atomically — per-column carries could mix values from
+    different right rows whenever a carried column is NULL."""
+    carried = [id_col, ts, *right_cols]
+    r = right.select(
+        F.col(key), F.col(ts), F.col(id_col),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("_r"),
+    )
+    l = left.select(
+        F.col(key), F.col(ts), F.col(id_col),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_r"].dataType).alias("_r"),
+    )
+    u = r.unionByName(l)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_side", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = u.select(
+        key, ts, id_col, "_side",
+        F.last("_r", ignorenulls=True).over(w).alias("_m"),
+    )
+    out = [F.col(f"_m.{id_col}").alias("matched_id"),
+           F.col(f"_m.{ts}").alias("matched_ts")]
+    out += [F.col(f"_m.{c}").alias(f"matched_{c}") for c in right_cols]
+    return m.filter(F.col("_side") == 1).select(key, ts, id_col, *out)

@@ -1796,6 +1796,57 @@ def q_canonical_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_view_click",
+    """
+    WITH u AS (
+      SELECT user_id, ts, event_id, 0 AS side,
+             struct_pack(id := event_id, t := ts, v := value) AS r
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS side, NULL AS r
+      FROM events WHERE event_type = 'click'),
+    m AS (
+      SELECT user_id, ts, event_id, side,
+             last_value(r IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mr
+      FROM u)
+    SELECT event_id AS click_id, user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+           mr.id AS matched_view,
+           CASE WHEN mr.id IS NOT NULL
+                THEN CAST(epoch_us(ts) - epoch_us(mr.t) AS BIGINT) END AS lag_us,
+           CAST(ROUND(mr.v * 100) AS BIGINT) AS view_value_cents
+    FROM m WHERE side = 1
+    """,
+)
+def q_asof_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (attribution): each click matched to the latest view of
+    the same user at or before it, via the union + single-shuffle +
+    running last(ignorenulls) pattern — never a per-key range join."""
+    from ocr_spark.functions.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    views = ev.filter(F.col("event_type") == "view")
+    j = asof_join(clicks, views, key="user_id", ts="ts",
+                  id_col="event_id", right_cols=("value",))
+    matched = F.col("matched_id")
+    return j.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        matched.alias("matched_view"),
+        F.when(
+            matched.isNotNull(),
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("matched_ts").cast("timestamp")),
+        ).cast("bigint").alias("lag_us"),
+        F.round(F.col("matched_value") * 100).cast("bigint").alias("view_value_cents"),
+    )
+
+
+@query(
     "pack_shards",
     f"""
     WITH {_WORDS_CTE},

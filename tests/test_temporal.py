@@ -1,0 +1,62 @@
+"""as-of join semantics: tie handling, unmatched rows, and the atomic
+struct carry (a NULL in a carried column must not mix rows)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from ocr_spark.functions.temporal import asof_join
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, value double")
+
+
+def test_asof_basic_latest_at_or_before(spark):
+    t = lambda s: datetime.fromisoformat(s)
+    right = _mk(spark, [
+        (10, t("2024-01-01T00:00:00"), 1, 1.0),
+        (11, t("2024-01-01T00:05:00"), 1, 2.0),
+        (12, t("2024-01-01T00:10:00"), 1, 3.0),
+        (13, t("2024-01-01T00:00:00"), 2, 9.0),
+    ])
+    left = _mk(spark, [
+        (20, t("2024-01-01T00:07:00"), 1, 0.0),   # between 11 and 12 -> 11
+        (21, t("2024-01-01T00:10:00"), 1, 0.0),   # equal ts -> 12 (at-or-before)
+        (22, t("2023-12-31T23:59:00"), 1, 0.0),   # before everything -> NULL
+        (23, t("2024-01-01T00:01:00"), 3, 0.0),   # key with no right rows -> NULL
+    ])
+    out = {r["event_id"]: r for r in
+           asof_join(left, right, "user_id", "ts", "event_id",
+                     right_cols=("value",)).collect()}
+    assert out[20]["matched_id"] == 11 and out[20]["matched_value"] == 2.0
+    assert out[21]["matched_id"] == 12
+    assert out[22]["matched_id"] is None and out[22]["matched_value"] is None
+    assert out[23]["matched_id"] is None
+
+
+def test_asof_null_carried_value_stays_atomic(spark):
+    """The LATEST right row has value=NULL; matched_value must be that NULL,
+    not a non-null value leaked from an older row."""
+    t = lambda s: datetime.fromisoformat(s)
+    right = _mk(spark, [
+        (10, t("2024-01-01T00:00:00"), 1, 5.0),
+        (11, t("2024-01-01T00:05:00"), 1, None),
+    ])
+    left = _mk(spark, [(20, t("2024-01-01T00:06:00"), 1, 0.0)])
+    row = asof_join(left, right, "user_id", "ts", "event_id",
+                    right_cols=("value",)).collect()[0]
+    assert row["matched_id"] == 11
+    assert row["matched_value"] is None
+
+
+def test_asof_single_exchange_per_side(spark):
+    t = lambda s: datetime.fromisoformat(s)
+    right = _mk(spark, [(10, t("2024-01-01T00:00:00"), 1, 1.0)])
+    left = _mk(spark, [(20, t("2024-01-01T00:01:00"), 1, 0.0)])
+    plan = asof_join(left, right, "user_id", "ts", "event_id")._jdf \
+        .queryExecution().executedPlan().toString()
+    # the union feeds ONE window: one shuffle on the key, no join operator
+    assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
