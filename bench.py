@@ -36,6 +36,7 @@ HEADLINE = [
     "events_hourly",
     "event_sessions",
     "asof_view_click",
+    "event_range_pairs",
     "topk_users_by_events",
     "exact_dedup",
     "minhash_band_signatures",

@@ -22,6 +22,44 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def range_pairs(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    id_col: str,
+    max_gap_us: int,
+) -> DataFrame:
+    """All ordered pairs (a, b) of rows sharing ``key`` with
+    0 <= ts(b) - ts(a) <= max_gap_us and id(a) != id(b) — the time-window
+    range join behind dwell/co-occurrence analysis.
+
+    A naive theta join on |Δt| explodes into a per-key cross join. The
+    scale shape buckets time into max_gap_us-wide cells: any qualifying
+    pair sits in the same or adjacent buckets, so the join runs as TWO
+    equi-joins on (key, bucket) and (key, bucket+1) — hash joins Catalyst
+    can shuffle or broadcast — and the exact gap predicate filters inside
+    buckets. Cost is bounded by events-per-(key, bucket-window), never
+    events-per-key²."""
+    e = df.select(
+        F.col(key).alias("k"),
+        F.col(id_col).alias("id"),
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("t"),
+    ).withColumn("bucket", F.floor(F.col("t") / max_gap_us))
+    a = e.select(F.col("k"), F.col("id").alias("id_a"), F.col("t").alias("t_a"),
+                 F.col("bucket"))
+    b = e.select(F.col("k").alias("k_b"), F.col("id").alias("id_b"),
+                 F.col("t").alias("t_b"), F.col("bucket").alias("bucket_b"))
+    same = a.join(b, (a.k == b.k_b) & (a.bucket == b.bucket_b), "inner")
+    adj = a.join(b, (a.k == b.k_b) & (a.bucket + 1 == b.bucket_b), "inner")
+    pairs = same.unionByName(adj)
+    gap = F.col("t_b") - F.col("t_a")
+    return (
+        pairs.filter((gap >= 0) & (gap <= max_gap_us)
+                     & (F.col("id_a") != F.col("id_b")))
+        .select(F.col("k").alias(key), "id_a", "id_b", gap.alias("gap_us"))
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -1847,6 +1847,35 @@ def q_asof_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_range_pairs",
+    """
+    WITH e AS (
+      SELECT user_id AS k, event_id AS id, epoch_us(ts) AS t,
+             CAST(FLOOR(CAST(epoch_us(ts) AS DOUBLE) / 120000000) AS BIGINT) AS bucket
+      FROM events),
+    p AS (
+      SELECT a.k, a.id AS id_a, b.id AS id_b, b.t - a.t AS gap_us
+      FROM e a JOIN e b ON a.k = b.k AND a.bucket = b.bucket
+      UNION ALL
+      SELECT a.k, a.id AS id_a, b.id AS id_b, b.t - a.t AS gap_us
+      FROM e a JOIN e b ON a.k = b.k AND a.bucket + 1 = b.bucket)
+    SELECT k AS user_id, id_a, id_b, CAST(gap_us AS BIGINT) AS gap_us
+    FROM p
+    WHERE gap_us >= 0 AND gap_us <= 120000000 AND id_a != id_b
+    """,
+)
+def q_event_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window range join: ordered pairs of same-user events within two
+    minutes, via max-gap-wide time buckets + two equi-joins (same/adjacent
+    bucket) — never a per-user cross join."""
+    from ocr_spark.functions.temporal import range_pairs
+
+    return range_pairs(
+        _t(spark, sf_dir, "events"), key="user_id", ts="ts",
+        id_col="event_id", max_gap_us=120_000_000)
+
+
+@query(
     "pack_shards",
     f"""
     WITH {_WORDS_CTE},

@@ -51,6 +51,37 @@ def test_asof_null_carried_value_stays_atomic(spark):
     assert row["matched_value"] is None
 
 
+def test_range_pairs_matches_brute_force(spark):
+    """Bucketing must find exactly the pairs a cross join finds — including
+    gaps landing exactly on the bucket boundary and pairs spanning adjacent
+    buckets."""
+    import itertools
+
+    from ocr_spark.functions.temporal import range_pairs
+
+    gap = 1_000_000  # 1 s in us
+    rows = []
+    base = datetime(2024, 1, 1)
+    # engineered: events at 0, 0.4s, 0.999999s, 1s, 1.7s, 2.5s for user 1
+    offsets = [0, 400_000, 999_999, 1_000_000, 1_700_000, 2_500_000]
+    from datetime import timedelta
+    for i, off in enumerate(offsets):
+        rows.append((i, base + timedelta(microseconds=off), 1, 0.0))
+    rows.append((99, base, 2, 0.0))  # other user, no same-user partner
+    df = _mk(spark, rows)
+
+    got = sorted((r["id_a"], r["id_b"], r["gap_us"]) for r in
+                 range_pairs(df, "user_id", "ts", "event_id", gap).collect())
+
+    us = {i: off for i, off in enumerate(offsets)}
+    want = sorted(
+        (a, b, us[b] - us[a])
+        for a, b in itertools.product(us, us)
+        if a != b and 0 <= us[b] - us[a] <= gap
+    )
+    assert got == want
+
+
 def test_asof_single_exchange_per_side(spark):
     t = lambda s: datetime.fromisoformat(s)
     right = _mk(spark, [(10, t("2024-01-01T00:00:00"), 1, 1.0)])
