@@ -67,6 +67,8 @@ HEADLINE = [
     "ngram_lm_score",
     "repetition_stats",
     "corpus_dup_ngrams",
+    "line_dedup",
+    "tfidf_topk",
     "stratified_sample",
     "pack_shards",
     "decontaminate",

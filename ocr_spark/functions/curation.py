@@ -404,6 +404,114 @@ def curation_pass(
     )
 
 
+def line_dedup(
+    df: DataFrame, id_col: str, text_col: str, min_docs: int = 2
+) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal: drop every
+    line whose normalized form (lowercased, trimmed) occurs in >= min_docs
+    documents corpus-wide, and rebuild each document from its surviving
+    lines in original order. Navigation chrome, cookie banners, and footer
+    text — the lines exact-document dedup never catches because the
+    surrounding prose differs — are exactly the lines this removes.
+
+    Returns (doc, n_lines, n_removed, clean_text); a document whose every
+    line is boilerplate comes back with clean_text = ''.
+
+    Scale shape: the line-frequency count and the kept-line join are keyed
+    on md5(normalized line) — a fixed 32-byte key, so the wide exchanges
+    ship hashes, not line text (boilerplate lines are long and hot; the
+    count is map-side combinable and the hot hash keys are what AQE skew
+    splitting divides). Within-doc dedup of the frequency contribution is
+    row-local (array_distinct before the explode). Reassembly is one
+    doc-keyed shuffle whose array_sort on (pos, line) makes the rebuilt
+    text order-exact regardless of partitioning. Blank lines are preserved
+    verbatim and never counted as boilerplate."""
+    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    lines = base.select(
+        "doc", F.posexplode(F.split("text", "\n")).alias("pos", "line"))
+    norm = F.lower(F.trim(F.col("line")))
+    ln = lines.withColumn(
+        "h", F.when(norm != "", F.md5(norm)))
+    freq = (
+        ln.filter(F.col("h").isNotNull())
+        .select("doc", "h").distinct()
+        .groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") >= min_docs)
+    )
+    kept = ln.join(freq, "h", "left").filter(F.col("dfreq").isNull())
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select(
+            "doc", F.size(F.split("text", "\n")).cast("bigint").alias("n_lines"))
+        .join(rebuilt, "doc", "left")
+        .select(
+            "doc",
+            "n_lines",
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF — the keyword
+    extraction / topic-tagging primitive of corpus analytics. Score =
+    tf * ln(N / df), carried as an exact BIGINT micro-nat product so
+    ranking ties are impossible to float-fuzz cross-engine; ties broken by
+    term ascending.
+
+    Scale shape: term counts per doc aggregate on (doc, term); document
+    frequency aggregates on the term (map-side partials both — each doc
+    contributes a term once to df via row-local array_distinct); the idf
+    join is keyed on the term (hot stopwords are plain string keys AQE
+    splits), and the final top-k is a per-doc window — never a global
+    sort. Output: (doc, term, tf, score_micro, rank)."""
+    from pyspark.sql.window import Window
+
+    base = _doc_words(df, id_col, text_col)
+    n_docs = base.agg(F.count(F.lit(1)).alias("n"))
+    tf = (
+        base.select("doc", F.explode("words").alias("term"))
+        .groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = (
+        base.select("doc", F.explode(F.array_distinct("words")).alias("term"))
+        .groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc", "term", "tf",
+            (F.col("tf") * F.round(
+                F.log(F.col("n").cast("double") / F.col("df")) * 1000000
+            ).cast("bigint")).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc").orderBy(
+        F.desc("score_micro"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc", "term", F.col("tf").cast("bigint").alias("tf"),
+            "score_micro", F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def pack_shards(
     df: DataFrame,
     id_col: str,

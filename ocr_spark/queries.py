@@ -1906,6 +1906,122 @@ def q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         tokens_per_shard=5000, n_buckets=16)
 
 
+# Deterministic multi-line web-page twin of `documents`: a template header
+# (5 variants) and footer (3 variants) around the document text re-wrapped
+# into 10-word content lines — the line-structured corpus the line-level
+# boilerplate ops run on. Built identically in both engines.
+_MULTILINE_SQL = """
+    SELECT doc_id,
+           'home | about | contact | edition ' || CAST(doc_id % 5 AS VARCHAR)
+           || chr(10) ||
+           array_to_string(
+             list_transform(
+               generate_series(1, CAST(ceil(len(words) / 10.0) AS INT)),
+               i -> array_to_string(words[(i-1)*10+1 : (i-1)*10+10], ' ')),
+             chr(10))
+           || chr(10) ||
+           '(c) 2024 site' || CAST(doc_id % 3 AS VARCHAR)
+           || ' all rights reserved' AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+"""
+
+
+def _multiline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _cpu(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), nchunks),
+        lambda i: F.concat_ws(" ", F.slice(words, (i - 1) * 10 + 1, 10)),
+    )
+    header = F.concat(
+        F.lit("home | about | contact | edition "),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    footer = F.concat(
+        F.lit("(c) 2024 site"), (F.col("doc_id") % 3).cast("string"),
+        F.lit(" all rights reserved"),
+    )
+    return d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", header, F.array_join(chunks, "\n"), footer).alias("text"),
+    )
+
+
+@query(
+    "line_dedup",
+    f"""
+    WITH ml AS ({_MULTILINE_SQL}),
+    lx AS (SELECT doc_id AS doc, string_split(text, chr(10)) AS ls FROM ml),
+    lines AS (
+      SELECT doc, u.pos AS pos, u.line AS line
+      FROM (SELECT doc,
+                   unnest(list_transform(generate_series(1, len(ls)),
+                                         i -> {{'pos': i, 'line': ls[i]}})) AS u
+            FROM lx)),
+    n AS (SELECT doc, pos, line,
+                 CASE WHEN lower(trim(line)) = '' THEN NULL
+                      ELSE md5(lower(trim(line))) END AS h
+          FROM lines),
+    freq AS (SELECT h, COUNT(*) AS dfreq
+             FROM (SELECT DISTINCT doc, h FROM n WHERE h IS NOT NULL)
+             GROUP BY h HAVING COUNT(*) >= 5),
+    kept AS (SELECT n.doc, n.pos, n.line FROM n LEFT JOIN freq USING (h)
+             WHERE dfreq IS NULL),
+    reb AS (SELECT doc, COUNT(*) AS n_kept,
+                   string_agg(line, chr(10) ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc)
+    SELECT l.doc, CAST(len(l.ls) AS BIGINT) AS n_lines,
+           CAST(len(l.ls) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM lx l LEFT JOIN reb r USING (doc)
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level boilerplate removal over the
+    multi-line web-page corpus: lines whose normalized form appears in >= 5
+    documents (the template headers/footers) are dropped; each document is
+    rebuilt from its surviving lines in original order."""
+    from ocr_spark.functions.curation import line_dedup
+
+    return line_dedup(_multiline_docs(spark, sf_dir), "doc_id", "text",
+                      min_docs=5)
+
+
+@query(
+    "tfidf_topk",
+    f"""
+    WITH {_WORDS_CTE},
+    nd AS (SELECT COUNT(*) AS n FROM base),
+    tf AS (SELECT doc, w AS term, COUNT(*) AS tf
+           FROM (SELECT doc, unnest(words) AS w FROM base) GROUP BY doc, w),
+    dfq AS (SELECT term, COUNT(*) AS df
+            FROM (SELECT doc, unnest(list_distinct(words)) AS term FROM base)
+            GROUP BY term),
+    scored AS (
+      SELECT doc, term, tf,
+             tf * CAST(round(ln(CAST(n AS DOUBLE) / df) * 1000000) AS BIGINT)
+               AS score_micro
+      FROM tf JOIN dfq USING (term) CROSS JOIN nd)
+    SELECT doc, term, CAST(tf AS BIGINT) AS tf, score_micro,
+           CAST(rk AS BIGINT) AS rank
+    FROM (SELECT doc, term, tf, score_micro,
+                 ROW_NUMBER() OVER (PARTITION BY doc
+                                    ORDER BY score_micro DESC, term) AS rk
+          FROM scored)
+    WHERE rk <= 3
+    """,
+)
+def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF (exact micro-nat
+    scores, term-ascending tie-break) — keyword extraction over the
+    documents table."""
+    from ocr_spark.functions.curation import tfidf_topk
+
+    return tfidf_topk(_cpu(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
 @query(
     "vocab_topk",
     f"""

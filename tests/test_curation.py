@@ -223,3 +223,86 @@ def test_no_shuffle_in_sampler_plan(docs):
     plan = stratified_sample(docs, "doc_id", "lang", {"en": 0.5})._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_line_dedup_removes_boilerplate_keeps_order(spark):
+    from ocr_spark.functions.curation import line_dedup
+
+    header, footer = "Home | About", "(c) 2024 site"
+    rows = [(i, f"{header}\ncontent {i} alpha\ncontent {i} beta\n{footer}")
+            for i in range(6)]
+    # one doc that is ALL boilerplate, one with a blank line
+    rows.append((6, f"{header}\n{footer}"))
+    rows.append((7, f"{header}\nunique line\n\nsecond unique\n{footer}"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc"]: r.asDict()
+           for r in line_dedup(df, "doc_id", "text", min_docs=3).collect()}
+    assert len(out) == 8
+    # boilerplate gone, content preserved in original order
+    assert out[2]["clean_text"] == "content 2 alpha\ncontent 2 beta"
+    assert out[2]["n_lines"] == 4 and out[2]["n_removed"] == 2
+    # all-boilerplate doc -> empty
+    assert out[6]["clean_text"] == "" and out[6]["n_removed"] == 2
+    # blank lines survive verbatim and are never counted as boilerplate
+    assert out[7]["clean_text"] == "unique line\n\nsecond unique"
+    assert out[7]["n_removed"] == 2
+
+
+def test_line_dedup_normalized_matching_and_threshold(spark):
+    from ocr_spark.functions.curation import line_dedup
+
+    # same line modulo case/whitespace counts as one normalized form
+    rows = [(0, "  SHARED Line \nkeep0"), (1, "shared line\nkeep1"),
+            (2, "Shared LINE\nkeep2"), (3, "below threshold\nkeep3"),
+            (4, "below threshold\nkeep4")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc"]: r.asDict()
+           for r in line_dedup(df, "doc_id", "text", min_docs=3).collect()}
+    for i in range(3):
+        assert out[i]["clean_text"] == f"keep{i}", out[i]
+    # 'below threshold' appears in only 2 docs < min_docs=3 -> kept
+    assert out[3]["clean_text"] == "below threshold\nkeep3"
+
+
+def test_line_dedup_partition_invariance(spark):
+    from ocr_spark.functions.curation import line_dedup
+
+    rows = [(i, f"Home | About\nbody {i % 4} text\nEnd")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {r["doc"]: r["clean_text"]
+         for r in line_dedup(df, "doc_id", "text", min_docs=5).collect()}
+    b = {r["doc"]: r["clean_text"]
+         for r in line_dedup(df.repartition(17), "doc_id", "text",
+                             min_docs=5).collect()}
+    assert a == b
+    # body lines repeat across 10 docs each (>= 5) -> everything removed
+    assert all(v == "" for v in a.values())
+
+
+def test_tfidf_topk_scores_and_ties(spark):
+    from ocr_spark.functions.curation import tfidf_topk
+
+    rows = [
+        (0, "common rare0 rare0 common"),
+        (1, "common rare1"),
+        (2, "common common common"),   # only the stopword-like term
+        (3, ""),                       # empty doc -> no rows
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = tfidf_topk(df, "doc_id", "text", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc"], []).append(r)
+    assert 3 not in by_doc
+    # doc 0: rare0 (tf=2, df=1, idf=ln(4)) beats common (df=3)
+    d0 = sorted(by_doc[0], key=lambda r: r["rank"])
+    assert d0[0]["term"] == "rare0" and d0[0]["tf"] == 2
+    assert d0[0]["score_micro"] == 2 * round(__import__("math").log(4 / 1) * 1e6)
+    assert d0[1]["term"] == "common"
+    # doc 2: a term present in every... (df=3 of 4) still ranked, tf=3
+    d2 = by_doc[2]
+    assert len(d2) == 1 and d2[0]["term"] == "common" and d2[0]["tf"] == 3
+    # ranks are 1..k dense per doc
+    for doc, rs in by_doc.items():
+        assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
