@@ -48,6 +48,7 @@ HEADLINE = [
     "simhash",
     "cosine_topk",
     "ivf_topk",
+    "semantic_dedup",
     "lsh_buckets",
     "embedding_near_dup",
     "synth_corpus",

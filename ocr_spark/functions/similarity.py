@@ -221,6 +221,49 @@ def ivf_topk(df: DataFrame, id_col: str, vec_col: str, k: int = 5,
     )
 
 
+def semantic_dedup(df: DataFrame, id_col: str, vec_col: str,
+                   n_centroids: int = 8, train_iters: int = 2,
+                   threshold: float = 0.97) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): k-means
+    cluster the embedding space, compare vectors pairwise ONLY within a
+    cluster, and drop every vector whose cosine similarity to a lower-id
+    cluster-mate reaches ``threshold``. Captures paraphrases and
+    re-renderings that exact/MinHash dedup never sees. Returns
+    (nid, cell, keep) for every input vector.
+
+    Scale shape: the quantizer side is the trained-k-means broadcast dim
+    table (train_centroids), assignment is a broadcast fan-out + one
+    nid-keyed argmin, and the candidate join shuffles on ``cell`` only —
+    pairwise cost is quadratic per cell, never corpus-quadratic, and
+    n_centroids is the knob that bounds it (SemDeDup at production scale
+    runs K in the tens of thousands so cells hold ~corpus/K vectors; a
+    pathological all-same-cell corpus is the same hazard as an LSH
+    mega-bucket and shows up in the cell-keyed AQE skew stats)."""
+    cents = train_centroids(df, id_col, vec_col, n_centroids, train_iters)
+    assigned = ivf_assign(df, id_col, vec_col, centroids=cents)
+    a = assigned.select(
+        "cell", F.col("nid").alias("keep_id"), F.col("nvec").alias("kvec"))
+    b = assigned.select(
+        "cell", F.col("nid").alias("drop_id"), F.col("nvec").alias("dvec"))
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .filter(
+            F.round(cosine(F.col("kvec"), F.col("dvec")), ROUND)
+            >= F.lit(threshold))
+        .select("drop_id")
+        .distinct()
+    )
+    return (
+        assigned.join(drops, assigned["nid"] == drops["drop_id"], "left")
+        .select(
+            "nid",
+            F.col("cell").cast("bigint").alias("cell"),
+            F.col("drop_id").isNull().cast("int").alias("keep"),
+        )
+    )
+
+
 def hyperplane_lsh_buckets(df: DataFrame, id_col: str, vec_col: str,
                            n_planes: int = 8) -> DataFrame:
     """Sign-LSH bucket id per vector: bit b = sign(dot(vec, plane_b)) where

@@ -2232,28 +2232,34 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cpu(spark, sf_dir, "documents"), "doc_id", "lang", _STRAT_RATES)
 
 
-def _ivf_oracle(n_centroids: int = 8, n_queries: int = 10,
-                nprobe: int = 2, k: int = 5, train_iters: int = 2) -> str:
-    def l2 (a, b):
-        return (f"ROUND(list_aggregate(list_transform(list_zip({a}, {b}), "
-                f"p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 6)")
+def _l2_sql(a: str, b: str) -> str:
+    return (f"ROUND(list_aggregate(list_transform(list_zip({a}, {b}), "
+            f"p -> (p[1]-p[2])*(p[1]-p[2])), 'sum'), 6)")
 
-    dot = ("list_aggregate(list_transform(list_zip(p.qvec, a.nvec), "
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = (f"list_aggregate(list_transform(list_zip({a}, {b}), "
            "q -> q[1]*q[2]), 'sum')")
-    nrm = ("(sqrt(list_aggregate(list_transform(p.qvec, x -> x*x), 'sum')) * "
-           "sqrt(list_aggregate(list_transform(a.nvec, x -> x*x), 'sum')))")
+    nrm = (f"(sqrt(list_aggregate(list_transform({a}, x -> x*x), 'sum')) * "
+           f"sqrt(list_aggregate(list_transform({b}, x -> x*x), 'sum')))")
+    return f"ROUND({dot} / {nrm}, 6)"
 
-    # Unrolled fixed-iteration Lloyd's, mirroring similarity.train_centroids
-    # exactly: int64 fixed-point component sums (order-free), mean as the
-    # fixed expression round((sum / 2^30) / count, 6), empty cells keep the
-    # previous centroid. cents{i} is the centroid table after iteration i.
+
+def _kmeans_assign_cte(n_centroids: int = 8, train_iters: int = 2) -> str:
+    """CTE chain ``base`` -> ``cents`` -> ``assigned`` (nid, nvec, cell):
+    unrolled fixed-iteration Lloyd's mirroring similarity.train_centroids
+    + ivf_assign exactly — int64 fixed-point component sums (order-free),
+    mean as the fixed expression round((sum / 2^30) / count, 6), empty
+    cells keep the previous centroid. Shared by the ivf_topk and
+    semantic_dedup oracles; cents{i} is the centroid table after
+    iteration i."""
     fp = "CAST(1073741824.0 AS DOUBLE)"
     train = ""
     for i in range(1, train_iters + 1):
         prev = f"cents{i - 1}"
         train += f"""
     ad{i} AS (
-      SELECT b.nid, b.nvec, c.cid, {l2("b.nvec", "c.cvec")} AS dist
+      SELECT b.nid, b.nvec, c.cid, {_l2_sql("b.nvec", "c.cvec")} AS dist
       FROM base b CROSS JOIN {prev} c),
     asg{i} AS (
       SELECT nid, nvec, cid AS cell FROM (
@@ -2275,19 +2281,32 @@ def _ivf_oracle(n_centroids: int = 8, n_queries: int = 10,
       SELECT o.cid, COALESCE(n.cvec, o.cvec) AS cvec
       FROM {prev} o LEFT JOIN newc{i} n ON o.cid = n.cid),"""
 
-    return f"""
-    WITH base AS (
+    return f"""base AS (
       SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nvec
       FROM embeddings),
     cents0 AS (SELECT nid AS cid, nvec AS cvec FROM base WHERE nid < {n_centroids}),{train}
     cents AS (SELECT cid, cvec FROM cents{train_iters}),
     ad AS (
-      SELECT b.nid, b.nvec, c.cid, {l2("b.nvec", "c.cvec")} AS dist
+      SELECT b.nid, b.nvec, c.cid, {_l2_sql("b.nvec", "c.cvec")} AS dist
       FROM base b CROSS JOIN cents c),
     assigned AS (
       SELECT nid, nvec, cid AS cell FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY nid ORDER BY dist, cid) AS rk
-        FROM ad) WHERE rk = 1),
+        FROM ad) WHERE rk = 1)"""
+
+
+def _ivf_oracle(n_centroids: int = 8, n_queries: int = 10,
+                nprobe: int = 2, k: int = 5, train_iters: int = 2) -> str:
+    def l2 (a, b):
+        return _l2_sql(a, b)
+
+    dot = ("list_aggregate(list_transform(list_zip(p.qvec, a.nvec), "
+           "q -> q[1]*q[2]), 'sum')")
+    nrm = ("(sqrt(list_aggregate(list_transform(p.qvec, x -> x*x), 'sum')) * "
+           "sqrt(list_aggregate(list_transform(a.nvec, x -> x*x), 'sum')))")
+
+    return f"""
+    WITH {_kmeans_assign_cte(n_centroids, train_iters)},
     queries AS (SELECT nid AS qid, nvec AS qvec FROM assigned WHERE nid < {n_queries}),
     qd AS (
       SELECT q.qid, q.qvec, c.cid, {l2("q.qvec", "c.cvec")} AS dist
@@ -2304,6 +2323,32 @@ def _ivf_oracle(n_centroids: int = 8, n_queries: int = 10,
       FROM scored)
     WHERE rk <= {k}
     """
+
+
+@query(
+    "semantic_dedup",
+    f"""
+    WITH {_kmeans_assign_cte()},
+    drops AS (
+      SELECT DISTINCT b.nid AS drop_id
+      FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.nid < b.nid
+      WHERE {_cos_sql("a.nvec", "b.nvec")} >= 0.3)
+    SELECT s.nid, CAST(s.cell AS BIGINT) AS cell,
+           CAST(CASE WHEN d.drop_id IS NULL THEN 1 ELSE 0 END AS INT) AS keep
+    FROM assigned s LEFT JOIN drops d ON s.nid = d.drop_id
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: k-means-clustered embedding
+    space (same trained quantizer as ivf_topk), exact cosine pairs within
+    a cluster only, drop any vector near-duplicating a lower-id
+    cluster-mate. Threshold 0.3 fits this synthetic embedding space (the
+    real-world default is ~0.97); the operator's pairwise cost is
+    per-cell-quadratic, never corpus-quadratic."""
+    out = similarity.semantic_dedup(
+        _cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        threshold=0.3)
+    return out.select(F.col("nid"), "cell", "keep")
 
 
 @query("ivf_topk", _ivf_oracle())

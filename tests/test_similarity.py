@@ -97,3 +97,45 @@ def test_ngram_lm_score_partition_invariant(spark):
          for r in ngram_lm_score(df.repartition(13), "doc_id", "text").collect()}
     assert a == b
     assert any(v[2] is not None and v[2] > 0 for v in a.values())
+
+
+def test_semantic_dedup_drops_near_duplicates(spark):
+    """A constructed corpus: two tight near-dup groups in different regions
+    of the space plus isolated vectors. The lowest id of each group is kept,
+    the rest dropped; isolated vectors all survive."""
+    from ocr_spark.functions.similarity import semantic_dedup
+
+    def v(base, eps):
+        return [x + eps for x in base]
+
+    rows = (
+        # group A around (1, 0, 0): ids 0-2
+        [(0, v([9.0, 0.1, 0.1], 0.0)), (1, v([9.0, 0.1, 0.1], 0.01)),
+         (2, v([9.0, 0.1, 0.1], 0.02))]
+        # group B around (0, 1, 0): ids 3-4
+        + [(3, v([0.1, 9.0, 0.1], 0.0)), (4, v([0.1, 9.0, 0.1], 0.01))]
+        # isolated: ids 5-7
+        + [(5, [0.1, 0.1, 9.0]), (6, [5.0, 5.0, 0.1]), (7, [-9.0, 0.5, 0.5])]
+    )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["nid"]: r.asDict() for r in semantic_dedup(
+        df, "vec_id", "embedding", n_centroids=4, train_iters=2,
+        threshold=0.999).collect()}
+    assert len(out) == 8
+    assert out[0]["keep"] == 1 and out[1]["keep"] == 0 and out[2]["keep"] == 0
+    assert out[3]["keep"] == 1 and out[4]["keep"] == 0
+    for i in (5, 6, 7):
+        assert out[i]["keep"] == 1, i
+    # dropped vectors share the cell of the keeper that dominated them
+    assert out[1]["cell"] == out[0]["cell"] == out[2]["cell"]
+
+
+def test_semantic_dedup_partition_invariant(emb):
+    from ocr_spark.functions.similarity import semantic_dedup
+
+    a = {r["nid"]: (r["cell"], r["keep"]) for r in semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.3).collect()}
+    b = {r["nid"]: (r["cell"], r["keep"]) for r in semantic_dedup(
+        emb.repartition(13), "vec_id", "embedding", threshold=0.3).collect()}
+    assert a == b
+    assert len(a) == emb.count()
