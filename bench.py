@@ -62,6 +62,7 @@ HEADLINE = [
     "word_stats",
     "vocab_topk",
     "domain_mix",
+    "length_percentiles",
     "lang_id",
     "doc_quality",
     "doc_fingerprint",

@@ -512,6 +512,52 @@ def tfidf_topk(
     )
 
 
+def length_percentiles(
+    df: DataFrame,
+    strata_col: str,
+    value_col: str,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """EXACT per-stratum percentiles of an integer metric (doc length,
+    token count) — the distribution report a corpus build gates on, with
+    none of approx_percentile's engine-specific sketch fuzz. Percentile q
+    is the smallest value whose cumulative count reaches ceil(q * n) (the
+    discrete lower quantile), so results are integers and bit-identical
+    cross-engine.
+
+    Scale shape: the heavy aggregation is groupBy(stratum, value) with
+    map-side partials — the shuffle carries one row per DISTINCT
+    (stratum, value), bounded by the value domain, never by document
+    count. The cumulative window then runs over those distinct values
+    only (thousands per stratum, not billions of rows), which is what
+    makes EXACT percentiles tractable at 100 TB where a per-row
+    per-stratum sort would hot-spot on the biggest language."""
+    counts = (
+        df.select(
+            F.col(strata_col).alias("stratum"),
+            F.col(value_col).cast("bigint").alias("val"),
+        )
+        .groupBy("stratum", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("stratum").orderBy("val")
+    cum = F.sum("c").over(w)
+    n = F.sum("c").over(Window.partitionBy("stratum"))
+    ranked = counts.select(
+        "stratum", "val", cum.alias("cum"), n.alias("n"))
+    aggs = [F.max("n").cast("bigint").alias("n_docs")]
+    for q in qs:
+        name = f"p{int(round(q * 100))}"
+        aggs.append(
+            F.min(
+                F.when(F.col("cum") >= F.ceil(F.lit(q) * F.col("n")), F.col("val"))
+            ).cast("bigint").alias(name)
+        )
+    return ranked.groupBy("stratum").agg(*aggs)
+
+
 def pack_shards(
     df: DataFrame,
     id_col: str,

@@ -2023,6 +2023,35 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "length_percentiles",
+    """
+    WITH c AS (
+      SELECT lang AS stratum, CAST(n_chars AS BIGINT) AS val, COUNT(*) AS c
+      FROM documents GROUP BY lang, n_chars),
+    r AS (
+      SELECT stratum, val,
+             SUM(c) OVER (PARTITION BY stratum ORDER BY val
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY stratum) AS n
+      FROM c)
+    SELECT stratum, CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MIN(CASE WHEN cum >= ceil(0.5 * n) THEN val END) AS BIGINT) AS p50,
+           CAST(MIN(CASE WHEN cum >= ceil(0.9 * n) THEN val END) AS BIGINT) AS p90,
+           CAST(MIN(CASE WHEN cum >= ceil(0.99 * n) THEN val END) AS BIGINT) AS p99
+    FROM r GROUP BY stratum
+    """,
+)
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language document-length percentiles (p50/p90/p99 of
+    n_chars) via the value-histogram plan — the distinct-value window keeps
+    exact percentiles tractable where a per-row stratum sort would not."""
+    from ocr_spark.functions.curation import length_percentiles
+
+    return length_percentiles(
+        _t(spark, sf_dir, "documents"), "lang", "n_chars")
+
+
+@query(
     "vocab_topk",
     f"""
     WITH {_WORDS_CTE},

@@ -306,3 +306,23 @@ def test_tfidf_topk_scores_and_ties(spark):
     # ranks are 1..k dense per doc
     for doc, rs in by_doc.items():
         assert sorted(r["rank"] for r in rs) == list(range(1, len(rs) + 1))
+
+
+def test_length_percentiles_exact_and_edge_strata(spark):
+    from ocr_spark.functions.curation import length_percentiles
+
+    rows = (
+        # 'a': values 1..10 -> p50 = 5 (cum>=5), p90 = 9, p99 = 10
+        [(f"a{i}", "a", i) for i in range(1, 11)]
+        # 'b': single row -> every percentile is that value
+        + [("b0", "b", 42)]
+        # 'c': heavy ties -> 1 x9, 100 x1: p50 = 1, p90 = 1, p99 = 100
+        + [(f"c{i}", "c", 1) for i in range(9)] + [("c9", "c", 100)]
+    )
+    df = spark.createDataFrame(rows, ["id", "lang", "n"])
+    out = {r["stratum"]: r.asDict()
+           for r in length_percentiles(df, "lang", "n").collect()}
+    assert out["a"]["n_docs"] == 10
+    assert (out["a"]["p50"], out["a"]["p90"], out["a"]["p99"]) == (5, 9, 10)
+    assert (out["b"]["p50"], out["b"]["p90"], out["b"]["p99"]) == (42, 42, 42)
+    assert (out["c"]["p50"], out["c"]["p90"], out["c"]["p99"]) == (1, 1, 100)
