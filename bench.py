@@ -45,6 +45,7 @@ HEADLINE = [
     "dedup_decide",
     "dedup_components",
     "ngram_jaccard_pairs",
+    "winnow_pairs",
     "simhash",
     "cosine_topk",
     "ivf_topk",

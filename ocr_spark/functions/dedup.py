@@ -372,3 +372,84 @@ def connected_components(nodes: DataFrame, edges: DataFrame,
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds "
         "(component diameter exceeds max_iters)")
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 20, w: int = 4) -> DataFrame:
+    """MOSS-style winnowing fingerprints (Schleimer et al. 2003): hash every
+    character k-gram of the whitespace-normalized text, slide a w-hash
+    window, keep each window's minimum, dedupe — a guarantee-bearing
+    selection (any shared substring of length >= k + w - 1 yields a shared
+    fingerprint) that exact- and word-shingle dedup lack. Returns one
+    (doc, fp) row per distinct fingerprint.
+
+    Any doc with >= k chars emits at least one fingerprint (docs shorter
+    than w windows fall back to the global minimum hash).
+
+    Scale shape: fingerprint selection is a pure per-row projection — zero
+    shuffle; the k-gram hash array and the window minima are HOF transforms
+    over MATERIALIZED attribute columns (an outer expression referenced
+    inside an HOF lambda re-evaluates per element — the O(L^2) trap
+    word_shingles documents), and the md5 is codegen'd JVM-side. Downstream
+    joins shuffle on the 8-byte fingerprint, never the text."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    base = df.select(F.col(id_col).alias("doc"), norm.alias("norm"))
+    m = F.length(F.col("norm")) - (k - 1)
+    hashes = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda i: F.conv(
+                F.substring(F.md5(F.col("norm").substr(i, F.lit(k))), 1, 8),
+                16, 10,
+            ).cast("bigint"),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    h = base.select("doc", hashes.alias("h"))
+    n = F.size(F.col("h"))
+    mins = (
+        F.when(
+            n >= w,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), n - (w - 1)),
+                    lambda j: F.array_min(F.slice(F.col("h"), j, w)),
+                )
+            ),
+        )
+        .when(n >= 1, F.array(F.array_min(F.col("h"))))
+        .otherwise(F.array().cast("array<bigint>"))
+    )
+    return h.select("doc", F.explode(mins).alias("fp"))
+
+
+def winnow_pairs(df: DataFrame, id_col: str, text_col: str,
+                 k: int = 20, w: int = 4, max_df: int = 10,
+                 min_shared: int = 2) -> DataFrame:
+    """Document pairs sharing >= min_shared winnowing fingerprints — the
+    substring-overlap detector (plagiarism / quote / template reuse) built
+    on winnow_fingerprints. Fingerprints appearing in > max_df documents
+    are dropped before pairing (boilerplate fingerprints are stopwords
+    here, and the max_df bound is what keeps the per-fingerprint pair
+    fan-out at max_df^2 instead of corpus-quadratic — the same cap
+    discipline as lsh_candidate_pairs, as an explicit parameter).
+
+    Scale shape: one fingerprint-keyed count (map-side partials), one
+    fingerprint-keyed self-join bounded by max_df per key, one
+    (doc_a, doc_b)-keyed count. Returns (doc_a, doc_b, n_shared)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, w)
+    rare = (
+        fps.groupBy("fp").agg(F.count(F.lit(1)).alias("dfq"))
+        .filter(F.col("dfq") <= max_df)
+        .select("fp")
+    )
+    filtered = fps.join(rare, "fp")
+    a = filtered.select(F.col("fp"), F.col("doc").alias("doc_a"))
+    b = filtered.select(F.col("fp"), F.col("doc").alias("doc_b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -521,6 +521,46 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc", F.col("simhash").cast("bigint").alias("simhash"))
 
 
+@query(
+    "winnow_pairs",
+    """
+    WITH nx AS (
+      SELECT doc_id AS doc,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents),
+    h AS (
+      SELECT doc,
+             CASE WHEN length(norm) - 19 >= 1 THEN
+               list_transform(generate_series(1, length(norm) - 19),
+                 i -> ('0x' || substr(md5(substr(norm, i, 20)), 1, 8))::BIGINT)
+             ELSE CAST([] AS BIGINT[]) END AS h
+      FROM nx),
+    fps AS (
+      SELECT doc, unnest(
+        CASE WHEN len(h) >= 4 THEN
+               list_distinct(list_transform(generate_series(1, len(h) - 3),
+                 j -> list_min(h[j : j + 3])))
+             WHEN len(h) >= 1 THEN [list_min(h)]
+             ELSE CAST([] AS BIGINT[]) END) AS fp
+      FROM h),
+    rare AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= 10),
+    f AS (SELECT doc, fp FROM fps JOIN rare USING (fp))
+    SELECT a.doc AS doc_a, b.doc AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM f a JOIN f b ON a.fp = b.fp AND a.doc < b.doc
+    GROUP BY a.doc, b.doc
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing: char-20-gram hashes, window-4 minima as
+    fingerprints, pairs sharing >= 2 fingerprints rarer than df=10 — the
+    substring-overlap detector next to the word-shingle dedup family."""
+    from ocr_spark.functions.dedup import winnow_pairs
+
+    return winnow_pairs(_cpu(spark, sf_dir, "documents"), "doc_id", "text",
+                        k=20, w=4, max_df=10, min_shared=2)
+
+
 # ===========================================================================
 # Similarity search over `embeddings` (brute-force cosine top-k + sign-LSH
 # bucketing as the 100 TB path).

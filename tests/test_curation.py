@@ -326,3 +326,52 @@ def test_length_percentiles_exact_and_edge_strata(spark):
     assert (out["a"]["p50"], out["a"]["p90"], out["a"]["p99"]) == (5, 9, 10)
     assert (out["b"]["p50"], out["b"]["p90"], out["b"]["p99"]) == (42, 42, 42)
     assert (out["c"]["p50"], out["c"]["p90"], out["c"]["p99"]) == (1, 1, 100)
+
+
+def test_winnow_guarantee_and_short_docs(spark):
+    """Winnowing guarantee: any shared substring of length >= k + w - 1
+    produces at least one shared fingerprint."""
+    from ocr_spark.functions.dedup import winnow_fingerprints
+
+    shared = "abcdefghij"           # 10 >= k + w - 1 = 6
+    rows = [
+        (0, f"xxx {shared} yyy"),
+        (1, f"zz1 w {shared} qq17"),
+        (2, "mnopqrstuvwxyz"),       # unrelated content
+        (3, "abcd"),                 # exactly k chars -> one fingerprint
+        (4, "abc"),                  # < k chars -> none
+        (5, ""),                     # empty -> none
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(df, "doc_id", "text", k=4, w=3).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared substring must share a fingerprint"
+    assert not (by_doc[0] & by_doc[2])
+    assert len(by_doc[3]) == 1
+    assert 4 not in by_doc and 5 not in by_doc
+    # (doc, fp) rows are distinct
+    assert len(fps) == sum(len(s) for s in by_doc.values())
+
+
+def test_winnow_pairs_detects_overlap(spark):
+    from ocr_spark.functions.dedup import winnow_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (0, f"intro paragraph alpha. {quote} closing alpha."),
+        (1, f"different opener beta! {quote} beta tail words."),
+        (2, "completely unrelated content about spark shuffles and joins"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+           for r in winnow_pairs(df, "doc_id", "text", k=8, w=4,
+                                 max_df=3, min_shared=2).collect()}
+    assert (0, 1) in out and out[(0, 1)] >= 2
+    assert all(p == (0, 1) for p in out)
+    # partition invariance
+    again = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in winnow_pairs(df.repartition(7), "doc_id", "text", k=8,
+                                   w=4, max_df=3, min_shared=2).collect()}
+    assert again == out
