@@ -74,6 +74,7 @@ HEADLINE = [
     "tfidf_topk",
     "stratified_sample",
     "pack_shards",
+    "chunk_documents",
     "decontaminate",
     "curation_pass",
     "pii_scrub",

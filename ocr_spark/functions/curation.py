@@ -512,6 +512,54 @@ def tfidf_topk(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token training windows — the
+    context-window chunking step between curation and tokenization
+    (pack_shards assigns whole documents to shards; this op cuts documents
+    that exceed the window). Chunk j starts at token 1 + j * stride
+    (stride = chunk_tokens - overlap) and takes up to chunk_tokens tokens;
+    n_chunks = 1 + ceil(max(n - chunk_tokens, 0) / stride), so every token
+    lands in at least one chunk and consecutive chunks share ``overlap``
+    tokens. Empty documents produce no chunks.
+
+    Returns (doc, chunk_id, start_tok, n_tokens, chunk_text).
+
+    Scale shape: a pure per-row projection + explode — ZERO shuffle; the
+    token array is materialized once per row and sliced per chunk (HOF
+    transform over an attribute column, bounded at ~n/stride slices)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    base = _doc_words(df, id_col, text_col)
+    w = base.select("doc", F.col("words").alias("w")).filter(F.size("w") > 0)
+    n = F.size(F.col("w"))
+    n_chunks = (
+        F.lit(1)
+        + F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(float(stride)))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.struct(
+            j.cast("bigint").alias("chunk_id"),
+            (j * stride + 1).cast("bigint").alias("start_tok"),
+            F.least(F.lit(chunk_tokens), n - (j * stride)).cast("bigint").alias("n_tokens"),
+            F.concat_ws(
+                " ", F.slice(F.col("w"), j * stride + 1, chunk_tokens)
+            ).alias("chunk_text"),
+        ),
+    )
+    return (
+        w.select("doc", F.explode(chunks).alias("c"))
+        .select("doc", "c.chunk_id", "c.start_tok", "c.n_tokens", "c.chunk_text")
+    )
+
+
 def length_percentiles(
     df: DataFrame,
     strata_col: str,

@@ -2063,6 +2063,38 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "chunk_documents",
+    f"""
+    WITH {_WORDS_CTE},
+    w AS (SELECT doc, words FROM base WHERE len(words) > 0),
+    c AS (
+      SELECT doc,
+             unnest(list_transform(
+               generate_series(0,
+                 CAST(1 + ceil(greatest(len(words) - 32, 0) / 24.0) AS INT) - 1),
+               j -> struct_pack(
+                 chunk_id := CAST(j AS BIGINT),
+                 start_tok := CAST(j * 24 + 1 AS BIGINT),
+                 n_tokens := CAST(least(32, len(words) - j * 24) AS BIGINT),
+                 chunk_text := array_to_string(words[j*24+1 : j*24+32], ' ')))) AS u
+      FROM w)
+    SELECT doc, u.chunk_id AS chunk_id, u.start_tok AS start_tok,
+           u.n_tokens AS n_tokens, u.chunk_text AS chunk_text
+    FROM c
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token training windows (32-token chunks, 8-token
+    overlap at this test scale): the context-window chunking step between
+    curation and tokenization — a zero-shuffle projection + explode."""
+    from ocr_spark.functions.curation import chunk_documents
+
+    return chunk_documents(
+        _cpu(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=32, overlap=8)
+
+
+@query(
     "length_percentiles",
     """
     WITH c AS (

@@ -375,3 +375,44 @@ def test_winnow_pairs_detects_overlap(spark):
              for r in winnow_pairs(df.repartition(7), "doc_id", "text", k=8,
                                    w=4, max_df=3, min_shared=2).collect()}
     assert again == out
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from ocr_spark.functions.curation import chunk_documents
+
+    text50 = " ".join(f"t{i}" for i in range(1, 51))
+    rows = [(0, text50), (1, "short doc"), (2, ""), (3, "   ")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_documents(df, "doc_id", "text",
+                          chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc"], r["chunk_id"])):
+        by_doc.setdefault(r["doc"], []).append(r)
+    # empty / whitespace docs produce nothing
+    assert 2 not in by_doc and 3 not in by_doc
+    # short doc -> exactly one chunk covering everything
+    (c,) = by_doc[1]
+    assert c["n_tokens"] == 2 and c["chunk_text"] == "short doc"
+    # 50 tokens, chunk 32, stride 24 -> 2 chunks
+    c0, c1 = by_doc[0]
+    assert (c0["start_tok"], c0["n_tokens"]) == (1, 32)
+    assert (c1["start_tok"], c1["n_tokens"]) == (25, 26)
+    # consecutive chunks share exactly `overlap` tokens
+    w0 = c0["chunk_text"].split(" ")
+    w1 = c1["chunk_text"].split(" ")
+    assert w0[-8:] == w1[:8]
+    # every token covered, in order
+    assert w0 + w1[8:] == text50.split(" ")
+    # zero-shuffle plan
+    plan = chunk_documents(df, "doc_id", "text")._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+    from ocr_spark.functions.curation import chunk_documents
+
+    df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=8)
