@@ -73,6 +73,7 @@ HEADLINE = [
     "line_dedup",
     "tfidf_topk",
     "stratified_sample",
+    "temperature_sample",
     "pack_shards",
     "chunk_documents",
     "decontaminate",

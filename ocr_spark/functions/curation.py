@@ -512,6 +512,72 @@ def tfidf_topk(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    text_col: str,
+    salt: str = "temp:v1",
+) -> DataFrame:
+    """Temperature-based stratum rebalancing at alpha = 0.5 (T = 2): target
+    shares proportional to sqrt(token mass), the standard multilingual
+    mixing rule that upweights low-resource strata. Each stratum's keep
+    rate is (target share / natural share), scaled so the most-upweighted
+    stratum keeps everything, and documents draw the same deterministic
+    md5 hash as stratified_sample — no RNG, retry/partition/engine-stable.
+
+    Returns one row per document: (doc, stratum, n_tokens, rate, keep).
+
+    Cross-engine exactness: per-stratum token masses are exact BIGINTs;
+    sqrt weights are quantized to BIGINT micro-units BEFORE the corpus-wide
+    normalization sums, so every sum is integer and order-free; the rate is
+    then a fixed sequence of single correctly-rounded double ops, rounded
+    to 6, and compared as an exact integer threshold. alpha is fixed at 0.5
+    because sqrt is correctly rounded in every IEEE libm while pow() is not
+    — a general alpha would un-pin the oracle.
+
+    Scale shape: one stratum-keyed token-mass agg (map-side partials), a
+    strata-sized stats table broadcast back onto the corpus, and a
+    codegen'd hash filter — the corpus is never shuffled."""
+    base = _doc_words(df, id_col, text_col)
+    docs = base.select(
+        "doc",
+        F.size("words").cast("bigint").alias("n_tokens"),
+    ).join(
+        df.select(F.col(id_col).alias("doc"),
+                  F.col(strata_col).alias("stratum")),
+        "doc",
+    )
+    stats = docs.groupBy("stratum").agg(F.sum("n_tokens").alias("ts"))
+    stats = stats.select(
+        "stratum", "ts",
+        F.round(F.sqrt(F.col("ts").cast("double")) * 1000000)
+        .cast("bigint").alias("w"),
+    )
+    totals = stats.agg(
+        F.sum("ts").alias("t"), F.sum("w").alias("sumw"))
+    ratio = (
+        (F.col("w").cast("double") / F.col("sumw"))
+        * (F.col("t").cast("double") / F.col("ts"))
+    )
+    rated = stats.crossJoin(F.broadcast(totals)).select(
+        "stratum", ratio.alias("ratio"))
+    maxr = rated.agg(F.max("ratio").alias("maxr"))
+    rates = rated.crossJoin(F.broadcast(maxr)).select(
+        "stratum",
+        F.round(F.least(F.lit(1.0), F.col("ratio") / F.col("maxr")), 6)
+        .alias("rate"),
+    )
+    thresh = F.round(F.col("rate") * _HASH_SPAN).cast("bigint")
+    return (
+        docs.join(F.broadcast(rates), "stratum")
+        .select(
+            "doc", "stratum", "n_tokens", "rate",
+            (sample_hash(F.col("doc"), salt) < thresh).cast("int").alias("keep"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

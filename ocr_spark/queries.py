@@ -2063,6 +2063,44 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "temperature_sample",
+    f"""
+    WITH {_WORDS_CTE},
+    docs AS (
+      SELECT b.doc, CAST(len(b.words) AS BIGINT) AS n_tokens, d.lang AS stratum
+      FROM base b JOIN documents d ON d.doc_id = b.doc),
+    stats AS (SELECT stratum, SUM(n_tokens) AS ts FROM docs GROUP BY stratum),
+    sw AS (SELECT stratum, ts,
+                  CAST(round(sqrt(CAST(ts AS DOUBLE)) * 1000000) AS BIGINT) AS w
+           FROM stats),
+    tot AS (SELECT SUM(ts) AS t, SUM(w) AS sumw FROM sw),
+    rated AS (
+      SELECT stratum,
+             (CAST(w AS DOUBLE) / sumw) * (CAST(t AS DOUBLE) / ts) AS ratio
+      FROM sw CROSS JOIN tot),
+    mx AS (SELECT MAX(ratio) AS maxr FROM rated),
+    rates AS (
+      SELECT stratum,
+             ROUND(LEAST(CAST(1.0 AS DOUBLE), ratio / maxr), 6) AS rate
+      FROM rated CROSS JOIN mx)
+    SELECT d.doc, d.stratum, d.n_tokens, r.rate,
+           CAST(CASE WHEN ('0x' || substr(md5('temp:v1:' || CAST(d.doc AS VARCHAR)), 1, 8))::BIGINT
+                          < CAST(round(r.rate * 4294967296) AS BIGINT)
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM docs d JOIN rates r USING (stratum)
+    """,
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based (alpha = 0.5) language rebalancing over the
+    documents table: per-language keep rates from sqrt-token-mass target
+    shares, applied as a deterministic hash draw per document."""
+    from ocr_spark.functions.curation import temperature_sample
+
+    return temperature_sample(
+        _t(spark, sf_dir, "documents"), "doc_id", "lang", "text")
+
+
+@query(
     "chunk_documents",
     f"""
     WITH {_WORDS_CTE},

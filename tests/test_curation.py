@@ -416,3 +416,37 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
     with _pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=8)
+
+
+def test_temperature_sample_rebalances_toward_low_resource(spark):
+    from ocr_spark.functions.curation import temperature_sample
+
+    # 'big' has 16x the token mass of 'small' -> sqrt shares 4:1 ->
+    # small's rate must be 1.0 (most upweighted) and big's sqrt(1/16)=0.25
+    rows = ([(i, "big", "w " * 16) for i in range(200)]
+            + [(1000 + i, "small", "w ") for i in range(200)])
+    df = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows], ["doc_id", "lang", "text"])
+    out = temperature_sample(df, "doc_id", "lang", "text").collect()
+    assert len(out) == 400
+    rates = {r["stratum"]: r["rate"] for r in out}
+    assert rates["small"] == 1.0
+    assert rates["big"] == 0.25
+    # every small doc kept; big docs kept at ~rate (hash draw, deterministic)
+    kept_small = [r for r in out if r["stratum"] == "small" and r["keep"] == 1]
+    assert len(kept_small) == 200
+    kept_big = sum(r["keep"] for r in out if r["stratum"] == "big")
+    assert 30 <= kept_big <= 70   # ~50 expected at rate 0.25
+    # partition invariance
+    again = {r["doc"]: r["keep"] for r in temperature_sample(
+        df.repartition(11), "doc_id", "lang", "text").collect()}
+    assert again == {r["doc"]: r["keep"] for r in out}
+
+
+def test_temperature_sample_single_stratum_keeps_all(spark):
+    from ocr_spark.functions.curation import temperature_sample
+
+    df = spark.createDataFrame(
+        [(i, "only", "a b c") for i in range(20)], ["doc_id", "lang", "text"])
+    out = temperature_sample(df, "doc_id", "lang", "text").collect()
+    assert all(r["rate"] == 1.0 and r["keep"] == 1 for r in out)
