@@ -76,6 +76,7 @@ HEADLINE = [
     "temperature_sample",
     "pack_shards",
     "chunk_documents",
+    "budget_select",
     "decontaminate",
     "curation_pass",
     "pii_scrub",

@@ -512,6 +512,63 @@ def tfidf_topk(
     )
 
 
+def select_under_budget(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    band_col: str,
+    token_budget: int,
+    salt: str = "budget:v1",
+) -> DataFrame:
+    """Greedy best-quality-first corpus selection under a total token
+    budget, WITHOUT a global sort: documents arrive pre-bucketed into
+    integer quality bands (higher = better); whole bands are taken from the
+    best down while they fit, and the single boundary band is filled to the
+    residual budget by a deterministic hash draw at rate
+    (budget - tokens_above) / band_tokens. Band granularity is the
+    precision/scalability trade: the fill is token-exact across bands and
+    rate-approximate within the boundary band only.
+
+    Returns one row per document: (doc, band, n_tokens, rate, keep).
+
+    Scale shape: one band-keyed token agg (map-side partials) reduces the
+    corpus to a bands-sized table; the only ordered operation is a window
+    over THOSE rows (bounded by the band domain, e.g. 64 — a driver-trivial
+    frame, explicitly never over documents); rates broadcast back onto the
+    corpus as a codegen'd hash filter. A quality-ordered global sort of
+    100 TB is exactly what this plan avoids."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(tokens_col).cast("bigint").alias("n_tokens"),
+        F.col(band_col).cast("bigint").alias("band"),
+    )
+    bands = base.groupBy("band").agg(F.sum("n_tokens").alias("bt"))
+    w = (
+        Window.orderBy(F.desc("band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("bt").over(w), F.lit(0).cast("bigint"))
+    ranked = bands.select("band", "bt", cum_before.alias("cum_before"))
+    budget = F.lit(int(token_budget)).cast("bigint")
+    rate = (
+        F.when(F.col("cum_before") + F.col("bt") <= budget, F.lit(1.0))
+        .when(
+            F.col("cum_before") < budget,
+            F.round(
+                (budget - F.col("cum_before")).cast("double") / F.col("bt"), 6),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    rates = ranked.select("band", rate.alias("rate"))
+    thresh = F.round(F.col("rate") * _HASH_SPAN).cast("bigint")
+    return base.join(F.broadcast(rates), "band").select(
+        "doc", "band", "n_tokens", "rate",
+        (sample_hash(F.col("doc"), salt) < thresh).cast("int").alias("keep"),
+    )
+
+
 def temperature_sample(
     df: DataFrame,
     id_col: str,

@@ -2063,6 +2063,54 @@ def q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "budget_select",
+    f"""
+    WITH {_WORDS_CTE},
+    docs AS (
+      SELECT doc, CAST(len(words) AS BIGINT) AS n_tokens,
+             CAST(floor(CAST(64 * len(list_distinct(words)) AS DOUBLE)
+                        / len(words)) AS BIGINT) AS band
+      FROM base WHERE len(words) > 0),
+    bands AS (SELECT band, SUM(n_tokens) AS bt FROM docs GROUP BY band),
+    ranked AS (
+      SELECT band, bt,
+             COALESCE(SUM(bt) OVER (ORDER BY band DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM bands),
+    rates AS (
+      SELECT band,
+             CASE WHEN cum_before + bt <= 12000 THEN CAST(1.0 AS DOUBLE)
+                  WHEN cum_before < 12000
+                    THEN ROUND(CAST(12000 - cum_before AS DOUBLE) / bt, 6)
+                  ELSE CAST(0.0 AS DOUBLE) END AS rate
+      FROM ranked)
+    SELECT d.doc, d.band, d.n_tokens, r.rate,
+           CAST(CASE WHEN ('0x' || substr(md5('budget:v1:' || CAST(d.doc AS VARCHAR)), 1, 8))::BIGINT
+                          < CAST(round(r.rate * 4294967296) AS BIGINT)
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM docs d JOIN rates r USING (band)
+    """,
+)
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-constrained best-first selection: documents banded by
+    distinct-word ratio (64 bands), whole bands taken best-down under a
+    12k-token budget, boundary band hash-filled at the residual rate —
+    no global sort anywhere."""
+    from ocr_spark.functions.curation import _doc_words, select_under_budget
+
+    base = _doc_words(_cpu(spark, sf_dir, "documents"), "doc_id", "text")
+    docs = base.filter(F.size("words") > 0).select(
+        "doc",
+        F.size("words").cast("bigint").alias("n_tokens"),
+        F.floor(
+            (F.lit(64) * F.size(F.array_distinct("words"))).cast("double")
+            / F.size("words")
+        ).cast("bigint").alias("band"),
+    )
+    return select_under_budget(docs, "doc", "n_tokens", "band", 12000)
+
+
+@query(
     "temperature_sample",
     f"""
     WITH {_WORDS_CTE},

@@ -450,3 +450,42 @@ def test_temperature_sample_single_stratum_keeps_all(spark):
         [(i, "only", "a b c") for i in range(20)], ["doc_id", "lang", "text"])
     out = temperature_sample(df, "doc_id", "lang", "text").collect()
     assert all(r["rate"] == 1.0 and r["keep"] == 1 for r in out)
+
+
+def test_select_under_budget_band_semantics(spark):
+    from ocr_spark.functions.curation import select_under_budget
+
+    # band 3: 40 tokens; band 2: 40; band 1: 40. budget 100 ->
+    # bands 3+2 fully kept (80), band 1 filled at rate (100-80)/40 = 0.5
+    rows = ([(i, 10, 3) for i in range(4)]
+            + [(10 + i, 10, 2) for i in range(4)]
+            + [(20 + i, 10, 1) for i in range(4)]
+            + [(30 + i, 10, 0) for i in range(4)])
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok", "band"])
+    out = {r["doc"]: r.asDict() for r in select_under_budget(
+        df, "doc_id", "n_tok", "band", 100).collect()}
+    assert len(out) == 16
+    for i in range(8):
+        doc = i if i < 4 else 10 + i - 4
+        assert out[doc]["rate"] == 1.0 and out[doc]["keep"] == 1
+    for i in range(4):
+        assert out[20 + i]["rate"] == 0.5
+    for i in range(4):
+        assert out[30 + i]["rate"] == 0.0 and out[30 + i]["keep"] == 0
+    # kept tokens never exceed budget by more than the boundary band's
+    # hash-draw variance; full bands alone are exactly 80
+    full = sum(r["n_tokens"] for r in out.values() if r["rate"] == 1.0)
+    assert full == 80
+    # partition invariance
+    again = {r["doc"]: r["keep"] for r in select_under_budget(
+        df.repartition(7), "doc_id", "n_tok", "band", 100).collect()}
+    assert again == {d: r["keep"] for d, r in out.items()}
+
+
+def test_select_under_budget_all_fit(spark):
+    from ocr_spark.functions.curation import select_under_budget
+
+    df = spark.createDataFrame(
+        [(i, 5, i % 3) for i in range(9)], ["doc_id", "n_tok", "band"])
+    out = select_under_budget(df, "doc_id", "n_tok", "band", 1000).collect()
+    assert all(r["rate"] == 1.0 and r["keep"] == 1 for r in out)
