@@ -44,6 +44,7 @@ HEADLINE = [
     "lsh_jaccard_pairs",
     "dedup_decide",
     "dedup_components",
+    "dedup_keep_best",
     "ngram_jaccard_pairs",
     "winnow_pairs",
     "simhash",

@@ -453,3 +453,38 @@ def winnow_pairs(df: DataFrame, id_col: str, text_col: str,
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def keep_best_representative(comp: DataFrame, quality: DataFrame) -> DataFrame:
+    """Retention decision over near-dup clusters: given component labels
+    (node, component) and a per-node integer quality (node, quality_micro),
+    keep the HIGHEST-quality member of each component (ties to the smallest
+    node id) and drop the rest — the keep-best upgrade over min-id
+    representatives, so a cluster's cleanest rendering survives dedup.
+
+    Returns (node, component, quality_micro, keep).
+
+    Scale shape: the argmax is a component-keyed MAX over
+    struct(quality, -node) — an aggregation with map-side partials, NOT a
+    per-component window sort, so the giant boilerplate component every web
+    corpus has reduces map-side instead of sorting inside one reducer. One
+    join back on the component completes the flag."""
+    j = comp.join(quality, "node")
+    best = j.groupBy("component").agg(
+        F.max(
+            F.struct(
+                F.col("quality_micro").alias("q"),
+                (-F.col("node")).alias("negnode"),
+            )
+        ).alias("b")
+    )
+    return (
+        j.join(best, "component")
+        .select(
+            "node", "component", "quality_micro",
+            (
+                (F.col("quality_micro") == F.col("b.q"))
+                & (F.col("node") == -F.col("b.negnode"))
+            ).cast("int").alias("keep"),
+        )
+    )

@@ -469,6 +469,70 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE corpus AS ({{corpus}}),
+    jac AS (SELECT doc_a, doc_b
+            FROM ({{jaccard}})),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM jac
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM jac),
+    reach(node, r) AS (
+        SELECT doc_id, doc_id FROM corpus
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+    q AS (
+      SELECT doc_id AS node,
+             CAST(round(CAST(1000000 * len(list_distinct(w)) AS DOUBLE)
+                        / len(w)) AS BIGINT) AS quality_micro
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS w
+            FROM corpus WHERE length(trim(text)) > 0)),
+    j AS (SELECT c.node, c.component, COALESCE(q.quality_micro, 0) AS quality_micro
+          FROM comp c LEFT JOIN q USING (node))
+    SELECT node, component, quality_micro,
+           CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS INT) AS keep
+    FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY component ORDER BY quality_micro DESC, node) AS rn
+          FROM j)
+    """.replace("{corpus}", _DEDUP_CORPUS_SQL)
+       .replace("{jaccard}", _lsh_jaccard_sql("corpus", threshold=0.6)),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best retention over near-dup clusters: the dedup_components
+    clustering joined with a distinct-word-ratio quality score; each
+    cluster keeps its highest-quality member (ties to the smallest id).
+    The argmax is a struct-MAX aggregation with map-side partials, never a
+    per-component window sort."""
+    from ocr_spark.functions.dedup import (
+        connected_components, keep_best_representative, lsh_jaccard_pairs)
+
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", "text")
+    k = F.col("doc_id")
+    copies = docs.filter(k % 7 == 0).select((k + 100000).alias("doc_id"), "text")
+    nears = docs.filter(k % 11 == 0).select(
+        (k + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" near duplicate trailing banner words")).alias("text"),
+    )
+    corpus = docs.unionByName(copies).unionByName(nears)
+    edges = lsh_jaccard_pairs(corpus, "doc_id", "text", n_bands=4, threshold=0.6)
+    comp = connected_components(
+        corpus.select(F.col("doc_id").alias("node")), edges)
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    quality = corpus.filter(F.length(F.trim("text")) > 0).select(
+        F.col("doc_id").alias("node"),
+        F.round(
+            (F.lit(1000000) * F.size(F.array_distinct(words))).cast("double")
+            / F.size(words)
+        ).cast("bigint").alias("quality_micro"),
+    )
+    all_q = comp.select("node").join(quality, "node", "left").select(
+        "node", F.coalesce("quality_micro", F.lit(0)).cast("bigint").alias("quality_micro"))
+    return keep_best_representative(comp, all_q)
+
+
+@query(
     "ngram_jaccard_pairs",
     f"""
     WITH sh AS (

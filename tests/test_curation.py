@@ -489,3 +489,31 @@ def test_select_under_budget_all_fit(spark):
         [(i, 5, i % 3) for i in range(9)], ["doc_id", "n_tok", "band"])
     out = select_under_budget(df, "doc_id", "n_tok", "band", 1000).collect()
     assert all(r["rate"] == 1.0 and r["keep"] == 1 for r in out)
+
+
+def test_keep_best_representative(spark):
+    from ocr_spark.functions.dedup import keep_best_representative
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (10, 10), (11, 10)],
+        ["node", "component"])
+    qual = spark.createDataFrame(
+        [(1, 500), (2, 900), (3, 900), (7, 100), (10, 400), (11, 800)],
+        ["node", "quality_micro"])
+    out = {r["node"]: r.asDict()
+           for r in keep_best_representative(comp, qual).collect()}
+    # highest quality wins; tie (2 vs 3 at 900) -> smallest node id
+    assert out[2]["keep"] == 1 and out[3]["keep"] == 0 and out[1]["keep"] == 0
+    # singleton keeps itself
+    assert out[7]["keep"] == 1
+    # quality beats id: 11 > 10 by quality
+    assert out[11]["keep"] == 1 and out[10]["keep"] == 0
+    # exactly one keeper per component
+    keepers = {}
+    for r in out.values():
+        keepers[r["component"]] = keepers.get(r["component"], 0) + r["keep"]
+    assert all(v == 1 for v in keepers.values())
+    # partition invariance
+    again = {r["node"]: r["keep"] for r in keep_best_representative(
+        comp.repartition(5), qual.repartition(3)).collect()}
+    assert again == {n: r["keep"] for n, r in out.items()}
