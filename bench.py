@@ -37,6 +37,7 @@ HEADLINE = [
     "event_sessions",
     "asof_view_click",
     "event_range_pairs",
+    "event_funnel",
     "topk_users_by_events",
     "exact_dedup",
     "minhash_band_signatures",
@@ -65,6 +66,8 @@ HEADLINE = [
     "vocab_topk",
     "domain_mix",
     "length_percentiles",
+    "term_postings",
+    "bm25_search",
     "lang_id",
     "doc_quality",
     "doc_fingerprint",

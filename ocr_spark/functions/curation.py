@@ -829,3 +829,108 @@ def ngram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ),
         ).alias("ppl"),
     )
+
+
+def build_postings(
+    df: DataFrame, id_col: str, text_col: str, max_postings: int = 16
+) -> DataFrame:
+    """Inverted-index posting lists: per term, document frequency and the
+    ``max_postings`` smallest doc ids as a comma-joined string — the index
+    report behind any term-lookup or BM25 layer.
+
+    Scale shape: document frequency is a term-keyed count with map-side
+    partials. The capped posting list is a per-term top-k window — the
+    honest caveat is that stopword terms sort their full posting list
+    inside one reducer; a full production index build is a
+    repartitionByRange(term, doc) + sortWithinPartitions external sort,
+    and this op's cap is the report shape, not the index itself."""
+    base = _doc_words(df, id_col, text_col)
+    t = base.select(
+        F.explode(F.array_distinct("words")).alias("term"), "doc")
+    dfreq = t.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("term").orderBy("doc")
+    top = (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= max_postings)
+    )
+    posts = top.groupBy("term").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "doc"))),
+                lambda s: s["doc"].cast("string"),
+            ),
+        ).alias("postings")
+    )
+    return dfreq.join(posts, "term").select("term", "df", "postings")
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 20,
+) -> DataFrame:
+    """BM25 ranked retrieval for a fixed term set — the search-side
+    consumer of the index stats (Robertson/Sparck-Jones idf with the +1
+    floor, standard k1/b length normalization). Returns the top-k
+    documents as (doc, score, rank); ties break on doc ascending.
+
+    Cross-engine exactness: every input to the score is exact (integer tf,
+    df, dl, N; avgdl one correctly-rounded division), the per-term scores
+    combine in a FIXED expression order (one coalesce-sum chain, not an
+    unordered SQL SUM), and the result rounds to 6 before ranking.
+
+    Scale shape: the corpus is filtered to query terms BEFORE any shuffle
+    (an isin over a literal list — a scan-fused filter), term stats are
+    tiny aggregations, the per-doc pivot is one doc-keyed agg, and the
+    final top-k is orderBy+limit (TakeOrdered — per-partition heaps, no
+    global sort)."""
+    base = _doc_words(df, id_col, text_col)
+    docs = base.select("doc", F.size("words").cast("bigint").alias("dl"))
+    totals = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    flat = base.select(
+        "doc", F.explode("words").alias("w")
+    ).filter(F.col("w").isin(list(terms)))
+    tf = flat.groupBy("doc", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfq"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "w")
+        .join(docs, "doc")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc", "w",
+            (
+                F.log(
+                    (F.col("n") - F.col("dfq") + 0.5) / (F.col("dfq") + 0.5)
+                    + 1.0
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf")
+                   + k1 * (1 - b + (b * F.col("dl")) / F.col("avgdl")))
+            ).alias("s"),
+        )
+    )
+    per_term = [
+        F.max(F.when(F.col("w") == t, F.col("s"))).alias(f"s{i}")
+        for i, t in enumerate(terms)
+    ]
+    pivoted = scored.groupBy("doc").agg(*per_term)
+    total = F.lit(0.0)
+    for i in range(len(terms)):
+        total = total + F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+    ranked = pivoted.select("doc", F.round(total, 6).alias("score"))
+    top = ranked.orderBy(F.desc("score"), F.asc("doc")).limit(k)
+    from pyspark.sql.window import Window
+
+    rank = F.row_number().over(
+        Window.orderBy(F.desc("score"), F.asc("doc"))).cast("bigint")
+    return top.select("doc", "score", rank.alias("rank"))

@@ -101,3 +101,53 @@ def asof_join(
            F.col(f"_m.{ts}").alias("matched_ts")]
     out += [F.col(f"_m.{c}").alias(f"matched_{c}") for c in right_cols]
     return m.filter(F.col("_side") == 1).select(key, ts, id_col, *out)
+
+
+def funnel(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    type_col: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Ordered funnel analysis: per key, the earliest completion time of
+    each step where step i+1 must STRICTLY follow the chosen step-i event
+    (first-touch semantics — each stage anchors on the earliest time the
+    previous stage was reached). Returns one row per key that reached step
+    1: (key, t1..tN as epoch micros, stage = furthest step reached).
+
+    Scale shape: stage i is one conditional MIN aggregation keyed on the
+    key (map-side partials), joined back onto the event stream for stage
+    i+1 — N-1 key-keyed joins, no self-join on time, no per-key array
+    materialization, and no window sort; every shuffle is keyed on the
+    funnel key, so AQE handles hot users. Events outside ``steps`` are
+    pruned at the scan."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    e = df.select(
+        F.col(key).alias("k"),
+        F.unix_micros(F.col(ts).cast("timestamp")).alias("t"),
+        F.col(type_col).alias("typ"),
+    ).filter(F.col("typ").isin(list(steps)))
+    reached = (
+        e.filter(F.col("typ") == steps[0])
+        .groupBy("k").agg(F.min("t").alias("t1"))
+    )
+    for i, step in enumerate(steps[1:], start=2):
+        prev = f"t{i - 1}"
+        nxt = (
+            e.filter(F.col("typ") == step)
+            .join(reached.select("k", prev), "k")
+            .filter(F.col("t") > F.col(prev))
+            .groupBy("k").agg(F.min("t").alias(f"t{i}"))
+        )
+        reached = reached.join(nxt, "k", "left")
+    stage = F.lit(1)
+    for i in range(2, len(steps) + 1):
+        stage = stage + F.col(f"t{i}").isNotNull().cast("int")
+    return reached.select(
+        F.col("k").alias(key),
+        *[F.col(f"t{i}").cast("bigint").alias(f"t{i}")
+          for i in range(1, len(steps) + 1)],
+        stage.cast("int").alias("stage"),
+    )

@@ -1980,6 +1980,34 @@ def q_event_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "event_funnel",
+    """
+    WITH e AS (
+      SELECT user_id AS k, epoch_us(ts) AS t, event_type AS typ
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')),
+    s1 AS (SELECT k, MIN(t) AS t1 FROM e WHERE typ = 'view' GROUP BY k),
+    s2 AS (SELECT e.k, MIN(e.t) AS t2 FROM e JOIN s1 ON e.k = s1.k
+           WHERE e.typ = 'click' AND e.t > s1.t1 GROUP BY e.k),
+    s3 AS (SELECT e.k, MIN(e.t) AS t3 FROM e JOIN s2 ON e.k = s2.k
+           WHERE e.typ = 'purchase' AND e.t > s2.t2 GROUP BY e.k)
+    SELECT s1.k AS user_id,
+           CAST(t1 AS BIGINT) AS t1, CAST(t2 AS BIGINT) AS t2,
+           CAST(t3 AS BIGINT) AS t3,
+           CAST(1 + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+                  + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS INT) AS stage
+    FROM s1 LEFT JOIN s2 ON s1.k = s2.k LEFT JOIN s3 ON s1.k = s3.k
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel per user (first-touch
+    anchoring, strict ordering): one conditional MIN per stage keyed on the
+    user — no time self-join, no per-user window sort."""
+    from ocr_spark.functions.temporal import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), "user_id", "ts", "event_type")
+
+
+@query(
     "pack_shards",
     f"""
     WITH {_WORDS_CTE},
@@ -2271,6 +2299,77 @@ def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return length_percentiles(
         _t(spark, sf_dir, "documents"), "lang", "n_chars")
+
+
+@query(
+    "term_postings",
+    f"""
+    WITH {_WORDS_CTE},
+    t AS (SELECT doc, unnest(list_distinct(words)) AS term FROM base),
+    d AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY term),
+    r AS (SELECT term, doc,
+                 ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc) AS rn
+          FROM t),
+    p AS (SELECT term, string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS postings
+          FROM r WHERE rn <= 16 GROUP BY term)
+    SELECT d.term, d.df, p.postings FROM d JOIN p USING (term)
+    """,
+)
+def q_term_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index report: per term, document frequency and the 16
+    smallest doc ids as a posting-list string."""
+    from ocr_spark.functions.curation import build_postings
+
+    return build_postings(
+        _cpu(spark, sf_dir, "documents"), "doc_id", "text", max_postings=16)
+
+
+_BM25_TERMS = ("spark", "window", "merge")
+
+
+@query(
+    "bm25_search",
+    f"""
+    WITH {_WORDS_CTE},
+    docs AS (SELECT doc, CAST(len(words) AS BIGINT) AS dl FROM base),
+    tot AS (SELECT COUNT(*) AS n,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM docs),
+    flat AS (SELECT doc, w FROM (SELECT doc, unnest(words) AS w FROM base)
+             WHERE w IN ('spark', 'window', 'merge')),
+    tf AS (SELECT doc, w, COUNT(*) AS tf FROM flat GROUP BY doc, w),
+    dfq AS (SELECT w, COUNT(*) AS dfq FROM tf GROUP BY w),
+    s AS (
+      SELECT doc, w,
+             ln((n - dfq + CAST(0.5 AS DOUBLE)) / (dfq + CAST(0.5 AS DOUBLE))
+                + CAST(1.0 AS DOUBLE))
+             * (tf * CAST(2.2 AS DOUBLE))
+             / (tf + CAST(1.2 AS DOUBLE)
+                     * (CAST(0.25 AS DOUBLE)
+                        + (CAST(0.75 AS DOUBLE) * dl) / avgdl)) AS s
+      FROM tf JOIN dfq USING (w) JOIN docs USING (doc) CROSS JOIN tot),
+    p AS (SELECT doc,
+                 MAX(CASE WHEN w = 'spark' THEN s END) AS s0,
+                 MAX(CASE WHEN w = 'window' THEN s END) AS s1,
+                 MAX(CASE WHEN w = 'merge' THEN s END) AS s2
+          FROM s GROUP BY doc),
+    r AS (SELECT doc,
+                 ROUND(CAST(0.0 AS DOUBLE) + COALESCE(s0, 0) + COALESCE(s1, 0)
+                       + COALESCE(s2, 0), 6) AS score
+          FROM p)
+    SELECT doc, score, CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS BIGINT) AS rank
+    FROM (SELECT * FROM r ORDER BY score DESC, doc LIMIT 20)
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 for the fixed query (spark, window, merge): exact
+    integer stats in, fixed-order float combination out (round 6) — the
+    retrieval consumer of the index layer."""
+    from ocr_spark.functions.curation import bm25_topk
+
+    return bm25_topk(
+        _cpu(spark, sf_dir, "documents"), "doc_id", "text",
+        terms=_BM25_TERMS, k=20)
 
 
 @query(
@@ -2579,7 +2678,7 @@ def _ivf_oracle(n_centroids: int = 8, n_queries: int = 10,
 @query(
     "semantic_dedup",
     f"""
-    WITH {_kmeans_assign_cte()},
+    WITH {_kmeans_assign_cte(n_centroids=16)},
     drops AS (
       SELECT DISTINCT b.nid AS drop_id
       FROM assigned a JOIN assigned b ON a.cell = b.cell AND a.nid < b.nid
@@ -2598,7 +2697,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell-quadratic, never corpus-quadratic."""
     out = similarity.semantic_dedup(
         _cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-        threshold=0.3)
+        n_centroids=16, threshold=0.3)
     return out.select(F.col("nid"), "cell", "keep")
 
 

@@ -517,3 +517,45 @@ def test_keep_best_representative(spark):
     again = {r["node"]: r["keep"] for r in keep_best_representative(
         comp.repartition(5), qual.repartition(3)).collect()}
     assert again == {n: r["keep"] for n, r in out.items()}
+
+
+def test_build_postings(spark):
+    from ocr_spark.functions.curation import build_postings
+
+    rows = [(10, "alpha beta"), (2, "alpha alpha gamma"), (1, "alpha")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["term"]: r.asDict()
+           for r in build_postings(df, "doc_id", "text", max_postings=2).collect()}
+    # df counts distinct docs (alpha tf=2 in doc 2 counts once)
+    assert out["alpha"]["df"] == 3
+    # postings numerically sorted and capped at 2
+    assert out["alpha"]["postings"] == "1,2"
+    assert out["beta"]["postings"] == "10" and out["beta"]["df"] == 1
+    assert out["gamma"]["postings"] == "2"
+
+
+def test_bm25_ranking_semantics(spark):
+    import math
+    from ocr_spark.functions.curation import bm25_topk
+
+    rows = [
+        (0, "spark spark spark"),          # high tf, short doc
+        (1, "spark " + "filler " * 50),    # tf 1, long doc -> penalized
+        (2, "window"),                     # rare term -> higher idf
+        (3, "filler only document"),       # no query terms -> score 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc"]: r.asDict() for r in bm25_topk(
+        df, "doc_id", "text", terms=("spark", "window"), k=10).collect()}
+    # docs containing no query term are not retrieved
+    assert 3 not in out
+    # doc 0 (tf 3, short) outranks doc 1 (tf 1, long)
+    assert out[0]["score"] > out[1]["score"] > 0
+    assert out[0]["rank"] < out[1]["rank"]
+    # hand-computed score for doc 2: tf=1, df=1, N=4, dl=1, avgdl=(3+51+1+3)/4
+    n, dfq, tf, dl, avgdl = 4, 1, 1, 1, (3 + 51 + 1 + 3) / 4
+    idf = math.log((n - dfq + 0.5) / (dfq + 0.5) + 1.0)
+    want = round(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)), 6)
+    assert abs(out[2]["score"] - want) < 1e-9
+    # ranks dense from 1 over the retrieved docs
+    assert sorted(r["rank"] for r in out.values()) == [1, 2, 3]

@@ -91,3 +91,46 @@ def test_asof_single_exchange_per_side(spark):
     # the union feeds ONE window: one shuffle on the key, no join operator
     assert plan.count("Exchange") <= 2
     assert "Join" not in plan
+
+
+def test_funnel_strict_ordering_and_stages(spark):
+    from datetime import datetime
+    from ocr_spark.functions.temporal import funnel
+
+    T = lambda s: datetime(2024, 1, 1, 0, 0, s)
+    rows = [
+        # user 1: full funnel in order
+        (1, T(1), "view"), (1, T(2), "click"), (1, T(3), "purchase"),
+        # user 2: click BEFORE first view -> stage stalls at view
+        (2, T(5), "click"), (2, T(6), "view"),
+        # user 3: purchase before click -> stage 2 (view, click) only
+        (3, T(1), "view"), (3, T(2), "purchase"), (3, T(3), "click"),
+        # user 4: never viewed -> absent from output
+        (4, T(1), "click"), (4, T(2), "purchase"),
+        # user 5: same-instant click as view -> strict '>' rejects it
+        (5, T(1), "view"), (5, T(1), "click"),
+        # user 6: first-touch anchoring — the EARLIEST view anchors, so a
+        # click between two views still counts
+        (6, T(1), "view"), (6, T(2), "click"), (6, T(9), "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    out = {r["user_id"]: r.asDict()
+           for r in funnel(df, "user_id", "ts", "event_type").collect()}
+    assert set(out) == {1, 2, 3, 5, 6}
+    assert out[1]["stage"] == 3 and out[1]["t3"] is not None
+    assert out[2]["stage"] == 1 and out[2]["t2"] is None
+    assert out[3]["stage"] == 2 and out[3]["t3"] is None
+    assert out[5]["stage"] == 1
+    assert out[6]["stage"] == 2
+    # epoch-micro ordering is preserved
+    assert out[1]["t1"] < out[1]["t2"] < out[1]["t3"]
+
+
+def test_funnel_rejects_single_step(spark):
+    import pytest as _pytest
+    from ocr_spark.functions.temporal import funnel
+
+    df = spark.createDataFrame([(1, "2024-01-01", "view")],
+                               ["user_id", "ts", "event_type"])
+    with _pytest.raises(ValueError):
+        funnel(df, "user_id", "ts", "event_type", steps=("view",))
