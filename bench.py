@@ -68,6 +68,8 @@ HEADLINE = [
     "length_percentiles",
     "term_postings",
     "bm25_search",
+    "snapshot_diff",
+    "profile_events",
     "lang_id",
     "doc_quality",
     "doc_fingerprint",

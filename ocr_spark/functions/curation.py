@@ -831,6 +831,76 @@ def ngram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def profile_columns(
+    df: DataFrame, specs: list[tuple[str, "Column | None"]]
+) -> DataFrame:
+    """Data-profiling report — per column: row count, null count, EXACT
+    distinct count, and numeric min/max (NULL for non-numeric columns).
+    ``specs`` is [(column_name, numeric_expr_or_None)]; pass an expression
+    (e.g. unix_micros(ts)) to profile a non-double column numerically.
+
+    Returns (col, n, n_nulls, n_distinct, min_num, max_num).
+
+    Scale shape: ONE aggregation pass over the scan computes every
+    column's stats (count/sum/min/max all map-side combinable); the exact
+    multi-column distinct is the one expensive piece — Spark expands the
+    input once per distinct column — and is the knob to swap for
+    approx_count_distinct at 100 TB, where exactness of a profile report
+    rarely pays for its shuffle. The single result row explodes into the
+    per-column report driver-side for free."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, num in specs:
+        c = F.col(name)
+        aggs.append(F.sum(c.isNull().cast("bigint")).alias(f"{name}__nulls"))
+        aggs.append(F.countDistinct(c).alias(f"{name}__distinct"))
+        mn = F.min(num) if num is not None else F.lit(None)
+        mx = F.max(num) if num is not None else F.lit(None)
+        aggs.append(mn.cast("double").alias(f"{name}__min"))
+        aggs.append(mx.cast("double").alias(f"{name}__max"))
+    row = df.agg(*aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(name).alias("col"),
+            F.col(f"{name}__nulls").alias("n_nulls"),
+            F.col(f"{name}__distinct").alias("n_distinct"),
+            F.col(f"{name}__min").alias("min_num"),
+            F.col(f"{name}__max").alias("max_num"),
+        )
+        for name, _ in specs
+    ])
+    return row.select(
+        F.col("_n").alias("n"), F.explode(entries).alias("e")
+    ).select(
+        "e.col", "n", "e.n_nulls", "e.n_distinct", "e.min_num", "e.max_num")
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Crawl snapshot diff: classify every document id across two corpus
+    snapshots as added / removed / changed / unchanged by content hash —
+    the delta report an incremental recrawl pipeline commits alongside the
+    data, and the input to "process only what changed" scheduling.
+
+    Returns (doc, status); content equality is sha256 over the raw text.
+
+    Scale shape: each side reduces to (id, hash) in its scan projection
+    (the text never reaches the join), then one full outer join keyed on
+    the id — hash values ship as fixed 64-char strings. No other shuffle."""
+    o = old.select(
+        F.col(id_col).alias("doc"), F.sha2(F.col(text_col), 256).alias("oh"))
+    n = new.select(
+        F.col(id_col).alias("doc"), F.sha2(F.col(text_col), 256).alias("nh"))
+    j = o.join(n, "doc", "full_outer")
+    status = (
+        F.when(F.col("oh").isNull(), "added")
+        .when(F.col("nh").isNull(), "removed")
+        .when(F.col("oh") == F.col("nh"), "unchanged")
+        .otherwise("changed")
+    )
+    return j.select("doc", status.alias("status"))
+
+
 def build_postings(
     df: DataFrame, id_col: str, text_col: str, max_postings: int = 16
 ) -> DataFrame:

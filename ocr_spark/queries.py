@@ -1980,6 +1980,96 @@ def q_event_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "profile_events",
+    """
+    SELECT 'event_id' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(event_id) AS DOUBLE) AS min_num,
+           CAST(MAX(event_id) AS DOUBLE) AS max_num
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT user_id) AS BIGINT),
+           CAST(MIN(user_id) AS DOUBLE), CAST(MAX(user_id) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT event_type) AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT value) AS BIGINT),
+           CAST(MIN(value) AS DOUBLE), CAST(MAX(value) AS DOUBLE)
+    FROM events
+    UNION ALL
+    SELECT 'ts', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT ts) AS BIGINT),
+           CAST(MIN(epoch_us(ts)) AS DOUBLE), CAST(MAX(epoch_us(ts)) AS DOUBLE)
+    FROM events
+    """,
+)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling report over the events table: row/null/exact
+    distinct counts plus numeric min/max per column, in one aggregation
+    pass over the scan."""
+    from ocr_spark.functions.curation import profile_columns
+
+    e = _t(spark, sf_dir, "events")
+    return profile_columns(e, [
+        ("event_id", F.col("event_id")),
+        ("user_id", F.col("user_id")),
+        ("event_type", None),
+        ("value", F.col("value")),
+        ("ts", F.unix_micros(F.col("ts").cast("timestamp"))),
+    ])
+
+
+@query(
+    "snapshot_diff",
+    """
+    WITH newt AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+      FROM documents WHERE doc_id % 13 != 0
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0),
+    j AS (SELECT COALESCE(o.doc_id, n.doc_id) AS doc, o.text AS ot, n.text AS nt
+          FROM documents o FULL OUTER JOIN newt n ON o.doc_id = n.doc_id)
+    SELECT doc,
+           CASE WHEN ot IS NULL THEN 'added'
+                WHEN nt IS NULL THEN 'removed'
+                WHEN ot = nt THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM j
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl snapshot diff against a deterministically perturbed recrawl
+    (every 7th doc edited, every 13th dropped, every 17th re-added under a
+    new id): added / removed / changed / unchanged per doc id, joined on
+    fixed-width content hashes so text never crosses the shuffle."""
+    from ocr_spark.functions.curation import snapshot_diff
+
+    old = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    new = old.filter(k % 13 != 0).select(
+        "doc_id",
+        F.when(k % 7 == 0, F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        old.filter(k % 17 == 0).select(
+            (k + 500000).alias("doc_id"), "text")
+    )
+    return snapshot_diff(old, new, "doc_id", "text")
+
+
+@query(
     "event_funnel",
     """
     WITH e AS (

@@ -559,3 +559,35 @@ def test_bm25_ranking_semantics(spark):
     assert abs(out[2]["score"] - want) < 1e-9
     # ranks dense from 1 over the retrieved docs
     assert sorted(r["rank"] for r in out.values()) == [1, 2, 3]
+
+
+def test_snapshot_diff_statuses(spark):
+    from ocr_spark.functions.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        ["doc_id", "text"])
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        ["doc_id", "text"])
+    out = {r["doc"]: r["status"]
+           for r in snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert out == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_profile_columns(spark):
+    from pyspark.sql import functions as F
+    from ocr_spark.functions.curation import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "a", None), (3, None, -2.0), (4, "b", 1.5)],
+        ["id", "s", "v"])
+    out = {r["col"]: r.asDict() for r in profile_columns(df, [
+        ("id", F.col("id")), ("s", None), ("v", F.col("v"))]).collect()}
+    assert all(r["n"] == 4 for r in out.values())
+    assert out["id"]["n_nulls"] == 0 and out["id"]["n_distinct"] == 4
+    assert out["id"]["min_num"] == 1.0 and out["id"]["max_num"] == 4.0
+    assert out["s"]["n_nulls"] == 1 and out["s"]["n_distinct"] == 2
+    assert out["s"]["min_num"] is None and out["s"]["max_num"] is None
+    assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 2
+    assert out["v"]["min_num"] == -2.0 and out["v"]["max_num"] == 1.5
