@@ -39,6 +39,10 @@ HEADLINE = [
     "event_range_pairs",
     "event_funnel",
     "topk_users_by_events",
+    "user_event_pivot",
+    "revenue_window_ranks",
+    "priority_segment_setops",
+    "docs_rollup",
     "exact_dedup",
     "minhash_band_signatures",
     "lsh_candidate_pairs",

@@ -625,6 +625,141 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         k=20, w=4, max_df=10, min_shared=2)
 
 
+@query(
+    "docs_rollup",
+    """
+    SELECT lang, source,
+           CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY ROLLUP (lang, source)
+    """,
+)
+def q_docs_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup report (lang x source -> lang -> grand total) —
+    the GROUPING SETS family in one operator: Spark's rollup() compiles to
+    a single Expand + hash agg (one pass, map-side partials), and
+    grouping_id disambiguates rollup NULLs from data NULLs."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .rollup("lang", "source")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .select("lang", "source", "gid", "n_docs", "sum_chars")
+    )
+
+
+_EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+@query(
+    "user_event_pivot",
+    """
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def q_user_event_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event-type count matrix. The explicit pivot value
+    list keeps it a single-pass hash agg (no value-discovery job); absent
+    cells coalesce to 0."""
+    out = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+          for t in _EVENT_TYPES],
+    )
+
+
+@query(
+    "revenue_window_ranks",
+    """
+    WITH rev AS (
+      SELECT c.c_custkey AS custkey, n.n_regionkey AS region,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY c.c_custkey, n.n_regionkey)
+    SELECT custkey, region, rev_cents,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM rev
+    WINDOW w AS (PARTITION BY region ORDER BY rev_cents DESC, custkey)
+    """,
+)
+def q_revenue_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window family beyond row_number: percent_rank, cume_dist,
+    and ntile quartiles of per-customer revenue within a region, over
+    integer-exact cents with a fully deterministic order."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(
+            c["c_custkey"].alias("custkey"),
+            n["n_regionkey"].alias("region"),
+        )
+        .agg(F.sum(_cents("o_totalprice")).alias("rev_cents"))
+    )
+    w = Window.partitionBy("region").orderBy(
+        F.desc("rev_cents"), F.asc("custkey"))
+    return rev.select(
+        "custkey", "region", "rev_cents",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@query(
+    "priority_segment_setops",
+    """
+    WITH urgent AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT'),
+    low AS (SELECT DISTINCT o_custkey FROM orders
+            WHERE o_orderpriority = '5-LOW')
+    SELECT o_custkey AS custkey, 'both' AS segment
+    FROM (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM low)
+    UNION ALL
+    SELECT o_custkey, 'urgent_only'
+    FROM (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM low)
+    """,
+)
+def q_priority_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation family: INTERSECT and EXCEPT over customer segments
+    (urgent-order vs low-priority-order customers), both compiling to
+    semi/anti hash joins on the distinct key — never a sort."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT") \
+        .select("o_custkey").distinct()
+    low = o.filter(F.col("o_orderpriority") == "5-LOW") \
+        .select("o_custkey").distinct()
+    both = urgent.intersect(low).select(
+        F.col("o_custkey").alias("custkey"), F.lit("both").alias("segment"))
+    only = urgent.subtract(low).select(
+        F.col("o_custkey").alias("custkey"),
+        F.lit("urgent_only").alias("segment"))
+    return both.unionByName(only)
+
+
 # ===========================================================================
 # Similarity search over `embeddings` (brute-force cosine top-k + sign-LSH
 # bucketing as the 100 TB path).
