@@ -74,6 +74,7 @@ HEADLINE = [
     "bm25_search",
     "snapshot_diff",
     "profile_events",
+    "host_pagerank",
     "lang_id",
     "doc_quality",
     "doc_fingerprint",

@@ -625,6 +625,59 @@ def q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                         k=20, w=4, max_df=10, min_shared=2)
 
 
+def _pagerank_oracle(n_iters: int = 3) -> str:
+    iters = ""
+    for i in range(1, n_iters + 1):
+        iters += f""",
+    r{i} AS (
+      SELECT nd.node,
+             CAST((15000000000 // (100 * t.n)) + COALESCE(c.c, 0) AS BIGINT) AS rank
+      FROM nodes nd CROSS JOIN tot t
+      LEFT JOIN (
+        SELECT e.dst AS node, CAST(SUM((p.rank * 85) // (100 * od.od)) AS BIGINT) AS c
+        FROM r{i - 1} p JOIN e ON e.src = p.node JOIN od ON od.src = e.src
+        GROUP BY e.dst) c ON c.node = nd.node)"""
+    return f"""
+    WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+    raw AS (SELECT node, unnest(generate_series(1, 1 + node % 3)) AS j
+            FROM nodes),
+    e AS (SELECT DISTINCT node AS src, (node * 13 + j * 29) % 100 AS dst
+          FROM raw WHERE (node * 13 + j * 29) % 100 != node),
+    tot AS (SELECT COUNT(*) AS n FROM nodes),
+    od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000000 // t.n AS BIGINT) AS rank
+           FROM nodes CROSS JOIN tot t){iters}
+    SELECT node, rank FROM r{n_iters}
+    """
+
+
+@query("host_pagerank", _pagerank_oracle())
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-point PageRank (3 iterations, damping 0.85)
+    over a synthesized 100-host link graph with varying out-degrees —
+    the iterative graph algorithm next to connected_components, with the
+    DuckDB twin unrolling the same integer iterations."""
+    from ocr_spark.functions.graph import pagerank
+
+    nodes = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 100).alias("node")).distinct()
+    raw = nodes.select(
+        "node",
+        F.explode(
+            F.sequence(F.lit(1), F.lit(1) + (F.col("node") % 3).cast("int"))
+        ).alias("j"),
+    )
+    edges = (
+        raw.select(
+            F.col("node").alias("src"),
+            ((F.col("node") * 13 + F.col("j") * 29) % 100).alias("dst"),
+        )
+        .filter(F.col("dst") != F.col("src"))
+        .distinct()
+    )
+    return pagerank(edges, n_iters=3)
+
+
 @query(
     "docs_rollup",
     """

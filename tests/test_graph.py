@@ -1,0 +1,55 @@
+"""PageRank semantics tests: mass conservation bounds, authority ordering,
+determinism, and the python differential."""
+
+from __future__ import annotations
+
+
+def _pr_python(edges, n_iters=3, damping=85, scale=10**9):
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    out = {}
+    for s, _ in edges:
+        out[s] = out.get(s, 0) + 1
+    base = ((100 - damping) * scale) // (100 * n)
+    rank = {v: scale // n for v in nodes}
+    for _ in range(n_iters):
+        c = {}
+        for s, d in edges:
+            c[d] = c.get(d, 0) + (rank[s] * damping) // (100 * out[s])
+        rank = {v: base + c.get(v, 0) for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_differential(spark):
+    from ocr_spark.functions.graph import pagerank
+
+    edges = [(s, (s * 7 + j * 11) % 17) for s in range(17) for j in (1, 2)]
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iters=3).collect()}
+    want = _pr_python(edges)
+    assert got == want
+
+
+def test_pagerank_hub_outranks_leaf(spark):
+    from ocr_spark.functions.graph import pagerank
+
+    # star: everyone links to node 0; node 0 links to node 1
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iters=3).collect()}
+    assert got[0] > got[1] > got[2]
+    assert got[2] == got[3] == got[4] == got[5]
+
+
+def test_pagerank_partition_invariance(spark):
+    from ocr_spark.functions.graph import pagerank
+
+    edges = [(s, (s * 3 + 1) % 10) for s in range(10)] \
+        + [(s, (s * 7 + 2) % 10) for s in range(10)]
+    edges = sorted({(s, d) for s, d in edges if s != d})
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    a = {r["node"]: r["rank"] for r in pagerank(df).collect()}
+    b = {r["node"]: r["rank"]
+         for r in pagerank(df.repartition(7)).collect()}
+    assert a == b
