@@ -75,6 +75,7 @@ HEADLINE = [
     "snapshot_diff",
     "profile_events",
     "host_pagerank",
+    "hll_distinct_events",
     "lang_id",
     "doc_quality",
     "doc_fingerprint",

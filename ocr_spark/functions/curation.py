@@ -831,6 +831,58 @@ def ngram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def hll_distinct(df: DataFrame, col: str, b: int = 8) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count sketch: md5-derived 32-bit
+    hash, first ``b`` bits pick the register, the remaining field's
+    leading-zero count (+1) is the rank, registers merge by MAX — the
+    mergeable cardinality sketch every >1-pass distinct at 100 TB uses,
+    built fully engine-portable (md5 registers, integer rank via binary
+    string length — no float log, no platform RNG). Returns one row:
+    (m, sum_scaled, est_distinct, exact_distinct).
+
+    sum_scaled = SUM over registers of 2^(32 - M_j) — an exact BIGINT
+    (2^32 * the harmonic denominator), so the only float op is the final
+    estimate division. exact_distinct is computed alongside for the error
+    report; at production scale it is the column you drop.
+
+    Scale shape: one (register)-keyed MAX agg — 2^b groups, map-side
+    partials reduce every partition to <= 2^b rows, which IS the HLL merge
+    property; the register frame joins against a literal 2^b-row range so
+    empty registers contribute their 2^32 term."""
+    m = 1 << b
+    shift = 32 - b
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    parts = df.select(h.alias("h")).select(
+        F.expr(f"h div {1 << shift}").alias("j"),
+        (F.col("h") % (1 << shift)).alias("rest"),
+    )
+    rho = (
+        F.when(F.col("rest") == 0, F.lit(shift + 1))
+        .otherwise(F.lit(shift + 1) - F.length(F.bin("rest")))
+    )
+    regs = parts.select("j", rho.alias("rho")).groupBy("j").agg(
+        F.max("rho").alias("mj"))
+    frame = df.sparkSession.range(m).select(F.col("id").alias("j"))
+    full = frame.join(regs, "j", "left").select(
+        F.coalesce("mj", F.lit(0)).alias("mj"))
+    s = full.agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 32 - mj)"))
+        .cast("bigint").alias("sum_scaled"))
+    exact = df.agg(F.countDistinct(F.col(col)).alias("exact_distinct"))
+    amm = alpha * m * m
+    return s.crossJoin(exact).select(
+        F.lit(m).cast("bigint").alias("m"),
+        "sum_scaled",
+        F.round(
+            F.lit(amm) / (F.col("sum_scaled").cast("double")
+                          / F.lit(float(1 << 32))), 2).alias("est_distinct"),
+        F.col("exact_distinct").cast("bigint"),
+    )
+
+
 def profile_columns(
     df: DataFrame, specs: list[tuple[str, "Column | None"]]
 ) -> DataFrame:

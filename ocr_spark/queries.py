@@ -2167,6 +2167,44 @@ def q_event_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id", max_gap_us=120_000_000)
 
 
+_HLL_ALPHA_MM = repr(0.7213 / (1 + 1.079 / 256) * 256 * 256)
+
+
+@query(
+    "hll_distinct_events",
+    f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events),
+    p AS (SELECT h // 16777216 AS j, h % 16777216 AS rest FROM h),
+    r AS (SELECT j, CASE WHEN rest = 0 THEN 25
+                         ELSE 25 - length(bin(rest)) END AS rho
+          FROM p),
+    regs AS (SELECT j, MAX(rho) AS mj FROM r GROUP BY j),
+    frame AS (SELECT unnest(generate_series(0, 255)) AS j),
+    filled AS (SELECT COALESCE(regs.mj, 0) AS mj
+             FROM frame LEFT JOIN regs USING (j)),
+    s AS (SELECT CAST(SUM(CAST(1 AS BIGINT) << (32 - mj)) AS BIGINT) AS sum_scaled
+          FROM filled),
+    e AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_distinct
+          FROM events)
+    SELECT CAST(256 AS BIGINT) AS m, sum_scaled,
+           ROUND(CAST({_HLL_ALPHA_MM} AS DOUBLE)
+                 / (CAST(sum_scaled AS DOUBLE) / CAST(4294967296 AS DOUBLE)),
+                 2) AS est_distinct,
+           exact_distinct
+    FROM s CROSS JOIN e
+    """,
+)
+def q_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct sketch over event ids (256 md5-derived
+    registers, integer-exact harmonic denominator), reported next to the
+    exact distinct — the mergeable cardinality sketch at its error budget."""
+    from ocr_spark.functions.curation import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "events"), "event_id", b=8)
+
+
 @query(
     "profile_events",
     """

@@ -591,3 +591,23 @@ def test_profile_columns(spark):
     assert out["s"]["min_num"] is None and out["s"]["max_num"] is None
     assert out["v"]["n_nulls"] == 1 and out["v"]["n_distinct"] == 2
     assert out["v"]["min_num"] == -2.0 and out["v"]["max_num"] == 1.5
+
+
+def test_hll_distinct_accuracy_and_merge_property(spark):
+    from ocr_spark.functions.curation import hll_distinct
+
+    df = spark.createDataFrame(
+        [(i % 5000,) for i in range(20000)], ["v"])  # 5000 distinct, 4x dup
+    (row,) = hll_distinct(df, "v", b=8).collect()
+    assert row["exact_distinct"] == 5000
+    # HLL standard error at m=256 is ~6.5%; allow 3 sigma
+    assert abs(row["est_distinct"] / 5000 - 1) < 0.2
+    # duplication-invariance (the merge/max property): same registers
+    (row2,) = hll_distinct(
+        spark.createDataFrame([(i,) for i in range(5000)], ["v"]),
+        "v", b=8).collect()
+    assert row2["sum_scaled"] == row["sum_scaled"]
+    assert row2["est_distinct"] == row["est_distinct"]
+    # partition invariance
+    (row3,) = hll_distinct(df.repartition(13), "v", b=8).collect()
+    assert row3["sum_scaled"] == row["sum_scaled"]
