@@ -76,6 +76,7 @@ HEADLINE = [
     "profile_events",
     "host_pagerank",
     "hll_distinct_events",
+    "json_props_stats",
     "lang_id",
     "doc_quality",
     "doc_fingerprint",

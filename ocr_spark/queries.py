@@ -2167,6 +2167,41 @@ def q_event_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id", max_gap_us=120_000_000)
 
 
+@query(
+    "json_props_stats",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+    FROM (SELECT event_type,
+                 CAST(json_extract(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def q_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column processing: parse the JSON props payload,
+    extract the numeric field, and aggregate per event type — JSON-path
+    extraction runs inside the scan projection (codegen'd), so the
+    aggregation sees plain integers and nothing re-parses downstream."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return (
+        _t(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.col("k").isNull().cast("bigint")).alias("n_bad"),
+        )
+    )
+
+
 _HLL_ALPHA_MM = repr(0.7213 / (1 + 1.079 / 256) * 256 * 256)
 
 
