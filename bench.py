@@ -77,6 +77,7 @@ HEADLINE = [
     "host_pagerank",
     "hll_distinct_events",
     "json_props_stats",
+    "zorder_keys",
     "lang_id",
     "doc_quality",
     "doc_fingerprint",

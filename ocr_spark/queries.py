@@ -3100,6 +3100,39 @@ def _boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_expr(xcol: str, ycol: str, bits: int, div_op: str) -> str:
+    """Morton/z-order bit interleave as pure integer arithmetic — the same
+    generated expression runs in Spark (div) and DuckDB (//), so the layout
+    key is engine-exact. bit i of x lands at position 2i, of y at 2i+1."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({xcol} {div_op} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({ycol} {div_op} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+@query(
+    "zorder_keys",
+    f"""
+    WITH b AS ({{boxes}})
+    SELECT box_id, x, y,
+           CAST({_zorder_expr("x", "y", 9, "//")} AS BIGINT) AS zval
+    FROM b
+    """.replace("{boxes}", _BOX_SQL),
+)
+def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over 2-D box coordinates — the
+    multi-dimensional clustering key a lakehouse table layout sorts by so
+    range predicates on EITHER dimension prune files. Pure integer
+    bit-interleave arithmetic in the scan projection; writing the table
+    as repartitionByRange(zval) + sortWithinPartitions(zval) is the
+    layout step this key feeds."""
+    return _boxes(spark, sf_dir).select(
+        "box_id", "x", "y",
+        F.expr(_zorder_expr("x", "y", 9, "div")).cast("bigint").alias("zval"),
+    )
+
+
 @query(
     "word_region_containment",
     f"""

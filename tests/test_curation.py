@@ -611,3 +611,25 @@ def test_hll_distinct_accuracy_and_merge_property(spark):
     # partition invariance
     (row3,) = hll_distinct(df.repartition(13), "v", b=8).collect()
     assert row3["sum_scaled"] == row["sum_scaled"]
+
+
+def test_zorder_locality(spark):
+    """Morton keys: known interleavings and quadrant locality."""
+    from ocr_spark.queries import _zorder_expr
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], ["x", "y"])
+    out = {(r["x"], r["y"]): r["z"] for r in df.select(
+        "x", "y",
+        F.expr(_zorder_expr("x", "y", 3, "div")).alias("z")).collect()}
+    # hand-checked Morton values
+    assert out[(0, 0)] == 0 and out[(1, 0)] == 1 and out[(0, 1)] == 2
+    assert out[(1, 1)] == 3 and out[(2, 0)] == 4 and out[(0, 2)] == 8
+    assert out[(7, 7)] == 63
+    # bijective over the 8x8 grid
+    assert sorted(out.values()) == list(range(64))
+    # quadrant locality: all (x<4, y<4) keys precede every (x>=4, y>=4) key
+    q00 = [z for (x, y), z in out.items() if x < 4 and y < 4]
+    q11 = [z for (x, y), z in out.items() if x >= 4 and y >= 4]
+    assert max(q00) < min(q11)
