@@ -82,6 +82,7 @@ HEADLINE = [
     "doc_quality",
     "doc_fingerprint",
     "ngram_lm_score",
+    "unigram_kl",
     "repetition_stats",
     "corpus_dup_ngrams",
     "line_dedup",

@@ -1056,3 +1056,55 @@ def bm25_topk(
     rank = F.row_number().over(
         Window.orderBy(F.desc("score"), F.asc("doc"))).cast("bigint")
     return top.select("doc", "score", rank.alias("rank"))
+
+
+def unigram_kl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document KL divergence D(doc || corpus) over unigram
+    distributions — the domain-shift / outlier signal that flags documents
+    whose word usage diverges from the corpus (spam, wrong-language
+    slips, machine gibberish) without any trained model.
+
+    KL = sum_w p_doc(w) * ln(p_doc(w) / p_corpus(w)); since
+    p_doc/p_corpus = (tf * T) / (dl * cf) is a ratio of exact integers,
+    each distinct word contributes tf * round(ln((tf*T)/(dl*cf)) * 1e6)
+    exact micro-nats, the per-doc SUM is integer (order-free), and the
+    final value divides by dl once: round(sum / dl / 1e6, 6). Returns
+    (doc, n_tokens, kl_micro, kl).
+
+    Scale shape: identical to the bigram LM scorer — corpus frequencies
+    are one word-keyed hash agg, the scoring join is keyed on the word
+    (hot stopwords spread across reducers, AQE-splittable), and the
+    per-doc reduction is one doc-keyed integer SUM."""
+    base = _doc_words(df, id_col, text_col)
+    flat = base.select("doc", F.explode("words").alias("w"))
+    tf = flat.groupBy("doc", "w").agg(F.count(F.lit(1)).alias("tf"))
+    cf = flat.groupBy("w").agg(F.count(F.lit(1)).alias("cf"))
+    tot = flat.agg(F.count(F.lit(1)).alias("t"))
+    dl = base.select("doc", F.size("words").cast("bigint").alias("dl"))
+    term = (F.col("tf") * F.round(
+        F.log(
+            (F.col("tf") * F.col("t")).cast("double")
+            / (F.col("dl") * F.col("cf"))
+        ) * 1000000
+    ).cast("bigint"))
+    per_doc = (
+        tf.join(cf, "w")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc")
+        .agg(F.sum(term).alias("kl_micro"))
+    )
+    return (
+        dl.join(per_doc, "doc", "left")
+        .select(
+            "doc",
+            F.col("dl").alias("n_tokens"),
+            F.coalesce("kl_micro", F.lit(0)).cast("bigint").alias("kl_micro"),
+            F.when(
+                F.col("dl") > 0,
+                F.round(
+                    F.col("kl_micro").cast("double") / F.col("dl") / 1000000.0,
+                    6),
+            ).alias("kl"),
+        )
+    )

@@ -2168,6 +2168,39 @@ def q_event_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "unigram_kl",
+    f"""
+    WITH {_WORDS_CTE},
+    flat AS (SELECT doc, unnest(words) AS w FROM base),
+    tf AS (SELECT doc, w, COUNT(*) AS tf FROM flat GROUP BY doc, w),
+    cf AS (SELECT w, COUNT(*) AS cf FROM flat GROUP BY w),
+    tot AS (SELECT COUNT(*) AS t FROM flat),
+    dl AS (SELECT doc, CAST(len(words) AS BIGINT) AS dl FROM base),
+    per AS (
+      SELECT tf.doc,
+             CAST(SUM(tf.tf * CAST(round(
+               ln(CAST(tf.tf * t.t AS DOUBLE) / (dl.dl * cf.cf)) * 1000000)
+               AS BIGINT)) AS BIGINT) AS kl_micro
+      FROM tf JOIN cf USING (w) JOIN dl ON dl.doc = tf.doc CROSS JOIN tot t
+      GROUP BY tf.doc)
+    SELECT d.doc, d.dl AS n_tokens,
+           CAST(COALESCE(p.kl_micro, 0) AS BIGINT) AS kl_micro,
+           CASE WHEN d.dl > 0
+                THEN ROUND(CAST(p.kl_micro AS DOUBLE) / d.dl
+                           / CAST(1000000 AS DOUBLE), 6) END AS kl
+    FROM dl d LEFT JOIN per p USING (doc)
+    """,
+)
+def q_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document KL divergence from the corpus unigram distribution —
+    the model-free domain-shift / outlier signal, in exact integer
+    micro-nats (order-free per-doc sums)."""
+    from ocr_spark.functions.curation import unigram_kl
+
+    return unigram_kl(_cpu(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
     "json_props_stats",
     """
     SELECT event_type,

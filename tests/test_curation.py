@@ -633,3 +633,25 @@ def test_zorder_locality(spark):
     q00 = [z for (x, y), z in out.items() if x < 4 and y < 4]
     q11 = [z for (x, y), z in out.items() if x >= 4 and y >= 4]
     assert max(q00) < min(q11)
+
+
+def test_unigram_kl_orders_outliers(spark):
+    import math
+    from ocr_spark.functions.curation import unigram_kl
+
+    # 9 docs share a vocabulary; 1 doc uses disjoint rare words -> max KL
+    rows = [(i, "alpha beta gamma delta") for i in range(9)]
+    rows.append((9, "zeta eta theta iota"))
+    rows.append((10, ""))  # empty -> kl NULL, zero tokens
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc"]: r.asDict()
+           for r in unigram_kl(df, "doc_id", "text").collect()}
+    assert out[10]["n_tokens"] == 0 and out[10]["kl"] is None
+    # common docs all share one KL value; outlier strictly higher
+    common = {out[i]["kl"] for i in range(9)}
+    assert len(common) == 1
+    assert out[9]["kl"] > next(iter(common))
+    # hand-check the outlier: each word tf=1, dl=4, cf=1, T=40
+    # kl = 4 * (1/4) * ln((1*40)/(4*1)) = ln(10)
+    want = round(round(math.log(40 / 4) * 1e6) * 4 / 4 / 1e6, 6)
+    assert abs(out[9]["kl"] - want) < 1e-9
