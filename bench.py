@@ -78,6 +78,7 @@ HEADLINE = [
     "hll_distinct_events",
     "json_props_stats",
     "zorder_keys",
+    "fk_violations",
     "lang_id",
     "doc_quality",
     "doc_fingerprint",

@@ -831,6 +831,36 @@ def ngram_lm_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def fk_violations(
+    child: DataFrame, fk: str, parent: DataFrame, pk: str, name: str
+) -> DataFrame:
+    """Referential-integrity check: one report row per relationship —
+    (relationship, n_rows, n_orphans, n_orphan_keys) where an orphan is a
+    child row whose foreign key has no parent (NULL fks are orphans too:
+    a fact row that cannot join its dimension is broken regardless of
+    why). The data-quality gate a warehouse load runs before publishing.
+
+    Scale shape: one left join keyed on the fk (Catalyst broadcasts small
+    dimensions automatically; big parents degrade to a shuffle join on
+    the key) feeding a single global aggregate — count/distinct of the
+    orphan subset only."""
+    orphan = (
+        child.select(F.col(fk).alias("fk"))
+        .join(parent.select(F.col(pk).alias("fk")).distinct(), "fk", "left_anti")
+    )
+    stats = orphan.agg(
+        F.count(F.lit(1)).alias("n_orphans"),
+        F.countDistinct("fk").alias("n_orphan_keys"),
+    )
+    total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+    return total.crossJoin(stats).select(
+        F.lit(name).alias("relationship"),
+        F.col("n_rows").cast("bigint"),
+        F.col("n_orphans").cast("bigint"),
+        F.col("n_orphan_keys").cast("bigint"),
+    )
+
+
 def hll_distinct(df: DataFrame, col: str, b: int = 8) -> DataFrame:
     """Deterministic HyperLogLog distinct-count sketch: md5-derived 32-bit
     hash, first ``b`` bits pick the register, the remaining field's

@@ -2167,6 +2167,71 @@ def q_event_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id", max_gap_us=120_000_000)
 
 
+_FK_REL_SQL = """
+    SELECT '{name}' AS relationship,
+           CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans,
+           CAST(COUNT(DISTINCT c.{fk}) AS BIGINT) AS n_orphan_keys
+    FROM {child} c
+    LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p ON c.{fk} = p.{pk}
+    WHERE p.{pk} IS NULL
+"""
+
+_FK_CORRUPT_SQL = """
+    (SELECT o_orderkey,
+            CASE WHEN o_orderkey % 97 = 0 THEN o_custkey + 1000000
+                 ELSE o_custkey END AS o_custkey
+     FROM orders)
+"""
+
+
+@query(
+    "fk_violations",
+    " UNION ALL ".join([
+        _FK_REL_SQL.format(name="orders->customer", child="orders",
+                           fk="o_custkey", parent="customer", pk="c_custkey"),
+        _FK_REL_SQL.format(name="lineitem->orders", child="lineitem",
+                           fk="l_orderkey", parent="orders", pk="o_orderkey"),
+        _FK_REL_SQL.format(name="customer->nation", child="customer",
+                           fk="c_nationkey", parent="nation", pk="n_nationkey"),
+        _FK_REL_SQL.format(name="nation->region", child="nation",
+                           fk="n_regionkey", parent="region", pk="r_regionkey"),
+        _FK_REL_SQL.format(name="corrupted->customer",
+                           child=_FK_CORRUPT_SQL, fk="o_custkey",
+                           parent="customer", pk="c_custkey"),
+    ]),
+)
+def q_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity validation suite across the star schema's
+    foreign keys, plus one deliberately corrupted relationship (every
+    97th order's custkey shifted out of range) proving the check fires.
+    Each relationship is one fk-keyed anti-join feeding a global agg."""
+    from ocr_spark.functions.curation import fk_violations
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    corrupted = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 97 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey")).alias("o_custkey"),
+    )
+    reports = [
+        fk_violations(o, "o_custkey", c, "c_custkey", "orders->customer"),
+        fk_violations(li, "l_orderkey", o, "o_orderkey", "lineitem->orders"),
+        fk_violations(c, "c_nationkey", n, "n_nationkey", "customer->nation"),
+        fk_violations(n, "n_regionkey", r, "r_regionkey", "nation->region"),
+        fk_violations(corrupted, "o_custkey", c, "c_custkey",
+                      "corrupted->customer"),
+    ]
+    out = reports[0]
+    for rep in reports[1:]:
+        out = out.unionByName(rep)
+    return out
+
+
 @query(
     "unigram_kl",
     f"""

@@ -655,3 +655,23 @@ def test_unigram_kl_orders_outliers(spark):
     # kl = 4 * (1/4) * ln((1*40)/(4*1)) = ln(10)
     want = round(round(math.log(40 / 4) * 1e6) * 4 / 4 / 1e6, 6)
     assert abs(out[9]["kl"] - want) < 1e-9
+
+
+def test_fk_violations_counts(spark):
+    from ocr_spark.functions.curation import fk_violations
+
+    parent = spark.createDataFrame([(1,), (2,), (3,)], ["pk"])
+    child = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 9), (4, 9), (5, 7), (6, None)],
+        ["id", "fk"])
+    (row,) = fk_violations(child, "fk", parent, "pk", "c->p").collect()
+    assert row["relationship"] == "c->p"
+    assert row["n_rows"] == 6
+    # orphans: two 9s, one 7, one NULL fk
+    assert row["n_orphans"] == 4
+    # distinct orphan keys ignore NULL: {9, 7}
+    assert row["n_orphan_keys"] == 2
+    # clean relationship reports zeros
+    clean = spark.createDataFrame([(1, 2)], ["id", "fk"])
+    (r2,) = fk_violations(clean, "fk", parent, "pk", "ok").collect()
+    assert r2["n_orphans"] == 0 and r2["n_orphan_keys"] == 0
