@@ -38,6 +38,7 @@ HEADLINE = [
     "asof_view_click",
     "event_range_pairs",
     "event_funnel",
+    "event_rate_anomalies",
     "topk_users_by_events",
     "user_event_pivot",
     "revenue_window_ranks",

@@ -2167,6 +2167,66 @@ def q_event_range_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="event_id", max_gap_us=120_000_000)
 
 
+@query(
+    "event_rate_anomalies",
+    """
+    WITH hourly AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    stats AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(n) AS BIGINT) AS s,
+             CAST(SUM(n * n) AS BIGINT) AS sq
+      FROM hourly GROUP BY event_type),
+    z AS (
+      SELECT h.event_type, h.hour_start, h.n,
+             sqrt((CAST(sq AS DOUBLE) / n_hours)
+                  - (CAST(s AS DOUBLE) / n_hours) * (CAST(s AS DOUBLE) / n_hours)) AS sd,
+             CAST(h.n AS DOUBLE) - (CAST(s AS DOUBLE) / n_hours) AS dev
+      FROM hourly h JOIN stats USING (event_type))
+    SELECT event_type, hour_start, n,
+           CASE WHEN sd > 0 THEN ROUND(dev / sd, 6) END AS z,
+           CAST(CASE WHEN sd > 0 AND abs(dev / sd) > 3.0 THEN 1 ELSE 0 END AS INT)
+             AS is_anomaly
+    FROM z
+    """,
+)
+def q_event_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection: per-type hourly counts z-scored
+    against that type's own hourly distribution (population std from
+    exact integer sum / sum-of-squares, one fixed-order float pass),
+    |z| > 3 flagged — the traffic-spike / outage detector over the
+    event stream."""
+    hourly = (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"
+            ).alias("hour_start"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("s"),
+        F.sum(F.col("n") * F.col("n")).alias("sq"),
+    )
+    j = hourly.join(F.broadcast(stats), "event_type")
+    mean = F.col("s").cast("double") / F.col("n_hours")
+    sd = F.sqrt(
+        (F.col("sq").cast("double") / F.col("n_hours")) - mean * mean)
+    dev = F.col("n").cast("double") - mean
+    return j.select(
+        "event_type", "hour_start", "n",
+        F.when(sd > 0, F.round(dev / sd, 6)).alias("z"),
+        ((sd > 0) & (F.abs(dev / sd) > 3.0)).cast("int").alias("is_anomaly"),
+    )
+
+
 _FK_REL_SQL = """
     SELECT '{name}' AS relationship,
            CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_rows,

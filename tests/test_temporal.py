@@ -134,3 +134,33 @@ def test_funnel_rejects_single_step(spark):
                                ["user_id", "ts", "event_type"])
     with _pytest.raises(ValueError):
         funnel(df, "user_id", "ts", "event_type", steps=("view",))
+
+
+def test_event_rate_anomalies_flags_spike(spark):
+    """A constructed stream: steady 10 events/hour with one 100-event
+    spike hour -> only the spike is flagged."""
+    from datetime import datetime, timedelta
+    from ocr_spark.queries import QUERIES
+    import os
+    import pyspark.sql.functions as F
+
+    base = datetime(2024, 3, 1)
+    rows = []
+    eid = 0
+    for h in range(24):
+        n = 100 if h == 12 else 10
+        for i in range(n):
+            rows.append((eid, base + timedelta(hours=h, seconds=i), 1, "view"))
+            eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "event_type"])
+    # drive the same logic as the query via a temp parquet dir
+    import tempfile
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = QUERIES["event_rate_anomalies"](spark, d).collect()
+    flagged = [r for r in out if r["is_anomaly"] == 1]
+    assert len(flagged) == 1
+    assert flagged[0]["n"] == 100
+    # steady hours are far below the threshold
+    steady = [r for r in out if r["n"] == 10]
+    assert all(abs(r["z"]) < 1 for r in steady)
