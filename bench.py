@@ -94,6 +94,7 @@ HEADLINE = [
     "pack_shards",
     "chunk_documents",
     "budget_select",
+    "dsir_select",
     "decontaminate",
     "curation_pass",
     "pii_scrub",

@@ -1138,3 +1138,85 @@ def unigram_kl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("kl"),
         )
     )
+
+
+def dsir_select(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target: Column,
+    frac: float = 0.1,
+) -> DataFrame:
+    """DSIR-style data selection: rank raw documents by unigram importance
+    weights against a target slice and keep the top ``ceil(frac * N)``.
+
+    Re-expresses the importance-resampling recipe of Xie et al. 2023
+    ("Data Selection for Language Models via Importance Resampling") as a
+    Spark plan: a unigram LM is fit to the target slice (rows where
+    ``is_target``) and to the whole raw corpus, each with add-1 smoothing
+    over the shared vocabulary, and every document scores
+    ``log w(x) = sum_tokens ln(p_target(w) / p_raw(w))``. Selection is the
+    deterministic top-k variant of the paper's Gumbel-noise resampling
+    (ties broken by doc id) so the result is oracle-checkable.
+
+    Integer-exactness: with V the vocabulary size, T_t / T_r the target /
+    raw token totals and cf_t / cf_r the per-word counts, each distinct
+    word contributes ``tf * round(ln((cf_t+1)*(T_r+V) /
+    ((cf_r+1)*(T_t+V))) * 1e6)`` exact micro-nats (ln of a ratio of exact
+    integers), so the per-doc SUM is an order-free integer. The integer
+    products bound the corpus at ~2^63 token-pairs, the same documented
+    envelope as ``unigram_kl``; past that, split the ln.
+
+    Scale shape: one (doc, word)-keyed tf agg and one word-keyed corpus
+    agg (both with map-side partials), the scoring join keyed on the word
+    (hot stopwords spread across reducers, AQE-splittable), the 3-number
+    totals broadcast, a doc-keyed integer SUM, and a distributed
+    sort-limit (TakeOrdered) for the top-k — the rank window only ever
+    sees the k selected rows, never the corpus.
+
+    Returns (doc, n_tokens, logw_micro, rk) for the selected docs.
+    """
+    import math
+
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc"), F.col(text_col).alias("__text"),
+        is_target.cast("int").alias("is_t"),
+    )
+    words = _doc_words(base, "doc", "__text")
+    flat = words.join(base.select("doc", "is_t"), "doc").select(
+        "doc", "is_t", F.explode("words").alias("w"))
+    tf = flat.groupBy("doc", "w").agg(
+        F.count(F.lit(1)).alias("tf"), F.max("is_t").alias("is_t"))
+    ws = tf.groupBy("w").agg(
+        F.sum("tf").alias("cf_r"),
+        F.sum(F.when(F.col("is_t") == 1, F.col("tf")).otherwise(0)).alias("cf_t"),
+    )
+    tot = ws.agg(
+        F.sum("cf_r").alias("tr"), F.sum("cf_t").alias("tt"),
+        F.count(F.lit(1)).alias("v"))
+    mic = F.round(
+        F.log(
+            ((F.col("cf_t") + 1) * (F.col("tr") + F.col("v"))).cast("double")
+            / ((F.col("cf_r") + 1) * (F.col("tt") + F.col("v")))
+        ) * 1000000
+    ).cast("bigint")
+    rated = ws.crossJoin(F.broadcast(tot)).select("w", mic.alias("mic"))
+    per = (
+        tf.join(rated, "w")
+        .groupBy("doc")
+        .agg(F.sum(F.col("tf") * F.col("mic")).alias("logw_micro"))
+    )
+    scored = (
+        words.select("doc", F.size("words").cast("bigint").alias("n_tokens"))
+        .join(per, "doc", "left")
+        .select(
+            "doc", "n_tokens",
+            F.coalesce("logw_micro", F.lit(0)).cast("bigint").alias("logw_micro"),
+        )
+    )
+    k = int(math.ceil(scored.count() * frac))
+    top = scored.orderBy(F.desc("logw_micro"), F.asc("doc")).limit(k)
+    w_rk = Window.orderBy(F.desc("logw_micro"), F.asc("doc"))
+    return top.withColumn("rk", F.row_number().over(w_rk).cast("bigint"))

@@ -2326,6 +2326,55 @@ def q_unigram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dsir_select",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS doc,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS words,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t
+      FROM documents),
+    flat AS (SELECT doc, is_t, unnest(words) AS w FROM base),
+    tf AS (SELECT doc, w, COUNT(*) AS tf, MAX(is_t) AS is_t
+           FROM flat GROUP BY doc, w),
+    ws AS (SELECT w, SUM(tf) AS cf_r,
+                  SUM(CASE WHEN is_t = 1 THEN tf ELSE 0 END) AS cf_t
+           FROM tf GROUP BY w),
+    tot AS (SELECT SUM(cf_r) AS tr, SUM(cf_t) AS tt, COUNT(*) AS v FROM ws),
+    rated AS (
+      SELECT w, CAST(round(ln(
+               CAST((cf_t + 1) * (tr + v) AS DOUBLE)
+               / ((cf_r + 1) * (tt + v))) * 1000000) AS BIGINT) AS mic
+      FROM ws CROSS JOIN tot),
+    per AS (SELECT tf.doc, CAST(SUM(tf.tf * rated.mic) AS BIGINT) AS logw_micro
+            FROM tf JOIN rated USING (w) GROUP BY tf.doc),
+    scored AS (
+      SELECT b.doc, CAST(len(b.words) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(p.logw_micro, 0) AS BIGINT) AS logw_micro
+      FROM base b LEFT JOIN per p USING (doc)),
+    kk AS (SELECT CAST(ceil(COUNT(*) * 0.1) AS BIGINT) AS k FROM scored)
+    SELECT doc, n_tokens, logw_micro, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT doc, n_tokens, logw_micro,
+                 ROW_NUMBER() OVER (ORDER BY logw_micro DESC, doc) AS rk
+          FROM scored) CROSS JOIN kk
+    WHERE rk <= k
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance-resampling selection: fit target (lang='en')
+    vs raw unigram LMs with add-1 smoothing, weight every document by its
+    exact integer micro-nat log importance ratio, keep the top 10% — the
+    published data-selection recipe (Xie et al. 2023) as one lazy Spark
+    program with a distributed sort-limit top-k."""
+    from ocr_spark.functions.curation import dsir_select
+
+    return dsir_select(
+        _cpu(spark, sf_dir, "documents"), "doc_id", "text",
+        is_target=F.col("lang") == "en", frac=0.1,
+    )
+
+
+@query(
     "json_props_stats",
     """
     SELECT event_type,
