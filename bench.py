@@ -82,6 +82,8 @@ HEADLINE = [
     "fk_violations",
     "lang_id",
     "doc_quality",
+    "gopher_rules",
+    "c4_filter",
     "doc_fingerprint",
     "ngram_lm_score",
     "unigram_kl",

@@ -1220,3 +1220,108 @@ def dsir_select(
     top = scored.orderBy(F.desc("logw_micro"), F.asc("doc")).limit(k)
     w_rk = Window.orderBy(F.desc("logw_micro"), F.asc("doc"))
     return top.withColumn("rk", F.row_number().over(w_rk).cast("bigint"))
+
+
+def gopher_rules(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: list[str] | None = None,
+    min_words: int = 50,
+    max_words: int = 100000,
+    min_mean_wlen: float = 3.0,
+    max_mean_wlen: float = 10.0,
+    min_alpha_frac: float = 0.80,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality gate (Rae et al. 2021, "Scaling
+    Language Models: ... Gopher", Table A1): word-count bounds, mean word
+    length bounds, minimum fraction of words containing an alphabetic
+    character, and a minimum stop-word count. Each rule is reported as its
+    own flag next to the measured signal, plus the conjunctive ``keep``.
+
+    The repetition rules of the same table live in
+    :func:`repetition_stats`, and the line-level rules (bullet / ellipsis
+    lines) in :func:`c4_filter` — this operator is the word-level slice.
+
+    One zero-shuffle projection: every signal folds over the in-row word
+    array with codegen'd HOFs; nothing leaves the scan stage.
+    """
+    if stopwords is None:
+        from ocr_spark import config as C
+
+        stopwords = list(C.STOPWORDS)
+    base = _doc_words(df, id_col, text_col)
+    n = F.size("words").cast("bigint")
+    sum_len = F.aggregate(
+        "words", F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w))
+    n_alpha = F.size(F.filter("words", lambda w: w.rlike("[a-zA-Z]")))
+    n_stop = F.size(F.filter("words", lambda w: w.isin(stopwords)))
+    mean_wlen = F.when(n > 0, F.round(sum_len / n, 6))
+    alpha_frac = F.when(n > 0, F.round(n_alpha / n, 6))
+    out = base.select(
+        "doc",
+        n.alias("n_words"),
+        mean_wlen.alias("mean_wlen"),
+        alpha_frac.alias("alpha_frac"),
+        n_stop.cast("bigint").alias("n_stop"),
+    )
+    p_wc = (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+    p_wl = (
+        F.col("mean_wlen").isNotNull()
+        & (F.col("mean_wlen") >= min_mean_wlen)
+        & (F.col("mean_wlen") <= max_mean_wlen)
+    )
+    p_al = F.col("alpha_frac").isNotNull() & (
+        F.col("alpha_frac") >= min_alpha_frac)
+    p_st = F.col("n_stop") >= min_stopwords
+    return out.select(
+        "*",
+        p_wc.alias("pass_word_count"),
+        p_wl.alias("pass_mean_wlen"),
+        p_al.alias("pass_alpha"),
+        p_st.alias("pass_stopwords"),
+        (p_wc & p_wl & p_al & p_st).alias("keep"),
+    )
+
+
+def c4_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words_per_line: int = 3,
+    min_kept_lines: int = 3,
+) -> DataFrame:
+    """C4-style line-level page cleaning (Raffel et al. 2020, §2.2): keep
+    only lines that end in terminal punctuation (. ! ? ") and have at
+    least ``min_words_per_line`` words; drop any line containing
+    "javascript"; discard the whole page when it contains "lorem ipsum"
+    or a curly brace, or when fewer than ``min_kept_lines`` lines
+    survive. Returns (doc, n_lines, n_kept, keep, clean_text) with
+    ``clean_text`` empty for discarded pages.
+
+    One zero-shuffle projection: the split / per-line filters / rebuild
+    are codegen'd array HOFs inside the scan stage — at corpus scale this
+    pipelines with the parquet read, no exchange.
+    """
+    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
+    lines = F.split(F.col("t"), "\n")
+    nw = lambda l: F.size(F.split(F.trim(l), r"\s+"))
+    keep_line = lambda l: (
+        l.rlike('[.!?"]$')
+        & (nw(l) >= min_words_per_line)
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, keep_line)
+    doc_bad = F.lower(F.col("t")).contains("lorem ipsum") | F.col(
+        "t").contains("{")
+    n_kept = F.size(kept).cast("bigint")
+    keep = ~doc_bad & (n_kept >= min_kept_lines)
+    return base.select(
+        "doc",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        n_kept.alias("n_kept"),
+        keep.alias("keep"),
+        F.when(keep, F.array_join(kept, "\n")).otherwise(F.lit("")).alias(
+            "clean_text"),
+    )

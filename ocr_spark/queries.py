@@ -2375,6 +2375,136 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "gopher_rules",
+    f"""
+    WITH {_WORDS_CTE},
+    m AS (
+      SELECT doc, CAST(len(words) AS BIGINT) AS n_words,
+             CASE WHEN len(words) > 0 THEN ROUND(
+               CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+               / len(words), 6) END AS mean_wlen,
+             CASE WHEN len(words) > 0 THEN ROUND(
+               CAST(len(list_filter(words,
+                 w -> regexp_matches(w, '[a-zA-Z]'))) AS DOUBLE)
+               / len(words), 6) END AS alpha_frac,
+             CAST(len(list_filter(words, w -> w IN ({_STOP_SQL})))
+                  AS BIGINT) AS n_stop
+      FROM base),
+    p AS (
+      SELECT *,
+             (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+             (mean_wlen IS NOT NULL AND mean_wlen >= 3.0
+              AND mean_wlen <= 10.0) AS pass_mean_wlen,
+             (alpha_frac IS NOT NULL AND alpha_frac >= 0.8) AS pass_alpha,
+             (n_stop >= 2) AS pass_stopwords
+      FROM m)
+    SELECT doc, n_words, mean_wlen, alpha_frac, n_stop,
+           pass_word_count, pass_mean_wlen, pass_alpha, pass_stopwords,
+           (pass_word_count AND pass_mean_wlen AND pass_alpha
+            AND pass_stopwords) AS keep
+    FROM p
+    """,
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher word-level quality gate (Rae et al. 2021 Table A1): word
+    count, mean word length, alphabetic-word fraction, and stop-word
+    presence, each reported as a flag beside its signal plus the
+    conjunctive keep — a zero-shuffle HOF projection."""
+    from ocr_spark.functions.curation import gopher_rules
+
+    return gopher_rules(_cpu(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_C4_SQL = """
+    SELECT doc_id,
+           array_to_string(
+             ['home | about | contact edition ' || CAST(doc_id % 5 AS VARCHAR)]
+             || list_transform(
+                  generate_series(1, CAST(ceil(len(words) / 10.0) AS INT)),
+                  i -> array_to_string(words[(i-1)*10+1 : (i-1)*10+10], ' ')
+                       || CASE WHEN (doc_id + i) % 3 != 0 THEN '.' ELSE '' END)
+             || CASE WHEN doc_id % 5 = 0
+                     THEN ['please enable javascript to view this page.']
+                     ELSE CAST([] AS VARCHAR[]) END
+             || CASE WHEN doc_id % 11 = 0
+                     THEN ['Lorem ipsum dolor sit amet.']
+                     ELSE CAST([] AS VARCHAR[]) END
+             || CASE WHEN doc_id % 13 = 0
+                     THEN ['function() { return 1; }']
+                     ELSE CAST([] AS VARCHAR[]) END,
+             chr(10)) AS text
+    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+"""
+
+
+def _c4_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-page fixture for the C4 line filter: word chunks as lines with
+    deterministic terminal punctuation, a nav header, and per-id-residue
+    javascript / lorem-ipsum / code-brace pollution lines."""
+    d = _cpu(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nchunks = F.ceil(F.size(words) / F.lit(10.0)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(1), nchunks),
+        lambda i: F.concat(
+            F.concat_ws(" ", F.slice(words, (i - 1) * 10 + 1, 10)),
+            F.when(((F.col("doc_id") + i) % 3) != 0, F.lit(".")).otherwise(
+                F.lit("")),
+        ),
+    )
+    header = F.concat(
+        F.lit("home | about | contact edition "),
+        (F.col("doc_id") % 5).cast("string"),
+    )
+    empty = F.array().cast("array<string>")
+    maybe = lambda cond, s: F.when(cond, F.array(F.lit(s))).otherwise(empty)
+    lines = F.concat(
+        F.array(header),
+        chunks,
+        maybe(F.col("doc_id") % 5 == 0,
+              "please enable javascript to view this page."),
+        maybe(F.col("doc_id") % 11 == 0, "Lorem ipsum dolor sit amet."),
+        maybe(F.col("doc_id") % 13 == 0, "function() { return 1; }"),
+    )
+    return d.select("doc_id", F.array_join(lines, "\n").alias("text"))
+
+
+@query(
+    "c4_filter",
+    f"""
+    WITH ml AS ({_C4_SQL}),
+    lx AS (SELECT doc_id AS doc, text AS t,
+                  string_split(text, chr(10)) AS ls FROM ml),
+    k AS (
+      SELECT doc, t, ls,
+             list_filter(ls, l -> regexp_matches(l, '[.!?"]$')
+                              AND len(string_split_regex(trim(l), '\\s+')) >= 3
+                              AND NOT contains(lower(l), 'javascript')) AS kept
+      FROM lx),
+    d AS (
+      SELECT doc, CAST(len(ls) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept,
+             (NOT (contains(lower(t), 'lorem ipsum') OR contains(t, '{{'))
+              AND len(kept) >= 3) AS keep,
+             kept
+      FROM k)
+    SELECT doc, n_lines, n_kept, keep,
+           CASE WHEN keep THEN array_to_string(kept, chr(10))
+                ELSE '' END AS clean_text
+    FROM d
+    """,
+)
+def q_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-level page cleaning (Raffel et al. 2020 §2.2) over the
+    multi-line web-page fixture: terminal-punctuation and min-word line
+    retention, javascript-line removal, lorem-ipsum / curly-brace page
+    discard, min-surviving-lines gate, and page rebuild."""
+    from ocr_spark.functions.curation import c4_filter
+
+    return c4_filter(_c4_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
     "json_props_stats",
     """
     SELECT event_type,
