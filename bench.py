@@ -39,6 +39,8 @@ HEADLINE = [
     "event_range_pairs",
     "event_funnel",
     "event_rate_anomalies",
+    "cohort_retention",
+    "scd2_user_state",
     "topk_users_by_events",
     "user_event_pivot",
     "revenue_window_ranks",

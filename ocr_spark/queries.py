@@ -250,6 +250,128 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cohort_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events),
+    coh AS (SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id),
+    joined AS (
+      SELECT c.cohort_week,
+             CAST((a.week - c.cohort_week) // 7 AS BIGINT) AS week_offset,
+             a.user_id
+      FROM act a JOIN coh c USING (user_id)),
+    size_ AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM coh
+              GROUP BY cohort_week),
+    ret AS (SELECT cohort_week, week_offset,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM joined GROUP BY cohort_week, week_offset)
+    SELECT strftime(r.cohort_week, '%Y-%m-%d') AS cohort_week,
+           r.week_offset, r.n_users,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           ROUND(CAST(r.n_users AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM ret r JOIN size_ s USING (cohort_week)
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort-retention matrix: each user joins the cohort of their
+    first active week; the cell (cohort_week, k) counts distinct cohort
+    members active k weeks later, with the retention fraction against the
+    cohort size. Two user-keyed aggs + one small broadcast-able
+    cohort-size join — the classic growth-analytics rollup."""
+    ev = _t(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    coh = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = act.join(coh, "user_id").select(
+        "cohort_week",
+        F.floor(F.datediff("week", "cohort_week") / 7).cast("bigint").alias(
+            "week_offset"),
+        "user_id",
+    )
+    size = coh.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size"))
+    ret = joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users"))
+    return ret.join(F.broadcast(size), "cohort_week").select(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        F.round(F.col("n_users") / F.col("cohort_size"), 6).alias("retention"),
+    )
+
+
+@query(
+    "scd2_user_state",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type IS DISTINCT FROM
+                  LAG(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events),
+    seg AS (
+      SELECT user_id, ts, event_type,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS seg_id
+      FROM o),
+    g AS (
+      SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id,
+             ANY_VALUE(event_type) AS state,
+             MIN(ts) AS valid_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM seg GROUP BY user_id, seg_id)
+    SELECT user_id, seg_id, state,
+           strftime(valid_from, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           strftime(LEAD(valid_from) OVER
+                      (PARTITION BY user_id ORDER BY seg_id),
+                    '%Y-%m-%d %H:%M:%S') AS valid_to,
+           (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY seg_id)
+              IS NULL) AS is_current,
+           n_events
+    FROM g
+    """,
+)
+def q_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) build from an event log: collapse
+    each user's consecutive same-type events into state segments and emit
+    validity intervals [valid_from, valid_to) with the open current row —
+    change-detection lag, running segment ids, and interval stitching in
+    three windows over ONE user-keyed partitioning (a single shuffle;
+    every window and the agg reuse the user_id exchange)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+    ).otherwise(0)
+    seg = ev.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "chg", chg
+    ).withColumn(
+        "seg_id",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    g = seg.groupBy("user_id", F.col("seg_id").cast("bigint").alias("seg_id")).agg(
+        F.first("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("seg_id")
+    valid_to = F.lead("valid_from").over(ws)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return g.select(
+        "user_id", "seg_id", "state",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format(valid_to, fmt).alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+@query(
     "topk_users_by_events",
     """
     SELECT user_id, n_events, CAST(rk AS BIGINT) AS rk FROM (
