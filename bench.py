@@ -78,7 +78,10 @@ HEADLINE = [
     "snapshot_diff",
     "profile_events",
     "host_pagerank",
+    "triangle_count",
     "hll_distinct_events",
+    "bloom_semijoin",
+    "cms_heavy_hitters",
     "json_props_stats",
     "zorder_keys",
     "fk_violations",

@@ -1325,3 +1325,154 @@ def c4_filter(
         F.when(keep, F.array_join(kept, "\n")).otherwise(F.lit("")).alias(
             "clean_text"),
     )
+
+
+def _md5_mod(col: Column, salt: str, m: int) -> Column:
+    """Deterministic uniform hash in [0, m): first 8 md5 hex chars of
+    value:salt — the same engine-portable idiom as hll_distinct /
+    sign-LSH (no platform RNG, no murmur seed drift)."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(col.cast("string"), F.lit(":" + salt))), 1, 8
+            ), 16, 10,
+        ).cast("bigint") % m
+    )
+
+
+def bloom_semijoin(
+    fact: DataFrame,
+    fact_key: str,
+    dim: DataFrame,
+    dim_key: str,
+    m: int = 16384,
+    k: int = 4,
+) -> DataFrame:
+    """Bloom-filter semi-join pruning report: build a deterministic m-bit /
+    k-hash Bloom filter from the dim-side keys, probe every fact row
+    through it, and report the pruning quality against the exact semi-join
+    — the runtime-filter pattern (Spark's own InjectRuntimeFilter /
+    bloom_filter_agg) made engine-portable and oracle-checkable via
+    md5-derived bit positions.
+
+    Scale shape: the filter is the set of set bit positions — at most m
+    rows however large the dim side is (the Bloom compression property),
+    built by one explode + distinct and BROADCAST to the probe side; the
+    probe is a key-keyed agg over distinct fact keys (k rows each) and one
+    key-keyed join back to fact rows. No corpus-wide shuffle of the fact
+    table beyond its own key agg; at 100 TB this is exactly the shape that
+    skips shuffling the 99% of fact rows a dim filter will drop.
+
+    Returns ONE row: (m, k, n_dim_keys, n_set_bits, n_fact, n_pass_bloom,
+    n_true, n_false_pos, fp_rate) where fp_rate = false positives over the
+    fact rows outside the true semi-join.
+    """
+    def positions(col: Column) -> Column:
+        return F.array(*[_md5_mod(col, str(i), m) for i in range(1, k + 1)])
+
+    dimk = dim.select(F.col(dim_key).alias("key")).distinct()
+    bits = dimk.select(F.explode(positions(F.col("key"))).alias("p")).distinct()
+    n_dim = dimk.agg(F.count(F.lit(1)).alias("n_dim_keys"))
+    n_bits = bits.agg(F.count(F.lit(1)).alias("n_set_bits"))
+
+    fk = fact.select(F.col(fact_key).alias("key")).distinct()
+    probe = fk.select("key", F.explode(positions(F.col("key"))).alias("p"))
+    marked = probe.join(
+        F.broadcast(bits.withColumn("hit", F.lit(1))), "p", "left")
+    passk = marked.groupBy("key").agg(
+        (F.sum(F.coalesce("hit", F.lit(0))) == k).alias("bloom_pass"))
+    flags = passk.join(
+        dimk.withColumn("in_dim", F.lit(True)), "key", "left"
+    ).select("key", "bloom_pass", F.coalesce("in_dim", F.lit(False)).alias("in_dim"))
+
+    rows = fact.select(F.col(fact_key).alias("key")).join(flags, "key")
+    agg = rows.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.sum(F.col("bloom_pass").cast("bigint")).alias("n_pass_bloom"),
+        F.sum(F.col("in_dim").cast("bigint")).alias("n_true"),
+        F.sum((F.col("bloom_pass") & ~F.col("in_dim")).cast("bigint")).alias(
+            "n_false_pos"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_dim))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            F.lit(m).cast("bigint").alias("m"),
+            F.lit(k).cast("bigint").alias("k"),
+            F.col("n_dim_keys").cast("bigint"),
+            F.col("n_set_bits").cast("bigint"),
+            F.col("n_fact").cast("bigint"),
+            F.col("n_pass_bloom").cast("bigint"),
+            F.col("n_true").cast("bigint"),
+            F.col("n_false_pos").cast("bigint"),
+            F.when(
+                F.col("n_fact") > F.col("n_true"),
+                F.round(
+                    F.col("n_false_pos")
+                    / (F.col("n_fact") - F.col("n_true")), 6),
+            ).otherwise(F.lit(0.0)).alias("fp_rate"),
+        )
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    d: int = 4,
+    w: int = 1024,
+    topn: int = 20,
+) -> DataFrame:
+    """Count-min sketch over the corpus word stream (Cormode &
+    Muthukrishnan 2005): ``d`` md5-derived hash rows x ``w`` counters,
+    point-estimate = MIN over rows — reported for the true top-``topn``
+    words next to their exact counts, so the one-sided overestimate is
+    visible. The mergeable frequency sketch beside hll_distinct
+    (cardinality): at 100 TB the d*w-counter table is what you keep, the
+    exact counts are the audit column you drop.
+
+    Scale shape: exact counts and sketch counters are word- and
+    (row, cell)-keyed hash aggs with map-side partials (the sketch agg
+    output is bounded by d*w rows per partition — the merge property);
+    the top-k is a distributed sort-limit; the estimate join fans the
+    topn words by d and joins the tiny counter table broadcast.
+    """
+    from pyspark.sql.window import Window
+
+    def cell_of(word: Column, i: Column) -> Column:
+        out = _md5_mod(word, f"cms{d}", w)
+        for j in range(d - 1, 0, -1):
+            out = F.when(i == j, _md5_mod(word, f"cms{j}", w)).otherwise(out)
+        return out
+
+    hash_rows = F.explode(F.array(*[F.lit(i) for i in range(1, d + 1)]))
+    flat = _doc_words(df, id_col, text_col).select(
+        F.explode("words").alias("word"))
+    truec = flat.groupBy("word").agg(F.count(F.lit(1)).alias("true_cnt"))
+
+    occ = flat.select("word", hash_rows.alias("i"))
+    sketch = (
+        occ.select("i", cell_of(F.col("word"), F.col("i")).alias("cell"))
+        .groupBy("i", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    top = truec.orderBy(F.desc("true_cnt"), F.asc("word")).limit(topn)
+    wrk = Window.orderBy(F.desc("true_cnt"), F.asc("word"))
+    top = top.withColumn("rk", F.row_number().over(wrk).cast("bigint"))
+    probes = top.select("word", "true_cnt", "rk", hash_rows.alias("i"))
+    probes = probes.withColumn(
+        "cell", cell_of(F.col("word"), F.col("i")))
+    est = (
+        probes.join(F.broadcast(sketch), ["i", "cell"])
+        .groupBy("word", "true_cnt", "rk")
+        .agg(F.min("c").alias("est_cnt"))
+    )
+    return est.select(
+        "word",
+        F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        F.col("est_cnt").cast("bigint").alias("est_cnt"),
+        (F.col("est_cnt") - F.col("true_cnt")).cast("bigint").alias(
+            "overcount"),
+        "rk",
+    )

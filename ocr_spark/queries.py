@@ -773,14 +773,9 @@ def _pagerank_oracle(n_iters: int = 3) -> str:
     """
 
 
-@query("host_pagerank", _pagerank_oracle())
-def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic fixed-point PageRank (3 iterations, damping 0.85)
-    over a synthesized 100-host link graph with varying out-degrees —
-    the iterative graph algorithm next to connected_components, with the
-    DuckDB twin unrolling the same integer iterations."""
-    from ocr_spark.functions.graph import pagerank
-
+def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 100-host link graph with varying out-degrees (the
+    shared fixture of the graph-analytics queries)."""
     nodes = _t(spark, sf_dir, "documents").select(
         (F.col("doc_id") % 100).alias("node")).distinct()
     raw = nodes.select(
@@ -789,7 +784,7 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(1), F.lit(1) + (F.col("node") % 3).cast("int"))
         ).alias("j"),
     )
-    edges = (
+    return (
         raw.select(
             F.col("node").alias("src"),
             ((F.col("node") * 13 + F.col("j") * 29) % 100).alias("dst"),
@@ -797,7 +792,55 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dst") != F.col("src"))
         .distinct()
     )
-    return pagerank(edges, n_iters=3)
+
+
+# The shared edge-builder CTE of the graph oracles (mirrors _host_edges).
+_HOST_EDGES_SQL = """
+    nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+    raw AS (SELECT node, unnest(generate_series(1, 1 + node % 3)) AS j
+            FROM nodes),
+    e AS (SELECT DISTINCT node AS src, (node * 13 + j * 29) % 100 AS dst
+          FROM raw WHERE (node * 13 + j * 29) % 100 != node)
+"""
+
+
+@query("host_pagerank", _pagerank_oracle())
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-point PageRank (3 iterations, damping 0.85)
+    over a synthesized 100-host link graph with varying out-degrees —
+    the iterative graph algorithm next to connected_components, with the
+    DuckDB twin unrolling the same integer iterations."""
+    from ocr_spark.functions.graph import pagerank
+
+    return pagerank(_host_edges(spark, sf_dir), n_iters=3)
+
+
+@query(
+    "triangle_count",
+    f"""
+    WITH {_HOST_EDGES_SQL},
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM e WHERE src != dst),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    mem AS (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri),
+    cnt AS (SELECT node, COUNT(*) AS c FROM mem GROUP BY node)
+    SELECT n.node, CAST(COALESCE(cnt.c, 0) AS BIGINT) AS n_triangles
+    FROM nodes n LEFT JOIN cnt USING (node)
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts on the host link graph via the oriented
+    compact-forward edge join — the local clustering signal (link-farm /
+    community detector) beside PageRank and connected components."""
+    from ocr_spark.functions.graph import triangle_count
+
+    return triangle_count(_host_edges(spark, sf_dir))
 
 
 @query(
@@ -2697,6 +2740,116 @@ def q_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.functions.curation import hll_distinct
 
     return hll_distinct(_t(spark, sf_dir, "events"), "event_id", b=8)
+
+
+@query(
+    "bloom_semijoin",
+    f"""
+    WITH hs AS (SELECT unnest(generate_series(1, 3)) AS i),
+    dimk AS (SELECT DISTINCT c_custkey AS key FROM customer
+             WHERE c_mktsegment = 'BUILDING'),
+    bits AS (
+      SELECT DISTINCT ('0x' || substr(md5(
+        CAST(key AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+        % 1024 AS p
+      FROM dimk CROSS JOIN hs),
+    fk AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    probe AS (
+      SELECT key, ('0x' || substr(md5(
+        CAST(key AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+        % 1024 AS p
+      FROM fk CROSS JOIN hs),
+    passk AS (
+      SELECT probe.key,
+             (SUM(CASE WHEN bits.p IS NOT NULL THEN 1 ELSE 0 END) = 3)
+               AS bloom_pass
+      FROM probe LEFT JOIN bits ON probe.p = bits.p GROUP BY probe.key),
+    flags AS (
+      SELECT passk.key, passk.bloom_pass, (dimk.key IS NOT NULL) AS in_dim
+      FROM passk LEFT JOIN dimk ON passk.key = dimk.key),
+    rows_ AS (
+      SELECT f.bloom_pass, f.in_dim
+      FROM orders o JOIN flags f ON o.o_custkey = f.key),
+    agg AS (
+      SELECT COUNT(*) AS n_fact,
+             SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS n_pass_bloom,
+             SUM(CASE WHEN in_dim THEN 1 ELSE 0 END) AS n_true,
+             SUM(CASE WHEN bloom_pass AND NOT in_dim THEN 1 ELSE 0 END)
+               AS n_false_pos
+      FROM rows_),
+    nd AS (SELECT COUNT(*) AS n_dim_keys FROM dimk),
+    nb AS (SELECT COUNT(*) AS n_set_bits FROM bits)
+    SELECT CAST(1024 AS BIGINT) AS m, CAST(3 AS BIGINT) AS k,
+           CAST(n_dim_keys AS BIGINT) AS n_dim_keys,
+           CAST(n_set_bits AS BIGINT) AS n_set_bits,
+           CAST(n_fact AS BIGINT) AS n_fact,
+           CAST(n_pass_bloom AS BIGINT) AS n_pass_bloom,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_false_pos AS BIGINT) AS n_false_pos,
+           CASE WHEN n_fact > n_true
+                THEN ROUND(CAST(n_false_pos AS DOUBLE) / (n_fact - n_true), 6)
+                ELSE CAST(0.0 AS DOUBLE) END AS fp_rate
+    FROM agg CROSS JOIN nd CROSS JOIN nb
+    """,
+)
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning report: a 1024-bit / 3-hash filter
+    over the BUILDING-segment customer keys probes every order row, next
+    to the exact semi-join — the runtime-filter pattern with its measured
+    false-positive rate."""
+    from ocr_spark.functions.curation import bloom_semijoin
+
+    return bloom_semijoin(
+        _t(spark, sf_dir, "orders"), "o_custkey",
+        _t(spark, sf_dir, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"),
+        "c_custkey", m=1024, k=3,
+    )
+
+
+@query(
+    "cms_heavy_hitters",
+    f"""
+    WITH {_WORDS_CTE},
+    flat AS (SELECT unnest(words) AS word FROM base),
+    hs AS (SELECT unnest(generate_series(1, 4)) AS i),
+    truec AS (SELECT word, COUNT(*) AS true_cnt FROM flat GROUP BY word),
+    occ AS (
+      SELECT i, ('0x' || substr(md5(
+        word || ':cms' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 1024 AS cell
+      FROM flat CROSS JOIN hs),
+    sketch AS (SELECT i, cell, COUNT(*) AS c FROM occ GROUP BY i, cell),
+    top AS (
+      SELECT word, true_cnt, rk FROM (
+        SELECT word, true_cnt,
+               ROW_NUMBER() OVER (ORDER BY true_cnt DESC, word) AS rk
+        FROM truec) WHERE rk <= 20),
+    probes AS (
+      SELECT word, true_cnt, rk, i, ('0x' || substr(md5(
+        word || ':cms' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 1024 AS cell
+      FROM top CROSS JOIN hs),
+    est AS (
+      SELECT word, true_cnt, rk, MIN(c) AS est_cnt
+      FROM probes JOIN sketch USING (i, cell)
+      GROUP BY word, true_cnt, rk)
+    SELECT word, CAST(true_cnt AS BIGINT) AS true_cnt,
+           CAST(est_cnt AS BIGINT) AS est_cnt,
+           CAST(est_cnt - true_cnt AS BIGINT) AS overcount,
+           CAST(rk AS BIGINT) AS rk
+    FROM est
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (4 x 1024 md5-derived counters) over the corpus
+    word stream, point-estimates for the true top-20 words beside exact
+    counts — the mergeable frequency sketch next to the HLL cardinality
+    sketch."""
+    from ocr_spark.functions.curation import cms_heavy_hitters
+
+    return cms_heavy_hitters(
+        _cpu(spark, sf_dir, "documents"), "doc_id", "text",
+        d=4, w=1024, topn=20,
+    )
 
 
 @query(
