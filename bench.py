@@ -56,7 +56,9 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "winnow_pairs",
     "simhash",
+    "simhash_pairs",
     "cosine_topk",
+    "hamming_topk",
     "ivf_topk",
     "semantic_dedup",
     "lsh_buckets",

@@ -488,3 +488,69 @@ def keep_best_representative(comp: DataFrame, quality: DataFrame) -> DataFrame:
             ).cast("int").alias("keep"),
         )
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int = 2,
+    n_bands: int = 4,
+    hmax: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Banded SimHash near-dup pairs — the pair-producing composition over
+    :func:`simhash64`, completing the family the way lsh_candidate_pairs
+    completes MinHash: split the 60-bit signature into ``n_bands``
+    equal bands, docs sharing any band value are candidates, candidates
+    verify by full-signature Hamming distance <= ``hmax``.
+
+    With 60 bits in 4 bands, the pigeonhole bound makes banding EXACT for
+    the hmax=3 radius (any pair within Hamming 3 leaves at least one band
+    untouched) — a guarantee, not a recall heuristic.
+
+    Scale shape: one doc-keyed simhash agg, then the candidate shuffle is
+    keyed on (band, band-value) — bucket-local joins only; degenerate
+    buckets (boilerplate => identical signatures) obey the same cap + obs
+    discipline as lsh_candidate_pairs (cap² bounds any task; the capped
+    mass is exact_dedup's job). The verify is a doc-keyed signature join
+    + one xor/popcount per candidate — no text ever crosses the wire.
+
+    Returns (doc_a, doc_b, hamming) with doc_a < doc_b.
+    """
+    band_bits = 60 // n_bands
+    mask = (1 << band_bits) - 1
+    sig = simhash64(df, id_col, text_col, shingle_n)
+    bands = sig.select(
+        "doc",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * band_bits)
+                    .bitwiseAND(F.lit(mask)).alias("sigb"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bs"),
+    ).select("doc", F.col("bs.band").alias("band"), F.col("bs.sigb").alias("sigb"))
+    grouped = bands.groupBy("band", "sigb").agg(
+        F.collect_set("doc").alias("docs"))
+    pairs = (
+        grouped.filter(
+            (F.size("docs") > 1) & (F.size("docs") <= max_bucket_size))
+        .select(F.explode(_pairs_expr(F.array_sort("docs"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    a = sig.select(F.col("doc").alias("doc_a"), F.col("simhash").alias("sig_a"))
+    b = sig.select(F.col("doc").alias("doc_b"), F.col("simhash").alias("sig_b"))
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+            .cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hmax)
+    )

@@ -297,3 +297,64 @@ def hyperplane_lsh_buckets(df: DataFrame, id_col: str, vec_col: str,
     for c in bits[1:]:
         bucket = bucket + c
     return df.select(F.col(id_col).alias("doc"), bucket.alias("bucket"))
+
+
+def hamming_rerank_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_queries: int = 10,
+    n_planes: int = 48,
+    shortlist: int = 20,
+    k: int = 5,
+) -> DataFrame:
+    """Two-stage ANN over sign-LSH Hamming codes (Charikar 2002): encode
+    every vector as an ``n_planes``-bit code (deterministic md5 planes),
+    shortlist per query by xor/popcount Hamming distance, then rerank the
+    shortlist with exact cosine — the compress-then-refine pattern that
+    makes the coarse pass ~50x cheaper per comparison than float dot
+    products and shrinks the scanned table by two orders of magnitude.
+
+    Scale shape: the coarse scan touches only the (id, 8-byte code)
+    table — the query codes broadcast, hamming is codegen'd xor+popcount,
+    and per-query shortlists are window top-n on the scan output; only
+    shortlist*|Q| full vectors are ever fetched (an id-keyed join), so
+    the expensive float math runs on a vanishing fraction of the corpus.
+
+    Returns (qid, nid, hamming, cos, rank) with rank over exact cosine.
+    """
+    from pyspark.sql.window import Window
+
+    codes = hyperplane_lsh_buckets(df, id_col, vec_col, n_planes=n_planes)
+    q = codes.filter(F.col("doc") < n_queries).select(
+        F.col("doc").alias("qid"), F.col("bucket").alias("qc"))
+    h = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("doc") != F.col("qid"))
+        .select(
+            "qid", F.col("doc").alias("nid"),
+            F.bit_count(F.col("qc").bitwiseXOR(F.col("bucket")))
+            .cast("bigint").alias("hamming"),
+        )
+    )
+    ws = Window.partitionBy("qid").orderBy("hamming", "nid")
+    short = h.withColumn("sr", F.row_number().over(ws)).filter(
+        F.col("sr") <= shortlist).drop("sr")
+    vecs = df.select(
+        F.col(id_col).alias("vid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"),
+    )
+    rer = (
+        short.join(vecs.withColumnRenamed("vid", "qid")
+                   .withColumnRenamed("v", "qv"), "qid")
+        .join(vecs.withColumnRenamed("vid", "nid")
+              .withColumnRenamed("v", "nv"), "nid")
+        .select(
+            "qid", "nid", "hamming",
+            F.round(cosine(F.col("qv"), F.col("nv")), 6).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    return rer.withColumn(
+        "rank", F.row_number().over(wr).cast("bigint")
+    ).filter(F.col("rank") <= k)

@@ -708,6 +708,35 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "simhash_pairs",
+    f"""
+    WITH sig AS (SELECT * FROM ({_simhash_oracle_sql()})),
+    bands AS (
+      SELECT doc, simhash, b, (simhash >> (b * 15)) & 32767 AS sigb
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+    ok AS (SELECT b, sigb FROM bands GROUP BY b, sigb
+           HAVING COUNT(*) BETWEEN 2 AND {DEFAULT_MAX_BUCKET}),
+    capped AS (SELECT bands.* FROM bands JOIN ok USING (b, sigb)),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, a.simhash AS sig_a,
+                      c.doc AS doc_b, c.simhash AS sig_b
+      FROM capped a JOIN capped c
+        ON a.b = c.b AND a.sigb = c.sigb AND a.doc < c.doc)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sig_a, sig_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup pairs: 60-bit signatures split into 4
+    15-bit bands (pigeonhole-exact for Hamming radius 3), band-bucket
+    candidates under the degenerate-bucket cap, xor/popcount verify."""
+    from ocr_spark.functions.dedup import simhash_pairs
+
+    return simhash_pairs(_cpu(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
     "winnow_pairs",
     """
     WITH nx AS (
@@ -1036,6 +1065,46 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucket ids — the bucketed ANN join key at scale."""
     out = similarity.hyperplane_lsh_buckets(_cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding")
     return out.select("doc", F.col("bucket").cast("bigint").alias("bucket"))
+
+
+@query(
+    "hamming_topk",
+    f"""
+    WITH codes AS (SELECT * FROM ({_lsh_bucket_oracle_sql(48)})),
+    q AS (SELECT doc AS qid, bucket AS qc FROM codes WHERE doc < 10),
+    h AS (
+      SELECT q.qid, c.doc AS nid,
+             CAST(bit_count(xor(q.qc, c.bucket)) AS BIGINT) AS hamming
+      FROM codes c CROSS JOIN q WHERE c.doc != q.qid),
+    short AS (
+      SELECT qid, nid, hamming FROM (
+        SELECT qid, nid, hamming,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, nid) AS sr
+        FROM h) WHERE sr <= 20),
+    vecs AS (
+      SELECT vec_id AS vid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    rer AS (
+      SELECT s.qid, s.nid, s.hamming,
+             ROUND(
+               list_aggregate(list_transform(list_zip(a.v, b.v), p -> p[1] * p[2]), 'sum')
+               / (sqrt(list_aggregate(list_transform(a.v, x -> x * x), 'sum'))
+                  * sqrt(list_aggregate(list_transform(b.v, x -> x * x), 'sum'))), 6) AS cos
+      FROM short s JOIN vecs a ON a.vid = s.qid JOIN vecs b ON b.vid = s.nid)
+    SELECT qid, nid, hamming, cos, CAST(rk AS BIGINT) AS rank FROM (
+      SELECT qid, nid, hamming, cos,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
+      FROM rer)
+    WHERE rk <= 5
+    """,
+)
+def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: 48-bit sign-LSH Hamming codes shortlist 20
+    neighbours per query by xor/popcount, exact cosine reranks to top-5 —
+    the compress-then-refine search beside brute-force and IVF."""
+    return similarity.hamming_rerank_topk(
+        _cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding")
 
 
 # ===========================================================================
