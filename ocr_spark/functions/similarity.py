@@ -304,8 +304,8 @@ def hamming_rerank_topk(
     id_col: str,
     vec_col: str,
     n_queries: int = 10,
-    n_planes: int = 48,
-    shortlist: int = 20,
+    n_planes: int = 60,
+    shortlist: int = 50,
     k: int = 5,
 ) -> DataFrame:
     """Two-stage ANN over sign-LSH Hamming codes (Charikar 2002): encode

@@ -1070,7 +1070,7 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "hamming_topk",
     f"""
-    WITH codes AS (SELECT * FROM ({_lsh_bucket_oracle_sql(48)})),
+    WITH codes AS (SELECT * FROM ({_lsh_bucket_oracle_sql(60)})),
     q AS (SELECT doc AS qid, bucket AS qc FROM codes WHERE doc < 10),
     h AS (
       SELECT q.qid, c.doc AS nid,
@@ -1080,7 +1080,7 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT qid, nid, hamming FROM (
         SELECT qid, nid, hamming,
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamming, nid) AS sr
-        FROM h) WHERE sr <= 20),
+        FROM h) WHERE sr <= 50),
     vecs AS (
       SELECT vec_id AS vid,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -1100,9 +1100,10 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage ANN: 48-bit sign-LSH Hamming codes shortlist 20
-    neighbours per query by xor/popcount, exact cosine reranks to top-5 —
-    the compress-then-refine search beside brute-force and IVF."""
+    """Two-stage ANN: 60-bit sign-LSH Hamming codes shortlist 50
+    neighbours per query by xor/popcount, exact cosine reranks to top-5
+    (recall@5 = 0.6 vs brute force on the 500-vector fixture, pinned in
+    tests) — the compress-then-refine search beside brute-force and IVF."""
     return similarity.hamming_rerank_topk(
         _cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding")
 

@@ -1,0 +1,216 @@
+"""Edge-case tests for the round-3 operator batch: Gopher/C4 gates,
+DSIR selection, cohort retention, SCD2 intervals, triangle counting,
+Bloom semi-join pruning, count-min heavy hitters, banded SimHash pairs,
+and Hamming-rerank ANN — properties the oracle parity harness can't
+express (guarantees, invariants, degenerate inputs)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from ocr_spark.functions.curation import (
+    bloom_semijoin,
+    c4_filter,
+    cms_heavy_hitters,
+    dsir_select,
+    gopher_rules,
+)
+from ocr_spark.functions.dedup import simhash_pairs
+from ocr_spark.functions.graph import triangle_count
+from ocr_spark.functions.similarity import (
+    brute_force_topk,
+    hamming_rerank_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_gopher_rules_degenerate_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, ""),                                   # empty
+            (1, "   "),                                # whitespace only
+            (2, "the and a " + "word " * 60),          # passes everything
+            (3, "1 2 3 " + "9 " * 60),                 # numeric: alpha fails
+            (4, "supercalifragilistic " * 60),         # mean wlen too high
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc"]: r.asDict() for r in
+           gopher_rules(docs, "doc_id", "text").collect()}
+    assert out[0]["n_words"] == 0 and out[0]["keep"] is False
+    assert out[0]["mean_wlen"] is None and out[0]["alpha_frac"] is None
+    assert out[1]["keep"] is False
+    assert out[2]["keep"] is True and out[2]["pass_stopwords"] is True
+    assert out[3]["pass_alpha"] is False and out[3]["keep"] is False
+    assert out[4]["pass_mean_wlen"] is False and out[4]["keep"] is False
+
+
+def test_c4_filter_rules(spark):
+    good = "\n".join(f"this is sentence number {i}." for i in range(5))
+    docs = spark.createDataFrame(
+        [
+            (0, good),                                  # all lines kept
+            (1, good + "\nenable javascript now."),     # js line dropped
+            (2, good + "\nlorem ipsum dolor."),         # page discarded
+            (3, good + "\nif (x) { y(); }"),            # brace discards page
+            (4, "one.\nno punct line\nshort."),         # < 3 kept lines
+            (5, ""),                                    # empty page
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc"]: r.asDict() for r in
+           c4_filter(docs, "doc_id", "text").collect()}
+    assert out[0]["keep"] is True and out[0]["n_kept"] == 5
+    assert out[0]["clean_text"] == good
+    # the javascript line is removed but the page survives
+    assert out[1]["keep"] is True and out[1]["n_kept"] == 5
+    assert "javascript" not in out[1]["clean_text"]
+    assert out[2]["keep"] is False and out[2]["clean_text"] == ""
+    assert out[3]["keep"] is False
+    assert out[4]["keep"] is False and out[4]["n_kept"] == 0
+    assert out[5]["keep"] is False and out[5]["n_lines"] == 1
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    # Target docs speak "alpha beta"; raw noise speaks "zeta eta".
+    rows = [(i, "alpha beta alpha beta gamma", 1) for i in range(4)]
+    rows += [(10 + i, "zeta eta theta iota kappa", 0) for i in range(12)]
+    rows += [(30, "alpha beta alpha beta gamma", 0)]   # target-like non-target
+    rows += [(31, "", 0)]                              # empty doc
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+    out = dsir_select(docs, "doc_id", "text",
+                      is_target=F.col("is_t") == 1, frac=0.3)
+    got = out.orderBy("rk").collect()
+    # k = ceil(18 * 0.3) = 6; ranks dense 1..6
+    assert [r["rk"] for r in got] == [1, 2, 3, 4, 5, 6]
+    # the 5 target-vocabulary docs (incl. the non-target one) outrank noise
+    top_ids = {r["doc"] for r in got[:5]}
+    assert top_ids == {0, 1, 2, 3, 30}
+    assert all(got[i]["logw_micro"] >= got[i + 1]["logw_micro"]
+               for i in range(len(got) - 1))
+
+
+def test_cohort_retention_offset_zero_is_full(spark):
+    base = dt.datetime(2024, 1, 1)  # a Monday
+    rows = []
+    for u in range(4):
+        rows.append((u, base))                         # cohort week 0
+    rows.append((0, base + dt.timedelta(days=7)))      # u0 returns wk 1
+    rows.append((1, base + dt.timedelta(days=14)))     # u1 returns wk 2
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    act = ev.select("user_id",
+                    F.date_trunc("week", "ts").cast("date").alias("week")
+                    ).distinct()
+    coh = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    joined = act.join(coh, "user_id").select(
+        "cohort_week",
+        F.floor(F.datediff("week", "cohort_week") / 7).alias("off"),
+        "user_id")
+    got = {(str(r["cohort_week"]), r["off"]): r["n"] for r in
+           joined.groupBy("cohort_week", "off")
+           .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert got[("2024-01-01", 0)] == 4
+    assert got[("2024-01-01", 1)] == 1
+    assert got[("2024-01-01", 2)] == 1
+
+
+def test_scd2_intervals_partition_and_conservation(spark):
+    from ocr_spark.queries import QUERIES
+
+    out = QUERIES["scd2_user_state"](spark, SF)
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    # one open (is_current) interval per user
+    cur = out.groupBy("user_id").agg(
+        F.sum(F.col("is_current").cast("int")).alias("n_open"))
+    assert cur.filter(F.col("n_open") != 1).count() == 0
+    # event conservation: segment sizes sum to the user's event count
+    lhs = out.groupBy("user_id").agg(F.sum("n_events").alias("n"))
+    rhs = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    assert lhs.join(rhs, "user_id").filter(
+        lhs["n"] != rhs["n"]).count() == 0
+    # intervals do not overlap: valid_to of segment k == valid_from of k+1
+    # is not required (gap = time between events), but ordering must hold
+    bad = out.filter(
+        F.col("valid_to").isNotNull() & (F.col("valid_to") < F.col("valid_from"))
+    ).count()
+    assert bad == 0
+    # adjacent segments never carry the same state (else they'd be merged)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("seg_id")
+    adj = out.withColumn("prev", F.lag("state").over(w)).filter(
+        F.col("prev").isNotNull() & (F.col("prev") == F.col("state"))
+    )
+    assert adj.count() == 0
+
+
+def test_triangle_count_known_graph(spark):
+    # K4 on {0,1,2,3} (4 triangles, 3 per node) + pendant edge 3-4.
+    edges = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges.append((3, 4))
+    # feed unsymmetrized, duplicated, and reversed edges: must canonicalize
+    edges = edges + [(b, a) for a, b in edges] + edges[:3]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 4: 0}
+
+
+def test_triangle_count_triangle_free(spark):
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 3)], ["src", "dst"])
+    got = triangle_count(df)
+    assert got.agg(F.sum("n_triangles")).first()[0] == 0
+    assert got.count() == 4
+
+
+def test_bloom_semijoin_no_false_negatives(spark):
+    dim = spark.createDataFrame([(i,) for i in range(0, 50)], ["key"])
+    fact = spark.createDataFrame([(i % 200,) for i in range(1000)], ["key"])
+    row = bloom_semijoin(fact, "key", dim, "key", m=256, k=3).first()
+    # Bloom guarantee: every true member passes (one-sided error)
+    assert row["n_pass_bloom"] - row["n_false_pos"] == row["n_true"]
+    assert row["n_true"] == 250   # keys 0..49 appear 5x each
+    assert row["n_fact"] == 1000
+    assert 0 < row["n_set_bits"] <= min(256, 50 * 3)
+    assert row["fp_rate"] >= 0.0
+
+
+def test_cms_overestimates_only(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = cms_heavy_hitters(docs, "doc_id", "text", d=4, w=256, topn=10)
+    rows = out.orderBy("rk").collect()
+    assert [r["rk"] for r in rows] == list(range(1, 11))
+    assert all(r["est_cnt"] >= r["true_cnt"] for r in rows)  # one-sided
+    assert all(r["overcount"] == r["est_cnt"] - r["true_cnt"] for r in rows)
+
+
+def test_simhash_pairs_identical_docs(spark):
+    text = "alpha beta gamma delta epsilon zeta"
+    docs = spark.createDataFrame(
+        [(0, text), (1, text), (2, "totally different words entirely here")],
+        ["doc_id", "text"])
+    got = simhash_pairs(docs, "doc_id", "text").collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in got}
+    assert pairs.get((0, 1)) == 0          # identical text -> hamming 0
+    assert all(h <= 3 for h in pairs.values())
+
+
+def test_hamming_rerank_structure_and_recall(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    got = hamming_rerank_topk(emb, "vec_id", "embedding").collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r["qid"], []).append(r)
+    assert set(per_q) == set(range(10))
+    for rows in per_q.values():
+        assert sorted(r["rank"] for r in rows) == [1, 2, 3, 4, 5]
+    # recall@5 vs brute force: deterministic data + deterministic planes
+    exact = brute_force_topk(emb, "vec_id", "embedding").collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r["qid"], set()).add(r["nid"])
+    hits = sum(
+        len({r["nid"] for r in rows} & truth[q]) for q, rows in per_q.items())
+    assert hits / (5 * len(per_q)) >= 0.5
