@@ -117,11 +117,16 @@ def canonical_url(url: Column) -> Column:
     return u
 
 
-def _doc_words(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _doc_words(df: DataFrame, id_col: str, text_col: str,
+               keep: tuple[str, ...] = ()) -> DataFrame:
+    """(doc, words[, *keep]) projection; ``keep`` names extra columns to
+    carry through in the same projection (cheaper than re-joining them on
+    doc afterwards)."""
     words = F.when(
         F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    return df.select(F.col(id_col).alias("doc"), words.alias("words"))
+    return df.select(F.col(id_col).alias("doc"), words.alias("words"),
+                     *[F.col(c) for c in keep])
 
 
 def _word_grams(words: Column, k: int) -> Column:
@@ -1184,9 +1189,8 @@ def dsir_select(
         F.col(id_col).alias("doc"), F.col(text_col).alias("__text"),
         is_target.cast("int").alias("is_t"),
     )
-    words = _doc_words(base, "doc", "__text")
-    flat = words.join(base.select("doc", "is_t"), "doc").select(
-        "doc", "is_t", F.explode("words").alias("w"))
+    words = _doc_words(base, "doc", "__text", keep=("is_t",))
+    flat = words.select("doc", "is_t", F.explode("words").alias("w"))
     tf = flat.groupBy("doc", "w").agg(
         F.count(F.lit(1)).alias("tf"), F.max("is_t").alias("is_t"))
     ws = tf.groupBy("w").agg(
