@@ -89,6 +89,8 @@ HEADLINE = [
     "fk_violations",
     "lang_id",
     "doc_quality",
+    "logreg_quality",
+    "char_entropy",
     "gopher_rules",
     "c4_filter",
     "doc_fingerprint",

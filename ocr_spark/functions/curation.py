@@ -1480,3 +1480,57 @@ def cms_heavy_hitters(
             "overcount"),
         "rk",
     )
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution — the
+    gibberish / encoding-garbage detector of a web-text quality pass (low
+    entropy = repeated filler, high entropy = random bytes; natural text
+    sits in a band).
+
+    Exactness: with L the char count and c_i the count of char i,
+    H = sum_i (c_i / L) * ln(L / c_i); each distinct char contributes
+    ``c_i * round(ln(L / c_i) * 1e6)`` exact micro-nats (ln of a ratio of
+    exact integers), the per-doc total is an order-free BIGINT, and the
+    final value divides by L once.
+
+    Scale shape: ZERO Exchange — a per-document statistic computed by
+    sorting the in-row char array and folding one run-length scan in a
+    single HOF aggregate (the repetition_stats pattern); it pipelines with
+    the scan. Returns (doc, n_chars, h_micro, entropy).
+    """
+    t = F.trim(F.col(text_col))
+    n = F.length(t)
+    # sequence(1, 0) descends in Spark — the empty-doc guard is mandatory
+    chars = F.when(n > 0, F.array_sort(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.substr(t, i, F.lit(1))))
+    ).otherwise(F.array().cast("array<string>"))
+    zero = F.lit(0).cast("bigint")
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"), zero.alias("s"),
+    )
+    term = lambda run: run * F.round(
+        F.log(n.cast("double") / run) * 1000000).cast("bigint")
+
+    def step(acc: Column, x: Column) -> Column:
+        is_run = x.eqNullSafe(acc["prev"])
+        flushed = F.when(
+            is_run | acc["prev"].isNull(), acc["s"]
+        ).otherwise(acc["s"] + term(acc["run"]))
+        run = F.when(is_run, acc["run"] + 1).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(x.alias("prev"), run.alias("run"), flushed.alias("s"))
+
+    h_micro = F.aggregate(
+        chars, init, step,
+        lambda acc: F.when(
+            acc["prev"].isNull(), acc["s"]).otherwise(acc["s"] + term(acc["run"])),
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        n.cast("bigint").alias("n_chars"),
+        F.coalesce(h_micro, F.lit(0)).cast("bigint").alias("h_micro"),
+        F.when(n > 0, F.round(
+            h_micro.cast("double") / n / 1000000.0, 6)).alias("entropy"),
+    )

@@ -2922,6 +2922,183 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _logreg_oracle_sql(n_iters: int = 5, lr: float = 1.0) -> str:
+    """Unrolled-iteration DuckDB twin of ml.logreg_quality over the
+    documents quality features (same integer micro quantization, same
+    fixed iteration count — the pagerank-oracle pattern for training)."""
+    def p_expr(w: str) -> str:
+        return (f"(1.0 / (1.0 + exp(-(({w}.w0 * 1000000 + {w}.w1 * f1 + "
+                f"{w}.w2 * f2 + {w}.w3 * f3) / 1000000000000.0))))")
+
+    its = ""
+    prev = "wi0"
+    for i in range(1, n_iters + 1):
+        p = p_expr("w")
+        its += f""",
+    g{i} AS (
+      SELECT SUM(CAST(round(({p} - y) * 1000000) AS BIGINT)) AS g0,
+             SUM(CAST(round(({p} - y) * f1) AS BIGINT)) AS g1,
+             SUM(CAST(round(({p} - y) * f2) AS BIGINT)) AS g2,
+             SUM(CAST(round(({p} - y) * f3) AS BIGINT)) AS g3
+      FROM feats CROSS JOIN {prev} w),
+    wi{i} AS (
+      SELECT w.w0 - CAST(round({lr!r} * g.g0 / nn.n) AS BIGINT) AS w0,
+             w.w1 - CAST(round({lr!r} * g.g1 / nn.n) AS BIGINT) AS w1,
+             w.w2 - CAST(round({lr!r} * g.g2 / nn.n) AS BIGINT) AS w2,
+             w.w3 - CAST(round({lr!r} * g.g3 / nn.n) AS BIGINT) AS w3
+      FROM {prev} w CROSS JOIN g{i} g CROSS JOIN nn)"""
+        prev = f"wi{i}"
+    pfin = p_expr("w")
+    return f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || repeat(CASE WHEN doc_id % 3 = 0 THEN ' the and for'
+                                 ELSE ' kappa lambda sigma' END,
+                            CAST(1 + doc_id % 4 AS INT)) AS text,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS y
+      FROM documents),
+    base AS (
+      SELECT doc_id AS doc, y,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '\\s+') END AS words
+      FROM aug),
+    rawf AS (
+      SELECT doc,
+             CAST(LEAST(len(words), 200) * 5000 AS BIGINT) AS f1,
+             CAST(CASE WHEN len(words) > 0 THEN round(
+               CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+               * 1000000 / (len(words) * 10.0)) ELSE 0 END AS BIGINT) AS f2,
+             CAST(CASE WHEN len(words) > 0 THEN round(
+               CAST(len(list_filter(words, w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+               * 1000000 / len(words)) ELSE 0 END AS BIGINT) AS f3,
+             y
+      FROM base),
+    st AS (
+      SELECT CAST(round(CAST(SUM(f1) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_f1,
+             CAST(round(sqrt(GREATEST(
+               CAST(SUM(f1 * f1) AS DOUBLE) / COUNT(*)
+               - CAST(round(CAST(SUM(f1) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 * CAST(round(CAST(SUM(f1) AS DOUBLE) / COUNT(*)) AS BIGINT),
+               0.0))) AS BIGINT) AS std_f1,
+             CAST(round(CAST(SUM(f2) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_f2,
+             CAST(round(sqrt(GREATEST(
+               CAST(SUM(f2 * f2) AS DOUBLE) / COUNT(*)
+               - CAST(round(CAST(SUM(f2) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 * CAST(round(CAST(SUM(f2) AS DOUBLE) / COUNT(*)) AS BIGINT),
+               0.0))) AS BIGINT) AS std_f2,
+             CAST(round(CAST(SUM(f3) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_f3,
+             CAST(round(sqrt(GREATEST(
+               CAST(SUM(f3 * f3) AS DOUBLE) / COUNT(*)
+               - CAST(round(CAST(SUM(f3) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                 * CAST(round(CAST(SUM(f3) AS DOUBLE) / COUNT(*)) AS BIGINT),
+               0.0))) AS BIGINT) AS std_f3
+      FROM rawf),
+    feats AS (
+      SELECT r.doc, r.y,
+             CASE WHEN st.std_f1 > 0 THEN CAST(round(
+               CAST(r.f1 - st.mean_f1 AS DOUBLE) * 1000000 / st.std_f1)
+               AS BIGINT) ELSE CAST(0 AS BIGINT) END AS f1,
+             CASE WHEN st.std_f2 > 0 THEN CAST(round(
+               CAST(r.f2 - st.mean_f2 AS DOUBLE) * 1000000 / st.std_f2)
+               AS BIGINT) ELSE CAST(0 AS BIGINT) END AS f2,
+             CASE WHEN st.std_f3 > 0 THEN CAST(round(
+               CAST(r.f3 - st.mean_f3 AS DOUBLE) * 1000000 / st.std_f3)
+               AS BIGINT) ELSE CAST(0 AS BIGINT) END AS f3
+      FROM rawf r CROSS JOIN st),
+    nn AS (SELECT COUNT(*) AS n FROM feats),
+    wi0 AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+                   CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3){its}
+    SELECT doc, ROUND({pfin}, 6) AS score, ({pfin} >= 0.5) AS pred,
+           CAST(y AS BIGINT) AS label
+    FROM feats CROSS JOIN {prev} w
+    """
+
+
+@query("logreg_quality", _logreg_oracle_sql())
+def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality-classifier training: 3 fixed iterations of
+    full-batch gradient descent on word-count / mean-word-length /
+    stop-word-fraction features (integer micro-quantized gradients, so
+    the corpus SUM is order-free and the DuckDB twin unrolls the same
+    iterations bit-exactly), then score every document — the fastText /
+    CCNet-style quality-filter pattern, with deterministic z-score feature
+    standardization. The label is a learnable fixture
+    (docs deterministically augmented with stop-word-rich vs rare-word
+    filler), so training demonstrably separates the classes — the
+    accuracy floor is pinned in tests."""
+    from ocr_spark import config as C
+    from ocr_spark.functions.curation import _doc_words
+    from ocr_spark.functions.ml import logreg_quality, standardize_micro
+
+    d = _cpu(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.repeat(
+                F.when(F.col("doc_id") % 3 == 0, F.lit(" the and for"))
+                .otherwise(F.lit(" kappa lambda sigma")),
+                (1 + F.col("doc_id") % 4).cast("int"),
+            ),
+        ).alias("text"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("y"),
+    )
+    base = _doc_words(aug, "doc_id", "text", keep=("y",))
+    n = F.size("words")
+    sum_len = F.aggregate(
+        "words", F.lit(0).cast("bigint"), lambda acc, w: acc + F.length(w))
+    stops = F.size(F.filter("words", lambda w: w.isin(C.STOPWORDS)))
+    feats = base.select(
+        "doc",
+        (F.least(n.cast("bigint"), F.lit(200)) * 5000).cast("bigint").alias("f1"),
+        F.when(n > 0, F.round(
+            sum_len.cast("double") * 1000000 / (n * 10.0))).otherwise(0)
+        .cast("bigint").alias("f2"),
+        F.when(n > 0, F.round(
+            stops.cast("double") * 1000000 / n)).otherwise(0)
+        .cast("bigint").alias("f3"),
+        "y",
+    )
+    feats = standardize_micro(feats, ("f1", "f2", "f3"))
+    return logreg_quality(feats, "doc", ("f1", "f2", "f3"), "y",
+                          n_iters=5, lr=1.0)
+
+
+@query(
+    "char_entropy",
+    """
+    WITH base AS (SELECT doc_id AS doc, trim(text) AS t FROM documents),
+    cx AS (
+      SELECT doc, length(t) AS n,
+             CASE WHEN length(t) > 0 THEN
+               list_transform(generate_series(1, length(t)),
+                              i -> substr(t, i, 1))
+             ELSE CAST([] AS VARCHAR[]) END AS cs
+      FROM base),
+    fl AS (SELECT doc, n, unnest(cs) AS c FROM cx),
+    cnts AS (SELECT doc, c, COUNT(*) AS cnt, ANY_VALUE(n) AS n
+             FROM fl GROUP BY doc, c),
+    s AS (
+      SELECT doc,
+             SUM(cnt * CAST(round(ln(CAST(n AS DOUBLE) / cnt) * 1000000)
+                            AS BIGINT)) AS hm
+      FROM cnts GROUP BY doc)
+    SELECT c.doc, CAST(c.n AS BIGINT) AS n_chars,
+           CAST(COALESCE(s.hm, 0) AS BIGINT) AS h_micro,
+           CASE WHEN c.n > 0 THEN
+             ROUND(CAST(s.hm AS DOUBLE) / c.n / 1000000, 6) END AS entropy
+    FROM cx c LEFT JOIN s USING (doc)
+    """,
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-distribution Shannon entropy (exact integer
+    micro-nats, zero-Exchange run-length HOF scan) — the gibberish /
+    encoding-garbage detector beside the word-level quality signals."""
+    from ocr_spark.functions.curation import char_entropy
+
+    return char_entropy(_cpu(spark, sf_dir, "documents"), "doc_id", "text")
+
+
 @query(
     "profile_events",
     """
