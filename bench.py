@@ -35,6 +35,7 @@ HEADLINE = [
     "customers_without_orders",
     "events_hourly",
     "event_sessions",
+    "session_windows",
     "asof_view_click",
     "event_range_pairs",
     "event_funnel",
@@ -78,6 +79,7 @@ HEADLINE = [
     "term_postings",
     "bm25_search",
     "snapshot_diff",
+    "crawl_merge",
     "profile_events",
     "host_pagerank",
     "triangle_count",

@@ -1534,3 +1534,37 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.when(n > 0, F.round(
             h_micro.cast("double") / n / 1000000.0, 6)).alias("entropy"),
     )
+
+
+def merge_upsert(
+    old: DataFrame, new: DataFrame, key_col: str, payload_col: str
+) -> DataFrame:
+    """MERGE INTO semantics over two crawl snapshots (WHEN MATCHED AND
+    changed THEN UPDATE / WHEN NOT MATCHED THEN INSERT; unmatched target
+    rows are retained) — the warehouse upsert every incremental crawl
+    lands with, reported per row: (key, action, content_hash) with action
+    in {inserted, updated, unchanged, retained} and the hash of the
+    surviving payload.
+
+    Scale shape: payloads are hash-projected BEFORE the full outer join,
+    so the join moves (key, 32-byte digest) rows only — text never
+    shuffles; the join keys on the id (AQE-splittable). This is the same
+    discipline as snapshot_diff, producing the merged table instead of
+    the report.
+    """
+    oh = old.select(
+        F.col(key_col).alias("k"), F.md5(F.col(payload_col)).alias("oh"))
+    nh = new.select(
+        F.col(key_col).alias("k"), F.md5(F.col(payload_col)).alias("nh"))
+    j = oh.join(nh, "k", "full_outer")
+    action = (
+        F.when(F.col("oh").isNull(), F.lit("inserted"))
+        .when(F.col("nh").isNull(), F.lit("retained"))
+        .when(F.col("oh") == F.col("nh"), F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+    )
+    return j.select(
+        F.col("k").alias("doc"),
+        action.alias("action"),
+        F.coalesce("nh", "oh").alias("content_hash"),
+    )

@@ -3190,6 +3190,92 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "crawl_merge",
+    """
+    WITH newt AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN text || ' updated' ELSE text END AS text
+      FROM documents WHERE doc_id % 13 != 0
+      UNION ALL
+      SELECT doc_id + 500000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0),
+    oh AS (SELECT doc_id AS k, md5(text) AS oh FROM documents),
+    nh AS (SELECT doc_id AS k, md5(text) AS nh FROM newt),
+    j AS (SELECT COALESCE(oh.k, nh.k) AS k, oh.oh, nh.nh
+          FROM oh FULL OUTER JOIN nh ON oh.k = nh.k)
+    SELECT k AS doc,
+           CASE WHEN oh IS NULL THEN 'inserted'
+                WHEN nh IS NULL THEN 'retained'
+                WHEN oh = nh THEN 'unchanged'
+                ELSE 'updated' END AS action,
+           COALESCE(nh, oh) AS content_hash
+    FROM j
+    """,
+)
+def q_crawl_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO upsert of a perturbed recrawl into the crawl table
+    (insert / update / unchanged / retained per row, hash-projected join)
+    — the incremental-ingest counterpart of snapshot_diff."""
+    from ocr_spark.functions.curation import merge_upsert
+
+    old = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    new = old.filter(k % 13 != 0).select(
+        "doc_id",
+        F.when(k % 7 == 0, F.concat(F.col("text"), F.lit(" updated")))
+        .otherwise(F.col("text")).alias("text"),
+    ).unionByName(
+        old.filter(k % 17 == 0).select((k + 500000).alias("doc_id"), "text")
+    )
+    return merge_upsert(old, new, "doc_id", "text")
+
+
+@query(
+    "session_windows",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    seg AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM seg GROUP BY user_id, sid
+    """,
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window aggregation (30-min gap): Spark's
+    session_window operator — the one the streaming path shares — with a
+    gap-derivation DuckDB twin. Window bounds follow Spark's definition:
+    [first event, last event + gap)."""
+    ev = _t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return (
+        ev.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(_cents("value")).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", fmt).alias("session_start"),
+            F.date_format("w.end", fmt).alias("session_end"),
+            "n_events", "value_cents",
+        )
+    )
+
+
+@query(
     "event_funnel",
     """
     WITH e AS (
