@@ -60,6 +60,7 @@ HEADLINE = [
     "simhash_pairs",
     "cosine_topk",
     "hamming_topk",
+    "ann_eval",
     "ivf_topk",
     "semantic_dedup",
     "lsh_buckets",
@@ -104,6 +105,7 @@ HEADLINE = [
     "tfidf_topk",
     "stratified_sample",
     "temperature_sample",
+    "weighted_sample",
     "pack_shards",
     "chunk_documents",
     "budget_select",

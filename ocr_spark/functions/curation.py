@@ -1568,3 +1568,49 @@ def merge_upsert(
         action.alias("action"),
         F.coalesce("nh", "oh").alias("content_hash"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight: Column,
+    k: int,
+    salt: str = "aes",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis &
+    Spirakis 2006, algorithm A-ES): each row draws the md5-derived uniform
+    u in (0, 1] and ranks by the key u^(1/w) — equivalently ln(u)/w, the
+    form used here — and the k largest keys are the sample. Inclusion
+    probability is proportional to weight, yet the draw is a pure
+    function of (id, salt): reproducible across engines, retries, and
+    partitionings, like stratified_sample but weight-proportional.
+
+    The key is carried as round(ln(u)/w * 1e6) — u is an exact dyadic
+    rational ((h+1)/2^32 from the first 8 md5 hex chars), so both engines
+    compute ln on the same double and the rank order is stable. Rows with
+    weight <= 0 never enter the sample.
+
+    Scale shape: one zero-shuffle key projection + a distributed
+    sort-limit (TakeOrdered); the rank window sees only the k winners.
+
+    Returns (doc, weight, key_micro, rk).
+    """
+    from pyspark.sql.window import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":" + salt))),
+            1, 8),
+        16, 10,
+    ).cast("bigint")
+    u = (h + 1).cast("double") / F.lit(float(1 << 32))
+    w = weight.cast("double")
+    key = F.round(F.log(u) / w * 1000000).cast("bigint")
+    scored = df.select(
+        F.col(id_col).alias("doc"),
+        weight.cast("bigint").alias("weight"),
+        F.when(w > 0, key).alias("key_micro"),
+    ).filter(F.col("key_micro").isNotNull())
+    top = scored.orderBy(F.desc("key_micro"), F.asc("doc")).limit(k)
+    wr = Window.orderBy(F.desc("key_micro"), F.asc("doc"))
+    return top.withColumn("rk", F.row_number().over(wr).cast("bigint"))

@@ -1012,9 +1012,8 @@ def q_priority_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucketing as the 100 TB path).
 # ===========================================================================
 
-@query(
-    "cosine_topk",
-    """
+_COSINE_TOPK_SQL = """
+    SELECT * FROM (
     WITH base AS (
       SELECT vec_id AS nid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nvec
       FROM embeddings),
@@ -1030,8 +1029,11 @@ def q_priority_segment_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT qid, nid, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
       FROM scored)
     WHERE rk <= 5
-    """,
-)
+    )
+"""
+
+
+@query("cosine_topk", _COSINE_TOPK_SQL)
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN baseline: brute-force cosine top-5 for the first 10 vectors."""
     out = similarity.brute_force_topk(_cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding")
@@ -1067,9 +1069,8 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc", F.col("bucket").cast("bigint").alias("bucket"))
 
 
-@query(
-    "hamming_topk",
-    f"""
+_HAMMING_TOPK_SQL = f"""
+    SELECT * FROM (
     WITH codes AS (SELECT * FROM ({_lsh_bucket_oracle_sql(60)})),
     q AS (SELECT doc AS qid, bucket AS qc FROM codes WHERE doc < 10),
     h AS (
@@ -1097,8 +1098,11 @@ def q_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid) AS rk
       FROM rer)
     WHERE rk <= 5
-    """,
-)
+    )
+"""
+
+
+@query("hamming_topk", _HAMMING_TOPK_SQL)
 def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage ANN: 60-bit sign-LSH Hamming codes shortlist 50
     neighbours per query by xor/popcount, exact cosine reranks to top-5
@@ -1106,6 +1110,43 @@ def q_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests) — the compress-then-refine search beside brute-force and IVF."""
     return similarity.hamming_rerank_topk(
         _cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+
+
+@query(
+    "ann_eval",
+    f"""
+    WITH ex AS (SELECT qid, nid FROM ({_COSINE_TOPK_SQL})),
+    hm AS (SELECT qid, nid FROM ({_HAMMING_TOPK_SQL})),
+    hits AS (
+      SELECT ex.qid, COUNT(hm.nid) AS n_hits
+      FROM ex LEFT JOIN hm ON ex.qid = hm.qid AND ex.nid = hm.nid
+      GROUP BY ex.qid)
+    SELECT qid, CAST(n_hits AS BIGINT) AS n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / 5, 6) AS recall
+    FROM hits
+    """,
+)
+def q_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation as a query: per-query recall@5 of the
+    Hamming-code two-stage search against the brute-force cosine ground
+    truth — the evaluation harness composed from the same operators it
+    measures, so index-quality regressions surface in the correctness
+    gate, not in a side script."""
+    emb = _cpu(spark, sf_dir, "embeddings")
+    ex = similarity.brute_force_topk(emb, "vec_id", "embedding").select(
+        "qid", "nid")
+    hm = similarity.hamming_rerank_topk(emb, "vec_id", "embedding").select(
+        F.col("qid").alias("hqid"), F.col("nid").alias("hnid"))
+    hits = (
+        ex.join(hm, (ex["qid"] == hm["hqid"]) & (ex["nid"] == hm["hnid"]),
+                "left")
+        .groupBy("qid")
+        .agg(F.count("hnid").alias("n_hits"))
+    )
+    return hits.select(
+        "qid", F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.round(F.col("n_hits").cast("double") / 5, 6).alias("recall"),
+    )
 
 
 # ===========================================================================
@@ -2607,6 +2648,40 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cpu(spark, sf_dir, "documents"), "doc_id", "text",
         is_target=F.col("lang") == "en", frac=0.1,
     )
+
+
+@query(
+    "weighted_sample",
+    f"""
+    WITH {_WORDS_CTE},
+    scored AS (
+      SELECT doc, CAST(len(words) AS BIGINT) AS weight,
+             CASE WHEN len(words) > 0 THEN CAST(round(
+               ln((('0x' || substr(md5(CAST(doc AS VARCHAR) || ':aes'), 1, 8))::BIGINT + 1)
+                  / CAST(4294967296 AS DOUBLE))
+               / len(words) * 1000000) AS BIGINT) END AS key_micro
+      FROM base),
+    top AS (
+      SELECT doc, weight, key_micro,
+             ROW_NUMBER() OVER (ORDER BY key_micro DESC, doc) AS rk
+      FROM scored WHERE key_micro IS NOT NULL)
+    SELECT doc, weight, key_micro, CAST(rk AS BIGINT) AS rk
+    FROM top WHERE rk <= 50
+    """,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES keys from md5 uniforms): 50 docs drawn proportional to
+    word count, reproducible across engines and partitionings — the
+    weight-proportional member of the sampling family."""
+    from ocr_spark.functions.curation import weighted_sample
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    base = d.select("doc_id", F.size(words).cast("bigint").alias("n_words"))
+    return weighted_sample(base, "doc_id", F.col("n_words"), k=50)
 
 
 @query(
