@@ -260,3 +260,31 @@ def test_logreg_deterministic_across_partitionings(spark):
         outs.append(sorted((r["doc"], r["score"]) for r in got.collect()))
     # integer-quantized gradients: bit-identical under any partitioning
     assert outs[0] == outs[1]
+
+
+def test_weighted_sample_invariants(spark):
+    from ocr_spark.functions.curation import weighted_sample
+
+    rows = [(i, 10 + (i * 37) % 90) for i in range(100)]
+    rows += [(200, 0), (201, -5)]          # never sampled
+    df = spark.createDataFrame(rows, ["doc", "w"])
+    got = weighted_sample(df, "doc", F.col("w"), k=10)
+    out = got.orderBy("rk").collect()
+    assert [r["rk"] for r in out] == list(range(1, 11))
+    assert all(r["doc"] < 200 for r in out)
+    # deterministic across partitionings
+    got2 = weighted_sample(df.repartition(7), "doc", F.col("w"), k=10)
+    assert sorted(r["doc"] for r in got2.collect()) == sorted(
+        r["doc"] for r in out)
+
+
+def test_crawl_merge_actions(spark):
+    from ocr_spark.functions.curation import merge_upsert
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone")], ["k", "t"])
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh")], ["k", "t"])
+    got = {r["doc"]: r["action"] for r in
+           merge_upsert(old, new, "k", "t").collect()}
+    assert got == {1: "unchanged", 2: "updated", 3: "retained", 4: "inserted"}
