@@ -288,3 +288,40 @@ def test_crawl_merge_actions(spark):
     got = {r["doc"]: r["action"] for r in
            merge_upsert(old, new, "k", "t").collect()}
     assert got == {1: "unchanged", 2: "updated", 3: "retained", 4: "inserted"}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_projection_ops_have_zero_exchange(spark):
+    """gopher_rules / c4_filter / char_entropy are per-document statistics
+    — they must stay pure projections fused into the scan."""
+    from ocr_spark.functions.curation import (
+        c4_filter, char_entropy, gopher_rules)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for op in (gopher_rules, c4_filter, char_entropy):
+        plan = _plan(op(docs, "doc_id", "text"))
+        assert "Exchange" not in plan, op.__name__
+
+
+def test_scd2_single_exchange(spark):
+    """All three windows and the segment agg must reuse ONE user_id
+    partitioning — a second Exchange is a plan regression."""
+    from ocr_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["scd2_user_state"](spark, SF))
+    assert plan.count("Exchange") == 1
+
+
+def test_bloom_probe_side_broadcasts(spark):
+    """The set-bit table must reach the probe side as a broadcast — a
+    shuffled join here would move the fact table by a foreign key."""
+    from ocr_spark.functions.curation import bloom_semijoin
+
+    fact = spark.read.parquet(f"{SF}/orders.parquet")
+    dim = spark.read.parquet(f"{SF}/customer.parquet")
+    plan = _plan(bloom_semijoin(fact, "o_custkey", dim, "c_custkey",
+                                m=1024, k=3))
+    assert "BroadcastHashJoin" in plan
