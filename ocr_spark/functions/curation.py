@@ -1135,11 +1135,12 @@ def unigram_kl(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             "doc",
             F.col("dl").alias("n_tokens"),
             F.coalesce("kl_micro", F.lit(0)).cast("bigint").alias("kl_micro"),
+            # no final ROUND: a 6-digit round of a float quotient is a
+            # half-way coin flip across engines (observed at sf0.1); the
+            # raw quotient of exact integers is bit-identical instead
             F.when(
                 F.col("dl") > 0,
-                F.round(
-                    F.col("kl_micro").cast("double") / F.col("dl") / 1000000.0,
-                    6),
+                F.col("kl_micro").cast("double") / F.col("dl") / 1000000.0,
             ).alias("kl"),
         )
     )
@@ -1531,8 +1532,8 @@ def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("doc"),
         n.cast("bigint").alias("n_chars"),
         F.coalesce(h_micro, F.lit(0)).cast("bigint").alias("h_micro"),
-        F.when(n > 0, F.round(
-            h_micro.cast("double") / n / 1000000.0, 6)).alias("entropy"),
+        F.when(
+            n > 0, h_micro.cast("double") / n / 1000000.0).alias("entropy"),
     )
 
 

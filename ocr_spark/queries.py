@@ -2587,8 +2587,8 @@ def q_fk_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc, d.dl AS n_tokens,
            CAST(COALESCE(p.kl_micro, 0) AS BIGINT) AS kl_micro,
            CASE WHEN d.dl > 0
-                THEN ROUND(CAST(p.kl_micro AS DOUBLE) / d.dl
-                           / CAST(1000000 AS DOUBLE), 6) END AS kl
+                THEN CAST(p.kl_micro AS DOUBLE) / d.dl
+                     / CAST(1000000 AS DOUBLE) END AS kl
     FROM dl d LEFT JOIN per p USING (doc)
     """,
 )
@@ -3161,7 +3161,7 @@ def q_logreg_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c.doc, CAST(c.n AS BIGINT) AS n_chars,
            CAST(COALESCE(s.hm, 0) AS BIGINT) AS h_micro,
            CASE WHEN c.n > 0 THEN
-             ROUND(CAST(s.hm AS DOUBLE) / c.n / 1000000, 6) END AS entropy
+             CAST(s.hm AS DOUBLE) / c.n / 1000000 END AS entropy
     FROM cx c LEFT JOIN s USING (doc)
     """,
 )
