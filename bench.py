@@ -118,6 +118,8 @@ HEADLINE = [
     "numeric_deconfusion",
     "url_host_stats",
     "canonical_urls",
+    "blocklist_filter",
+    "fix_mojibake",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

@@ -50,6 +50,18 @@ def pii_scrub(text: Column) -> tuple[Column, Column]:
     return scrubbed, n
 
 
+def url_host(url: Column) -> Column:
+    """Lowercased host of an absolute URL. The scheme match is
+    case-insensitive (RFC 3986 schemes are); the host branch tries an
+    IPv6/IPvFuture bracket literal first (inside which ':' is not a port
+    separator, brackets stripped), then the reg-name form, where
+    [^/:?#]+ stops at the port colon / path / query with no lookahead
+    (RE2, the oracle dialect, has none)."""
+    raw_host = F.regexp_extract(
+        url, r"(?i)^[a-z][a-z0-9+.-]*://(\[[^\]]+\]|[^/:?#]+)", 1)
+    return F.lower(F.regexp_replace(raw_host, r"^\[|\]$", ""))
+
+
 def url_host_stats(df: DataFrame, url_col: str) -> DataFrame:
     """Per-host crawl statistics (the host-level view every web-corpus
     filter starts from): host, TLD, document count, path-depth totals.
@@ -57,14 +69,7 @@ def url_host_stats(df: DataFrame, url_col: str) -> DataFrame:
     lacks) + one hash aggregation keyed on host (map-side partials; hot
     hosts are exactly what this op is for measuring)."""
     url = F.col(url_col)
-    # Scheme match is case-insensitive (RFC 3986 schemes are); the host
-    # branch tries an IPv6/IPvFuture bracket literal first (inside which
-    # ':' is not a port separator), then the reg-name form, where
-    # [^/:?#]+ stops at the port colon / path / query with no lookahead
-    # (RE2, the oracle dialect, has none). Hosts canonicalize lowercase.
-    raw_host = F.regexp_extract(
-        url, r"(?i)^[a-z][a-z0-9+.-]*://(\[[^\]]+\]|[^/:?#]+)", 1)
-    host = F.lower(F.regexp_replace(raw_host, r"^\[|\]$", ""))
+    host = url_host(url)
     path = F.regexp_extract(url, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
     depth = (F.length(path) - F.length(F.regexp_replace(path, "/", ""))).cast("bigint")
     return (
@@ -1615,3 +1620,124 @@ def weighted_sample(
     top = scored.orderBy(F.desc("key_micro"), F.asc("doc")).limit(k)
     wr = Window.orderBy(F.desc("key_micro"), F.asc("doc"))
     return top.withColumn("rk", F.row_number().over(wr).cast("bigint"))
+
+
+def blocklist_filter(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    blocklist: DataFrame,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Domain-blocklist gate with parent-domain semantics (the first
+    URL-level filter every web corpus runs — UT1/adult/malware lists):
+    a page is blocked when its host equals a listed domain OR sits under
+    one (host ends with '.' + domain), so listing example.org blocks
+    cdn4.example.org but never notexample.org.
+
+    Shape: the host (lowercased; IPv6 bracket literals stay one opaque
+    label) expands into its dot-suffix chain (a.b.c -> [a.b.c, b.c, c]) —
+    fan-out bounded by the label count (real hosts <= ~10 labels, never
+    corpus-sized) — and the exploded suffixes hash-join the BROADCAST
+    blocklist (thousands-to-millions of short strings, well inside the
+    broadcast guard; dropping the hint degrades to a suffix-keyed shuffle
+    join with identical results). Ancestor collisions collapse to
+    MIN(domain) per doc through a map-side-combined agg whose exchange
+    carries MATCHED docs only (block-rate-sized, typically <<1% of the
+    corpus), and the verdict joins back on the id — AQE picks the
+    strategy from the matched side's observed size.
+
+    Returns (doc, host, blocked, matched_domain) for every input row.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"), url_host(F.col(url_col)).alias("host"))
+    labels = F.split(F.col("host"), r"\.")
+    n = F.size(labels)
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+    sfx = base.select("doc", F.explode(suffixes).alias("sfx"))
+    bl = blocklist.select(F.col(domain_col).alias("sfx")).distinct()
+    matched = (
+        sfx.join(F.broadcast(bl), "sfx")
+        .groupBy("doc")
+        .agg(F.min("sfx").alias("matched_domain"))
+    )
+    return base.join(matched, "doc", "left").select(
+        "doc",
+        "host",
+        F.col("matched_domain").isNotNull().cast("int").alias("blocked"),
+        "matched_domain",
+    )
+
+
+# UTF-8 bytes re-decoded as cp1252 — the classic double-encoding mojibake a
+# web crawl accumulates. Printable-sequence subset only (sequences whose
+# cp1252 rendering contains C1 controls, e.g. U+201D -> 0x9d, can't round-trip
+# as literal strings and are left alone). ORDER MATTERS: 3-byte sequences
+# first, or the 'Ã/â' 2-byte fixes would eat their lead bytes. Both engines
+# consume this same table, so the repair is cross-engine identical by
+# construction.
+MOJIBAKE_MAP: list[tuple[str, str]] = [
+    ("â€™", "’"),  # â€™ -> ’
+    ("â€˜", "‘"),  # â€˜ -> ‘
+    ("â€œ", "“"),  # â€œ -> “
+    ("â€“", "–"),  # â€“ -> –
+    ("â€”", "—"),  # â€” -> —
+    ("â€¦", "…"),  # â€¦ -> …
+    ("â€¢", "•"),  # â€¢ -> •
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã¡", "á"),  # Ã¡ -> á
+    ("Ã³", "ó"),  # Ã³ -> ó
+    ("Ãº", "ú"),  # Ãº -> ú
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+    ("Ã¤", "ä"),  # Ã¤ -> ä
+    ("Ã§", "ç"),  # Ã§ -> ç
+    ("ÃŸ", "ß"),  # ÃŸ -> ß
+    ("Â«", "«"),  # Â« -> «
+    ("Â»", "»"),  # Â» -> »
+    ("Â°", "°"),  # Â° -> °
+    ("Â·", "·"),  # Â· -> ·
+    ("Â¿", "¿"),  # Â¿ -> ¿
+    ("Â¡", "¡"),  # Â¡ -> ¡
+]
+
+# Lead bytes of every mapped sequence, as one translate() alphabet.
+MOJIBAKE_MARKERS = "ÃÂâ"
+
+
+def _marker_count(text: Column) -> Column:
+    """Occurrences of mojibake lead characters (Ã Â â) in ``text`` —
+    length-minus-translate, one codegen'd expression, no regex."""
+    return (
+        F.length(text)
+        - F.length(F.translate(text, MOJIBAKE_MARKERS, ""))
+    ).cast("bigint")
+
+
+def fix_mojibake(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Repair UTF-8-read-as-cp1252 mojibake (ftfy's most common case) via
+    a fixed longest-first literal replacement chain, and report how
+    suspect each document looked before and after: (doc, n_suspect,
+    n_residual, fixed). n_residual > 0 flags sequences outside the mapped
+    table (or legitimate Ã/Â/â usage) for a human eye.
+
+    Pure zero-shuffle projection — a chain of literal replace() calls (no
+    regex) fused into the scan; at 100 TB it pipelines with the parquet
+    read like clean_text does."""
+    text = F.col(text_col)
+    fixed = text
+    for bad, good in MOJIBAKE_MAP:
+        fixed = F.replace(fixed, F.lit(bad), F.lit(good))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        _marker_count(text).alias("n_suspect"),
+        _marker_count(fixed).alias("n_residual"),
+        fixed.alias("fixed"),
+    )

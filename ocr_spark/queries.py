@@ -4590,3 +4590,125 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     for fr in frames[1:]:
         out = out.unionByName(fr)
     return out
+
+
+# ===========================================================================
+# Round-3 curation additions: domain-blocklist gate, mojibake repair.
+# ===========================================================================
+
+_BLOCKLIST_DOMAINS = [
+    "track3.com", "example.org", "bad.co.in", "2001:db8::7", "site.io",
+]
+
+_BLOCKLIST_URL_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 6
+             WHEN 0 THEN 'https://a.b.track' || CAST(doc_id % 7 AS VARCHAR) || '.com/x'
+             WHEN 1 THEN 'http://example.org/p'
+             WHEN 2 THEN 'HTTPS://CDN' || CAST(doc_id % 11 AS VARCHAR) || '.Example.ORG:8080/q'
+             WHEN 3 THEN 'http://notexample.org/r'
+             WHEN 4 THEN 'http://[2001:db8::' || CAST(doc_id % 9 AS VARCHAR) || ']/v'
+             ELSE 'https://ok' || CAST(doc_id % 13 AS VARCHAR) || '.net/'
+           END AS url
+    FROM documents
+"""
+
+
+@query(
+    "blocklist_filter",
+    f"""
+    WITH u AS ({_BLOCKLIST_URL_SQL}),
+    h AS (
+      SELECT doc, lower(regexp_replace(
+               regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://(\\[[^\\]]+\\]|[^/:?#]+)', 1),
+               '^\\[|\\]$', '', 'g')) AS host
+      FROM u),
+    bl(domain) AS (VALUES {", ".join(f"('{d}')" for d in _BLOCKLIST_DOMAINS)}),
+    m AS (
+      SELECT doc, host,
+             (SELECT MIN(domain) FROM bl
+              WHERE host = domain OR host LIKE ('%.' || domain)) AS matched_domain
+      FROM h)
+    SELECT doc, host,
+           CAST(matched_domain IS NOT NULL AS INT) AS blocked,
+           matched_domain
+    FROM m
+    """,
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-blocklist gate with parent-domain suffix semantics over
+    deterministic synthetic urls: exact host hits, subdomain hits (incl.
+    mixed case + port), the notexample.org suffix-boundary trap, and IPv6
+    bracket-literal exact matches. The blocklist rides in as a DataFrame
+    (the 100 TB-shape API — a broadcast dimension, not a literal)."""
+    from ocr_spark.functions.curation import blocklist_filter
+
+    k = F.col("doc_id")
+    m = k % 6
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("https://a.b.track"), (k % 7).cast("string"), F.lit(".com/x")))
+        .when(m == 1, F.lit("http://example.org/p"))
+        .when(m == 2, F.concat(
+            F.lit("HTTPS://CDN"), (k % 11).cast("string"),
+            F.lit(".Example.ORG:8080/q")))
+        .when(m == 3, F.lit("http://notexample.org/r"))
+        .when(m == 4, F.concat(
+            F.lit("http://[2001:db8::"), (k % 9).cast("string"), F.lit("]/v")))
+        .otherwise(F.concat(
+            F.lit("https://ok"), (k % 13).cast("string"), F.lit(".net/")))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    bl = spark.createDataFrame(
+        [(d,) for d in _BLOCKLIST_DOMAINS], "domain string")
+    return blocklist_filter(docs, "doc_id", "url", bl)
+
+
+def _mojibake_oracle() -> str:
+    from ocr_spark.functions.curation import MOJIBAKE_MAP, MOJIBAKE_MARKERS
+
+    fixed = "text"
+    for bad, good in MOJIBAKE_MAP:
+        fixed = f"replace({fixed}, '{bad}', '{good}')"
+
+    def cnt(e: str) -> str:
+        return (f"CAST(length({e}) - length(translate({e}, "
+                f"'{MOJIBAKE_MARKERS}', '')) AS BIGINT)")
+
+    return f"""
+    WITH c AS (
+      SELECT doc_id AS doc,
+             CASE doc_id % 4
+               WHEN 0 THEN text || ' â€œMojibakeâ€¦ hereâ€™s â€“ a test'
+               WHEN 1 THEN 'CafÃ© â€” rÃ©sumÃ© naÃ¯ve? ' || text
+               WHEN 2 THEN text || ' Â«TÂ° 25Â·5Â»'
+               ELSE text END AS text
+      FROM documents),
+    f AS (SELECT doc, text, {fixed} AS fixed FROM c)
+    SELECT doc, {cnt("text")} AS n_suspect, {cnt("fixed")} AS n_residual,
+           fixed
+    FROM f
+    """
+
+
+@query("fix_mojibake", _mojibake_oracle())
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair over deterministically corrupted documents: every
+    doc_id%4 class injects a different UTF-8-as-cp1252 artifact family
+    (curly-quote/dash/ellipsis 3-byte forms; accented-Latin 2-byte forms
+    including the deliberately-unmapped naÃ¯ve, which must survive into
+    n_residual; Â-prefixed punctuation; and a clean control class)."""
+    from ocr_spark.functions.curation import fix_mojibake
+
+    k = F.col("doc_id")
+    m = k % 4
+    text = F.col("text")
+    corrupt = (
+        F.when(m == 0, F.concat(text, F.lit(" â€œMojibakeâ€¦ hereâ€™s â€“ a test")))
+        .when(m == 1, F.concat(F.lit("CafÃ© â€” rÃ©sumÃ© naÃ¯ve? "), text))
+        .when(m == 2, F.concat(text, F.lit(" Â«TÂ° 25Â·5Â»")))
+        .otherwise(text)
+    )
+    docs = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", corrupt.alias("text"))
+    return fix_mojibake(docs, "doc_id", "text")

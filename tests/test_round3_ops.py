@@ -325,3 +325,83 @@ def test_bloom_probe_side_broadcasts(spark):
     plan = _plan(bloom_semijoin(fact, "o_custkey", dim, "c_custkey",
                                 m=1024, k=3))
     assert "BroadcastHashJoin" in plan
+
+
+def test_blocklist_filter_semantics(spark):
+    """Exact hit, subdomain hit, suffix-boundary miss (notexample.org),
+    IPv6 exact hit, multi-ancestor MIN tie-break."""
+    from ocr_spark.functions.curation import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, "http://example.org/p"),           # exact
+            (1, "https://a.cdn.example.org/x"),    # subdomain
+            (2, "http://notexample.org/r"),        # suffix boundary: kept
+            (3, "http://[2001:db8::7]:80/v"),      # ipv6 exact
+            (4, "http://[2001:db8::8]/v"),         # ipv6 miss
+            (5, "https://x.bad.example.org/"),     # two ancestors listed
+            (6, "https://ok.net/"),                # clean
+        ],
+        ["doc_id", "url"],
+    )
+    bl = spark.createDataFrame(
+        [("example.org",), ("bad.example.org",), ("2001:db8::7",)],
+        ["domain"],
+    )
+    out = {r["doc"]: r.asDict()
+           for r in blocklist_filter(docs, "doc_id", "url", bl).collect()}
+    assert len(out) == 7
+    assert out[0]["blocked"] == 1 and out[0]["matched_domain"] == "example.org"
+    assert out[1]["blocked"] == 1 and out[1]["matched_domain"] == "example.org"
+    assert out[2]["blocked"] == 0 and out[2]["matched_domain"] is None
+    assert out[3]["blocked"] == 1 and out[3]["matched_domain"] == "2001:db8::7"
+    assert out[4]["blocked"] == 0
+    # both example.org and bad.example.org match doc 5 -> MIN wins
+    assert out[5]["matched_domain"] == "bad.example.org"
+    assert out[6]["blocked"] == 0
+
+
+def test_blocklist_broadcasts_and_bounded_fanout(spark):
+    """The blocklist must reach the suffix join as a broadcast (never a
+    corpus shuffle keyed on the suffix)."""
+    from ocr_spark.functions.curation import blocklist_filter
+
+    docs = spark.createDataFrame(
+        [(0, "http://a.b.c.example.org/")], ["doc_id", "url"])
+    bl = spark.createDataFrame([("example.org",)], ["domain"])
+    plan = _plan(blocklist_filter(docs, "doc_id", "url", bl))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_fix_mojibake_known_repairs(spark):
+    from ocr_spark.functions.curation import fix_mojibake
+
+    docs = spark.createDataFrame(
+        [
+            (0, "hereâ€™s â€œquotedâ€¦ â€” text"),
+            (1, "CafÃ© rÃ©sumÃ© Ã±oÃ±o"),
+            (2, "naÃ¯ve stays broken"),   # unmapped 2-byte form
+            (3, "already clean — café"),  # idempotence
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc"]: r.asDict()
+           for r in fix_mojibake(docs, "doc_id", "text").collect()}
+    assert out[0]["fixed"] == "here’s “quoted… — text"
+    assert out[0]["n_suspect"] > 0 and out[0]["n_residual"] == 0
+    assert out[1]["fixed"] == "Café résumé ñoño"
+    assert out[1]["n_residual"] == 0
+    assert out[2]["fixed"] == "naÃ¯ve stays broken"
+    assert out[2]["n_suspect"] == 1 and out[2]["n_residual"] == 1
+    assert out[3]["fixed"] == "already clean — café"
+    assert out[3]["n_suspect"] == 0 and out[3]["n_residual"] == 0
+    assert out[4]["n_suspect"] == 0 and out[4]["fixed"] == ""
+
+
+def test_fix_mojibake_zero_exchange(spark):
+    from ocr_spark.functions.curation import fix_mojibake
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(fix_mojibake(docs, "doc_id", "text"))
+    assert "Exchange" not in plan
