@@ -120,6 +120,8 @@ HEADLINE = [
     "canonical_urls",
     "blocklist_filter",
     "fix_mojibake",
+    "host_cap",
+    "noindex_filter",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

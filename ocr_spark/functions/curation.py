@@ -1741,3 +1741,69 @@ def fix_mojibake(
         _marker_count(fixed).alias("n_residual"),
         fixed.alias("fixed"),
     )
+
+
+def host_cap(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    quality: Column,
+    k: int,
+    n_shards: int = 16,
+) -> DataFrame:
+    """Per-host document quota (the C4-style per-domain cap that stops
+    mega-hosts from dominating a corpus): keep at most ``k`` documents per
+    host, best-``quality`` first, ties to the lowest id.
+
+    Skew shape: a plain per-host window puts a 10^8-doc host on ONE
+    reducer. The cap runs in two stages instead — stage 1 ranks within
+    (host, shard) where shard = md5(id) % n_shards, bounding any task to a
+    1/n_shards slice of the hottest host, and keeps each shard's top k;
+    stage 2 ranks the <= n_shards*k survivors per host. Exact: every
+    global top-k row is inside its shard's top-k, so stage 1 never drops
+    a winner (the oracle pins this with a single-window twin).
+
+    Returns kept rows only: (doc, host, quality, rk) with rk <= k.
+    """
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        url_host(F.col(url_col)).alias("host"),
+        quality.cast("bigint").alias("quality"),
+    )
+    shard = _md5_mod(F.col("doc").cast("string"), "hostcap", n_shards)
+    order = [F.desc("quality"), F.asc("doc")]
+    w1 = Window.partitionBy("host", "shard").orderBy(*order)
+    w2 = Window.partitionBy("host").orderBy(*order)
+    survivors = (
+        base.withColumn("shard", shard)
+        .withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= k)
+    )
+    return (
+        survivors.withColumn("rk", F.row_number().over(w2).cast("bigint"))
+        .filter(F.col("rk") <= k)
+        .select("doc", "host", "quality", "rk")
+    )
+
+
+# Meta-robots detection: the tag whose name attribute is robots or
+# googlebot, in either attribute order, any case. RE2/Java-common.
+_META_ROBOTS_RE = r'(?i)<meta\b[^>]*name\s*=\s*"(?:robots|googlebot)"[^>]*>'
+
+
+def noindex_filter(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Robots-meta gate (the crawl-side exclusion every corpus must honor):
+    flag documents whose HTML carries <meta name="robots"|"googlebot" ...>
+    with noindex / nofollow directives, attribute order and case free.
+
+    Two codegen'd regexes, zero shuffle: extract the first matching meta
+    tag, then test the directives inside that tag only (a 'noindex' in
+    body text never triggers). Fuses into the scan at any scale."""
+    tag = F.regexp_extract(F.col(html_col), _META_ROBOTS_RE, 0)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        tag.rlike(r"(?i)\bnoindex\b").cast("int").alias("noindex"),
+        tag.rlike(r"(?i)\bnofollow\b").cast("int").alias("nofollow"),
+    )

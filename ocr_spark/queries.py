@@ -4712,3 +4712,100 @@ def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _cpu(spark, sf_dir, "documents").select(
         "doc_id", corrupt.alias("text"))
     return fix_mojibake(docs, "doc_id", "text")
+
+
+@query(
+    "host_cap",
+    f"""
+    WITH u AS ({_URL_SQL}),
+    h AS (
+      SELECT u.doc_id AS doc,
+             lower(regexp_replace(
+               regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://(\\[[^\\]]+\\]|[^/:?#]+)', 1),
+               '^\\[|\\]$', '', 'g')) AS host,
+             CAST(d.n_chars AS BIGINT) AS quality
+      FROM u JOIN documents d ON u.doc_id = d.doc_id),
+    r AS (
+      SELECT doc, host, quality,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY host ORDER BY quality DESC, doc ASC) AS BIGINT) AS rk
+      FROM h)
+    SELECT doc, host, quality, rk FROM r WHERE rk <= 3
+    """,
+)
+def q_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host quota: keep the 3 longest documents per host over the
+    url_host_stats synthetic urls. The Spark side runs the skew-safe
+    two-stage cap; the oracle is the single-window twin, pinning the
+    exactness of the shard-then-global decomposition."""
+    from ocr_spark.functions.curation import host_cap
+
+    k = F.col("doc_id")
+    url = (
+        F.when(k % 5 == 0, F.concat(
+            F.lit("https://www"), (k % 5).cast("string"), F.lit(".site"),
+            (k % 97).cast("string"), F.lit(".co.in/a/b"), (k % 7).cast("string"), F.lit("?q=1")))
+        .when(k % 5 == 1, F.concat(
+            F.lit("http://cdn"), (k % 11).cast("string"), F.lit(".example.org:8080/x/y/z")))
+        .when(k % 5 == 2, F.concat(
+            F.lit("HTTPS://UP"), (k % 13).cast("string"), F.lit(".Example.COM/a")))
+        .when(k % 5 == 3, F.concat(
+            F.lit("http://[2001:db8::"), (k % 9).cast("string"), F.lit("]:8080/x/y")))
+        .otherwise(F.concat(F.lit("https://host"), (k % 23).cast("string"), F.lit(".io/")))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"), "n_chars")
+    return host_cap(docs, "doc_id", "url", F.col("n_chars"), k=3)
+
+
+_NOINDEX_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 5
+             WHEN 0 THEN '<html><head><meta name="robots" content="noindex, nofollow"></head><body>' || text
+             WHEN 1 THEN '<HTML><META content="NOINDEX" name="ROBOTS"><body>' || text
+             WHEN 2 THEN '<html><meta name="robots" content="index, follow"><p>noindex in body text' || text
+             WHEN 3 THEN '<html><meta name="googlebot" content="noindex"><body>' || text
+             ELSE '<html><body>' || text
+           END AS html
+    FROM documents
+"""
+
+
+@query(
+    "noindex_filter",
+    f"""
+    WITH u AS ({_NOINDEX_HTML_SQL}),
+    t AS (
+      SELECT doc,
+             regexp_extract(html,
+               '(?i)<meta\\b[^>]*name\\s*=\\s*"(?:robots|googlebot)"[^>]*>', 0) AS tag
+      FROM u)
+    SELECT doc,
+           CAST(regexp_matches(tag, '(?i)\\bnoindex\\b') AS INT) AS noindex,
+           CAST(regexp_matches(tag, '(?i)\\bnofollow\\b') AS INT) AS nofollow
+    FROM t
+    """,
+)
+def q_noindex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-meta exclusion over deterministic synthetic html: directive
+    in a robots tag (both attribute orders, any case), an agent-specific
+    googlebot tag, an index,follow tag with 'noindex' only in body text
+    (must NOT trigger), and a no-meta control."""
+    from ocr_spark.functions.curation import noindex_filter
+
+    k = F.col("doc_id")
+    m = k % 5
+    text = F.col("text")
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<html><head><meta name="robots" content="noindex, nofollow"></head><body>'), text))
+        .when(m == 1, F.concat(
+            F.lit('<HTML><META content="NOINDEX" name="ROBOTS"><body>'), text))
+        .when(m == 2, F.concat(
+            F.lit('<html><meta name="robots" content="index, follow"><p>noindex in body text'), text))
+        .when(m == 3, F.concat(
+            F.lit('<html><meta name="googlebot" content="noindex"><body>'), text))
+        .otherwise(F.concat(F.lit("<html><body>"), text))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    return noindex_filter(docs, "doc_id", "html")

@@ -405,3 +405,47 @@ def test_fix_mojibake_zero_exchange(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = _plan(fix_mojibake(docs, "doc_id", "text"))
     assert "Exchange" not in plan
+
+
+def test_host_cap_matches_single_window(spark):
+    """Two-stage shard cap must equal the plain per-host top-k on a
+    skewed fixture (one hot host, several shards, quality ties broken by
+    id)."""
+    from ocr_spark.functions.curation import host_cap
+
+    rows = [(i, "http://hot.example.com/p", i % 7) for i in range(100)]
+    rows += [(100 + i, "http://cold.example.org/q", 5) for i in range(2)]
+    docs = spark.createDataFrame(rows, ["doc_id", "url", "q"])
+    out = host_cap(docs, "doc_id", "url", F.col("q"), k=5, n_shards=4).collect()
+    by_host = {}
+    for r in out:
+        by_host.setdefault(r["host"], []).append(r)
+    # brute force: top-5 by (q desc, id asc) among the 100 hot docs
+    hot = sorted(range(100), key=lambda i: (-(i % 7), i))[:5]
+    got = sorted((r["doc"], r["rk"]) for r in by_host["hot.example.com"])
+    want = sorted((d, rk + 1) for rk, d in enumerate(hot))
+    assert got == want
+    # cold host has 2 docs < k: both kept
+    assert len(by_host["cold.example.org"]) == 2
+
+
+def test_noindex_filter_tag_scoped(spark):
+    from ocr_spark.functions.curation import noindex_filter
+
+    docs = spark.createDataFrame(
+        [
+            (0, '<meta name="robots" content="noindex">'),
+            (1, '<META content="NOFOLLOW,NOINDEX" name="ROBOTS">'),
+            (2, '<meta name="robots" content="index">body says noindex'),
+            (3, "no meta at all, noindex nofollow in text"),
+            (4, '<meta name="googlebot" content="noindex">'),
+        ],
+        ["doc_id", "html"],
+    )
+    out = {r["doc"]: (r["noindex"], r["nofollow"])
+           for r in noindex_filter(docs, "doc_id", "html").collect()}
+    assert out[0] == (1, 0)
+    assert out[1] == (1, 1)
+    assert out[2] == (0, 0)
+    assert out[3] == (0, 0)
+    assert out[4] == (1, 0)
