@@ -122,6 +122,7 @@ HEADLINE = [
     "fix_mojibake",
     "host_cap",
     "noindex_filter",
+    "robots_gate",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

@@ -1672,6 +1672,72 @@ def blocklist_filter(
     )
 
 
+def url_path(url: Column) -> Column:
+    """Path component of an absolute URL: first '/' after the authority up
+    to (not including) the query/fragment; authority-only URLs normalize
+    to '/'. The authority match ``[^/?#]*`` passes IPv6 bracket literals
+    through unharmed (':' and brackets are not in the excluded set)."""
+    p = F.regexp_extract(
+        url, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_gate(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    rules: DataFrame,
+    host_col: str = "host",
+    prefix_col: str = "path_prefix",
+    allow_col: str = "allow",
+) -> DataFrame:
+    """RFC 9309 (robots.txt) longest-match gate: for each page, among the
+    crawl's parsed Allow/Disallow path-prefix rules for its host, the rule
+    with the LONGEST prefix that path-prefix-matches wins; equal-length
+    ties go to Allow (RFC 9309 §2.2.2); no matching rule means allowed.
+
+    Shape: the parsed rules table is a dimension (one row per
+    (host, prefix, allow) — even a full-crawl robots corpus is millions of
+    short rows, inside the broadcast guard), so candidates come from a
+    BROADCAST equi-join on host with the prefix test as a residual — no
+    corpus shuffle. The winner per doc is one map-side-combinable
+    MAX(struct(prefix_len, allow, prefix)) whose lexicographic order IS
+    the RFC precedence (longer prefix first, Allow breaks length ties);
+    its exchange carries only docs that matched >= 1 rule. The verdict
+    joins back on the id, AQE choosing the strategy from the matched
+    side's observed size.
+
+    Returns (doc, host, path, allowed, matched_prefix) for every input
+    row; matched_prefix is NULL where no rule applied.
+    """
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        url_host(F.col(url_col)).alias("host"),
+        url_path(F.col(url_col)).alias("path"),
+    )
+    r = rules.select(
+        F.col(host_col).alias("host"),
+        F.col(prefix_col).alias("prefix"),
+        F.col(allow_col).cast("int").alias("allow"),
+    ).distinct()
+    winner = (
+        base.join(F.broadcast(r), "host")
+        .where(F.col("path").startswith(F.col("prefix")))
+        .groupBy("doc")
+        .agg(F.max(F.struct(
+            F.length("prefix").alias("l"),
+            F.col("allow").alias("a"),
+            F.col("prefix").alias("p"))).alias("w"))
+    )
+    return base.join(winner, "doc", "left").select(
+        "doc",
+        "host",
+        "path",
+        F.coalesce(F.col("w.a"), F.lit(1)).cast("int").alias("allowed"),
+        F.col("w.p").alias("matched_prefix"),
+    )
+
+
 # UTF-8 bytes re-decoded as cp1252 — the classic double-encoding mojibake a
 # web crawl accumulates. Printable-sequence subset only (sequences whose
 # cp1252 rendering contains C1 controls, e.g. U+201D -> 0x9d, can't round-trip

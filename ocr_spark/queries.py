@@ -4809,3 +4809,90 @@ def q_noindex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = _cpu(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
     return noindex_filter(docs, "doc_id", "html")
+
+
+_ROBOTS_RULES = [
+    # host, path_prefix, allow
+    ("example.org", "/", 0),
+    ("example.org", "/public", 1),
+    ("example.org", "/public/private", 0),
+    ("site.io", "/a", 1),
+    ("site.io", "/a/b", 0),
+    ("site.io", "/a/b/c", 1),
+    ("tie.com", "/x", 0),
+    ("tie.com", "/x", 1),
+]
+
+_ROBOTS_URL_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 7
+             WHEN 0 THEN 'https://example.org/public/page' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 1 THEN 'https://example.org/public/private/x'
+             WHEN 2 THEN 'http://example.org/other'
+             WHEN 3 THEN 'https://SITE.io:8080/a/b/c' || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 4 THEN 'http://site.io/a/q?y=1'
+             WHEN 5 THEN 'http://tie.com/x' || CAST(doc_id % 4 AS VARCHAR)
+             ELSE 'https://ok' || CAST(doc_id % 13 AS VARCHAR) || '.net'
+           END AS url
+    FROM documents
+"""
+
+
+@query(
+    "robots_gate",
+    f"""
+    WITH u AS ({_ROBOTS_URL_SQL}),
+    b AS (
+      SELECT doc,
+             lower(regexp_replace(
+               regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://(\\[[^\\]]+\\]|[^/:?#]+)', 1),
+               '^\\[|\\]$', '', 'g')) AS host,
+             CASE WHEN regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) = ''
+                  THEN '/'
+                  ELSE regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)
+             END AS path
+      FROM u),
+    r(host, prefix, allow) AS (VALUES
+      {", ".join(f"('{h}', '{p}', {a})" for h, p, a in _ROBOTS_RULES)}),
+    c AS (
+      SELECT b.doc, r.prefix, r.allow,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.doc
+               ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rn
+      FROM b JOIN r ON b.host = r.host
+      WHERE substr(b.path, 1, length(r.prefix)) = r.prefix),
+    w AS (SELECT doc, prefix, allow FROM c WHERE rn = 1)
+    SELECT b.doc, b.host, b.path,
+           CAST(COALESCE(w.allow, 1) AS INT) AS allowed,
+           w.prefix AS matched_prefix
+    FROM b LEFT JOIN w USING (doc)
+    """,
+)
+def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 9309 longest-match robots gate over deterministic synthetic
+    urls: nested allow/disallow prefixes both ways round (disallow-all +
+    allow-subtree + disallow-sub-subtree), a query-string path, a mixed-case
+    host with a port, an equal-length Allow/Disallow tie (Allow must win,
+    RFC 9309 §2.2.2), and a no-rules host (default allowed). The parsed
+    rules ride in as a DataFrame — the 100 TB-shape API, a broadcast
+    dimension."""
+    from ocr_spark.functions.curation import robots_gate
+
+    k = F.col("doc_id")
+    m = k % 7
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("https://example.org/public/page"), (k % 5).cast("string")))
+        .when(m == 1, F.lit("https://example.org/public/private/x"))
+        .when(m == 2, F.lit("http://example.org/other"))
+        .when(m == 3, F.concat(
+            F.lit("https://SITE.io:8080/a/b/c"), (k % 3).cast("string")))
+        .when(m == 4, F.lit("http://site.io/a/q?y=1"))
+        .when(m == 5, F.concat(F.lit("http://tie.com/x"), (k % 4).cast("string")))
+        .otherwise(F.concat(
+            F.lit("https://ok"), (k % 13).cast("string"), F.lit(".net")))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", url.alias("url"))
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, path_prefix string, allow int")
+    return robots_gate(docs, "doc_id", "url", rules)

@@ -449,3 +449,52 @@ def test_noindex_filter_tag_scoped(spark):
     assert out[2] == (0, 0)
     assert out[3] == (0, 0)
     assert out[4] == (1, 0)
+
+
+def test_robots_gate_rfc9309_semantics(spark):
+    """Longest prefix wins; equal-length tie goes to Allow; no rule ->
+    allowed; path extraction strips query and defaults to '/'."""
+    from ocr_spark.functions.curation import robots_gate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "https://example.org/public/page1"),   # /public allow
+            (1, "https://example.org/public/private/x"),  # longest: disallow
+            (2, "http://example.org/other"),           # '/' disallow-all
+            (3, "https://EXAMPLE.org:8080"),           # no path -> '/' disallow
+            (4, "http://tie.com/x?q=1"),               # tie: allow wins
+            (5, "https://norules.net/a"),              # no rules host
+        ],
+        ["doc_id", "url"],
+    )
+    rules = spark.createDataFrame(
+        [
+            ("example.org", "/", 0),
+            ("example.org", "/public", 1),
+            ("example.org", "/public/private", 0),
+            ("tie.com", "/x", 0),
+            ("tie.com", "/x", 1),
+        ],
+        "host string, path_prefix string, allow int",
+    )
+    out = {r["doc"]: r.asDict()
+           for r in robots_gate(docs, "doc_id", "url", rules).collect()}
+    assert out[0]["allowed"] == 1 and out[0]["matched_prefix"] == "/public"
+    assert out[1]["allowed"] == 0
+    assert out[1]["matched_prefix"] == "/public/private"
+    assert out[2]["allowed"] == 0 and out[2]["matched_prefix"] == "/"
+    assert out[3]["allowed"] == 0 and out[3]["path"] == "/"
+    assert out[4]["allowed"] == 1 and out[4]["path"] == "/x"
+    assert out[5]["allowed"] == 1 and out[5]["matched_prefix"] is None
+
+
+def test_robots_gate_rules_broadcast(spark):
+    """The rules dimension must reach the candidate join as a broadcast."""
+    from ocr_spark.functions.curation import robots_gate
+
+    docs = spark.createDataFrame(
+        [(0, "https://example.org/a")], ["doc_id", "url"])
+    rules = spark.createDataFrame(
+        [("example.org", "/", 1)], "host string, path_prefix string, allow int")
+    plan = _plan(robots_gate(docs, "doc_id", "url", rules))
+    assert "BroadcastHashJoin" in plan
