@@ -123,6 +123,7 @@ HEADLINE = [
     "host_cap",
     "noindex_filter",
     "robots_gate",
+    "redirect_resolve",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

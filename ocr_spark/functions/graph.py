@@ -120,3 +120,55 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         "node",
         F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias("n_triangles"),
     )
+
+
+def resolve_redirects(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    rounds: int = 6,
+) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling: map every source URL
+    to the terminal of its redirect chain (the node with no outgoing
+    edge), the canonicalization step that precedes URL-level dedup in a
+    crawl. Chains that never terminate within 2**rounds hops (cycles,
+    self-loops, over-long chains) come back unresolved with a NULL final.
+
+    Shape: each round joins the pointer table with ITSELF
+    (ptr2[x] = ptr[ptr[x]] where defined), so the reachable horizon
+    DOUBLES per round — ``rounds`` shuffle rounds cover chains of
+    2**rounds hops, O(log L) rather than the O(L) rounds of naive
+    step-at-a-time following (real crawl chains are short, but one
+    pathological host must not add rounds for the whole corpus). Every
+    node has exactly ONE successor (MIN-dedup on src), so each round is a
+    skew-free equi-join on the pointer; AQE sizes the exchanges. The
+    terminal test is one final left anti-style join against the source
+    set. Nothing is iterative-on-the-driver beyond the fixed round count;
+    no collect.
+
+    Returns (src, final, resolved) for every distinct source node.
+    """
+    e = (
+        edges.groupBy(F.col(src_col).alias("src"))
+        .agg(F.min(dst_col).alias("dst"))
+    )
+    cur = e
+    for _ in range(rounds):
+        hop = cur.select(
+            F.col("src").alias("m_src"), F.col("dst").alias("m_dst"))
+        cur = (
+            cur.join(hop, cur["dst"] == hop["m_src"], "left")
+            .select(
+                cur["src"],
+                F.coalesce(hop["m_dst"], cur["dst"]).alias("dst"),
+            )
+        )
+    term = e.select(F.col("src").alias("t"))
+    return (
+        cur.join(term, cur["dst"] == term["t"], "left")
+        .select(
+            "src",
+            F.when(F.col("t").isNull(), F.col("dst")).alias("final"),
+            F.col("t").isNull().cast("int").alias("resolved"),
+        )
+    )

@@ -4896,3 +4896,51 @@ def q_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     rules = spark.createDataFrame(
         _ROBOTS_RULES, "host string, path_prefix string, allow int")
     return robots_gate(docs, "doc_id", "url", rules)
+
+
+_REDIRECT_EDGE_SQL = """
+    SELECT 'u' || CAST(doc_id AS VARCHAR) AS src,
+           'u' || CAST(doc_id - 1 AS VARCHAR) AS dst
+    FROM documents WHERE doc_id % 10 <> 0
+    UNION ALL
+    SELECT 'u' || CAST(doc_id AS VARCHAR), 'u' || CAST(doc_id AS VARCHAR)
+    FROM documents WHERE doc_id % 100 = 0
+"""
+
+
+@query(
+    "redirect_resolve",
+    f"""
+    WITH RECURSIVE edges AS ({_REDIRECT_EDGE_SQL}),
+    e AS (SELECT src, MIN(dst) AS dst FROM edges GROUP BY src),
+    walk(src, cur, n) AS (
+      SELECT src, dst, 1 FROM e
+      UNION
+      SELECT w.src, e.dst, w.n + 1
+      FROM walk w JOIN e ON w.cur = e.src
+      WHERE w.n < 64),
+    term AS (
+      SELECT DISTINCT w.src, w.cur AS final
+      FROM walk w LEFT JOIN e ON w.cur = e.src
+      WHERE e.src IS NULL)
+    SELECT e.src, term.final,
+           CAST(term.src IS NOT NULL AS INT) AS resolved
+    FROM e LEFT JOIN term ON e.src = term.src
+    """,
+)
+def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling over a deterministic
+    synthetic redirect graph: 9-hop chains down to multiple-of-10
+    terminals, self-loop cycles at multiples of 100 (every chain feeding
+    one must come back unresolved), and a recursive-CTE DuckDB twin whose
+    64-step cap equals the Spark side's 2**6-hop doubling horizon."""
+    from ocr_spark.functions.graph import resolve_redirects
+
+    k = F.col("doc_id")
+    u = lambda c: F.concat(F.lit("u"), c.cast("string"))  # noqa: E731
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id")
+    chain = docs.where(k % 10 != 0).select(
+        u(k).alias("src"), u(k - 1).alias("dst"))
+    loops = docs.where(k % 100 == 0).select(
+        u(k).alias("src"), u(k).alias("dst"))
+    return resolve_redirects(chain.unionByName(loops), "src", "dst", rounds=6)

@@ -498,3 +498,35 @@ def test_robots_gate_rules_broadcast(spark):
         [("example.org", "/", 1)], "host string, path_prefix string, allow int")
     plan = _plan(robots_gate(docs, "doc_id", "url", rules))
     assert "BroadcastHashJoin" in plan
+
+
+def test_redirect_resolve_chains_cycles_horizon(spark):
+    """Chains resolve to the terminal; chains feeding a cycle and the
+    cycle nodes themselves come back unresolved; a chain longer than the
+    2**rounds horizon is unresolved, and one more round resolves it."""
+    from ocr_spark.functions.graph import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"),            # chain a->b->c (c terminal)
+         ("p", "q"), ("q", "p"),            # 2-cycle
+         ("in", "p"),                       # chain into the cycle
+         ("l0", "l1"), ("l1", "l2"), ("l2", "l3"), ("l3", "l4"),
+         ("l4", "l5"), ("l5", "l6")],       # 6-hop chain
+        ["src", "dst"],
+    )
+    out = {r["src"]: r.asDict()
+           for r in resolve_redirects(edges, rounds=6).collect()}
+    assert out["a"]["resolved"] == 1 and out["a"]["final"] == "c"
+    assert out["b"]["final"] == "c"
+    assert out["p"]["resolved"] == 0 and out["p"]["final"] is None
+    assert out["in"]["resolved"] == 0
+    assert out["l0"]["resolved"] == 1 and out["l0"]["final"] == "l6"
+
+    # horizon: rounds=2 reaches 4 hops; l0 needs 6
+    short = {r["src"]: r.asDict()
+             for r in resolve_redirects(edges, rounds=2).collect()}
+    assert short["l0"]["resolved"] == 0
+    assert short["l2"]["resolved"] == 1 and short["l2"]["final"] == "l6"
+    three = {r["src"]: r.asDict()
+             for r in resolve_redirects(edges, rounds=3).collect()}
+    assert three["l0"]["resolved"] == 1 and three["l0"]["final"] == "l6"
