@@ -124,6 +124,7 @@ HEADLINE = [
     "noindex_filter",
     "robots_gate",
     "redirect_resolve",
+    "anchor_texts",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

@@ -1873,3 +1873,79 @@ def noindex_filter(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
         tag.rlike(r"(?i)\bnoindex\b").cast("int").alias("noindex"),
         tag.rlike(r"(?i)\bnofollow\b").cast("int").alias("nofollow"),
     )
+
+
+ANCHOR_TAG_RE = r'<a\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'
+
+
+def anchor_texts(
+    df: DataFrame,
+    id_col: str,
+    html_col: str,
+    top_k: int = 3,
+) -> DataFrame:
+    """Anchor-text aggregation per link target — the classic web-corpus
+    side-product (anchor text describes the TARGET page; search and
+    query-document training data are built from it). Extracts absolute-URL
+    ``<a href>`` links, then per target: total in-links, distinct linking
+    docs, distinct anchor phrasings, and the top_k most frequent anchor
+    texts (count desc, text asc) joined with '|'.
+
+    Shape: tag extraction is a codegen'd regexp projection; the explode
+    fans out by links-per-page (bounded by page size, never corpus-sized).
+    The top-k never materializes a mega-target's full anchor set in one
+    agg buffer: counts reduce on (target, anchor) with map-side partials
+    first, a window ranks each target's DISTINCT anchors (rows = distinct
+    phrasings, tiny vs in-link count), and only the <= top_k survivors
+    reach the final per-target agg — a homepage with 10^8 in-links costs
+    its distinct-anchor count, not its in-link count, in state.
+    """
+    from pyspark.sql.window import Window
+
+    tags = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.regexp_extract_all(
+                F.col(html_col), F.lit(ANCHOR_TAG_RE), F.lit(0))
+        ).alias("tag"),
+    )
+    links = tags.select(
+        "doc",
+        F.regexp_extract("tag", r'href="([^"]*)"', 1).alias("target"),
+        F.trim(F.regexp_extract("tag", r">([^<]*)</a>", 1)).alias("anchor"),
+    ).where(F.col("target").rlike(r"^https?://"))
+
+    per_anchor = links.groupBy("target", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        # distinct docs counted exactly at the (target, anchor) grain and
+        # summed is WRONG (a doc may use two phrasings) — carry doc sets no
+        # further than this grain; the distinct-doc count reduces from the
+        # links relation directly below.
+    )
+    w = Window.partitionBy("target").orderBy(
+        F.col("cnt").desc(), F.col("anchor").asc())
+    top = (
+        per_anchor.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= top_k)
+        .groupBy("target")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(
+                        (-F.col("cnt")).alias("negc"),
+                        F.col("anchor").alias("a")))),
+                    lambda s: s["a"],
+                ),
+                "|",
+            ).alias("top_anchors"),
+        )
+    )
+    stats = links.groupBy("target").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("doc").alias("n_docs"),
+        F.countDistinct("anchor").alias("n_anchor_texts"),
+    )
+    return stats.join(top, "target", "left").select(
+        "target", "n_links", "n_docs", "n_anchor_texts",
+        F.coalesce("top_anchors", F.lit("")).alias("top_anchors"),
+    )

@@ -4944,3 +4944,78 @@ def q_redirect_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     loops = docs.where(k % 100 == 0).select(
         u(k).alias("src"), u(k).alias("dst"))
     return resolve_redirects(chain.unionByName(loops), "src", "dst", rounds=6)
+
+
+_ANCHOR_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '<p><a href="https://t' || CAST(doc_id % 7 AS VARCHAR)
+                 || '.com/page">Anchor ' || CAST(doc_id % 3 AS VARCHAR)
+                 || '</a> mid <a class="x" href="https://hub.com/">Hub link</a></p>'
+             WHEN 1 THEN '<a href="/local">Local</a> <a href="https://hub.com/">Hub '
+                 || CAST(doc_id % 2 AS VARCHAR) || '</a>'
+             WHEN 2 THEN 'plain text, no links at all'
+             ELSE '<a href="https://t' || CAST(doc_id % 7 AS VARCHAR) || '.com/page"></a>'
+           END AS html
+    FROM documents
+"""
+
+
+@query(
+    "anchor_texts",
+    f"""
+    WITH u AS ({_ANCHOR_HTML_SQL}),
+    tags AS (
+      SELECT doc, unnest(regexp_extract_all(html,
+               '<a\\s[^>]*href="[^"]*"[^>]*>[^<]*</a>')) AS tag
+      FROM u),
+    l0 AS (
+      SELECT doc,
+             regexp_extract(tag, 'href="([^"]*)"', 1) AS target,
+             trim(regexp_extract(tag, '>([^<]*)</a>', 1)) AS anchor
+      FROM tags),
+    links AS (SELECT * FROM l0 WHERE regexp_matches(target, '^https?://')),
+    pa AS (SELECT target, anchor, COUNT(*) AS cnt FROM links GROUP BY 1, 2),
+    rk AS (
+      SELECT target, anchor, cnt,
+             ROW_NUMBER() OVER (
+               PARTITION BY target ORDER BY cnt DESC, anchor ASC) AS rk
+      FROM pa),
+    top AS (
+      SELECT target,
+             string_agg(anchor, '|' ORDER BY cnt DESC, anchor ASC) AS top_anchors
+      FROM rk WHERE rk <= 3 GROUP BY target),
+    st AS (
+      SELECT target, CAST(COUNT(*) AS BIGINT) AS n_links,
+             CAST(COUNT(DISTINCT doc) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_anchor_texts
+      FROM links GROUP BY target)
+    SELECT st.target, st.n_links, st.n_docs, st.n_anchor_texts,
+           COALESCE(top.top_anchors, '') AS top_anchors
+    FROM st LEFT JOIN top USING (target)
+    """,
+)
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per link target over deterministic synthetic
+    html: multi-link pages, attribute-bearing tags, a relative href that
+    must be skipped, link-free pages, and empty anchor texts; top-3 anchor
+    phrasings per target with a count-desc-then-text tie-break that the
+    oracle's window twin pins exactly."""
+    from ocr_spark.functions.curation import anchor_texts
+
+    k = F.col("doc_id")
+    m = k % 4
+    t = F.concat(F.lit("https://t"), (k % 7).cast("string"), F.lit(".com/page"))
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<p><a href="'), t, F.lit('">Anchor '),
+            (k % 3).cast("string"),
+            F.lit('</a> mid <a class="x" href="https://hub.com/">Hub link</a></p>')))
+        .when(m == 1, F.concat(
+            F.lit('<a href="/local">Local</a> <a href="https://hub.com/">Hub '),
+            (k % 2).cast("string"), F.lit("</a>")))
+        .when(m == 2, F.lit("plain text, no links at all"))
+        .otherwise(F.concat(F.lit('<a href="'), t, F.lit('"></a>')))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    return anchor_texts(docs, "doc_id", "html", top_k=3)

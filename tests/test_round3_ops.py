@@ -530,3 +530,28 @@ def test_redirect_resolve_chains_cycles_horizon(spark):
     three = {r["src"]: r.asDict()
              for r in resolve_redirects(edges, rounds=3).collect()}
     assert three["l0"]["resolved"] == 1 and three["l0"]["final"] == "l6"
+
+
+def test_anchor_texts_semantics(spark):
+    """Relative hrefs skipped, attributes tolerated, trim applied, top-k
+    tie-break = count desc then text asc, multi-phrasing doc counted once
+    in n_docs."""
+    from ocr_spark.functions.curation import anchor_texts
+
+    docs = spark.createDataFrame(
+        [
+            (0, '<a href="https://x.com/">A</a> <a href="https://x.com/">B</a>'),
+            (1, '<a class="c" href="https://x.com/"> A </a>'),
+            (2, '<a href="/rel">skip</a> <a href="https://y.com/">C</a>'),
+            (3, "no links"),
+        ],
+        ["doc_id", "html"],
+    )
+    out = {r["target"]: r.asDict()
+           for r in anchor_texts(docs, "doc_id", "html", top_k=2).collect()}
+    x = out["https://x.com/"]
+    assert x["n_links"] == 3 and x["n_docs"] == 2 and x["n_anchor_texts"] == 2
+    assert x["top_anchors"] == "A|B"          # A cnt=2 beats B cnt=1
+    y = out["https://y.com/"]
+    assert y["n_links"] == 1 and y["top_anchors"] == "C"
+    assert "/rel" not in out and len(out) == 2
