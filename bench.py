@@ -125,6 +125,7 @@ HEADLINE = [
     "robots_gate",
     "redirect_resolve",
     "anchor_texts",
+    "page_metadata",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

@@ -1949,3 +1949,51 @@ def anchor_texts(
         "target", "n_links", "n_docs", "n_anchor_texts",
         F.coalesce("top_anchors", F.lit("")).alias("top_anchors"),
     )
+
+
+# Head-metadata patterns. Attribute order is free in real pages, so paired
+# attributes (name/content, rel/href, property/content) each get two
+# patterns and the first non-empty extraction wins. Dialect-common:
+# (?i)/(?is) flags, no lookaround (RE2 has none).
+_TITLE_RE = r"(?i)<title[^>]*>([^<]*)</title>"
+_HTML_LANG_RE = r'(?i)<html\s[^>]*lang\s*=\s*"([^"]*)"'
+_CHARSET_RE = r'(?i)<meta\s[^>]*charset\s*=\s*"?([A-Za-z0-9_-]+)'
+
+
+def _paired_attr(html: Column, tag: str, key_attr: str, key: str,
+                 val_attr: str) -> Column:
+    """First non-empty extraction of ``val_attr`` from a ``tag`` whose
+    ``key_attr`` equals ``key``, in either attribute order."""
+    fwd = (rf'(?i)<{tag}\s[^>]*{key_attr}\s*=\s*"{key}"'
+           rf'[^>]*{val_attr}\s*=\s*"([^"]*)"')
+    rev = (rf'(?i)<{tag}\s[^>]*{val_attr}\s*=\s*"([^"]*)"'
+           rf'[^>]*{key_attr}\s*=\s*"{key}"')
+    a = F.regexp_extract(html, fwd, 1)
+    return F.when(a != "", a).otherwise(F.regexp_extract(html, rev, 1))
+
+
+def page_metadata(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Head-metadata extraction — the per-page sidecar every web corpus
+    ships next to the main text (title, meta description, og:title,
+    canonical URL, declared charset, html lang).
+
+    Pure codegen'd regexp projection: zero shuffle, fuses into the scan,
+    prunes ``html`` immediately after — at corpus scale this runs at
+    parquet-read speed. Missing fields come back as '' (not NULL) so the
+    schema is total. Titles are whitespace-collapsed and trimmed; charset
+    and lang are lowercased per the WHATWG ASCII-case-insensitive rule."""
+    html = F.col(html_col)
+    title = F.trim(F.regexp_replace(
+        F.regexp_extract(html, _TITLE_RE, 1), r"\s+", " "))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        title.alias("title"),
+        _paired_attr(html, "meta", "name", "description", "content")
+        .alias("description"),
+        _paired_attr(html, "meta", "property", "og:title", "content")
+        .alias("og_title"),
+        _paired_attr(html, "link", "rel", "canonical", "href")
+        .alias("canonical"),
+        F.lower(F.regexp_extract(html, _CHARSET_RE, 1)).alias("charset"),
+        F.lower(F.regexp_extract(html, _HTML_LANG_RE, 1)).alias("lang"),
+    )

@@ -5019,3 +5019,84 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = _cpu(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
     return anchor_texts(docs, "doc_id", "html", top_k=3)
+
+
+def _meta_paired_sql(tag: str, key_attr: str, key: str, val_attr: str) -> str:
+    fwd = (f'(?i)<{tag}\\s[^>]*{key_attr}\\s*=\\s*"{key}"'
+           f'[^>]*{val_attr}\\s*=\\s*"([^"]*)"')
+    rev = (f'(?i)<{tag}\\s[^>]*{val_attr}\\s*=\\s*"([^"]*)"'
+           f'[^>]*{key_attr}\\s*=\\s*"{key}"')
+    return (f"CASE WHEN regexp_extract(html, '{fwd}', 1) != '' "
+            f"THEN regexp_extract(html, '{fwd}', 1) "
+            f"ELSE regexp_extract(html, '{rev}', 1) END")
+
+
+_META_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 6
+             WHEN 0 THEN '<html lang="en"><head><meta charset="UTF-8"><title>  Page
+  ' || CAST(doc_id % 9 AS VARCHAR) || ' </title><meta name="description" content="Desc ' || CAST(doc_id % 5 AS VARCHAR) || '"><meta property="og:title" content="OG ' || CAST(doc_id % 3 AS VARCHAR) || '"><link rel="canonical" href="https://c.com/p' || CAST(doc_id % 7 AS VARCHAR) || '"></head><body>x'
+             WHEN 1 THEN '<HTML LANG="EN-us"><META charset=utf-8><META CONTENT="RevDesc ' || CAST(doc_id % 4 AS VARCHAR) || '" NAME="description"><LINK HREF="https://c.com/r" REL="canonical"><TITLE>Upper ' || CAST(doc_id % 2 AS VARCHAR) || '</TITLE>'
+             WHEN 2 THEN 'plain text, no head metadata at all ' || CAST(doc_id AS VARCHAR)
+             WHEN 3 THEN '<html><title></title><meta property="og:title" content="Only OG"><body>'
+             WHEN 4 THEN '<html><meta name="keywords" content="not a description"><title>K ' || CAST(doc_id % 3 AS VARCHAR) || '</title>'
+             ELSE '<html LANG="De"><meta charset="iso-8859-1"><title>T' || CAST(doc_id % 4 AS VARCHAR) || '</title>'
+           END AS html
+    FROM documents
+"""
+
+
+@query(
+    "page_metadata",
+    f"""
+    WITH u AS ({_META_HTML_SQL})
+    SELECT doc,
+           trim(regexp_replace(regexp_extract(html,
+             '(?i)<title[^>]*>([^<]*)</title>', 1), '\\s+', ' ', 'g')) AS title,
+           {_meta_paired_sql('meta', 'name', 'description', 'content')} AS description,
+           {_meta_paired_sql('meta', 'property', 'og:title', 'content')} AS og_title,
+           {_meta_paired_sql('link', 'rel', 'canonical', 'href')} AS canonical,
+           lower(regexp_extract(html,
+             '(?i)<meta\\s[^>]*charset\\s*=\\s*"?([A-Za-z0-9_-]+)', 1)) AS charset,
+           lower(regexp_extract(html,
+             '(?i)<html\\s[^>]*lang\\s*=\\s*"([^"]*)"', 1)) AS lang
+    FROM u
+    """,
+)
+def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction over deterministic synthetic html: forward
+    and reversed attribute orders, uppercase tags, unquoted charset, empty
+    titles, multi-line titles needing whitespace collapse, pages with no
+    metadata, and a keywords meta that must NOT match description."""
+    from ocr_spark.functions.curation import page_metadata
+
+    k = F.col("doc_id")
+    m = k % 6
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<html lang="en"><head><meta charset="UTF-8"><title>  Page\n  '),
+            (k % 9).cast("string"),
+            F.lit(' </title><meta name="description" content="Desc '),
+            (k % 5).cast("string"),
+            F.lit('"><meta property="og:title" content="OG '),
+            (k % 3).cast("string"),
+            F.lit('"><link rel="canonical" href="https://c.com/p'),
+            (k % 7).cast("string"), F.lit('"></head><body>x')))
+        .when(m == 1, F.concat(
+            F.lit('<HTML LANG="EN-us"><META charset=utf-8><META CONTENT="RevDesc '),
+            (k % 4).cast("string"),
+            F.lit('" NAME="description"><LINK HREF="https://c.com/r" REL="canonical"><TITLE>Upper '),
+            (k % 2).cast("string"), F.lit("</TITLE>")))
+        .when(m == 2, F.concat(
+            F.lit("plain text, no head metadata at all "), k.cast("string")))
+        .when(m == 3, F.lit(
+            '<html><title></title><meta property="og:title" content="Only OG"><body>'))
+        .when(m == 4, F.concat(
+            F.lit('<html><meta name="keywords" content="not a description"><title>K '),
+            (k % 3).cast("string"), F.lit("</title>")))
+        .otherwise(F.concat(
+            F.lit('<html LANG="De"><meta charset="iso-8859-1"><title>T'),
+            (k % 4).cast("string"), F.lit("</title>")))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    return page_metadata(docs, "doc_id", "html")

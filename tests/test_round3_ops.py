@@ -555,3 +555,28 @@ def test_anchor_texts_semantics(spark):
     y = out["https://y.com/"]
     assert y["n_links"] == 1 and y["top_anchors"] == "C"
     assert "/rel" not in out and len(out) == 2
+
+
+def test_page_metadata_semantics(spark):
+    """Both attribute orders, unquoted charset, whitespace-collapsed title,
+    keywords meta never matches description, missing fields come back ''."""
+    from ocr_spark.functions.curation import page_metadata
+
+    docs = spark.createDataFrame(
+        [
+            (0, '<html lang="EN"><title> A \n B </title>'
+                '<meta name="description" content="d1">'
+                '<link href="https://c/x" rel="canonical">'),
+            (1, '<META charset=Latin-1>'
+                '<meta content="d2" name="description">'),
+            (2, '<meta name="keywords" content="nope">'),
+        ],
+        ["doc_id", "html"],
+    )
+    out = {r["doc"]: r.asDict()
+           for r in page_metadata(docs, "doc_id", "html").collect()}
+    assert out[0]["title"] == "A B" and out[0]["lang"] == "en"
+    assert out[0]["description"] == "d1"
+    assert out[0]["canonical"] == "https://c/x"   # reversed rel/href order
+    assert out[1]["charset"] == "latin-1" and out[1]["description"] == "d2"
+    assert out[2]["description"] == "" and out[2]["title"] == ""
