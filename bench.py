@@ -126,6 +126,7 @@ HEADLINE = [
     "redirect_resolve",
     "anchor_texts",
     "page_metadata",
+    "html_tables",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

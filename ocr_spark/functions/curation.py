@@ -1997,3 +1997,44 @@ def page_metadata(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
         F.lower(F.regexp_extract(html, _CHARSET_RE, 1)).alias("charset"),
         F.lower(F.regexp_extract(html, _HTML_LANG_RE, 1)).alias("lang"),
     )
+
+
+_TABLE_RE = r"(?is)<table[^>]*>(.*?)</table>"
+_TR_RE = r"(?is)<tr[^>]*>(.*?)</tr>"
+_CELL_RE = r"(?is)<t[dh][^>]*>.*?</t[dh]>"
+
+
+def html_tables(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """HTML table extraction — flatten every (non-nested) ``<table>`` into
+    (doc, tbl, row, col, is_header, cell) with document-order ordinals,
+    inner markup stripped, cell text trimmed.
+
+    Shape: three chained posexplodes, each a NARROW per-row fan-out bounded
+    by the page's own table/row/cell counts — no shuffle anywhere, the
+    whole op fuses into the scan stage and ``html`` never leaves it.
+    Nested tables are out of scope for the regexp path (the inner table's
+    cells surface under the outer table's row); a DOM-tree parse belongs
+    to the stage-A mapInArrow extractor, not this flattener."""
+    tables = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.regexp_extract_all(
+            F.col(html_col), F.lit(_TABLE_RE), F.lit(1))).alias("tbl", "thtml"),
+    )
+    rows = tables.select(
+        "doc", "tbl",
+        F.posexplode(F.regexp_extract_all(
+            "thtml", F.lit(_TR_RE), F.lit(1))).alias("row", "rhtml"),
+    )
+    cells = rows.select(
+        "doc", "tbl", "row",
+        F.posexplode(F.regexp_extract_all(
+            "rhtml", F.lit(_CELL_RE), F.lit(0))).alias("col", "ctag"),
+    )
+    return cells.select(
+        "doc",
+        F.col("tbl").cast("bigint").alias("tbl"),
+        F.col("row").cast("bigint").alias("row"),
+        F.col("col").cast("bigint").alias("col"),
+        F.col("ctag").rlike("(?i)^<th").cast("int").alias("is_header"),
+        F.trim(F.regexp_replace("ctag", "<[^>]*>", "")).alias("cell"),
+    )

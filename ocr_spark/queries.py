@@ -5100,3 +5100,65 @@ def q_page_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = _cpu(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
     return page_metadata(docs, "doc_id", "html")
+
+
+_TABLE_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '<table class="x"><tr><th>H1</th><th> H2 </th></tr><tr><td>a' || CAST(doc_id % 3 AS VARCHAR) || '</td><td><b>b' || CAST(doc_id % 5 AS VARCHAR) || '</b></td></tr></table>'
+             WHEN 1 THEN '<TABLE><TR><TD>t1r1c1</TD></TR></TABLE> mid <table><tr><td>x' || CAST(doc_id % 2 AS VARCHAR) || '</td><td></td></tr></table>'
+             WHEN 2 THEN 'no tables here ' || CAST(doc_id AS VARCHAR)
+             ELSE '<table>
+<tr>
+<td> v ' || CAST(doc_id % 7 AS VARCHAR) || ' </td></tr>
+</table>'
+           END AS html
+    FROM documents
+"""
+
+
+@query(
+    "html_tables",
+    f"""
+    WITH u AS ({_TABLE_HTML_SQL}),
+    t0 AS (SELECT doc, regexp_extract_all(html,
+             '(?is)<table[^>]*>(.*?)</table>', 1) AS ts FROM u),
+    t1 AS (SELECT doc, ts, unnest(generate_series(1, len(ts))) AS i FROM t0),
+    t2 AS (SELECT doc, i - 1 AS tbl, ts[i] AS thtml FROM t1),
+    r0 AS (SELECT doc, tbl, regexp_extract_all(thtml,
+             '(?is)<tr[^>]*>(.*?)</tr>', 1) AS rs FROM t2),
+    r1 AS (SELECT doc, tbl, rs, unnest(generate_series(1, len(rs))) AS j FROM r0),
+    r2 AS (SELECT doc, tbl, j - 1 AS "row", rs[j] AS rhtml FROM r1),
+    c0 AS (SELECT doc, tbl, "row", regexp_extract_all(rhtml,
+             '(?is)<t[dh][^>]*>.*?</t[dh]>', 0) AS cs FROM r2),
+    c1 AS (SELECT doc, tbl, "row", cs, unnest(generate_series(1, len(cs))) AS k FROM c0)
+    SELECT doc, CAST(tbl AS BIGINT) AS tbl, CAST("row" AS BIGINT) AS "row",
+           CAST(k - 1 AS BIGINT) AS col,
+           CASE WHEN regexp_matches(cs[k], '(?i)^<th') THEN 1 ELSE 0 END AS is_header,
+           trim(regexp_replace(cs[k], '<[^>]*>', '', 'g')) AS cell
+    FROM c1
+    """,
+)
+def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML table flattening over deterministic synthetic html: header
+    cells, inline markup to strip, two tables per page, uppercase tags,
+    empty cells, multi-line tables, and table-free pages."""
+    from ocr_spark.functions.curation import html_tables
+
+    k = F.col("doc_id")
+    m = k % 4
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<table class="x"><tr><th>H1</th><th> H2 </th></tr><tr><td>a'),
+            (k % 3).cast("string"), F.lit("</td><td><b>b"),
+            (k % 5).cast("string"), F.lit("</b></td></tr></table>")))
+        .when(m == 1, F.concat(
+            F.lit("<TABLE><TR><TD>t1r1c1</TD></TR></TABLE> mid <table><tr><td>x"),
+            (k % 2).cast("string"), F.lit("</td><td></td></tr></table>")))
+        .when(m == 2, F.concat(F.lit("no tables here "), k.cast("string")))
+        .otherwise(F.concat(
+            F.lit("<table>\n<tr>\n<td> v "), (k % 7).cast("string"),
+            F.lit(" </td></tr>\n</table>")))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    return html_tables(docs, "doc_id", "html")

@@ -580,3 +580,25 @@ def test_page_metadata_semantics(spark):
     assert out[0]["canonical"] == "https://c/x"   # reversed rel/href order
     assert out[1]["charset"] == "latin-1" and out[1]["description"] == "d2"
     assert out[2]["description"] == "" and out[2]["title"] == ""
+
+
+def test_html_tables_semantics(spark):
+    """Ordinals are document-order, th flags headers, inline markup is
+    stripped, empty cells survive, table-free docs emit nothing."""
+    from ocr_spark.functions.curation import html_tables
+
+    docs = spark.createDataFrame(
+        [
+            (0, '<table><tr><th>H</th></tr><tr><td><i>a</i></td><td></td></tr></table>'
+                '<table><tr><td>B</td></tr></table>'),
+            (1, "nothing"),
+        ],
+        ["doc_id", "html"],
+    )
+    out = [r.asDict() for r in html_tables(docs, "doc_id", "html")
+           .orderBy("doc", "tbl", "row", "col").collect()]
+    assert [(r["tbl"], r["row"], r["col"], r["is_header"], r["cell"])
+            for r in out] == [
+        (0, 0, 0, 1, "H"), (0, 1, 0, 0, "a"), (0, 1, 1, 0, ""),
+        (1, 0, 0, 0, "B")]
+    assert all(r["doc"] == 0 for r in out)
