@@ -127,6 +127,7 @@ HEADLINE = [
     "anchor_texts",
     "page_metadata",
     "html_tables",
+    "host_template_lines",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

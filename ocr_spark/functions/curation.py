@@ -2038,3 +2038,57 @@ def html_tables(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
         F.col("ctag").rlike("(?i)^<th").cast("int").alias("is_header"),
         F.trim(F.regexp_replace("ctag", "<[^>]*>", "")).alias("cell"),
     )
+
+
+def host_template_lines(
+    df: DataFrame, id_col: str, url_col: str, text_col: str,
+    min_frac_bp: int = 5000, min_docs: int = 2,
+) -> DataFrame:
+    """Host-scoped template-line detection — the site-level complement of
+    corpus-wide line_dedup: a line is a TEMPLATE for host H when its
+    normalized form (lowercased, trimmed) appears in >= min_docs of H's
+    documents and in >= min_frac_bp basis points of them. Navigation
+    chrome and footers repeat within a site long before they repeat
+    corpus-wide; this finds them at the grain a crawler actually needs.
+
+    Returns template rows only: (host, line, n_docs_line, n_docs_host,
+    frac_bp). The fraction test is exact integer arithmetic
+    (n_line * 10000 >= min_frac_bp * n_host), no float division.
+
+    Scale shape: within-doc de-dup of a line's contribution is a row-local
+    distinct on (host, doc, line); the frequency count shuffles on
+    (host, line) with map-side partials; host doc counts shuffle on host;
+    the final join is keyed on host — hot mega-hosts are exactly the keys
+    AQE skew splitting divides, and the emitted relation holds only
+    template survivors, never every distinct line of the corpus."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        url_host(F.col(url_col)).alias("host"),
+        F.col(text_col).alias("text"),
+    )
+    norm = F.lower(F.trim(F.col("line")))
+    per = (
+        base.select("host", "doc",
+                    F.explode(F.split("text", "\n")).alias("line"))
+        .select("host", "doc", norm.alias("line"))
+        .filter(F.col("line") != "")
+        .distinct()
+    )
+    line_cnt = per.groupBy("host", "line").agg(
+        F.count(F.lit(1)).alias("n_docs_line"))
+    host_cnt = base.select("host", "doc").distinct().groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs_host"))
+    return (
+        line_cnt.join(host_cnt, "host")
+        .filter(
+            (F.col("n_docs_line") >= min_docs)
+            & (F.col("n_docs_line") * 10000
+               >= F.lit(min_frac_bp) * F.col("n_docs_host")))
+        .select(
+            "host", "line",
+            F.col("n_docs_line").cast("bigint").alias("n_docs_line"),
+            F.col("n_docs_host").cast("bigint").alias("n_docs_host"),
+            F.floor(F.col("n_docs_line") * 10000 / F.col("n_docs_host"))
+            .cast("bigint").alias("frac_bp"),
+        )
+    )

@@ -5162,3 +5162,62 @@ def q_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = _cpu(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
     return html_tables(docs, "doc_id", "html")
+
+
+_HOST_SQL = ("lower(regexp_replace(regexp_extract(url, "
+             "'(?i)^[a-z][a-z0-9+.-]*://(\\[[^\\]]+\\]|[^/:?#]+)', 1), "
+             "'^\\[|\\]$', '', 'g'))")
+
+_TEMPLATE_DOCS_SQL = """
+    SELECT doc_id AS doc,
+           'https://h' || CAST(doc_id % 5 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR) AS url,
+           'Cookie banner h' || CAST(doc_id % 5 AS VARCHAR) ||
+           CASE WHEN doc_id % 2 = 0 THEN '
+NAV Menu ' ELSE '
+' END ||
+           '
+body text ' || CAST(doc_id AS VARCHAR) ||
+           CASE WHEN doc_id % 3 = 0 THEN '
+Footer (c) site' ELSE '' END AS text
+    FROM documents
+"""
+
+
+@query(
+    "host_template_lines",
+    f"""
+    WITH u AS ({_TEMPLATE_DOCS_SQL}),
+    b AS (SELECT doc, {_HOST_SQL} AS host, text FROM u),
+    ln AS (
+      SELECT DISTINCT host, doc, lower(trim(line)) AS line
+      FROM b, unnest(string_split(text, chr(10))) AS t(line)
+      WHERE lower(trim(line)) != ''),
+    lc AS (SELECT host, line, COUNT(*) AS n_docs_line FROM ln GROUP BY 1, 2),
+    hc AS (SELECT host, COUNT(DISTINCT doc) AS n_docs_host FROM b GROUP BY 1)
+    SELECT lc.host, lc.line,
+           CAST(n_docs_line AS BIGINT) AS n_docs_line,
+           CAST(n_docs_host AS BIGINT) AS n_docs_host,
+           CAST(FLOOR(n_docs_line * 10000 / n_docs_host) AS BIGINT) AS frac_bp
+    FROM lc JOIN hc USING (host)
+    WHERE n_docs_line >= 2 AND n_docs_line * 10000 >= 5000 * n_docs_host
+    """,
+)
+def q_host_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-scoped template detection over a synthetic 5-host corpus where
+    every doc carries its host's cookie banner (100%), every second doc a
+    nav menu (~50%, straddling the threshold), every third a footer
+    (~33%, below), plus a unique body line (never a template)."""
+    from ocr_spark.functions.curation import host_template_lines
+
+    k = F.col("doc_id")
+    url = F.concat(F.lit("https://h"), (k % 5).cast("string"),
+                   F.lit(".com/p"), k.cast("string"))
+    text = F.concat(
+        F.lit("Cookie banner h"), (k % 5).cast("string"),
+        F.when(k % 2 == 0, F.lit("\nNAV Menu ")).otherwise(F.lit("\n")),
+        F.lit("\nbody text "), k.cast("string"),
+        F.when(k % 3 == 0, F.lit("\nFooter (c) site")).otherwise(F.lit("")),
+    )
+    docs = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"), text.alias("text"))
+    return host_template_lines(docs, "doc_id", "url", "text")

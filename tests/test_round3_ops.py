@@ -602,3 +602,28 @@ def test_html_tables_semantics(spark):
         (0, 0, 0, 1, "H"), (0, 1, 0, 0, "a"), (0, 1, 1, 0, ""),
         (1, 0, 0, 0, "B")]
     assert all(r["doc"] == 0 for r in out)
+
+
+def test_host_template_lines_semantics(spark):
+    """Threshold is host-scoped: a line in 2/2 docs of h1 is a template
+    even while absent from h2; a 1/3 line fails min_frac; a repeated line
+    inside ONE doc counts once; blank lines never count."""
+    from ocr_spark.functions.curation import host_template_lines
+
+    docs = spark.createDataFrame(
+        [
+            (0, "https://h1.com/a", "Nav\n\nbody0\nNav"),
+            (1, "https://h1.com/b", "NAV \nbody1"),
+            (2, "https://h2.com/a", "rare\nbody2"),
+            (3, "https://h2.com/b", "body3"),
+            (4, "https://h2.com/c", "body4"),
+        ],
+        ["doc_id", "url", "text"],
+    )
+    out = [r.asDict() for r in
+           host_template_lines(docs, "doc_id", "url", "text").collect()]
+    assert len(out) == 1
+    r = out[0]
+    assert r["host"] == "h1.com" and r["line"] == "nav"
+    assert r["n_docs_line"] == 2 and r["n_docs_host"] == 2
+    assert r["frac_bp"] == 10000
