@@ -128,6 +128,7 @@ HEADLINE = [
     "page_metadata",
     "html_tables",
     "host_template_lines",
+    "containment_pairs",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

@@ -554,3 +554,53 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= hmax)
     )
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n_bands: int = 4, shingle_n: int = 3,
+                      min_bp: int = 8000,
+                      max_bucket_size: int = DEFAULT_MAX_BUCKET) -> DataFrame:
+    """Asymmetric containment over LSH candidates — the quote/fragment
+    detector Jaccard misses: a 200-word excerpt inside a 10k-word page has
+    Jaccard ~0.02 but containment ~1.0 on the excerpt side.
+
+    containment(A in B) = |A ∩ B| / |A| over distinct hashed shingles,
+    carried as exact basis points via integer division (10000*inter div
+    |A|) so the cross-engine compare never meets a float-floor boundary.
+    Emits one row per unordered candidate pair with BOTH directions
+    (cont_a_bp, cont_b_bp), kept when either side clears ``min_bp``.
+
+    Scale shape: identical to lsh_jaccard_pairs — banding prunes the
+    corpus to bucket-local candidates, then two hash joins on doc id fetch
+    the shingle sets; nothing quadratic, buckets capped."""
+    pairs = lsh_candidate_pairs(df, id_col, text_col, n_bands, shingle_n,
+                                max_bucket_size)
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            _hashed_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    joined = (
+        pairs
+        .join(base.select(F.col("doc").alias("doc_a"),
+                          F.col("sh").alias("sh_a")), "doc_a")
+        .join(base.select(F.col("doc").alias("doc_b"),
+                          F.col("sh").alias("sh_b")), "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+            .alias("inter"),
+            F.size("sh_a").cast("bigint").alias("size_a"),
+            F.size("sh_b").cast("bigint").alias("size_b"),
+        )
+    )
+    cont_a = F.when(F.col("size_a") > 0,
+                    F.expr("(10000 * inter) div size_a")).otherwise(F.lit(0))
+    cont_b = F.when(F.col("size_b") > 0,
+                    F.expr("(10000 * inter) div size_b")).otherwise(F.lit(0))
+    return (
+        joined
+        .withColumn("cont_a_bp", cont_a.cast("bigint"))
+        .withColumn("cont_b_bp", cont_b.cast("bigint"))
+        .filter(F.greatest("cont_a_bp", "cont_b_bp") >= min_bp)
+    )

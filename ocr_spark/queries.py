@@ -5221,3 +5221,55 @@ def q_host_template_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _cpu(spark, sf_dir, "documents").select(
         "doc_id", url.alias("url"), text.alias("text"))
     return host_template_lines(docs, "doc_id", "url", "text")
+
+
+_CONT_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id,
+           array_to_string(string_split_regex(trim(text), '\\s+')[
+             1 : len(string_split_regex(trim(text), '\\s+')) // 2 + 2], ' ') AS text
+    FROM documents WHERE doc_id % 9 = 0
+"""
+
+
+@query(
+    "containment_pairs",
+    f"""
+    SELECT * FROM (
+    WITH corpus AS ({_CONT_CORPUS_SQL}),
+    pairs AS ({_lsh_pairs_sql('corpus')}),
+    hs AS (
+      SELECT s.doc, list_distinct(list_transform(
+               s.shingles, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh
+      FROM ({_shingle_sql('corpus')}) s)
+    SELECT p.doc_a, p.doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+           CAST(len(a.sh) AS BIGINT) AS size_a,
+           CAST(len(b.sh) AS BIGINT) AS size_b,
+           CAST(CASE WHEN len(a.sh) > 0
+                THEN (10000 * len(list_intersect(a.sh, b.sh))) // len(a.sh)
+                ELSE 0 END AS BIGINT) AS cont_a_bp,
+           CAST(CASE WHEN len(b.sh) > 0
+                THEN (10000 * len(list_intersect(a.sh, b.sh))) // len(b.sh)
+                ELSE 0 END AS BIGINT) AS cont_b_bp
+    FROM pairs p JOIN hs a ON a.doc = p.doc_a JOIN hs b ON b.doc = p.doc_b
+    ) WHERE GREATEST(cont_a_bp, cont_b_bp) >= 8000
+    """,
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment over LSH candidates on a corpus augmented
+    with half-length prefix fragments (doc_id+300000): the fragment side
+    hits containment 10000 bp exactly (its shingle set is a subset) while
+    pair Jaccard sits far lower — the case symmetric near-dup misses."""
+    from ocr_spark.functions.dedup import containment_pairs
+
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", "text")
+    frag = docs.where(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.expr(
+            "array_join(slice(split(trim(text), '\\\\s+'), 1, "
+            "size(split(trim(text), '\\\\s+')) div 2 + 2), ' ')"
+        ).alias("text"),
+    )
+    return containment_pairs(docs.unionByName(frag), "doc_id", "text")

@@ -627,3 +627,24 @@ def test_host_template_lines_semantics(spark):
     assert r["host"] == "h1.com" and r["line"] == "nav"
     assert r["n_docs_line"] == 2 and r["n_docs_host"] == 2
     assert r["frac_bp"] == 10000
+
+
+def test_containment_pairs_asymmetry(spark):
+    """A fragment fully inside a larger doc scores 10000 bp on its side
+    and much lower on the big-doc side; unrelated docs never pair."""
+    from ocr_spark.functions.dedup import containment_pairs
+
+    big = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+           "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    frag = "alpha beta gamma delta epsilon zeta eta"
+    other = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(1, big), (2, frag), (3, other)], ["doc_id", "text"])
+    out = [r.asDict() for r in
+           containment_pairs(docs, "doc_id", "text", min_bp=9000).collect()]
+    assert len(out) == 1
+    r = out[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["cont_b_bp"] == 10000          # fragment side: full containment
+    assert r["cont_a_bp"] < 5000            # big-doc side: partial
+    assert r["inter"] == r["size_b"]
