@@ -129,6 +129,7 @@ HEADLINE = [
     "html_tables",
     "host_template_lines",
     "containment_pairs",
+    "dup_span_removal",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

@@ -2092,3 +2092,79 @@ def host_template_lines(
             .cast("bigint").alias("frac_bp"),
         )
     )
+
+
+def dup_span_removal(
+    df: DataFrame, id_col: str, text_col: str,
+    n: int = 3, min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-duplicated span removal — the word-level analog of
+    suffix-array substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): every word position covered by an
+    n-gram that occurs in >= min_docs distinct documents is removed, and
+    each document is rebuilt from its surviving words in original order.
+    Catches licence blocks, share-bars, and quoted boilerplate that
+    document-level dedup can't touch.
+
+    Returns (doc, n_words, n_removed, clean_text) for every input doc.
+
+    Scale shape: grams come from the zip_with shingle build (row-local, no
+    window); the document-frequency count is keyed on md5(gram) — a fixed
+    32-byte key with map-side partials, so hot boilerplate grams ship as
+    hashes and AQE skew-splitting divides them; the covered-position
+    explode fans out exactly n per duplicated gram occurrence; the rebuild
+    is one doc-keyed shuffle whose array_sort makes the output order-exact
+    at any parallelism."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.when(F.length(F.trim(F.col(text_col))) > 0,
+               F.split(F.trim(F.col(text_col)), r"\s+"))
+        .otherwise(F.array().cast("array<string>")).alias("words"),
+    )
+    words = base.select(
+        "doc", F.posexplode("words").alias("pos", "word"))
+    m = F.size(F.col("words")) - (n - 1)
+    z = F.slice("words", 1, m)
+    for j in range(1, n):
+        z = F.zip_with(z, F.slice("words", j + 1, m),
+                       lambda a, b: F.concat_ws(" ", a, b))
+    # CASE short-circuits per row, so the negative-length slice of a
+    # sub-n-word doc is never evaluated (ANSI mode errors on it otherwise).
+    z = F.when(F.size("words") >= n, z).otherwise(
+        F.array().cast("array<string>"))
+    grams = base.select(
+        "doc", F.posexplode(z).alias("gpos", "gram")
+    ).select("doc", "gpos", F.md5("gram").alias("h"))
+    dup = (
+        grams.select("doc", "h").distinct()
+        .groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
+        .filter(F.col("dfreq") >= min_docs)
+        .select("h")
+    )
+    covered = (
+        grams.join(dup, "h")
+        .select("doc", F.explode(
+            F.sequence(F.col("gpos"), F.col("gpos") + (n - 1))).alias("pos"))
+        .distinct()
+    )
+    kept = words.join(covered, ["doc", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select("doc", F.size("words").cast("bigint").alias("n_words"))
+        .join(rebuilt, "doc", "left")
+        .select(
+            "doc", "n_words",
+            (F.col("n_words") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

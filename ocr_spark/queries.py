@@ -5273,3 +5273,68 @@ def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return containment_pairs(docs.unionByName(frag), "doc_id", "text")
+
+
+_SPAN_CORPUS_SQL = """
+    SELECT doc_id AS doc,
+           CASE WHEN doc_id % 3 = 0 THEN 'cookie notice applies here ' ELSE '' END
+           || text ||
+           CASE WHEN doc_id % 4 = 0 THEN ' subscribe to our newsletter today' ELSE '' END AS text
+    FROM documents
+"""
+
+
+@query(
+    "dup_span_removal",
+    f"""
+    WITH u AS ({_SPAN_CORPUS_SQL}),
+    base AS (
+      SELECT doc,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\\s+') END AS words
+      FROM u),
+    w AS (
+      SELECT doc, i - 1 AS pos, words[i] AS word
+      FROM (SELECT doc, words, unnest(generate_series(1, len(words))) AS i
+            FROM base)),
+    g AS (
+      SELECT doc, i - 1 AS gpos,
+             md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS h
+      FROM (SELECT doc, words, unnest(generate_series(1, len(words) - 2)) AS i
+            FROM base WHERE len(words) >= 3)),
+    dup AS (
+      SELECT h FROM (SELECT DISTINCT doc, h FROM g)
+      GROUP BY h HAVING COUNT(*) >= 2),
+    cov AS (
+      SELECT DISTINCT doc, gpos + off AS pos
+      FROM (SELECT g.doc, g.gpos FROM g JOIN dup USING (h)),
+           unnest(generate_series(0, 2)) AS t(off)),
+    kept AS (
+      SELECT w.doc, w.pos, w.word FROM w
+      WHERE NOT EXISTS (SELECT 1 FROM cov
+                        WHERE cov.doc = w.doc AND cov.pos = w.pos)),
+    reb AS (
+      SELECT doc, COUNT(*) AS n_kept,
+             string_agg(word, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc)
+    SELECT base.doc, CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(words) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(clean_text, '') AS clean_text
+    FROM base LEFT JOIN reb USING (doc)
+    """,
+)
+def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplicated 3-gram span removal over documents augmented with
+    injected boilerplate (a cookie-notice prefix on every third doc, a
+    newsletter tail on every fourth) — the injected spans and the corpus's
+    own natural duplicate grams are removed; unique prose survives."""
+    from ocr_spark.functions.curation import dup_span_removal
+
+    k = F.col("doc_id")
+    text = F.concat(
+        F.when(k % 3 == 0, F.lit("cookie notice applies here ")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(k % 4 == 0, F.lit(" subscribe to our newsletter today")).otherwise(F.lit("")),
+    )
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
+    return dup_span_removal(docs, "doc_id", "text", n=3, min_docs=2)

@@ -648,3 +648,26 @@ def test_containment_pairs_asymmetry(spark):
     assert r["cont_b_bp"] == 10000          # fragment side: full containment
     assert r["cont_a_bp"] < 5000            # big-doc side: partial
     assert r["inter"] == r["size_b"]
+
+
+def test_dup_span_removal_semantics(spark):
+    """A 3-gram shared by two docs removes all its covered positions in
+    both (overlapping occurrences merge); within-one-doc repetition alone
+    never triggers; unique docs come back untouched."""
+    from ocr_spark.functions.curation import dup_span_removal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "u1 u2 common gram span u3 u4"),
+            (2, "v1 common gram span common gram span v2"),
+            (3, "w1 solo solo solo solo w2"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc"]: r.asDict() for r in
+           dup_span_removal(docs, "doc_id", "text").collect()}
+    assert out[1]["clean_text"] == "u1 u2 u3 u4" and out[1]["n_removed"] == 3
+    assert out[2]["clean_text"] == "v1 v2" and out[2]["n_removed"] == 6
+    assert out[3]["n_removed"] == 0 and out[3]["clean_text"] == docs.collect()[2]["text"]
+    assert out[4]["n_words"] == 0 and out[4]["clean_text"] == ""
