@@ -130,6 +130,7 @@ HEADLINE = [
     "host_template_lines",
     "containment_pairs",
     "dup_span_removal",
+    "image_phash_pairs",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

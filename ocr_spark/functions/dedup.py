@@ -604,3 +604,66 @@ def containment_pairs(df: DataFrame, id_col: str, text_col: str,
         .withColumn("cont_b_bp", cont_b.cast("bigint"))
         .filter(F.greatest("cont_a_bp", "cont_b_bp") >= min_bp)
     )
+
+
+def fingerprint_hamming_pairs(
+    df: DataFrame, id_col: str, hex_col: str,
+    n_bands: int = 4, hmax: int = 3,
+    max_bucket_size: int = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Banded Hamming near-dup pairs over a precomputed 64-bit hex
+    fingerprint column (16 hex chars) — perceptual image hashes, frame
+    hashes, any 64-bit sketch. The simhash_pairs machinery generalized to
+    fingerprints produced UPSTREAM (e.g. image_features.phash), so
+    multimodal near-dup composes with the same cap + pigeonhole
+    guarantees: 64 bits in 4 bands makes banding exact for hmax <= 3.
+
+    Scale shape: bands are hex substrings (the bucket key is
+    (band, 4 hex chars)); the verify joins the (doc, two-int32-halves)
+    table and runs one codegen'd xor/popcount per candidate. Splitting
+    the 64-bit value into 32-bit halves sidesteps BIGINT sign overflow in
+    both engines. Returns (doc_a, doc_b, hamming), doc_a < doc_b."""
+    width = 16 // n_bands
+    base = df.select(F.col(id_col).alias("doc"),
+                     F.lower(F.col(hex_col)).alias("fp"))
+    sig = base.select(
+        "doc",
+        F.conv(F.substring("fp", 1, 8), 16, 10)
+        .cast("decimal(20,0)").cast("long").alias("hi"),
+        F.conv(F.substring("fp", 9, 8), 16, 10)
+        .cast("decimal(20,0)").cast("long").alias("lo"),
+    )
+    bands = base.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("fp", 1 + b * width, width).alias("sigb"),
+            )
+            for b in range(n_bands)
+        ])).alias("bs"),
+    ).select("doc", F.col("bs.band").alias("band"),
+             F.col("bs.sigb").alias("sigb"))
+    grouped = bands.groupBy("band", "sigb").agg(
+        F.collect_set("doc").alias("docs"))
+    pairs = (
+        grouped.filter(
+            (F.size("docs") > 1) & (F.size("docs") <= max_bucket_size))
+        .select(F.explode(_pairs_expr(F.array_sort("docs"))).alias("p"))
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .distinct()
+    )
+    a = sig.select(F.col("doc").alias("doc_a"), F.col("hi").alias("hi_a"),
+                   F.col("lo").alias("lo_a"))
+    b = sig.select(F.col("doc").alias("doc_b"), F.col("hi").alias("hi_b"),
+                   F.col("lo").alias("lo_b"))
+    return (
+        pairs.join(a, "doc_a").join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+             + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))))
+            .cast("bigint").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= hmax)
+    )

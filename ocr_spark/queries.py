@@ -5338,3 +5338,61 @@ def q_dup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = _cpu(spark, sf_dir, "documents").select("doc_id", text.alias("text"))
     return dup_span_removal(docs, "doc_id", "text", n=3, min_docs=2)
+
+
+@query(
+    "image_phash_pairs",
+    f"""
+    SELECT * FROM (
+    WITH hexmap AS ({_HEXMAP_SQL}),
+    corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 400000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0),
+    img AS (
+      SELECT doc_id, sha256(sha256(text)) AS seedhex,
+             16 + (doc_id % 400000) % 17 AS w,
+             16 + (doc_id % 400000) % 13 AS h
+      FROM corpus),
+    pxb AS ({_pixel_sql()}),
+    {_phash_sql("doc_id")},
+    b0 AS (SELECT doc_id AS doc, phash, unnest(range(0, 4)) AS band FROM ph),
+    bb AS (SELECT doc, band, substr(phash, 1 + band * 4, 4) AS sigb FROM b0),
+    bs AS (SELECT band, sigb FROM bb GROUP BY 1, 2
+           HAVING COUNT(*) <= {DEFAULT_MAX_BUCKET}),
+    capped AS (SELECT bb.* FROM bb JOIN bs USING (band, sigb)),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b2.doc AS doc_b
+      FROM capped a JOIN capped b2
+        ON a.band = b2.band AND a.sigb = b2.sigb AND a.doc < b2.doc),
+    hs AS (SELECT doc_id AS doc,
+                  ('0x' || substr(phash, 1, 8))::BIGINT AS hi,
+                  ('0x' || substr(phash, 9, 8))::BIGINT AS lo FROM ph)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+                AS BIGINT) AS hamming
+    FROM cand JOIN hs a ON a.doc = cand.doc_a JOIN hs b ON b.doc = cand.doc_b
+    ) WHERE hamming <= 3
+    """,
+)
+def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup image pairs: image_features' 64-bit phash fed
+    into banded-Hamming pairing over a payload corpus with injected exact
+    re-uploads (doc_id+400000, same bytes and dims) — re-uploads land at
+    hamming 0; random 16-bit band collisions are rejected by the verify."""
+    from ocr_spark.functions.dedup import fingerprint_hamming_pairs
+    from ocr_spark.operators.multimodal import image_features
+
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.where(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 400000).alias("doc_id"), "text"))
+    payload = corpus.select(
+        "doc_id",
+        F.unhex(F.sha2(F.col("text"), 256)).alias("payload"),
+        (16 + (F.col("doc_id") % 400000) % 17).cast("int").alias("width"),
+        (16 + (F.col("doc_id") % 400000) % 13).cast("int").alias("height"),
+        F.lit("fake-rgb").alias("codec"),
+    )
+    feats = image_features(payload).select("doc_id", "phash")
+    return fingerprint_hamming_pairs(feats, "doc_id", "phash")

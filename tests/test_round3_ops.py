@@ -671,3 +671,25 @@ def test_dup_span_removal_semantics(spark):
     assert out[2]["clean_text"] == "v1 v2" and out[2]["n_removed"] == 6
     assert out[3]["n_removed"] == 0 and out[3]["clean_text"] == docs.collect()[2]["text"]
     assert out[4]["n_words"] == 0 and out[4]["clean_text"] == ""
+
+
+def test_fingerprint_hamming_pairs(spark):
+    """Identical fingerprints pair at hamming 0; a 2-bit flip still pairs
+    (pigeonhole: 2 < 4 bands leaves a band intact); hamming > hmax pairs
+    are rejected even when a band collides."""
+    from ocr_spark.functions.dedup import fingerprint_hamming_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "deadbeefcafe0123"),
+            (2, "deadbeefcafe0123"),          # exact dup
+            (3, "deadbeefcafe0120"),          # 2 bits flipped (3 ^ 0)
+            (4, "deadbeef00000000"),          # shares band 0+1, hamming >> 3
+        ],
+        ["doc_id", "fp"],
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in fingerprint_hamming_pairs(docs, "doc_id", "fp").collect()}
+    assert out[(1, 2)] == 0
+    assert out[(1, 3)] == 2 and out[(2, 3)] == 2
+    assert not any(4 in p for p in out)
