@@ -131,6 +131,7 @@ HEADLINE = [
     "containment_pairs",
     "dup_span_removal",
     "image_phash_pairs",
+    "warc_split",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

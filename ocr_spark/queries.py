@@ -5396,3 +5396,63 @@ def q_image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = image_features(payload).select("doc_id", "phash")
     return fingerprint_hamming_pairs(feats, "doc_id", "phash")
+
+
+_WARC_BLOB_SQL = """
+    SELECT doc_id AS doc,
+           'WARC/1.0' || chr(10) || 'WARC-Type: response' || chr(10) ||
+           'WARC-Target-URI: https://h' || CAST(doc_id % 7 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR) || '/0' || chr(10) ||
+           'WARC-Date: 2026-01-0' || CAST(1 + doc_id % 9 AS VARCHAR) || 'T00:00:00Z' || chr(10) || chr(10) ||
+           'body ' || CAST(doc_id AS VARCHAR) || ' 0 ' || substr(text, 1, 40) || chr(10) ||
+           'WARC/1.0' || chr(10) || 'WARC-Type: metadata' || chr(10) ||
+           'WARC-Target-URI: https://h' || CAST(doc_id % 7 AS VARCHAR) || '.com/p' || CAST(doc_id AS VARCHAR) || '/1' || chr(10) || chr(10) ||
+           'len=' || CAST(length(text) AS VARCHAR) || chr(10) ||
+           CASE WHEN doc_id % 3 = 0 THEN
+             'WARC/1.0' || chr(10) || 'WARC-Type: request' || chr(10) || chr(10) ||
+             'GET /p' || CAST(doc_id AS VARCHAR) || chr(10)
+           ELSE '' END AS blob
+    FROM documents
+"""
+
+
+@query(
+    "warc_split",
+    f"""
+    WITH u AS ({_WARC_BLOB_SQL}),
+    s AS (SELECT doc, string_split(blob, 'WARC/1.0' || chr(10)) AS parts FROM u),
+    e AS (SELECT doc, parts, unnest(generate_series(1, len(parts))) AS i FROM s),
+    r AS (SELECT doc, i - 2 AS rec, parts[i] AS body0 FROM e
+          WHERE length(trim(parts[i])) > 0)
+    SELECT doc, CAST(rec AS BIGINT) AS rec,
+           regexp_extract(body0, 'WARC-Type: ([^\n]*)', 1) AS warc_type,
+           regexp_extract(body0, 'WARC-Target-URI: ([^\n]*)', 1) AS url,
+           regexp_extract(body0, 'WARC-Date: ([^\n]*)', 1) AS ts,
+           regexp_extract(body0, '(?s)\n\n(.*)$', 1) AS body
+    FROM r
+    """,
+)
+def q_warc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC blob flattening over deterministic synthetic archives: two or
+    three records per blob (response + metadata, request on every third),
+    a header absent from some records (WARC-Date), multi-line bodies."""
+    from ocr_spark.sources.warc import warc_split
+
+    k = F.col("doc_id")
+    nl = F.lit("\n")
+    host = F.concat(F.lit("https://h"), (k % 7).cast("string"),
+                    F.lit(".com/p"), k.cast("string"))
+    blob = F.concat(
+        F.lit("WARC/1.0\nWARC-Type: response\nWARC-Target-URI: "),
+        host, F.lit("/0"), nl,
+        F.lit("WARC-Date: 2026-01-0"), (1 + k % 9).cast("string"),
+        F.lit("T00:00:00Z\n\nbody "), k.cast("string"), F.lit(" 0 "),
+        F.substring("text", 1, 40), nl,
+        F.lit("WARC/1.0\nWARC-Type: metadata\nWARC-Target-URI: "),
+        host, F.lit("/1"), F.lit("\n\nlen="),
+        F.length("text").cast("string"), nl,
+        F.when(k % 3 == 0, F.concat(
+            F.lit("WARC/1.0\nWARC-Type: request\n\nGET /p"),
+            k.cast("string"), nl)).otherwise(F.lit("")),
+    )
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", blob.alias("blob"))
+    return warc_split(docs, "doc_id", "blob")

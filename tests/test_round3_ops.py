@@ -693,3 +693,23 @@ def test_fingerprint_hamming_pairs(spark):
     assert out[(1, 2)] == 0
     assert out[(1, 3)] == 2 and out[(2, 3)] == 2
     assert not any(4 in p for p in out)
+
+
+def test_warc_split_semantics(spark):
+    """Record ordinals survive the leading-empty drop; absent headers are
+    ''; bodies keep everything after the first blank line verbatim."""
+    from ocr_spark.sources.warc import warc_split
+
+    blob = ("WARC/1.0\nWARC-Type: response\nWARC-Target-URI: https://a/\n"
+            "WARC-Date: 2026-01-01T00:00:00Z\n\nline1\n\nline2\n"
+            "WARC/1.0\nWARC-Type: metadata\n\nmeta body\n")
+    docs = spark.createDataFrame([(7, blob)], ["doc_id", "blob"])
+    out = {r["rec"]: r.asDict()
+           for r in warc_split(docs, "doc_id", "blob").collect()}
+    assert len(out) == 2
+    assert out[0]["warc_type"] == "response"
+    assert out[0]["url"] == "https://a/"
+    assert out[0]["body"] == "line1\n\nline2\n"   # inner blank line kept
+    assert out[1]["warc_type"] == "metadata"
+    assert out[1]["url"] == "" and out[1]["ts"] == ""
+    assert out[1]["body"] == "meta body\n"
