@@ -132,6 +132,8 @@ HEADLINE = [
     "dup_span_removal",
     "image_phash_pairs",
     "warc_split",
+    "html_headings",
+    "html_depth_stats",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

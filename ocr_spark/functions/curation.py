@@ -2168,3 +2168,67 @@ def dup_span_removal(
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
     )
+
+
+_HEADING_RE = r"(?is)<h([1-6])[^>]*>(.*?)</h[1-6]>"
+
+
+def html_headings(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Document-outline extraction: every <h1>..<h6> in document order as
+    (doc, pos, level, heading) — inner markup stripped, whitespace
+    collapsed. The outline is the skeleton section-segmentation and
+    title-hierarchy features build on.
+
+    Zero shuffle: one regexp_extract_all + posexplode (fan-out = headings
+    per page) with the level re-extracted from the matched tag — all
+    codegen'd, html pruned in-stage."""
+    hs = df.select(
+        F.col(id_col).alias("doc"),
+        F.posexplode(F.regexp_extract_all(
+            F.col(html_col), F.lit(_HEADING_RE), F.lit(0))).alias("pos", "tag"),
+    )
+    return hs.select(
+        "doc",
+        F.col("pos").cast("bigint").alias("pos"),
+        F.regexp_extract("tag", r"(?i)^<h([1-6])", 1).cast("int")
+        .alias("level"),
+        F.trim(F.regexp_replace(
+            F.regexp_replace("tag", r"<[^>]*>", ""), r"\s+", " "))
+        .alias("heading"),
+    )
+
+
+_TAG_STREAM_RE = r"(?s)</?[a-zA-Z][a-zA-Z0-9]*[^>]*>"
+_NON_NESTING_RE = (r"(?i)^<(br|hr|img|meta|link|input|area|base|col|embed"
+                   r"|source|track|wbr)\b|/>$")
+
+
+def html_depth_stats(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """DOM nesting statistics without a DOM: stream the tags, fold +1/-1
+    over opens/closes (void and self-closing elements excluded), report
+    (doc, n_tags, max_depth, balance). Deeply-nested markup is a spam /
+    machine-generated-page signal; balance != 0 flags truncated or
+    malformed documents before they reach the extractor.
+
+    Zero shuffle: the tag stream is regexp_extract_all, the running
+    maximum is a row-local F.aggregate fold over the delta array — no
+    window, no per-doc shuffle, the whole op fuses into the scan."""
+    tags = F.filter(
+        F.regexp_extract_all(F.col(html_col), F.lit(_TAG_STREAM_RE), F.lit(0)),
+        lambda t: ~t.rlike(_NON_NESTING_RE),
+    )
+    deltas = F.transform(
+        tags, lambda t: F.when(t.startswith("</"), F.lit(-1)).otherwise(F.lit(1)))
+    acc = F.aggregate(
+        deltas,
+        F.struct(F.lit(0).alias("d"), F.lit(0).alias("m")),
+        lambda a, x: F.struct(
+            (a["d"] + x).alias("d"),
+            F.greatest(a["m"], a["d"] + x).alias("m")),
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.size(tags).cast("bigint").alias("n_tags"),
+        acc["m"].cast("bigint").alias("max_depth"),
+        acc["d"].cast("bigint").alias("balance"),
+    )

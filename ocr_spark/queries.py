@@ -5456,3 +5456,112 @@ def q_warc_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = _cpu(spark, sf_dir, "documents").select("doc_id", blob.alias("blob"))
     return warc_split(docs, "doc_id", "blob")
+
+
+_HEADING_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '<h1>Top ' || CAST(doc_id % 5 AS VARCHAR) || '</h1><p>x</p><h2> Sub <b>' || CAST(doc_id % 3 AS VARCHAR) || '</b> </h2><h3>deep</h3>'
+             WHEN 1 THEN '<H2 class="t">Upper ' || CAST(doc_id % 2 AS VARCHAR) || '</H2>'
+             WHEN 2 THEN 'no headings ' || CAST(doc_id AS VARCHAR)
+             ELSE '<h1>Multi
+line ' || CAST(doc_id % 7 AS VARCHAR) || '</h1>'
+           END AS html
+    FROM documents
+"""
+
+
+@query(
+    "html_headings",
+    f"""
+    WITH u AS ({_HEADING_HTML_SQL}),
+    t0 AS (SELECT doc, regexp_extract_all(html,
+             '(?is)<h([1-6])[^>]*>(.*?)</h[1-6]>', 0) AS hs FROM u),
+    t1 AS (SELECT doc, hs, unnest(generate_series(1, len(hs))) AS i FROM t0)
+    SELECT doc, CAST(i - 1 AS BIGINT) AS pos,
+           CAST(regexp_extract(hs[i], '(?i)^<h([1-6])', 1) AS INTEGER) AS level,
+           trim(regexp_replace(regexp_replace(hs[i], '<[^>]*>', '', 'g'),
+                '\\s+', ' ', 'g')) AS heading
+    FROM t1
+    """,
+)
+def q_html_headings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outline extraction over deterministic synthetic html: h1-h3 chains,
+    uppercase tags, inline markup inside headings, multi-line headings,
+    and heading-free pages."""
+    from ocr_spark.functions.curation import html_headings
+
+    k = F.col("doc_id")
+    m = k % 4
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit("<h1>Top "), (k % 5).cast("string"),
+            F.lit("</h1><p>x</p><h2> Sub <b>"), (k % 3).cast("string"),
+            F.lit("</b> </h2><h3>deep</h3>")))
+        .when(m == 1, F.concat(
+            F.lit('<H2 class="t">Upper '), (k % 2).cast("string"), F.lit("</H2>")))
+        .when(m == 2, F.concat(F.lit("no headings "), k.cast("string")))
+        .otherwise(F.concat(
+            F.lit("<h1>Multi\nline "), (k % 7).cast("string"), F.lit("</h1>")))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    return html_headings(docs, "doc_id", "html")
+
+
+_DEPTH_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '<div><p>a<b>x' || CAST(doc_id % 3 AS VARCHAR) || '</b></p><img src="s"><p>b</p></div>'
+             WHEN 1 THEN '<div><div><div>deep ' || CAST(doc_id % 3 AS VARCHAR) || '</div></div></div>'
+             WHEN 2 THEN 'plain ' || CAST(doc_id AS VARCHAR)
+             ELSE '<div><p>unclosed<br/>' || CAST(doc_id % 5 AS VARCHAR)
+           END AS html
+    FROM documents
+"""
+
+_NON_NESTING_SQL = ("(?i)^<(br|hr|img|meta|link|input|area|base|col|embed"
+                    "|source|track|wbr)\\b|/>$")
+
+
+@query(
+    "html_depth_stats",
+    f"""
+    WITH u AS ({_DEPTH_HTML_SQL}),
+    tg AS (SELECT doc, list_filter(
+             regexp_extract_all(html, '(?s)</?[a-zA-Z][a-zA-Z0-9]*[^>]*>', 0),
+             t -> NOT regexp_matches(t, '{_NON_NESTING_SQL}')) AS tags FROM u),
+    e AS (SELECT doc, tags, unnest(generate_series(1, len(tags))) AS i FROM tg),
+    d AS (SELECT doc, i,
+            CASE WHEN starts_with(tags[i], '</') THEN -1 ELSE 1 END AS delta
+          FROM e),
+    r AS (SELECT doc, delta,
+            SUM(delta) OVER (PARTITION BY doc ORDER BY i) AS depth FROM d),
+    agg AS (SELECT doc, GREATEST(MAX(depth), 0) AS m, SUM(delta) AS bal
+            FROM r GROUP BY doc)
+    SELECT tg.doc, CAST(len(tags) AS BIGINT) AS n_tags,
+           CAST(COALESCE(m, 0) AS BIGINT) AS max_depth,
+           CAST(COALESCE(bal, 0) AS BIGINT) AS balance
+    FROM tg LEFT JOIN agg USING (doc)
+    """,
+)
+def q_html_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOM nesting stats over deterministic synthetic html: void elements
+    that must not nest, self-closing tags, an unbalanced page (truncation
+    signal), triple nesting, and tag-free pages."""
+    from ocr_spark.functions.curation import html_depth_stats
+
+    k = F.col("doc_id")
+    m = k % 4
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit("<div><p>a<b>x"), (k % 3).cast("string"),
+            F.lit('</b></p><img src="s"><p>b</p></div>')))
+        .when(m == 1, F.concat(
+            F.lit("<div><div><div>deep "), (k % 3).cast("string"),
+            F.lit("</div></div></div>")))
+        .when(m == 2, F.concat(F.lit("plain "), k.cast("string")))
+        .otherwise(F.concat(
+            F.lit("<div><p>unclosed<br/>"), (k % 5).cast("string")))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    return html_depth_stats(docs, "doc_id", "html")

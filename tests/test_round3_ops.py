@@ -713,3 +713,39 @@ def test_warc_split_semantics(spark):
     assert out[1]["warc_type"] == "metadata"
     assert out[1]["url"] == "" and out[1]["ts"] == ""
     assert out[1]["body"] == "meta body\n"
+
+
+def test_html_headings_semantics(spark):
+    """Document-order positions, level from the tag, markup stripped and
+    whitespace collapsed, heading-free docs emit nothing."""
+    from ocr_spark.functions.curation import html_headings
+
+    docs = spark.createDataFrame(
+        [(0, "<h2> A <i>b</i>\nc </h2><h1>Top</h1>"), (1, "none")],
+        ["doc_id", "html"])
+    out = [(r["pos"], r["level"], r["heading"]) for r in
+           html_headings(docs, "doc_id", "html").orderBy("pos").collect()]
+    assert out == [(0, 2, "A b c"), (1, 1, "Top")]
+
+
+def test_html_depth_stats_semantics(spark):
+    """Voids and self-closing tags never nest; unbalanced docs report a
+    nonzero balance; max_depth never goes negative on close-only docs."""
+    from ocr_spark.functions.curation import html_depth_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "<div><p>x</p><br><img src='a'><span/></div>"),
+            (1, "<div><p>trunc"),
+            (2, "</div></div>stray closes"),
+            (3, "no tags"),
+        ],
+        ["doc_id", "html"],
+    )
+    out = {r["doc"]: r.asDict()
+           for r in html_depth_stats(docs, "doc_id", "html").collect()}
+    assert out[0]["n_tags"] == 4 and out[0]["max_depth"] == 2
+    assert out[0]["balance"] == 0
+    assert out[1]["max_depth"] == 2 and out[1]["balance"] == 2
+    assert out[2]["max_depth"] == 0 and out[2]["balance"] == -2
+    assert out[3]["n_tags"] == 0 and out[3]["max_depth"] == 0
