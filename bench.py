@@ -134,6 +134,7 @@ HEADLINE = [
     "warc_split",
     "html_headings",
     "html_depth_stats",
+    "crawl_gate",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

@@ -2232,3 +2232,38 @@ def html_depth_stats(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
         acc["m"].cast("bigint").alias("max_depth"),
         acc["d"].cast("bigint").alias("balance"),
     )
+
+
+def crawl_gate(
+    df: DataFrame, id_col: str, url_col: str, html_col: str,
+    rules: DataFrame, blocklist: DataFrame,
+) -> DataFrame:
+    """The composed page-admission decision every crawl-derived corpus
+    runs before any content processing: RFC 9309 robots longest-match,
+    then robots-meta noindex, then the domain blocklist — first failing
+    gate wins (robots_disallow > meta_noindex > blocked_domain > keep).
+
+    Returns (doc, reason, keep) for every input row.
+
+    Shape: each sub-gate is its own scale-correct plan (two broadcast
+    dimension joins + one zero-shuffle regexp projection); the composition
+    is two doc-keyed equi-joins on relations that are already one row per
+    doc. No gate short-circuits another's WORK (all three evaluate — at
+    corpus scale the projections are scan-fused and the dim joins
+    broadcast, so evaluating all three costs less than materializing an
+    intermediate keep-set between them), only the REASON precedence."""
+    rg = robots_gate(df, id_col, url_col, rules).select("doc", "allowed")
+    nf = noindex_filter(df, id_col, html_col).select("doc", "noindex")
+    bf = blocklist_filter(df, id_col, url_col, blocklist).select(
+        "doc", "blocked")
+    reason = (
+        F.when(F.col("allowed") == 0, F.lit("robots_disallow"))
+        .when(F.col("noindex") == 1, F.lit("meta_noindex"))
+        .when(F.col("blocked") == 1, F.lit("blocked_domain"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        rg.join(nf, "doc").join(bf, "doc")
+        .select("doc", reason.alias("reason"),
+                (reason == "keep").cast("int").alias("keep"))
+    )

@@ -5565,3 +5565,107 @@ def q_html_depth_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = _cpu(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
     return html_depth_stats(docs, "doc_id", "html")
+
+
+_GATE_PAGE_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 5
+             WHEN 0 THEN 'https://example.org/other' || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 1 THEN 'https://example.org/public/p' || CAST(doc_id % 4 AS VARCHAR)
+             WHEN 2 THEN 'https://ok' || CAST(doc_id % 13 AS VARCHAR) || '.net/a'
+             WHEN 3 THEN 'https://ok' || CAST(doc_id % 13 AS VARCHAR) || '.net/b'
+             ELSE 'http://tie.com/x' || CAST(doc_id % 4 AS VARCHAR)
+           END AS url,
+           CASE doc_id % 5
+             WHEN 2 THEN '<html><meta name="robots" content="noindex"><body>x'
+             WHEN 4 THEN '<html><body>noindex appears only in body text'
+             ELSE '<html><body>clean page ' || CAST(doc_id AS VARCHAR)
+           END AS html
+    FROM documents
+"""
+
+
+@query(
+    "crawl_gate",
+    f"""
+    WITH u AS ({_GATE_PAGE_SQL}),
+    b AS (
+      SELECT doc,
+             lower(regexp_replace(
+               regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://(\\[[^\\]]+\\]|[^/:?#]+)', 1),
+               '^\\[|\\]$', '', 'g')) AS host,
+             CASE WHEN regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1) = ''
+                  THEN '/'
+                  ELSE regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]*(/[^?#]*)', 1)
+             END AS path
+      FROM u),
+    r(host, prefix, allow) AS (VALUES
+      {", ".join(f"('{h}', '{p}', {a})" for h, p, a in _ROBOTS_RULES)}),
+    c AS (
+      SELECT b.doc, r.allow,
+             ROW_NUMBER() OVER (
+               PARTITION BY b.doc
+               ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC) AS rn
+      FROM b JOIN r ON b.host = r.host
+      WHERE substr(b.path, 1, length(r.prefix)) = r.prefix),
+    rob AS (
+      SELECT b.doc, CAST(COALESCE(w.allow, 1) AS INT) AS allowed
+      FROM b LEFT JOIN (SELECT doc, allow FROM c WHERE rn = 1) w USING (doc)),
+    nx AS (
+      SELECT doc,
+             CAST(regexp_matches(regexp_extract(html,
+               '(?i)<meta\\b[^>]*name\\s*=\\s*"(?:robots|googlebot)"[^>]*>', 0),
+               '(?i)\\bnoindex\\b') AS INT) AS noindex
+      FROM u),
+    bl(domain) AS (VALUES {", ".join(f"('{d}')" for d in _BLOCKLIST_DOMAINS)}),
+    blk AS (
+      SELECT doc,
+             CAST((SELECT MIN(domain) FROM bl
+                   WHERE host = domain OR host LIKE ('%.' || domain))
+                  IS NOT NULL AS INT) AS blocked
+      FROM b),
+    dec AS (
+      SELECT rob.doc,
+             CASE WHEN allowed = 0 THEN 'robots_disallow'
+                  WHEN noindex = 1 THEN 'meta_noindex'
+                  WHEN blocked = 1 THEN 'blocked_domain'
+                  ELSE 'keep' END AS reason
+      FROM rob JOIN nx USING (doc) JOIN blk USING (doc))
+    SELECT doc, reason, CAST(reason = 'keep' AS INT) AS keep FROM dec
+    """,
+)
+def q_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed admission decision end-to-end over one synthetic page
+    table: a robots-disallowed path on a blocklisted host (robots reason
+    must win), a robots-ALLOWED path on that same blocklisted host
+    (blocklist fires), a noindex page on a clean host, a clean keep, and
+    a body-text 'noindex' that must NOT trigger."""
+    from ocr_spark.functions.curation import crawl_gate
+
+    k = F.col("doc_id")
+    m = k % 5
+    url = (
+        F.when(m == 0, F.concat(
+            F.lit("https://example.org/other"), (k % 3).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("https://example.org/public/p"), (k % 4).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("https://ok"), (k % 13).cast("string"), F.lit(".net/a")))
+        .when(m == 3, F.concat(
+            F.lit("https://ok"), (k % 13).cast("string"), F.lit(".net/b")))
+        .otherwise(F.concat(F.lit("http://tie.com/x"), (k % 4).cast("string")))
+    )
+    html = (
+        F.when(m == 2, F.lit(
+            '<html><meta name="robots" content="noindex"><body>x'))
+        .when(m == 4, F.lit("<html><body>noindex appears only in body text"))
+        .otherwise(F.concat(
+            F.lit("<html><body>clean page "), k.cast("string")))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"), html.alias("html"))
+    rules = spark.createDataFrame(
+        _ROBOTS_RULES, "host string, path_prefix string, allow int")
+    bl = spark.createDataFrame(
+        [(d,) for d in _BLOCKLIST_DOMAINS], "domain string")
+    return crawl_gate(docs, "doc_id", "url", "html", rules, bl)

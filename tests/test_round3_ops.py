@@ -749,3 +749,30 @@ def test_html_depth_stats_semantics(spark):
     assert out[1]["max_depth"] == 2 and out[1]["balance"] == 2
     assert out[2]["max_depth"] == 0 and out[2]["balance"] == -2
     assert out[3]["n_tags"] == 0 and out[3]["max_depth"] == 0
+
+
+def test_crawl_gate_precedence(spark):
+    """First failing gate wins: robots_disallow beats a blocklisted host;
+    a robots-allowed page on a blocked host falls through to
+    blocked_domain; body-text 'noindex' never fires."""
+    from ocr_spark.functions.curation import crawl_gate
+
+    rules = spark.createDataFrame(
+        [("bad.com", "/", 0), ("bad.com", "/ok", 1)],
+        "host string, path_prefix string, allow int")
+    bl = spark.createDataFrame([("bad.com",)], "domain string")
+    docs = spark.createDataFrame(
+        [
+            (0, "https://bad.com/x", "<html>clean"),
+            (1, "https://bad.com/ok/p", "<html>clean"),
+            (2, "https://good.net/", '<meta name="robots" content="noindex">'),
+            (3, "https://good.net/", "body noindex text only"),
+        ],
+        ["doc_id", "url", "html"],
+    )
+    out = {r["doc"]: (r["reason"], r["keep"]) for r in
+           crawl_gate(docs, "doc_id", "url", "html", rules, bl).collect()}
+    assert out[0] == ("robots_disallow", 0)
+    assert out[1] == ("blocked_domain", 0)
+    assert out[2] == ("meta_noindex", 0)
+    assert out[3] == ("keep", 1)
