@@ -135,6 +135,7 @@ HEADLINE = [
     "html_headings",
     "html_depth_stats",
     "crawl_gate",
+    "parse_robots",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

@@ -2267,3 +2267,64 @@ def crawl_gate(
         .select("doc", reason.alias("reason"),
                 (reason == "keep").cast("int").alias("keep"))
     )
+
+
+def parse_robots(df: DataFrame, host_col: str, body_col: str) -> DataFrame:
+    """robots.txt parsing — the upstream of :func:`robots_gate`: turn raw
+    robots.txt bodies into the (host, path_prefix, allow) rules dimension
+    for the default agent. RFC 9309 grouping: consecutive User-agent
+    lines open ONE group; a group's rules apply to '*' if any of its
+    User-agent lines is '*'; Allow/Disallow lines outside any group are
+    ignored; empty-path Disallow (allow-all idiom) is dropped; matching
+    is case-insensitive on directive names, comments strip at '#'.
+
+    Returns (host, path_prefix, allow) distinct rules.
+
+    Shape: one posexplode (fan-out = lines per robots.txt, ~10^2), then
+    the group id is a per-host running sum over the line window — a
+    host-keyed shuffle of SHORT rule lines only (bodies prune in-stage);
+    a robots corpus is dimension-sized (one row per host), so even the
+    window partition is tiny. Star-group membership joins back on
+    (host, grp)."""
+    from pyspark.sql.window import Window
+
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(body_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host", "pos",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+    is_ua = F.lower(F.col("line")).startswith("user-agent:")
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = (
+        lines
+        .withColumn("is_ua", is_ua.cast("int"))
+        .withColumn("prev_ua", F.coalesce(
+            F.lag("is_ua").over(w), F.lit(0)))
+        .withColumn("grp", F.sum(
+            ((F.col("is_ua") == 1) & (F.col("prev_ua") == 0)).cast("int")
+        ).over(w))
+    )
+    star = (
+        grouped.filter(
+            (F.col("is_ua") == 1)
+            & (F.trim(F.expr("substring(line, 12)")) == "*"))
+        .select("host", "grp").distinct()
+    )
+    directive = F.lower(F.regexp_extract("line", r"^([A-Za-z-]+):", 1))
+    path = F.trim(F.regexp_extract("line", r"^[A-Za-z-]+:(.*)$", 1))
+    rules = (
+        grouped.filter(F.col("is_ua") == 0)
+        .select("host", "grp", directive.alias("d"), path.alias("p"))
+        .filter(F.col("d").isin("allow", "disallow") & (F.col("p") != ""))
+    )
+    return (
+        rules.join(star, ["host", "grp"])
+        .select(
+            "host",
+            F.col("p").alias("path_prefix"),
+            (F.col("d") == "allow").cast("int").alias("allow"),
+        )
+        .distinct()
+    )

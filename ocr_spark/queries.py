@@ -5669,3 +5669,82 @@ def q_crawl_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = spark.createDataFrame(
         [(d,) for d in _BLOCKLIST_DOMAINS], "domain string")
     return crawl_gate(docs, "doc_id", "url", "html", rules, bl)
+
+
+_ROBOTS_BODY_SQL = """
+    SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example' AS host,
+           CASE doc_id % 4
+             WHEN 0 THEN 'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10) || 'Allow: /private/pub # comment' || chr(10) || chr(10) || 'User-agent: badbot' || chr(10) || 'Disallow: /'
+             WHEN 1 THEN 'User-agent: googlebot' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow: /tmp' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 2 THEN 'User-agent: badbot' || chr(10) || 'Disallow: /all'
+             ELSE 'Disallow: /orphan' || chr(10) || 'User-agent: *' || chr(10) || 'Disallow:' || chr(10) || 'Allow: /a' || CAST(doc_id % 3 AS VARCHAR)
+           END AS body
+    FROM documents
+"""
+
+
+@query(
+    "parse_robots",
+    f"""
+    WITH u AS ({_ROBOTS_BODY_SQL}),
+    l0 AS (
+      SELECT host, i - 1 AS pos,
+             trim(regexp_replace(parts[i], '#.*$', '')) AS line
+      FROM (SELECT host, parts, unnest(generate_series(1, len(parts))) AS i
+            FROM (SELECT host, string_split(body, chr(10)) AS parts FROM u))),
+    g AS (
+      SELECT host, pos, line,
+             CASE WHEN starts_with(lower(line), 'user-agent:')
+                  THEN 1 ELSE 0 END AS is_ua
+      FROM l0),
+    g1 AS (
+      SELECT *, COALESCE(LAG(is_ua) OVER (PARTITION BY host ORDER BY pos), 0)
+             AS prev_ua
+      FROM g),
+    g2 AS (
+      SELECT *, SUM(CASE WHEN is_ua = 1 AND prev_ua = 0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY host ORDER BY pos) AS grp
+      FROM g1),
+    star AS (
+      SELECT DISTINCT host, grp FROM g2
+      WHERE is_ua = 1 AND trim(substring(line, 12)) = '*'),
+    r AS (
+      SELECT host, grp,
+             lower(regexp_extract(line, '^([A-Za-z-]+):', 1)) AS d,
+             trim(regexp_extract(line, '^[A-Za-z-]+:(.*)$', 1)) AS p
+      FROM g2 WHERE is_ua = 0)
+    SELECT DISTINCT host, p AS path_prefix,
+           CAST(d = 'allow' AS INT) AS allow
+    FROM r JOIN star USING (host, grp)
+    WHERE d IN ('allow', 'disallow') AND p != ''
+    """,
+)
+def q_parse_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt parsing over deterministic synthetic bodies: a star
+    group followed by a bot-specific group (whose rules must NOT emit),
+    consecutive User-agent lines sharing one group, a no-star file, an
+    orphan rule before any group, an empty Disallow (allow-all idiom),
+    and trailing comments."""
+    from ocr_spark.functions.curation import parse_robots
+
+    k = F.col("doc_id")
+    m = k % 4
+    body = (
+        F.when(m == 0, F.lit(
+            "User-agent: *\nDisallow: /private\n"
+            "Allow: /private/pub # comment\n\n"
+            "User-agent: badbot\nDisallow: /"))
+        .when(m == 1, F.concat(
+            F.lit("User-agent: googlebot\nUser-agent: *\nDisallow: /tmp"),
+            (k % 5).cast("string")))
+        .when(m == 2, F.lit("User-agent: badbot\nDisallow: /all"))
+        .otherwise(F.concat(
+            F.lit("Disallow: /orphan\nUser-agent: *\nDisallow:\nAllow: /a"),
+            (k % 3).cast("string")))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), F.col("doc_id").cast("string"),
+                 F.lit(".example")).alias("host"),
+        body.alias("body"),
+    )
+    return parse_robots(docs, "host", "body")

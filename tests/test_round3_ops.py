@@ -776,3 +776,27 @@ def test_crawl_gate_precedence(spark):
     assert out[1] == ("blocked_domain", 0)
     assert out[2] == ("meta_noindex", 0)
     assert out[3] == ("keep", 1)
+
+
+def test_parse_robots_grouping(spark):
+    """Star-group rules emit; bot-only groups don't; consecutive UA lines
+    share a group; orphan rules and empty Disallow are dropped; comments
+    strip; a parsed file feeds robots_gate end-to-end."""
+    from ocr_spark.functions.curation import parse_robots, robots_gate
+
+    body = ("Disallow: /orphan\n"
+            "User-agent: googlebot\nUser-agent: *\n"
+            "Disallow: /priv # block\nAllow: /priv/ok\nDisallow:\n\n"
+            "User-agent: badbot\nDisallow: /")
+    robots = spark.createDataFrame([("s.com", body)], ["host", "body"])
+    rules = parse_robots(robots, "host", "body")
+    got = {(r["path_prefix"], r["allow"]) for r in rules.collect()}
+    assert got == {("/priv", 0), ("/priv/ok", 1)}
+
+    pages = spark.createDataFrame(
+        [(0, "https://s.com/priv/x"), (1, "https://s.com/priv/ok/y"),
+         (2, "https://s.com/other")],
+        ["doc_id", "url"])
+    gated = {r["doc"]: r["allowed"]
+             for r in robots_gate(pages, "doc_id", "url", rules).collect()}
+    assert gated == {0: 0, 1: 1, 2: 1}
