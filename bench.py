@@ -136,6 +136,7 @@ HEADLINE = [
     "html_depth_stats",
     "crawl_gate",
     "parse_robots",
+    "edit_verify_pairs",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

@@ -5748,3 +5748,46 @@ def q_parse_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         body.alias("body"),
     )
     return parse_robots(docs, "host", "body")
+
+
+_EDIT_CORPUS_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 500000 AS doc_id, 'Z' || substring(text, 2) AS text
+    FROM documents WHERE doc_id % 8 = 0
+"""
+
+
+@query(
+    "edit_verify_pairs",
+    f"""
+    SELECT * FROM (
+    WITH corpus AS ({_EDIT_CORPUS_SQL}),
+    pairs AS ({_lsh_pairs_sql('corpus')}),
+    t AS (SELECT doc_id AS doc, substring(text, 1, 4096) AS t FROM corpus),
+    j AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(levenshtein(a.t, b.t) AS BIGINT) AS lev,
+             CAST(length(a.t) AS BIGINT) AS len_a,
+             CAST(length(b.t) AS BIGINT) AS len_b
+      FROM pairs p JOIN t a ON a.doc = p.doc_a JOIN t b ON b.doc = p.doc_b)
+    SELECT doc_a, doc_b, lev, len_a, len_b,
+           CAST(CASE WHEN GREATEST(len_a, len_b) > 0
+                THEN 10000 - (10000 * lev) // GREATEST(len_a, len_b)
+                ELSE 10000 END AS BIGINT) AS sim_bp
+    FROM j
+    ) WHERE sim_bp >= 8000
+    """,
+)
+def q_edit_verify_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification over LSH candidates on a corpus with
+    injected single-substitution typo variants (doc_id+500000): variants
+    certify at sim_bp ~9990+, while candidate pairs that merely share
+    shingle buckets without character-level closeness are rejected."""
+    from ocr_spark.functions.dedup import edit_verify_pairs
+
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.where(F.col("doc_id") % 8 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("Z"), F.expr("substring(text, 2)")).alias("text"))
+    return edit_verify_pairs(docs.unionByName(variants), "doc_id", "text")

@@ -800,3 +800,28 @@ def test_parse_robots_grouping(spark):
     gated = {r["doc"]: r["allowed"]
              for r in robots_gate(pages, "doc_id", "url", rules).collect()}
     assert gated == {0: 0, 1: 1, 2: 1}
+
+
+def test_edit_verify_pairs_semantics(spark):
+    """A one-substitution variant certifies near 10000 bp; a shuffled-word
+    doc (high Jaccard, low char similarity) is rejected; truncation bounds
+    the comparison."""
+    from ocr_spark.functions.dedup import edit_verify_pairs
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    typo = "thX quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, base), (2, typo)], ["doc_id", "text"])
+    out = [r.asDict() for r in
+           edit_verify_pairs(docs, "doc_id", "text", min_sim_bp=9000).collect()]
+    assert len(out) == 1 and out[0]["lev"] == 1
+    assert out[0]["sim_bp"] >= 9800
+
+    # same words reordered: shingle overlap may bucket them, but the
+    # character-level check must refuse to certify at a high bar
+    shuf = "again and again the lazy dog jumps over the quick brown fox"
+    docs2 = spark.createDataFrame(
+        [(1, base), (2, shuf)], ["doc_id", "text"])
+    out2 = edit_verify_pairs(docs2, "doc_id", "text",
+                             min_sim_bp=9500).collect()
+    assert out2 == []
