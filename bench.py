@@ -137,6 +137,7 @@ HEADLINE = [
     "crawl_gate",
     "parse_robots",
     "edit_verify_pairs",
+    "host_quality_trend",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

@@ -2328,3 +2328,48 @@ def parse_robots(df: DataFrame, host_col: str, body_col: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+def host_quality_trend(
+    df: DataFrame, host_col: str, day_col: str, quality_col: str,
+    window_days: int = 3,
+) -> DataFrame:
+    """Per-host quality time series — the crawl-health dashboard primitive:
+    daily doc counts and mean quality per host, plus a trailing
+    ``window_days``-day moving average that is GAP-AWARE (a RANGE frame
+    over the day ordinal, so a host crawled on days {1, 9} never averages
+    across the eight silent days).
+
+    Quality is an integer 0-100 score; means are exact basis points via
+    integer division (sum*100 div n), so the moving average is
+    bit-identical cross-engine. Returns (host, day, n_docs, mean_bp,
+    ma_bp).
+
+    Shape: one hash agg keyed on (host, day) with map-side partials
+    collapses the corpus to series-size; the window then runs over the
+    tiny per-host series, not over documents — a mega-host costs its
+    distinct-day count in window state, not its doc count."""
+    from pyspark.sql.window import Window
+
+    daily = (
+        df.select(
+            F.col(host_col).alias("host"),
+            F.col(day_col).cast("bigint").alias("day"),
+            F.col(quality_col).cast("bigint").alias("q"),
+        )
+        .groupBy("host", "day")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("q").alias("sum_q"))
+    )
+    w = (Window.partitionBy("host").orderBy("day")
+         .rangeBetween(-(window_days - 1), 0))
+    return daily.select(
+        "host", "day",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.expr("(sum_q * 100) div n_docs").cast("bigint").alias("mean_bp"),
+        (F.sum("sum_q").over(w) * 100)
+        .cast("bigint").alias("_wsum"),
+        F.sum("n_docs").over(w).cast("bigint").alias("_wn"),
+    ).select(
+        "host", "day", "n_docs", "mean_bp",
+        F.expr("_wsum div _wn").cast("bigint").alias("ma_bp"),
+    )

@@ -5791,3 +5791,48 @@ def q_edit_verify_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 500000).alias("doc_id"),
         F.concat(F.lit("Z"), F.expr("substring(text, 2)")).alias("text"))
     return edit_verify_pairs(docs.unionByName(variants), "doc_id", "text")
+
+
+_TREND_SQL = """
+    SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+           (doc_id * doc_id) % 29 AS day,
+           (doc_id * 37) % 101 AS q
+    FROM documents
+"""
+
+
+@query(
+    "host_quality_trend",
+    f"""
+    WITH u AS ({_TREND_SQL}),
+    daily AS (
+      SELECT host, CAST(day AS BIGINT) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(q) AS BIGINT) AS sum_q
+      FROM u GROUP BY host, day),
+    win AS (
+      SELECT host, day, n_docs, sum_q,
+             SUM(sum_q) OVER (PARTITION BY host ORDER BY day
+                              RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS wsum,
+             SUM(n_docs) OVER (PARTITION BY host ORDER BY day
+                               RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS wn
+      FROM daily)
+    SELECT host, day, n_docs,
+           CAST((sum_q * 100) // n_docs AS BIGINT) AS mean_bp,
+           CAST((wsum * 100) // wn AS BIGINT) AS ma_bp
+    FROM win
+    """,
+)
+def q_host_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-aware per-host quality trend over a quadratic-residue day grid
+    (days (k*k) % 29 leave real gaps per host, exercising RANGE vs ROWS
+    frame semantics) with deterministic 0-100 quality scores."""
+    from ocr_spark.functions.curation import host_quality_trend
+
+    k = F.col("doc_id")
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (k % 7).cast("string"), F.lit(".com")).alias("host"),
+        ((k * k) % 29).alias("day"),
+        ((k * 37) % 101).alias("q"),
+    )
+    return host_quality_trend(docs, "host", "day", "q", window_days=3)

@@ -825,3 +825,19 @@ def test_edit_verify_pairs_semantics(spark):
     out2 = edit_verify_pairs(docs2, "doc_id", "text",
                              min_sim_bp=9500).collect()
     assert out2 == []
+
+
+def test_host_quality_trend_gap_aware(spark):
+    """RANGE frame: a day separated by a gap wider than the window never
+    contributes to the moving average; adjacent days pool exactly."""
+    from ocr_spark.functions.curation import host_quality_trend
+
+    docs = spark.createDataFrame(
+        [("h", 1, 100), ("h", 1, 50), ("h", 2, 80), ("h", 9, 10)],
+        ["host", "day", "q"])
+    out = {r["day"]: r.asDict() for r in
+           host_quality_trend(docs, "host", "day", "q").collect()}
+    assert out[1]["n_docs"] == 2 and out[1]["mean_bp"] == 7500
+    assert out[1]["ma_bp"] == 7500
+    assert out[2]["ma_bp"] == (230 * 100) // 3        # days 1+2 pooled
+    assert out[9]["ma_bp"] == 1000                    # gap: day 2 excluded
