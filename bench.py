@@ -138,6 +138,7 @@ HEADLINE = [
     "parse_robots",
     "edit_verify_pairs",
     "host_quality_trend",
+    "lineage_digest",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

@@ -34,6 +34,52 @@ def part_key(col, n_buckets: int = DEFAULT_BUCKETS):
     return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
 
 
+def content_digest(url_col: str, text_col: str):
+    """The per-partition lineage digest: sha256 over the url-sorted
+    concatenation of per-url sha256(text). Order-stable at any
+    parallelism (the array_sort pins the order inside the agg buffer) and
+    null-total (missing text hashes as '')."""
+    return F.sha2(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(url_col).alias("u"),
+                            F.sha2(F.coalesce(F.col(text_col), F.lit("")),
+                                   256).alias("h"),
+                        )
+                    )
+                ),
+                lambda s: s["h"],
+            ),
+        ),
+        256,
+    )
+
+
+def lineage_digest(df: DataFrame, url_col: str, text_col: str,
+                   bucket_col: str) -> DataFrame:
+    """The queryable form of the audit row commit() writes: per bucket,
+    (bucket, doc_count, url_min, url_max, content_sha256). Verifying a
+    snapshot against its audit is one run of this over the data files.
+
+    Shape: one hash agg keyed on the bucket; the agg buffer holds
+    (url, 32-byte hash) pairs — text itself never enters the buffer, so a
+    bucket's state is bounded by its doc count times ~100 bytes, the same
+    bound the commit path relies on."""
+    return (
+        df.groupBy(F.col(bucket_col).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_count"),
+            F.min(url_col).alias("url_min"),
+            F.max(url_col).alias("url_max"),
+            content_digest(url_col, text_col).alias("content_sha256"),
+        )
+    )
+
+
 class SnapshotTable:
     def __init__(self, path: str, n_buckets: int = DEFAULT_BUCKETS):
         self.path = path
@@ -163,23 +209,7 @@ class SnapshotTable:
                     F.min(url_col).alias("url_min"),
                     F.max(url_col).alias("url_max"),
                     F.count(F.lit(1)).alias("doc_count"),
-                    F.sha2(
-                        F.concat_ws(
-                            "",
-                            F.transform(
-                                F.array_sort(
-                                    F.collect_list(
-                                        F.struct(
-                                            F.col(url_col).alias("u"),
-                                            F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("h"),
-                                        )
-                                    )
-                                ),
-                                lambda s: s["h"],
-                            ),
-                        ),
-                        256,
-                    ).alias("content_sha256"),
+                    content_digest(url_col, text_col).alias("content_sha256"),
                 )
                 .collect()
             )

@@ -5836,3 +5836,48 @@ def q_host_quality_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((k * 37) % 101).alias("q"),
     )
     return host_quality_trend(docs, "host", "day", "q", window_days=3)
+
+
+@query(
+    "lineage_digest",
+    """
+    WITH u AS (
+      SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.com/p' ||
+             CAST(doc_id AS VARCHAR) AS url,
+             text
+      FROM documents),
+    b AS (
+      SELECT url, text,
+             CAST(('0x' || substr(md5(url), 1, 15))::BIGINT % 16 AS BIGINT)
+               AS bucket
+      FROM u),
+    h AS (SELECT bucket, url, sha256(COALESCE(text, '')) AS th FROM b)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS doc_count,
+           MIN(url) AS url_min, MAX(url) AS url_max,
+           sha256(string_agg(th, '' ORDER BY url)) AS content_sha256
+    FROM h GROUP BY bucket
+    """,
+)
+def q_lineage_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-partition lineage row the resume/audit layer commits
+    (north rule: partition_id, url_range, doc_count, sha256 of url-ordered
+    per-url text hashes), as a value-oracled query. The bucket here is
+    md5-mod (cross-engine); production part_key is xxhash64
+    (io/tableio.py:33) — the DIGEST formula is identical and shared
+    (io/tableio.content_digest), so the oracle pins the audit semantics."""
+    from ocr_spark.io.tableio import lineage_digest
+
+    k = F.col("doc_id")
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.concat(F.lit("https://h"), (k % 7).cast("string"),
+                 F.lit(".com/p"), k.cast("string")).alias("url"),
+        "text",
+    ).withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(F.substring(F.md5("url"), 1, 15), 16, 10)
+            .cast("decimal(20,0)").cast("long"),
+            F.lit(16),
+        ).cast("bigint"),
+    )
+    return lineage_digest(docs, "url", "text", "bucket")

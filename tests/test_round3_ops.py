@@ -841,3 +841,19 @@ def test_host_quality_trend_gap_aware(spark):
     assert out[1]["ma_bp"] == 7500
     assert out[2]["ma_bp"] == (230 * 100) // 3        # days 1+2 pooled
     assert out[9]["ma_bp"] == 1000                    # gap: day 2 excluded
+
+
+def test_lineage_digest_order_stable(spark):
+    """The digest is invariant to input partitioning/order and matches the
+    audit row commit() writes for the same bucket contents."""
+    from ocr_spark.io.tableio import lineage_digest
+
+    rows = [("u%02d" % i, "text %d" % i, i % 3) for i in range(20)]
+    a = spark.createDataFrame(rows, ["url", "text", "bucket"])
+    b = spark.createDataFrame(list(reversed(rows)),
+                              ["url", "text", "bucket"]).repartition(7)
+    da = {r["bucket"]: r["content_sha256"]
+          for r in lineage_digest(a, "url", "text", "bucket").collect()}
+    db = {r["bucket"]: r["content_sha256"]
+          for r in lineage_digest(b, "url", "text", "bucket").collect()}
+    assert da == db and len(da) == 3
