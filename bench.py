@@ -139,6 +139,7 @@ HEADLINE = [
     "edit_verify_pairs",
     "host_quality_trend",
     "lineage_digest",
+    "lsh_recall_eval",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

@@ -716,3 +716,55 @@ def edit_verify_pairs(df: DataFrame, id_col: str, text_col: str,
         joined.withColumn("sim_bp", sim.cast("bigint"))
         .filter(F.col("sim_bp") >= min_sim_bp)
     )
+
+
+def lsh_recall_eval(df: DataFrame, id_col: str, text_col: str,
+                    n_bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """Recall evaluation of the LSH banding against EXACT all-pairs
+    Jaccard ground truth — the calibration harness that tells you what
+    the banding misses per similarity band before you trust it on a
+    corpus. EVAL-ONLY: the truth side is quadratic in the input, so the
+    caller passes a bounded SAMPLE (10^2-10^3 docs), never the corpus;
+    the candidate side runs the production banding on the same sample.
+
+    Bands are integer basis points ([5000,7000), [7000,9000),
+    [9000,10000]); per band: n_truth ground-truth pairs, n_caught by the
+    banding, recall_bp = 10000*caught div truth. Banding theory says
+    recall rises steeply with similarity — this measures it."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.array_distinct(
+            _hashed_shingles(F.col(text_col), shingle_n)).alias("sh"),
+    )
+    a = base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.when(union > 0, F.expr(
+                "(10000 * size(array_intersect(sh_a, sh_b)))"
+                " div size(array_union(sh_a, sh_b))"))
+            .otherwise(F.lit(0)).cast("bigint").alias("jacc_bp"),
+        )
+        .filter(F.col("jacc_bp") >= 5000)
+    )
+    cand = lsh_candidate_pairs(df, id_col, text_col, n_bands, shingle_n) \
+        .withColumn("caught", F.lit(1))
+    band = (
+        F.when(F.col("jacc_bp") < 7000, F.lit("j50_70"))
+        .when(F.col("jacc_bp") < 9000, F.lit("j70_90"))
+        .otherwise(F.lit("j90_100"))
+    )
+    return (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .select(band.alias("band"), F.coalesce("caught", F.lit(0)).alias("c"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+             F.sum("c").cast("bigint").alias("n_caught"))
+        .select("band", "n_truth", "n_caught",
+                F.expr("(10000 * n_caught) div n_truth").cast("bigint")
+                .alias("recall_bp"))
+    )

@@ -5881,3 +5881,64 @@ def q_lineage_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint"),
     )
     return lineage_digest(docs, "url", "text", "bucket")
+
+
+_RECALL_SAMPLE_SQL = """
+    SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 600000 AS doc_id,
+           text || ' trailing banner words here' AS text
+    FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 700000 AS doc_id, text
+    FROM documents WHERE doc_id % 20 = 0
+"""
+
+
+@query(
+    "lsh_recall_eval",
+    f"""
+    WITH sample AS ({_RECALL_SAMPLE_SQL}),
+    hs AS (
+      SELECT s.doc, list_distinct(list_transform(
+               s.shingles, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS sh
+      FROM ({_shingle_sql('sample')}) s),
+    truth AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b,
+             CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                  THEN (10000 * len(list_intersect(a.sh, b.sh)))
+                       // len(list_distinct(a.sh || b.sh))
+                  ELSE 0 END AS jacc_bp
+      FROM hs a JOIN hs b ON a.doc < b.doc),
+    t AS (SELECT * FROM truth WHERE jacc_bp >= 5000),
+    cand AS (SELECT doc_a, doc_b, 1 AS caught FROM ({_lsh_pairs_sql('sample')})),
+    j AS (
+      SELECT CASE WHEN jacc_bp < 7000 THEN 'j50_70'
+                  WHEN jacc_bp < 9000 THEN 'j70_90'
+                  ELSE 'j90_100' END AS band,
+             COALESCE(caught, 0) AS c
+      FROM t LEFT JOIN cand USING (doc_a, doc_b))
+    SELECT band, CAST(COUNT(*) AS BIGINT) AS n_truth,
+           CAST(SUM(c) AS BIGINT) AS n_caught,
+           CAST((10000 * SUM(c)) // COUNT(*) AS BIGINT) AS recall_bp
+    FROM j GROUP BY band
+    """,
+)
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH recall calibration on a bounded sample (every fifth doc) salted
+    with exact re-uploads (jaccard 10000) and banner-suffixed near-dups
+    (the 70-100 band): per similarity band, ground-truth pair count vs
+    pairs the production banding catches."""
+    from ocr_spark.functions.dedup import lsh_recall_eval
+
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", "text")
+    sample = (
+        docs.where(F.col("doc_id") % 5 == 0)
+        .unionByName(docs.where(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 600000).alias("doc_id"),
+            F.concat("text", F.lit(" trailing banner words here"))
+            .alias("text")))
+        .unionByName(docs.where(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 700000).alias("doc_id"), "text"))
+    )
+    return lsh_recall_eval(sample, "doc_id", "text")

@@ -857,3 +857,22 @@ def test_lineage_digest_order_stable(spark):
     db = {r["bucket"]: r["content_sha256"]
           for r in lineage_digest(b, "url", "text", "bucket").collect()}
     assert da == db and len(da) == 3
+
+
+def test_lsh_recall_eval_bands(spark):
+    """Exact duplicates land in j90_100 with recall 10000 (identical
+    texts share every band signature); truth pairs below 5000 bp never
+    appear."""
+    from ocr_spark.functions.dedup import lsh_recall_eval
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    docs = spark.createDataFrame(
+        [(1, base), (2, base),
+         (3, "one two three four five six seven eight nine ten")],
+        ["doc_id", "text"])
+    out = {r["band"]: r.asDict()
+           for r in lsh_recall_eval(docs, "doc_id", "text").collect()}
+    assert set(out) == {"j90_100"}
+    assert out["j90_100"]["n_truth"] == 1
+    assert out["j90_100"]["recall_bp"] == 10000
