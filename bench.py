@@ -140,6 +140,7 @@ HEADLINE = [
     "host_quality_trend",
     "lineage_digest",
     "lsh_recall_eval",
+    "jsonld_extract",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

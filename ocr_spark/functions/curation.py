@@ -2373,3 +2373,30 @@ def host_quality_trend(
         "host", "day", "n_docs", "mean_bp",
         F.expr("_wsum div _wn").cast("bigint").alias("ma_bp"),
     )
+
+
+_JSONLD_RE = r'(?is)<script[^>]*type="application/ld\+json"[^>]*>(.*?)</script>'
+
+
+def jsonld_extract(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Structured-data extraction: pull the first JSON-LD block
+    (<script type="application/ld+json">) and project schema.org article
+    fields — headline, datePublished, author.name (a nested path). The
+    machine-readable metadata publishers ship is the highest-precision
+    extraction signal a page carries.
+
+    Zero shuffle: one regexp extraction + three get_json_object
+    projections, all codegen'd; malformed or absent JSON degrades to ''
+    per field (get_json_object returns NULL on bad JSON — no job-killing
+    parse errors at corpus scale). html prunes in-stage."""
+    js = F.regexp_extract(F.col(html_col), _JSONLD_RE, 1)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        (js != "").cast("int").alias("has_jsonld"),
+        F.coalesce(F.get_json_object(js, "$.headline"), F.lit(""))
+        .alias("headline"),
+        F.coalesce(F.get_json_object(js, "$.datePublished"), F.lit(""))
+        .alias("date_published"),
+        F.coalesce(F.get_json_object(js, "$.author.name"), F.lit(""))
+        .alias("author_name"),
+    )

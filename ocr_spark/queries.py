@@ -5942,3 +5942,69 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 700000).alias("doc_id"), "text"))
     )
     return lsh_recall_eval(sample, "doc_id", "text")
+
+
+_JSONLD_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '<html><script type="application/ld+json">{"@type":"Article","headline":"H' || CAST(doc_id % 5 AS VARCHAR) || '","datePublished":"2026-01-0' || CAST(1 + doc_id % 9 AS VARCHAR) || '","author":{"name":"A' || CAST(doc_id % 3 AS VARCHAR) || '"}}</script><body>x'
+             WHEN 1 THEN '<SCRIPT type="application/ld+json">{"headline":"Only ' || CAST(doc_id % 7 AS VARCHAR) || '"}</SCRIPT>'
+             WHEN 2 THEN '<html><body>no structured data ' || CAST(doc_id AS VARCHAR)
+             ELSE '<script type="application/ld+json">{broken json ' || CAST(doc_id AS VARCHAR) || '</script>'
+           END AS html
+    FROM documents
+"""
+
+
+@query(
+    "jsonld_extract",
+    f"""
+    WITH u AS ({_JSONLD_HTML_SQL}),
+    j AS (
+      SELECT doc, regexp_extract(html,
+               '(?is)<script[^>]*type="application/ld\\+json"[^>]*>(.*?)</script>',
+               1) AS js
+      FROM u)
+    SELECT doc, CAST(js != '' AS INT) AS has_jsonld,
+           COALESCE(CASE WHEN json_valid(js)
+                    THEN json_extract_string(js, '$.headline') END, '')
+             AS headline,
+           COALESCE(CASE WHEN json_valid(js)
+                    THEN json_extract_string(js, '$.datePublished') END, '')
+             AS date_published,
+           COALESCE(CASE WHEN json_valid(js)
+                    THEN json_extract_string(js, '$.author.name') END, '')
+             AS author_name
+    FROM j
+    """,
+)
+def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD extraction over deterministic synthetic html: a full
+    article block with a nested author, a headline-only block in
+    uppercase script tags, a block-free page, and malformed JSON that
+    must degrade to '' fields instead of erroring."""
+    from ocr_spark.functions.curation import jsonld_extract
+
+    k = F.col("doc_id")
+    m = k % 4
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<html><script type="application/ld+json">'
+                  '{"@type":"Article","headline":"H'),
+            (k % 5).cast("string"),
+            F.lit('","datePublished":"2026-01-0'),
+            (1 + k % 9).cast("string"),
+            F.lit('","author":{"name":"A'),
+            (k % 3).cast("string"),
+            F.lit('"}}</script><body>x')))
+        .when(m == 1, F.concat(
+            F.lit('<SCRIPT type="application/ld+json">{"headline":"Only '),
+            (k % 7).cast("string"), F.lit('"}</SCRIPT>')))
+        .when(m == 2, F.concat(
+            F.lit("<html><body>no structured data "), k.cast("string")))
+        .otherwise(F.concat(
+            F.lit('<script type="application/ld+json">{broken json '),
+            k.cast("string"), F.lit("</script>")))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
+    return jsonld_extract(docs, "doc_id", "html")

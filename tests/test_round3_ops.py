@@ -876,3 +876,24 @@ def test_lsh_recall_eval_bands(spark):
     assert set(out) == {"j90_100"}
     assert out["j90_100"]["n_truth"] == 1
     assert out["j90_100"]["recall_bp"] == 10000
+
+
+def test_jsonld_extract_semantics(spark):
+    """Nested author path resolves; malformed JSON degrades to '' without
+    erroring; block-free pages flag has_jsonld=0."""
+    from ocr_spark.functions.curation import jsonld_extract
+
+    docs = spark.createDataFrame(
+        [
+            (0, '<script type="application/ld+json">'
+                '{"headline":"T","author":{"name":"N"}}</script>'),
+            (1, '<script type="application/ld+json">{nope</script>'),
+            (2, "<p>nothing</p>"),
+        ],
+        ["doc_id", "html"],
+    )
+    out = {r["doc"]: r.asDict()
+           for r in jsonld_extract(docs, "doc_id", "html").collect()}
+    assert out[0]["headline"] == "T" and out[0]["author_name"] == "N"
+    assert out[1]["has_jsonld"] == 1 and out[1]["headline"] == ""
+    assert out[2]["has_jsonld"] == 0 and out[2]["author_name"] == ""
