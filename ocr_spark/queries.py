@@ -6008,3 +6008,59 @@ def q_jsonld_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = _cpu(spark, sf_dir, "documents").select("doc_id", html.alias("html"))
     return jsonld_extract(docs, "doc_id", "html")
+
+
+_SNIFF_PAYLOAD_SQL = """
+    SELECT doc_id AS doc,
+           unhex(CASE doc_id % 6
+             WHEN 0 THEN '255044462D312E37' || substr(sha256(text), 1, 16)
+             WHEN 1 THEN '1F8B0800' || substr(sha256(text), 1, 16)
+             WHEN 2 THEN '3C21646F63747970652068746D6C3E' || substr(sha256(text), 1, 16)
+             WHEN 3 THEN '89504E470D0A1A0A' || substr(sha256(text), 1, 16)
+             WHEN 4 THEN 'FFD8FFE0' || substr(sha256(text), 1, 16)
+             ELSE substr(sha256(text), 1, 32)
+           END) AS payload
+    FROM documents
+"""
+
+
+@query(
+    "mime_sniff",
+    f"""
+    WITH u AS ({_SNIFF_PAYLOAD_SQL}),
+    h AS (SELECT doc, upper(hex(payload)) AS hx FROM u)
+    SELECT doc,
+           CASE WHEN starts_with(hx, '255044462D') THEN 'pdf'
+                WHEN starts_with(hx, '1F8B') THEN 'gzip'
+                WHEN starts_with(hx, '89504E470D0A1A0A') THEN 'png'
+                WHEN starts_with(hx, 'FFD8FF') THEN 'jpeg'
+                WHEN starts_with(hx, '504B0304') THEN 'zip'
+                WHEN starts_with(hx, '3C21444F4354595045') THEN 'html'
+                WHEN starts_with(hx, '3C21646F6374797065') THEN 'html'
+                WHEN starts_with(hx, '3C48544D4C') THEN 'html'
+                WHEN starts_with(hx, '3C68746D6C') THEN 'html'
+                ELSE 'unknown' END AS sniffed
+    FROM h
+    """,
+)
+def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type sniffing over deterministic binary payloads
+    carrying real signatures (%PDF-, gzip, lowercase doctype, PNG, JPEG)
+    plus unsigned bytes that must come back 'unknown'."""
+    from ocr_spark.sources.sniff import mime_sniff
+
+    k = F.col("doc_id")
+    m = k % 6
+    sh = F.substring(F.sha2("text", 256), 1, 16)
+    hexpayload = (
+        F.when(m == 0, F.concat(F.lit("255044462D312E37"), sh))
+        .when(m == 1, F.concat(F.lit("1F8B0800"), sh))
+        .when(m == 2, F.concat(
+            F.lit("3C21646F63747970652068746D6C3E"), sh))
+        .when(m == 3, F.concat(F.lit("89504E470D0A1A0A"), sh))
+        .when(m == 4, F.concat(F.lit("FFD8FFE0"), sh))
+        .otherwise(F.substring(F.sha2("text", 256), 1, 32))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(hexpayload).alias("payload"))
+    return mime_sniff(docs, "doc_id", "payload")
