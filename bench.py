@@ -141,6 +141,9 @@ HEADLINE = [
     "lineage_digest",
     "lsh_recall_eval",
     "jsonld_extract",
+    "mime_sniff",
+    "sitemap_parse",
+    "charset_detect",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

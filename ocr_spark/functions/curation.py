@@ -2400,3 +2400,126 @@ def jsonld_extract(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
         F.coalesce(F.get_json_object(js, "$.author.name"), F.lit(""))
         .alias("author_name"),
     )
+
+
+_SITEMAP_URL_BLOCK_RE = r"(?is)<url>(.*?)</url>"
+_SITEMAP_IDX_BLOCK_RE = r"(?is)<sitemap>(.*?)</sitemap>"
+_SITEMAP_LOC_RE = r"(?is)<loc>\s*(.*?)\s*</loc>"
+_SITEMAP_LASTMOD_RE = r"(?is)<lastmod>\s*(.*?)\s*</lastmod>"
+_SITEMAP_PRI_RE = r"(?is)<priority>\s*(.*?)\s*</priority>"
+
+
+def sitemap_parse(df: DataFrame, host_col: str, xml_col: str) -> DataFrame:
+    """Sitemap-protocol parsing (sitemaps.org): explode a <urlset> into
+    (host, pos, kind, loc, lastmod, priority) rows, one per <url> entry in
+    document order; <sitemapindex> files explode their <sitemap> child
+    blocks instead (kind='index'), which is how a crawler walks the
+    50k-URL-per-file sharding the protocol mandates. The URL-discovery
+    complement to robots.txt parsing (parse_robots): together they are
+    the crawl frontier's two standard host-published inputs.
+
+    Zero shuffle: root sniff + regexp_extract_all + posexplode + three
+    per-block extractions, all fused into the scan projection; the xml
+    body never crosses an Exchange. Missing <lastmod>/<priority> degrade
+    to '' (most sitemaps omit them); malformed XML yields zero rows for
+    the host rather than an error — at corpus scale sitemap files are as
+    dirty as any crawled bytes.
+    """
+    xml = F.col(xml_col)
+    kind = F.when(
+        xml.rlike(r"(?is)<\s*sitemapindex[\s>]"), F.lit("index")
+    ).otherwise(F.lit("urlset"))
+    blocks = F.when(
+        kind == "index",
+        F.regexp_extract_all(xml, F.lit(_SITEMAP_IDX_BLOCK_RE), F.lit(1)),
+    ).otherwise(
+        F.regexp_extract_all(xml, F.lit(_SITEMAP_URL_BLOCK_RE), F.lit(1))
+    )
+    exploded = df.select(
+        F.col(host_col).alias("host"), kind.alias("kind"),
+        F.posexplode(blocks).alias("pos", "block"),
+    )
+    return exploded.select(
+        "host",
+        "pos",
+        "kind",
+        F.regexp_extract("block", _SITEMAP_LOC_RE, 1).alias("loc"),
+        F.regexp_extract("block", _SITEMAP_LASTMOD_RE, 1).alias("lastmod"),
+        F.regexp_extract("block", _SITEMAP_PRI_RE, 1).alias("priority"),
+    ).where(F.col("loc") != "")
+
+
+# BOM hex prefixes, longest-first so UTF-8's 3-byte mark wins over the
+# UTF-16 2-byte marks it does not share. (UTF-32 BOMs collide with
+# UTF-16LE's prefix; at web scale UTF-32 is effectively absent and the
+# WHATWG encoding sniff likewise checks only these three.)
+_BOM_SIGNATURES = [
+    ("utf-8", "EFBBBF"),
+    ("utf-16be", "FEFF"),
+    ("utf-16le", "FFFE"),
+]
+
+# WHATWG encoding-label normalization for the declared names web pages
+# actually carry; iso-8859-1/latin1/ascii map to windows-1252 because
+# that is how every browser decodes them (the spec's single most
+# load-bearing alias).
+_CHARSET_ALIASES = {
+    "utf8": "utf-8",
+    "utf-8": "utf-8",
+    "iso-8859-1": "windows-1252",
+    "latin1": "windows-1252",
+    "latin-1": "windows-1252",
+    "us-ascii": "windows-1252",
+    "ascii": "windows-1252",
+    "windows-1252": "windows-1252",
+    "cp1252": "windows-1252",
+}
+
+_META_CONTENT_CHARSET_RE = (
+    r'(?is)<meta\s[^>]*content\s*=\s*"[^"]*charset=([A-Za-z0-9_-]+)')
+
+
+def charset_detect(
+    df: DataFrame, id_col: str, payload_col: str, html_col: str
+) -> DataFrame:
+    """WHATWG-style encoding sniff: byte-order mark (authoritative — the
+    spec says a BOM overrides any declaration) else the in-document
+    declaration (<meta charset=...> or the legacy http-equiv
+    content="text/html; charset=..."), normalized through the WHATWG
+    alias table, else the utf-8 default. The decode-dispatch column an
+    ingestion stage computes before any text extraction touches the
+    bytes — mojibake at corpus scale is mostly charset mis-dispatch.
+
+    Emits (doc, bom, declared, charset): bom/declared as evidence
+    columns ('' when absent), charset as the decision. Zero shuffle —
+    one hex-prefix CASE over the first bytes plus two regexps, fused
+    into the scan; the payload is pruned immediately after.
+    """
+    hx = F.upper(F.hex(F.substring(F.col(payload_col), 1, 3)))
+    bom = F.lit("")
+    for name, sig in reversed(_BOM_SIGNATURES):
+        bom = F.when(hx.startswith(sig), F.lit(name)).otherwise(bom)
+    raw_declared = F.lower(
+        F.coalesce(
+            F.nullif(F.regexp_extract(F.col(html_col), _CHARSET_RE, 1),
+                     F.lit("")),
+            F.nullif(
+                F.regexp_extract(
+                    F.col(html_col), _META_CONTENT_CHARSET_RE, 1),
+                F.lit("")),
+            F.lit(""),
+        )
+    )
+    declared = raw_declared
+    for alias, canon in _CHARSET_ALIASES.items():
+        declared = F.when(raw_declared == alias, F.lit(canon)) \
+            .otherwise(declared)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        bom.alias("bom"),
+        declared.alias("declared"),
+        F.coalesce(
+            F.nullif(bom, F.lit("")), F.nullif(declared, F.lit("")),
+            F.lit("utf-8"),
+        ).alias("charset"),
+    )

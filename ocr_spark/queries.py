@@ -6064,3 +6064,175 @@ def q_mime_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _cpu(spark, sf_dir, "documents").select(
         "doc_id", F.unhex(hexpayload).alias("payload"))
     return mime_sniff(docs, "doc_id", "payload")
+
+
+_SITEMAP_XML_SQL = """
+    SELECT 'h' || CAST(doc_id AS VARCHAR) || '.example' AS host,
+           CASE doc_id % 4
+             WHEN 0 THEN '<?xml version="1.0"?><urlset><url><loc>https://h'
+               || CAST(doc_id AS VARCHAR) || '.example/a</loc><lastmod>2026-01-0'
+               || CAST(1 + doc_id % 9 AS VARCHAR) || '</lastmod><priority>0.'
+               || CAST(doc_id % 10 AS VARCHAR) || '</priority></url><url><loc>https://h'
+               || CAST(doc_id AS VARCHAR) || '.example/b</loc></url></urlset>'
+             WHEN 1 THEN '<sitemapindex><sitemap><loc>https://h'
+               || CAST(doc_id AS VARCHAR) || '.example/s1.xml</loc><lastmod>2025-12-3'
+               || CAST(doc_id % 2 AS VARCHAR) || '</lastmod></sitemap><sitemap><loc>https://h'
+               || CAST(doc_id AS VARCHAR) || '.example/s2.xml</loc></sitemap></sitemapindex>'
+             WHEN 2 THEN '<URLSET><URL><LOC>  https://h'
+               || CAST(doc_id AS VARCHAR) || '.example/c  </LOC></URL><url><loc></loc></url></URLSET>'
+             ELSE '<html>not a sitemap at all ' || CAST(doc_id AS VARCHAR) || '</html>'
+           END AS xml
+    FROM documents
+"""
+
+
+@query(
+    "sitemap_parse",
+    f"""
+    WITH u AS ({_SITEMAP_XML_SQL}),
+    k AS (
+      SELECT host, xml,
+             CASE WHEN regexp_matches(xml, '(?is)<\\s*sitemapindex[\\s>]')
+                  THEN 'index' ELSE 'urlset' END AS kind
+      FROM u),
+    b AS (
+      SELECT host, kind,
+             CASE WHEN kind = 'index'
+                  THEN regexp_extract_all(xml, '(?is)<sitemap>(.*?)</sitemap>', 1)
+                  ELSE regexp_extract_all(xml, '(?is)<url>(.*?)</url>', 1)
+             END AS blocks
+      FROM k),
+    e AS (
+      SELECT host, kind, i - 1 AS pos, blocks[i] AS block
+      FROM (SELECT host, kind, blocks,
+                   unnest(generate_series(1, len(blocks))) AS i
+            FROM b))
+    SELECT host, pos, kind,
+           regexp_extract(block, '(?is)<loc>\\s*(.*?)\\s*</loc>', 1) AS loc,
+           regexp_extract(block, '(?is)<lastmod>\\s*(.*?)\\s*</lastmod>', 1) AS lastmod,
+           regexp_extract(block, '(?is)<priority>\\s*(.*?)\\s*</priority>', 1) AS priority
+    FROM e
+    WHERE regexp_extract(block, '(?is)<loc>\\s*(.*?)\\s*</loc>', 1) != ''
+    """,
+)
+def q_sitemap_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-protocol parsing over deterministic synthetic XML: a
+    urlset with full and minimal entries, a sitemapindex (kind='index'),
+    an uppercase-tag + whitespace-padded loc + empty-loc file, and a
+    non-sitemap page that must yield zero rows."""
+    from ocr_spark.functions.curation import sitemap_parse
+
+    k = F.col("doc_id")
+    m = k % 4
+    ks = k.cast("string")
+    xml = (
+        F.when(m == 0, F.concat(
+            F.lit('<?xml version="1.0"?><urlset><url><loc>https://h'), ks,
+            F.lit(".example/a</loc><lastmod>2026-01-0"),
+            (k % 9 + 1).cast("string"),
+            F.lit("</lastmod><priority>0."), (k % 10).cast("string"),
+            F.lit("</priority></url><url><loc>https://h"), ks,
+            F.lit(".example/b</loc></url></urlset>")))
+        .when(m == 1, F.concat(
+            F.lit("<sitemapindex><sitemap><loc>https://h"), ks,
+            F.lit(".example/s1.xml</loc><lastmod>2025-12-3"),
+            (k % 2).cast("string"),
+            F.lit("</lastmod></sitemap><sitemap><loc>https://h"), ks,
+            F.lit(".example/s2.xml</loc></sitemap></sitemapindex>")))
+        .when(m == 2, F.concat(
+            F.lit("<URLSET><URL><LOC>  https://h"), ks,
+            F.lit(".example/c  </LOC></URL><url><loc></loc></url></URLSET>")))
+        .otherwise(F.concat(
+            F.lit("<html>not a sitemap at all "), ks, F.lit("</html>")))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), ks, F.lit(".example")).alias("host"),
+        xml.alias("xml"),
+    )
+    return sitemap_parse(docs, "host", "xml")
+
+
+_CHARSET_PAYLOAD_SQL = """
+    SELECT doc_id,
+           unhex(CASE doc_id % 6
+             WHEN 0 THEN 'EFBBBF' || substr(sha256(text), 1, 16)
+             WHEN 1 THEN 'FFFE' || substr(sha256(text), 1, 16)
+             WHEN 2 THEN 'FEFF' || substr(sha256(text), 1, 16)
+             ELSE substr(sha256(text), 1, 32)
+           END) AS payload,
+           CASE doc_id % 6
+             WHEN 1 THEN '<html><meta charset="UTF-8"><body>bom beats me'
+             WHEN 3 THEN '<html><meta charset="ISO-8859-1"><body>x'
+             WHEN 4 THEN '<html><meta http-equiv="Content-Type" content="text/html; charset=utf8"><body>y'
+             ELSE '<html><body>no declaration ' || CAST(doc_id AS VARCHAR)
+           END AS html
+    FROM documents
+"""
+
+
+@query(
+    "charset_detect",
+    f"""
+    WITH u AS ({_CHARSET_PAYLOAD_SQL}),
+    h AS (
+      SELECT doc_id AS doc, upper(substr(hex(payload), 1, 6)) AS hx, html
+      FROM u),
+    s AS (
+      SELECT doc,
+             CASE WHEN starts_with(hx, 'EFBBBF') THEN 'utf-8'
+                  WHEN starts_with(hx, 'FEFF') THEN 'utf-16be'
+                  WHEN starts_with(hx, 'FFFE') THEN 'utf-16le'
+                  ELSE '' END AS bom,
+             lower(COALESCE(
+               nullif(regexp_extract(html,
+                 '(?is)<meta\\s[^>]*charset\\s*=\\s*"?([A-Za-z0-9_-]+)', 1), ''),
+               nullif(regexp_extract(html,
+                 '(?is)<meta\\s[^>]*content\\s*=\\s*"[^"]*charset=([A-Za-z0-9_-]+)', 1), ''),
+               '')) AS rawdecl
+      FROM h),
+    n AS (
+      SELECT doc, bom,
+             CASE rawdecl
+               WHEN 'utf8' THEN 'utf-8'
+               WHEN 'iso-8859-1' THEN 'windows-1252'
+               WHEN 'latin1' THEN 'windows-1252'
+               WHEN 'latin-1' THEN 'windows-1252'
+               WHEN 'us-ascii' THEN 'windows-1252'
+               WHEN 'ascii' THEN 'windows-1252'
+               WHEN 'cp1252' THEN 'windows-1252'
+               ELSE rawdecl END AS declared
+      FROM s)
+    SELECT doc, bom, declared,
+           COALESCE(nullif(bom, ''), nullif(declared, ''), 'utf-8') AS charset
+    FROM n
+    """,
+)
+def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHATWG-style charset sniff over deterministic payloads: UTF-8 /
+    UTF-16LE / UTF-16BE BOMs (one overriding a conflicting declaration),
+    a legacy ISO-8859-1 declaration that must normalize to windows-1252,
+    an http-equiv declaration, and undeclared pages defaulting utf-8."""
+    from ocr_spark.functions.curation import charset_detect
+
+    k = F.col("doc_id")
+    m = k % 6
+    sh = F.substring(F.sha2("text", 256), 1, 16)
+    hexpayload = (
+        F.when(m == 0, F.concat(F.lit("EFBBBF"), sh))
+        .when(m == 1, F.concat(F.lit("FFFE"), sh))
+        .when(m == 2, F.concat(F.lit("FEFF"), sh))
+        .otherwise(F.substring(F.sha2("text", 256), 1, 32))
+    )
+    html = (
+        F.when(m == 1, F.lit(
+            '<html><meta charset="UTF-8"><body>bom beats me'))
+        .when(m == 3, F.lit('<html><meta charset="ISO-8859-1"><body>x'))
+        .when(m == 4, F.lit(
+            '<html><meta http-equiv="Content-Type" '
+            'content="text/html; charset=utf8"><body>y'))
+        .otherwise(F.concat(
+            F.lit("<html><body>no declaration "), k.cast("string")))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", F.unhex(hexpayload).alias("payload"), html.alias("html"))
+    return charset_detect(docs, "doc_id", "payload", "html")

@@ -897,3 +897,88 @@ def test_jsonld_extract_semantics(spark):
     assert out[0]["headline"] == "T" and out[0]["author_name"] == "N"
     assert out[1]["has_jsonld"] == 1 and out[1]["headline"] == ""
     assert out[2]["has_jsonld"] == 0 and out[2]["author_name"] == ""
+
+
+def test_sitemap_parse_entries_and_kinds(spark):
+    """urlset entries in document order, index files flagged, trims +
+    case-insensitivity, non-sitemaps and empty locs dropped."""
+    from ocr_spark.functions.curation import sitemap_parse
+
+    docs = spark.createDataFrame(
+        [
+            ("a.com",
+             "<urlset><url><loc>https://a.com/1</loc>"
+             "<lastmod>2026-01-02</lastmod><priority>0.5</priority></url>"
+             "<url><loc>https://a.com/2</loc></url></urlset>"),
+            ("b.com",
+             "<sitemapindex><sitemap><loc>https://b.com/s1.xml</loc>"
+             "</sitemap></sitemapindex>"),
+            ("c.com", "<URLSET><URL><LOC>  https://c.com/x  </LOC></URL>"
+             "<url><loc></loc></url></URLSET>"),
+            ("d.com", "<html>just a page</html>"),
+        ],
+        "host string, xml string",
+    )
+    rows = {(r.host, r.pos): r for r in
+            sitemap_parse(docs, "host", "xml").collect()}
+    assert len(rows) == 4
+    assert rows[("a.com", 0)].loc == "https://a.com/1"
+    assert rows[("a.com", 0)].lastmod == "2026-01-02"
+    assert rows[("a.com", 0)].priority == "0.5"
+    assert rows[("a.com", 1)].loc == "https://a.com/2"
+    assert rows[("a.com", 1)].lastmod == ""
+    assert rows[("b.com", 0)].kind == "index"
+    assert rows[("b.com", 0)].loc == "https://b.com/s1.xml"
+    assert rows[("c.com", 0)].loc == "https://c.com/x"
+    assert ("d.com", 0) not in rows
+
+
+def test_charset_detect_bom_declaration_default(spark):
+    """BOM wins over declaration; WHATWG alias folds ISO-8859-1 to
+    windows-1252; http-equiv form parsed; default utf-8."""
+    from ocr_spark.functions.curation import charset_detect
+
+    docs = spark.createDataFrame(
+        [
+            (0, bytes.fromhex("EFBBBF68690A"), "<html><body>x"),
+            (1, bytes.fromhex("FFFE6800"),
+             '<html><meta charset="UTF-8"><body>'),
+            (2, bytes.fromhex("FEFF0068"), "<html><body>"),
+            (3, b"plain", '<html><meta charset="ISO-8859-1"><body>'),
+            (4, b"plain", '<html><meta http-equiv="Content-Type" '
+             'content="text/html; charset=utf8"><body>'),
+            (5, b"plain", "<html><body>nothing declared"),
+        ],
+        "doc_id long, payload binary, html string",
+    )
+    got = {r.doc: r for r in
+           charset_detect(docs, "doc_id", "payload", "html").collect()}
+    assert got[0].charset == "utf-8" and got[0].bom == "utf-8"
+    assert got[1].charset == "utf-16le"      # BOM beats the declaration
+    assert got[1].declared == "utf-8"
+    assert got[2].charset == "utf-16be"
+    assert got[3].charset == "windows-1252"  # WHATWG alias
+    assert got[4].charset == "utf-8" and got[4].declared == "utf-8"
+    assert got[5].charset == "utf-8" and got[5].bom == ""
+
+
+def test_mime_sniff_signatures(spark):
+    from ocr_spark.sources.sniff import mime_sniff
+
+    docs = spark.createDataFrame(
+        [
+            (0, b"%PDF-1.7 rest"),
+            (1, bytes.fromhex("1F8B0800") + b"x"),
+            (2, b"<!doctype html><p>"),
+            (3, b"<HTML><body>"),
+            (4, bytes.fromhex("89504E470D0A1A0A") + b"x"),
+            (5, bytes.fromhex("FFD8FFE0") + b"x"),
+            (6, bytes.fromhex("504B0304") + b"x"),
+            (7, b"\x00\x01random"),
+        ],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc: r.sniffed for r in
+           mime_sniff(docs, "doc_id", "payload").collect()}
+    assert got == {0: "pdf", 1: "gzip", 2: "html", 3: "html",
+                   4: "png", 5: "jpeg", 6: "zip", 7: "unknown"}
