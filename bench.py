@@ -84,6 +84,7 @@ HEADLINE = [
     "profile_events",
     "host_pagerank",
     "triangle_count",
+    "host_hits",
     "hll_distinct_events",
     "bloom_semijoin",
     "cms_heavy_hitters",

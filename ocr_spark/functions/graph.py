@@ -172,3 +172,78 @@ def resolve_redirects(
             F.col("t").isNull().cast("int").alias("resolved"),
         )
     )
+
+
+def hits(
+    edges: DataFrame,
+    n_iters: int = 2,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Deterministic fixed-iteration HITS (Kleinberg hubs & authorities)
+    over (src, dst) edges: authority(v) = sum of hub over in-neighbors,
+    hub(u) = sum of authority over out-neighbors, each pass re-normalized
+    so the maximum score is exactly ``scale``. The directory-page /
+    cited-page decomposition PageRank collapses into one number — link
+    hubs (directories, sitemaps-as-pages) and link authorities (the pages
+    worth crawling first) are different curation signals.
+
+    Determinism: scores are exact BIGINT ``scale`` units and the
+    per-pass max-normalization is integer division, so N iterations are
+    bit-identical on any engine/partitioning/retry (same rationale as
+    :func:`pagerank`). The normalizer first coarsens both sides by
+    ``q = max(max_score div scale, 1)`` and then scales exactly —
+    ``((x div q) * scale) div (max div q)`` — so the multiply operand
+    stays below 2*scale regardless of web-hub in-degrees (no bigint
+    overflow), the pass maximum lands on exactly ``scale``, and the
+    whole formula is floor division over non-negative ints, identical
+    in Spark and DuckDB.
+
+    Scale shape: per iteration one src-keyed join + dst-keyed SUM and
+    one dst-keyed join + src-keyed SUM (map-side partials), plus a
+    broadcast-scalar max; nothing driver-side, iteration count a fixed
+    literal so the program is one lazy plan.
+
+    Returns (node, hub, authority) for every node in the edge set.
+    """
+    e = edges.select("src", "dst").distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        mx = (
+            df.agg(F.max(col).alias("m0"))
+            .select(F.greatest("m0", F.lit(1)).cast("bigint").alias("m"))
+            .select("m", F.expr(f"greatest(m div {scale}, 1)").alias("q"))
+        )
+        return df.crossJoin(F.broadcast(mx)).select(
+            "node",
+            F.expr(f"(({col} div q) * {scale}) div (m div q)")
+            .cast("bigint").alias(col),
+        )
+
+    hub = nodes.select("node", F.lit(scale).cast("bigint").alias("hub"))
+    auth = None
+    for _ in range(n_iters):
+        a_raw = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy("dst").agg(F.sum("hub").alias("authority"))
+        )
+        auth = _norm(
+            nodes.join(a_raw, nodes["node"] == a_raw["dst"], "left")
+            .select("node",
+                    F.coalesce("authority", F.lit(0)).alias("authority")),
+            "authority",
+        )
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy("src").agg(F.sum("authority").alias("hub"))
+        )
+        hub = _norm(
+            nodes.join(h_raw, nodes["node"] == h_raw["src"], "left")
+            .select("node", F.coalesce("hub", F.lit(0)).alias("hub")),
+            "hub",
+        )
+    return hub.join(auth, "node").select("node", "hub", "authority")

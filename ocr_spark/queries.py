@@ -6236,3 +6236,48 @@ def q_charset_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _cpu(spark, sf_dir, "documents").select(
         "doc_id", F.unhex(hexpayload).alias("payload"), html.alias("html"))
     return charset_detect(docs, "doc_id", "payload", "html")
+
+
+def _hits_oracle(n_iters: int = 2, scale: int = 10**6) -> str:
+    """Unrolled DuckDB twin of functions/graph.hits (same integer
+    max-normalization CASE, same iteration count)."""
+    norm = (lambda x, m: f"(({x} // GREATEST({m} // {scale}, 1)) * {scale}) "
+                         f"// ({m} // GREATEST({m} // {scale}, 1))")
+    iters = ""
+    for i in range(1, n_iters + 1):
+        iters += f""",
+    ar{i} AS (
+      SELECT nd.node, COALESCE(s.v, 0) AS v
+      FROM nodes nd LEFT JOIN (
+        SELECT e.dst AS node, SUM(h.hub) AS v
+        FROM h{i - 1} h JOIN e ON e.src = h.node GROUP BY e.dst) s
+      USING (node)),
+    am{i} AS (SELECT GREATEST(MAX(v), 1) AS m FROM ar{i}),
+    a{i} AS (SELECT node, CAST({norm('v', 'm')} AS BIGINT) AS authority
+             FROM ar{i} CROSS JOIN am{i}),
+    hr{i} AS (
+      SELECT nd.node, COALESCE(s.v, 0) AS v
+      FROM nodes nd LEFT JOIN (
+        SELECT e.src AS node, SUM(a.authority) AS v
+        FROM a{i} a JOIN e ON e.dst = a.node GROUP BY e.src) s
+      USING (node)),
+    hm{i} AS (SELECT GREATEST(MAX(v), 1) AS m FROM hr{i}),
+    h{i} AS (SELECT node, CAST({norm('v', 'm')} AS BIGINT) AS hub
+             FROM hr{i} CROSS JOIN hm{i})"""
+    return f"""
+    WITH {_HOST_EDGES_SQL.strip()},
+    h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM nodes){iters}
+    SELECT h{n_iters}.node, h{n_iters}.hub, a{n_iters}.authority
+    FROM h{n_iters} JOIN a{n_iters} USING (node)
+    """
+
+
+@query("host_hits", _hits_oracle())
+def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer HITS (2 iterations, max-normalized to 1e6
+    units) over the shared 100-host link graph — hubs and authorities as
+    separate crawl-priority signals beside PageRank, with the DuckDB twin
+    unrolling the identical integer passes."""
+    from ocr_spark.functions.graph import hits
+
+    return hits(_host_edges(spark, sf_dir), n_iters=2)

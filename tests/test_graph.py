@@ -53,3 +53,31 @@ def test_pagerank_partition_invariance(spark):
     b = {r["node"]: r["rank"]
          for r in pagerank(df.repartition(7)).collect()}
     assert a == b
+
+
+def test_hits_star_graph(spark):
+    """A directory page linking to N leaves is the max hub; leaves are the
+    authorities; the hub has zero authority (no in-links)."""
+    from ocr_spark.functions.graph import hits
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in (1, 2, 3)] + [(9, 1)], "src long, dst long")
+    got = {r.node: (r.hub, r.authority) for r in hits(edges).collect()}
+    assert got[0][0] == 10**6          # the 3-leaf directory: max hub
+    assert got[0][1] == 0              # nothing links to it
+    assert got[9][0] < got[0][0]       # 1-leaf hub is weaker
+    assert got[1][1] == 10**6          # leaf fed by both hubs: max authority
+    assert got[2][1] == got[3][1] < got[1][1]
+    assert got[1][0] == 0              # leaves link nowhere
+
+
+def test_hits_partition_invariance(spark):
+    from ocr_spark.functions.graph import hits
+
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 13 + 29) % 7) for i in range(40) if i % 7 != (i * 13 + 29) % 7],
+        "src long, dst long")
+    a = {(r.node, r.hub, r.authority) for r in hits(edges).collect()}
+    b = {(r.node, r.hub, r.authority)
+         for r in hits(edges.repartition(13)).collect()}
+    assert a == b
