@@ -145,6 +145,7 @@ HEADLINE = [
     "mime_sniff",
     "sitemap_parse",
     "charset_detect",
+    "resolve_urls",
     "date_standardize",
     "clean_text",
     "field_box_substring_join",

@@ -2523,3 +2523,79 @@ def charset_detect(
             F.lit("utf-8"),
         ).alias("charset"),
     )
+
+
+def _remove_dot_segments(path: Column, depth: int = 8) -> Column:
+    """RFC 3986 §5.2.4 dot-segment removal as a fixed composition of
+    global regexp_replace passes (both engines run the identical step
+    list, so cross-engine parity holds even in corner cases). Each pass
+    collapses one non-overlapping layer of '/seg/../' and '/./'; `depth`
+    passes resolve any path with up to `depth` nesting levels of dot
+    segments — beyond that the residue stays verbatim (bounded work per
+    row; crawl URLs with >8 stacked '..' are attack noise, not links).
+    Leading '/../' runs clamp to '/' (the RFC's merge-at-root rule)."""
+    p = path
+    for _ in range(depth):
+        p = F.regexp_replace(p, r"/\.(?:/|$)", "/")        # /./ and /.
+        p = F.regexp_replace(p, r"/[^/]+/\.\.(?:/|$)", "/")  # /seg/../
+        p = F.regexp_replace(p, r"^/\.\.(?:/|$)", "/")     # root-level ..
+    return p
+
+
+_DOT_SEGMENT_SQL_STEPS = [
+    (r"/\.(/|$)", "/"),
+    (r"/[^/]+/\.\.(/|$)", "/"),
+    (r"^/\.\.(/|$)", "/"),
+]
+
+
+def resolve_urls(df: DataFrame, base_col: str, ref_col: str) -> DataFrame:
+    """RFC 3986 §5 reference resolution for the crawl frontier: absolute
+    refs pass through, '//host/x' adopts the base scheme, '/x' replaces
+    the path, '?q' replaces the query, '' / '#frag' resolve to the base,
+    and relative paths merge with the base directory then run
+    dot-segment removal. Fragments are stripped from every output (a
+    frontier never fetches fragments). The step between anchor
+    extraction (anchor_texts) and frontier admission (crawl_gate) —
+    real pages link relatively, a frontier needs absolute URLs.
+
+    Zero shuffle: a CASE over codegen'd regexps fused into the scan.
+    Dot-segment removal is the fixed 8-pass composition of
+    :func:`_remove_dot_segments`, applied to the PATH only (never the
+    query string, which may legally contain '/../'). Emits (base, ref,
+    resolved); a relative ref against a base with no authority resolves
+    to '' rather than erroring (corpus bytes are dirty).
+    """
+    base = F.regexp_extract(F.col(base_col), r"^([^#]*)", 1)
+    ref = F.regexp_extract(F.col(ref_col), r"^([^#]*)", 1)
+    scheme = F.regexp_extract(base, r"(?i)^([a-z][a-z0-9+.-]*):", 1)
+    authroot = F.regexp_extract(
+        base, r"(?i)^([a-z][a-z0-9+.-]*://[^/?#]*)", 1)
+    base_path = F.regexp_extract(base, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    base_path = F.when(base_path == "", F.lit("/")).otherwise(base_path)
+    base_dir = F.regexp_replace(base_path, r"[^/]*$", "")
+    base_dir = F.when(base_dir == "", F.lit("/")).otherwise(base_dir)
+
+    def _path_query(s: Column) -> Column:
+        p = F.regexp_extract(s, r"^([^?]*)", 1)
+        q = F.regexp_extract(s, r"(\?.*)$", 1)
+        return F.concat(_remove_dot_segments(p), q)
+
+    resolved = (
+        F.when(ref.rlike(r"(?i)^[a-z][a-z0-9+.-]*:"), ref)
+        .when(ref.startswith("//"), F.concat(scheme, F.lit(":"), ref))
+        .when(ref.startswith("/"),
+              F.concat(authroot, _path_query(ref)))
+        .when(ref == "", base)
+        .when(ref.startswith("?"),
+              F.concat(authroot, base_path, ref))
+        .otherwise(F.concat(authroot, _path_query(F.concat(base_dir, ref))))
+    )
+    resolved = F.when(authroot == "",
+                      F.when(ref.rlike(r"(?i)^[a-z][a-z0-9+.-]*:"), ref)
+                      .otherwise(F.lit(""))).otherwise(resolved)
+    return df.select(
+        F.col(base_col).alias("base"),
+        F.col(ref_col).alias("ref"),
+        resolved.alias("resolved"),
+    )

@@ -6281,3 +6281,110 @@ def q_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.functions.graph import hits
 
     return hits(_host_edges(spark, sf_dir), n_iters=2)
+
+
+def _dot_sql(expr: str, depth: int = 8) -> str:
+    """DuckDB twin of curation._remove_dot_segments: the identical
+    global-replace step list applied the identical number of times."""
+    steps = [(r"/\.(/|$)", "/"), (r"/[^/]+/\.\.(/|$)", "/"),
+             (r"^/\.\.(/|$)", "/")]
+    for _ in range(depth):
+        for pat, rep in steps:
+            expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    return expr
+
+
+def _resolve_oracle() -> str:
+    path_part = _dot_sql("regexp_extract(s, '^([^?]*)', 1)")
+    pq = path_part + " || regexp_extract(s, '(\\?.*)$', 1)"
+    path_query_ref = pq.replace("(s, ", "(ref, ").replace("(s,", "(ref,")
+    path_query_merged = pq.replace("(s, ", "(base_dir || ref, ")
+    return f"""
+    WITH raw AS (
+      SELECT CASE doc_id % 8
+               WHEN 5 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+               WHEN 7 THEN 'garbage-not-a-url'
+               ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR) || '.example/a/b/c.html?old=1#frag'
+             END AS base0,
+             CASE doc_id % 8
+               WHEN 0 THEN 'https://other.org/abs#x'
+               WHEN 1 THEN '//cdn' || CAST(doc_id % 3 AS VARCHAR) || '.example/lib.js'
+               WHEN 2 THEN '/root/../img' || CAST(doc_id % 4 AS VARCHAR) || '.png'
+               WHEN 3 THEN CASE WHEN doc_id % 2 = 0 THEN '' ELSE '#section' END
+               WHEN 4 THEN '?q=' || CAST(doc_id % 9 AS VARCHAR)
+               WHEN 5 THEN 'sub/page' || CAST(doc_id % 5 AS VARCHAR) || '.html'
+               WHEN 6 THEN '../up/./x' || CAST(doc_id % 6 AS VARCHAR) || '.html'
+               ELSE 'x/y.html'
+             END AS ref0
+      FROM documents),
+    c AS (
+      SELECT base0 AS base_out, ref0 AS ref_out,
+             regexp_extract(base0, '^([^#]*)', 1) AS base,
+             regexp_extract(ref0, '^([^#]*)', 1) AS ref
+      FROM raw),
+    d AS (
+      SELECT *,
+             regexp_extract(base, '(?i)^([a-z][a-z0-9+.-]*):', 1) AS scheme,
+             regexp_extract(base, '(?i)^([a-z][a-z0-9+.-]*://[^/?#]*)', 1) AS authroot,
+             CASE WHEN regexp_extract(base, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1) = ''
+                  THEN '/' ELSE regexp_extract(base, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+             END AS base_path
+      FROM c),
+    e AS (
+      SELECT *,
+             CASE WHEN regexp_replace(base_path, '[^/]*$', '') = ''
+                  THEN '/' ELSE regexp_replace(base_path, '[^/]*$', '')
+             END AS base_dir
+      FROM d)
+    SELECT base_out AS base, ref_out AS ref,
+           CASE WHEN authroot = '' THEN
+             CASE WHEN regexp_matches(ref, '(?i)^[a-z][a-z0-9+.-]*:')
+                  THEN ref ELSE '' END
+           ELSE
+             CASE WHEN regexp_matches(ref, '(?i)^[a-z][a-z0-9+.-]*:') THEN ref
+                  WHEN starts_with(ref, '//') THEN scheme || ':' || ref
+                  WHEN starts_with(ref, '/') THEN authroot || {path_query_ref}
+                  WHEN ref = '' THEN base
+                  WHEN starts_with(ref, '?') THEN authroot || base_path || ref
+                  ELSE authroot || {path_query_merged}
+             END
+           END AS resolved
+    FROM e
+    """
+
+
+@query("resolve_urls", _resolve_oracle())
+def q_resolve_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3986 reference resolution over deterministic base/ref pairs
+    covering every branch: absolute, protocol-relative, root-relative
+    with dot segments, empty/fragment-only, query-only, directory merge,
+    '../' climbing, an authority-less base, and fragment stripping."""
+    from ocr_spark.functions.curation import resolve_urls
+
+    k = F.col("doc_id")
+    m = k % 8
+    base = (
+        F.when(m == 5, F.concat(
+            F.lit("https://h"), (k % 7).cast("string"), F.lit(".example")))
+        .when(m == 7, F.lit("garbage-not-a-url"))
+        .otherwise(F.concat(
+            F.lit("https://h"), (k % 7).cast("string"),
+            F.lit(".example/a/b/c.html?old=1#frag")))
+    )
+    ref = (
+        F.when(m == 0, F.lit("https://other.org/abs#x"))
+        .when(m == 1, F.concat(
+            F.lit("//cdn"), (k % 3).cast("string"), F.lit(".example/lib.js")))
+        .when(m == 2, F.concat(
+            F.lit("/root/../img"), (k % 4).cast("string"), F.lit(".png")))
+        .when(m == 3, F.when(k % 2 == 0, F.lit("")).otherwise(F.lit("#section")))
+        .when(m == 4, F.concat(F.lit("?q="), (k % 9).cast("string")))
+        .when(m == 5, F.concat(
+            F.lit("sub/page"), (k % 5).cast("string"), F.lit(".html")))
+        .when(m == 6, F.concat(
+            F.lit("../up/./x"), (k % 6).cast("string"), F.lit(".html")))
+        .otherwise(F.lit("x/y.html"))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select(
+        base.alias("base0"), ref.alias("ref0"))
+    return resolve_urls(docs, "base0", "ref0")

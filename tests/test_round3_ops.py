@@ -982,3 +982,38 @@ def test_mime_sniff_signatures(spark):
            mime_sniff(docs, "doc_id", "payload").collect()}
     assert got == {0: "pdf", 1: "gzip", 2: "html", 3: "html",
                    4: "png", 5: "jpeg", 6: "zip", 7: "unknown"}
+
+
+def test_resolve_urls_rfc3986_cases(spark):
+    """The RFC 3986 §5.4 reference-resolution examples (frontier variant:
+    fragments stripped), plus authority-less-base degradation."""
+    from ocr_spark.functions.curation import resolve_urls
+
+    base = "http://a/b/c/d;p?q"
+    cases = [
+        ("g", "http://a/b/c/g"),
+        ("./g", "http://a/b/c/g"),
+        ("g/", "http://a/b/c/g/"),
+        ("/g", "http://a/g"),
+        ("//g", "http://g"),
+        ("?y", "http://a/b/c/d;p?y"),
+        ("g?y", "http://a/b/c/g?y"),
+        ("#s", "http://a/b/c/d;p?q"),      # fragment-only -> base, no frag
+        ("", "http://a/b/c/d;p?q"),
+        (".", "http://a/b/c/"),
+        ("..", "http://a/b/"),
+        ("../g", "http://a/b/g"),
+        ("../..", "http://a/"),
+        ("../../g", "http://a/g"),
+        ("../../../g", "http://a/g"),       # climb past root clamps
+        ("g#s/./x", "http://a/b/c/g"),
+        ("https://x.org/y#z", "https://x.org/y"),
+    ]
+    df = spark.createDataFrame(
+        [(base, r) for r, _ in cases] + [("no-scheme-base", "rel/x")],
+        "b string, r string")
+    got = {r.ref: r.resolved
+           for r in resolve_urls(df, "b", "r").collect()}
+    for ref, want in cases:
+        assert got[ref] == want, f"{ref!r}: {got[ref]!r} != {want!r}"
+    assert got["rel/x"] == ""               # dirty base degrades, no error
