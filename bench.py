@@ -54,6 +54,7 @@ HEADLINE = [
     "dedup_decide",
     "dedup_components",
     "dedup_keep_best",
+    "dedup_incremental",
     "ngram_jaccard_pairs",
     "winnow_pairs",
     "simhash",
@@ -94,6 +95,7 @@ HEADLINE = [
     "lang_id",
     "doc_quality",
     "logreg_quality",
+    "logreg_calibration",
     "char_entropy",
     "gopher_rules",
     "c4_filter",

@@ -768,3 +768,54 @@ def lsh_recall_eval(df: DataFrame, id_col: str, text_col: str,
                 F.expr("(10000 * n_caught) div n_truth").cast("bigint")
                 .alias("recall_bp"))
     )
+
+
+def dedup_vs_index(new: DataFrame, index: DataFrame, id_col: str,
+                   text_col: str, n_bands: int = 4,
+                   shingle_n: int = 3) -> DataFrame:
+    """Incremental dedup: admit a fresh crawl batch against the RETAINED
+    corpus instead of re-deduping the world — the production shape, where
+    yesterday's corpus is already deduplicated and only (new x index)
+    collisions matter, never (new x new x old) quadratics.
+
+    The index side is the per-(band, signature) bucket-count table — the
+    artifact a curation system persists between crawls (tiny vs the
+    corpus: 4 rows of one md5 each per retained doc). Aggregating it
+    BEFORE the join leaves exactly one row per signature, so a
+    boilerplate signature behind 10^6 retained docs joins as one row
+    with n_idx = 10^6 rather than fanning a million rows per new doc —
+    the hot-bucket hazard of pairwise LSH never arises on this path.
+
+    Shape: two minhash passes (explode -> codegen md5 -> partial MIN),
+    one (band, signature)-keyed hash agg, one (band, signature)-keyed
+    join, one doc-keyed agg, one left join back to the batch. Shuffle
+    keys are signatures and doc ids, never text.
+
+    Returns (doc, n_bands_hit, n_index_docs, action) for every new doc:
+    action = 'drop' when any band signature already exists in the index
+    (n_index_docs sums retained-side bucket sizes over hit bands — the
+    evidence trail), else 'keep'. Docs under ``shingle_n`` words carry
+    no signature and always keep (exact_dedup owns short/empty text).
+    """
+    new_sigs = minhash_signatures(new, id_col, text_col, n_bands, shingle_n)
+    idx = (
+        minhash_signatures(index, id_col, text_col, n_bands, shingle_n)
+        .groupBy("band", "signature")
+        .agg(F.countDistinct("doc").alias("n_idx"))
+    )
+    hits = (
+        new_sigs.join(idx, ["band", "signature"])
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("h"), F.sum("n_idx").alias("nd"))
+    )
+    return (
+        new.select(F.col(id_col).alias("doc"))
+        .join(hits, "doc", "left")
+        .select(
+            "doc",
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("n_bands_hit"),
+            F.coalesce("nd", F.lit(0)).cast("bigint").alias("n_index_docs"),
+            F.when(F.col("h").isNotNull(), F.lit("drop"))
+            .otherwise(F.lit("keep")).alias("action"),
+        )
+    )

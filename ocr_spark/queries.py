@@ -6388,3 +6388,108 @@ def q_resolve_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _cpu(spark, sf_dir, "documents").select(
         base.alias("base0"), ref.alias("ref0"))
     return resolve_urls(docs, "base0", "ref0")
+
+
+@query(
+    "logreg_calibration",
+    f"""
+    WITH lr_out AS ({{LOGREG}}),
+    b AS (
+      SELECT LEAST(CAST(FLOOR(score * 10) AS BIGINT), 9) AS bin,
+             CAST(ROUND(score * 1000000) AS BIGINT) AS sm,
+             label,
+             CASE WHEN pred THEN 1 ELSE 0 END AS pr
+      FROM lr_out)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(sm) AS BIGINT) AS sum_score_micro,
+           CAST(SUM(label) AS BIGINT) AS n_pos,
+           CAST(SUM(pr) AS BIGINT) AS n_pred_pos
+    FROM b GROUP BY bin
+    """.replace("{LOGREG}", _logreg_oracle_sql()),
+)
+def q_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins over the trained quality classifier:
+    decile-binned predicted probability vs observed positive rate, as
+    exact integers (doc count, micro-score sum, positive count) so the
+    cross-engine hash is stable — the calibration check an ML-ops layer
+    runs before trusting a quality filter's threshold. One hash agg over
+    the classifier's scoring pass; the training sub-plan is shared."""
+    lr_out = q_logreg_quality(spark, sf_dir)
+    sm = F.round(F.col("score") * 1000000).cast("bigint")
+    return (
+        lr_out.select(
+            F.least(F.floor(F.col("score") * 10).cast("bigint"), F.lit(9))
+            .alias("bin"),
+            sm.alias("sm"),
+            "label",
+            F.col("pred").cast("int").alias("pr"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("sm").alias("sum_score_micro"),
+            F.sum("label").alias("n_pos"),
+            F.sum("pr").cast("bigint").alias("n_pred_pos"),
+        )
+    )
+
+
+def _sig_sql(src: str) -> str:
+    """Banded minhash signatures of a CTE (the minhash oracle core,
+    parameterized by source)."""
+    return f"""
+      SELECT doc, band,
+             list_aggregate(list_transform(shingles, s -> md5(band || '|' || s)), 'min') AS signature
+      FROM (SELECT doc, shingles, unnest(range(0, 4)) AS band
+            FROM ({_shingle_sql(src)}) sh0)
+      WHERE len(shingles) > 0"""
+
+
+@query(
+    "dedup_incremental",
+    f"""
+    WITH nxt AS (
+      SELECT a.doc_id, COALESCE(b.text, a.text) AS ntext
+      FROM documents a LEFT JOIN documents b ON b.doc_id = a.doc_id + 1),
+    newb AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id % 6 = 0 THEN n.ntext ELSE d.text END AS text
+      FROM documents d JOIN nxt n USING (doc_id)
+      WHERE d.doc_id % 3 = 0),
+    oldb AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 != 0),
+    sign AS ({_sig_sql('newb')}),
+    sigo AS ({_sig_sql('oldb')}),
+    idx AS (SELECT band, signature, COUNT(DISTINCT doc) AS n_idx
+            FROM sigo GROUP BY band, signature),
+    hits AS (SELECT s.doc, COUNT(*) AS h, SUM(i.n_idx) AS nd
+             FROM sign s JOIN idx i USING (band, signature) GROUP BY s.doc)
+    SELECT n.doc_id AS doc,
+           CAST(COALESCE(h.h, 0) AS BIGINT) AS n_bands_hit,
+           CAST(COALESCE(h.nd, 0) AS BIGINT) AS n_index_docs,
+           CASE WHEN h.doc IS NOT NULL THEN 'drop' ELSE 'keep' END AS action
+    FROM newb n LEFT JOIN hits h ON h.doc = n.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch-vs-index dedup: the new batch (every third doc,
+    half of them carrying a retained doc's exact text) admitted against
+    the retained corpus's band-signature index — copies drop with the
+    full 4-band hit trail, fresh text keeps."""
+    from ocr_spark.functions.dedup import dedup_vs_index
+
+    d = _cpu(spark, sf_dir, "documents")
+    nxt = d.select((F.col("doc_id") - 1).alias("doc_id"),
+                   F.col("text").alias("ntext"))
+    new = (
+        d.join(nxt, "doc_id", "left")
+        .where(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 6 == 0,
+                   F.coalesce("ntext", "text"))
+            .otherwise(F.col("text")).alias("text"),
+        )
+    )
+    old = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+    return dedup_vs_index(new, old, "doc_id", "text")

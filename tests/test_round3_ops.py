@@ -1017,3 +1017,42 @@ def test_resolve_urls_rfc3986_cases(spark):
     for ref, want in cases:
         assert got[ref] == want, f"{ref!r}: {got[ref]!r} != {want!r}"
     assert got["rel/x"] == ""               # dirty base degrades, no error
+
+
+def test_dedup_vs_index_actions(spark):
+    """Exact copies of indexed docs drop with all 4 bands hit; fresh text
+    keeps; sub-shingle-length docs keep (no signature)."""
+    from ocr_spark.functions.dedup import dedup_vs_index
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta epsilon zeta"),   # copy of 1
+         (11, "totally different words appear here now"),
+         (12, "too short")],                             # < 3 words
+        "doc_id long, text string")
+    got = {r.doc: r for r in
+           dedup_vs_index(new, old, "doc_id", "text").collect()}
+    assert got[10].action == "drop" and got[10].n_bands_hit == 4
+    assert got[10].n_index_docs == 4          # one indexed doc x 4 bands
+    assert got[11].action == "keep" and got[11].n_bands_hit == 0
+    assert got[12].action == "keep"
+
+
+def test_dedup_vs_index_hot_bucket_stays_single_row(spark):
+    """A signature behind many retained docs joins as ONE aggregated row:
+    n_index_docs counts them, but the plan never fans out per retained
+    doc (the index agg precedes the join)."""
+    from ocr_spark.functions.dedup import dedup_vs_index
+
+    boiler = "copyright notice all rights reserved worldwide"
+    old = spark.createDataFrame(
+        [(i, boiler) for i in range(50)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, boiler)], "doc_id long, text string")
+    row = dedup_vs_index(new, old, "doc_id", "text").collect()[0]
+    assert row.action == "drop"
+    assert row.n_bands_hit == 4
+    assert row.n_index_docs == 200            # 50 docs x 4 bands
