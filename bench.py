@@ -109,6 +109,7 @@ HEADLINE = [
     "stratified_sample",
     "temperature_sample",
     "weighted_sample",
+    "exact_k_sample",
     "pack_shards",
     "chunk_documents",
     "budget_select",

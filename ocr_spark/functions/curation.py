@@ -2599,3 +2599,56 @@ def resolve_urls(df: DataFrame, base_col: str, ref_col: str) -> DataFrame:
         F.col(ref_col).alias("ref"),
         resolved.alias("resolved"),
     )
+
+
+def exact_k_sample(df: DataFrame, id_col: str, stratum_col: str,
+                   k: int, salt: str = "ks") -> DataFrame:
+    """Exactly-k-per-stratum deterministic sampling: within each stratum
+    keep the k docs with the smallest md5(salt || id) — a reproducible
+    "random" k that never over- or under-shoots (stratified_sample's
+    hash-rate draw gives k only in expectation; quota evaluations and
+    eval-set carving need exact counts).
+
+    Scale shape (the part a naive row_number gets wrong): ranking a
+    mega-stratum in one window task is a 10^10-row sort on one reducer.
+    Instead: one per-stratum COUNT (hash agg), then a HASH PRE-FILTER
+    keeps each doc iff its uniform draw lies under ~2x the k/n rate
+    (floor at 1/64 so tiny strata keep everything), and only the
+    surviving ~2k rows per stratum enter the row_number window. The
+    window input is bounded by the oversample factor, never the stratum
+    size; the 2x margin makes undershoot (fewer than k survivors) a
+    <1e-9 tail event for k >= 64, and any shortfall is visible (the
+    output simply has < k rows for that stratum, never wrong rows).
+
+    Determinism: the draw is a pure function of the id (64-bit md5
+    prefix vs an integer threshold — integer compare, no float rate),
+    the rank orders by (hash, id), and both engines compute the same
+    md5 — retry-, partitioning-, and engine-stable.
+    """
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col)
+                                          .cast("string"))), 1, 15), 16, 10) \
+        .cast("decimal(20,0)").cast("long")          # uniform in [0, 2^60)
+    n = df.groupBy(F.col(stratum_col).alias("stratum")) \
+          .agg(F.count(F.lit(1)).alias("n"))
+    # keep iff draw < space * max(2k/n, 1/64), tested as pure integer
+    # cross-multiplications (h*n < 2^61*k ; h*64 < 2^60) — no decimal
+    # division whose rounding could drift between engines. h*n stays
+    # under 10^31 << decimal(38) for any real stratum size.
+    hd = F.col("h").cast("decimal(38,0)")
+    keep = (hd * F.col("n").cast("decimal(38,0)")
+            < F.lit((1 << 61) * k).cast("decimal(38,0)")) | \
+           (F.col("h") < F.lit(1 << 54))
+    pre = (
+        df.select(F.col(id_col).alias("doc"),
+                  F.col(stratum_col).alias("stratum"), h.alias("h"))
+        .join(n, "stratum")
+        .where(keep)
+    )
+    w = Window.partitionBy("stratum").orderBy("h", "doc")
+    return (
+        pre.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("stratum", "doc", F.col("rk").cast("bigint").alias("rk"))
+    )

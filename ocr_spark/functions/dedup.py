@@ -797,12 +797,32 @@ def dedup_vs_index(new: DataFrame, index: DataFrame, id_col: str,
     evidence trail), else 'keep'. Docs under ``shingle_n`` words carry
     no signature and always keep (exact_dedup owns short/empty text).
     """
-    new_sigs = minhash_signatures(new, id_col, text_col, n_bands, shingle_n)
-    idx = (
+    idx = build_signature_index(index, id_col, text_col, n_bands, shingle_n)
+    return admit_against_index(new, idx, id_col, text_col, n_bands, shingle_n)
+
+
+def build_signature_index(index: DataFrame, id_col: str, text_col: str,
+                          n_bands: int = 4, shingle_n: int = 3) -> DataFrame:
+    """The persistable artifact of incremental dedup: one (band,
+    signature, n_idx) row per distinct band signature in the retained
+    corpus. A curation system writes this once per crawl cycle and
+    admits every subsequent batch against it — the corpus text is never
+    re-read. Tiny relative to the corpus (n_bands md5s per doc, fewer
+    after aggregation)."""
+    return (
         minhash_signatures(index, id_col, text_col, n_bands, shingle_n)
         .groupBy("band", "signature")
         .agg(F.countDistinct("doc").alias("n_idx"))
     )
+
+
+def admit_against_index(new: DataFrame, idx: DataFrame, id_col: str,
+                        text_col: str, n_bands: int = 4,
+                        shingle_n: int = 3) -> DataFrame:
+    """dedup_vs_index's decision half, taking a prebuilt (possibly
+    parquet-loaded) signature index — the per-micro-batch body of
+    streaming admission, where the index is built once, not per batch."""
+    new_sigs = minhash_signatures(new, id_col, text_col, n_bands, shingle_n)
     hits = (
         new_sigs.join(idx, ["band", "signature"])
         .groupBy("doc")

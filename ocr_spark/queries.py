@@ -6493,3 +6493,33 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     old = d.where(F.col("doc_id") % 3 != 0).select("doc_id", "text")
     return dedup_vs_index(new, old, "doc_id", "text")
+
+
+@query(
+    "exact_k_sample",
+    """
+    WITH s AS (
+      SELECT doc_id AS doc, lang AS stratum,
+             ('0x' || substr(md5('ks' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      FROM documents),
+    n AS (SELECT stratum, COUNT(*) AS n FROM s GROUP BY stratum),
+    pre AS (
+      SELECT s.stratum, s.doc, s.h
+      FROM s JOIN n USING (stratum)
+      WHERE CAST(h AS HUGEINT) * n < CAST(2305843009213693952 AS HUGEINT) * 25
+         OR h < 18014398509481984),
+    r AS (
+      SELECT stratum, doc,
+             ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY h, doc) AS rk
+      FROM pre)
+    SELECT stratum, doc, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 25
+    """,
+)
+def q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-25-per-language deterministic sample over documents: hash
+    pre-filter bounds the rank window's input, integer cross-multiplied
+    thresholds keep both engines bit-identical."""
+    from ocr_spark.functions.curation import exact_k_sample
+
+    return exact_k_sample(
+        _cpu(spark, sf_dir, "documents"), "doc_id", "lang", k=25)

@@ -194,3 +194,51 @@ def stream_event_counts(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_neardup_admission(
+    spark: SparkSession,
+    input_dir: str,
+    index_sigs: DataFrame,
+    checkpoint_dir: str,
+    out_dir: str,
+    max_files_per_trigger: int = 4,
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Streaming near-dup admission: a file-source stream of page parquet
+    is admitted per micro-batch against the retained corpus's PREBUILT
+    band-signature index (functions.dedup.build_signature_index — built
+    once per crawl cycle, loaded as a static frame), and only 'keep'
+    pages land in ``out_dir``. Complements streaming_first_seen: that
+    operator dedups exactly WITHIN the stream via state; this one dedups
+    the stream AGAINST the corpus with zero streaming state beyond the
+    source offsets — the index is static, so a crashed batch replays to
+    the identical decision set.
+
+    foreachBatch keeps the per-batch plan the batch engine's
+    (signature explode -> partial MIN -> one aggregated-index join);
+    maxFilesPerTrigger bounds batch size."""
+    from ocr_spark.functions.dedup import admit_against_index
+
+    stream = (
+        spark.readStream.schema(PAGE_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        decisions = admit_against_index(batch_df, index_sigs, "url", "text")
+        kept = batch_df.join(
+            decisions.filter(F.col("action") == "keep").select("doc"),
+            batch_df["url"] == F.col("doc"),
+        ).drop("doc")
+        kept.write.mode("append").parquet(out_dir)
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1056,3 +1056,31 @@ def test_dedup_vs_index_hot_bucket_stays_single_row(spark):
     assert row.action == "drop"
     assert row.n_bands_hit == 4
     assert row.n_index_docs == 200            # 50 docs x 4 bands
+
+
+def test_exact_k_sample_counts_and_determinism(spark):
+    from ocr_spark.functions.curation import exact_k_sample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 400 else "small") for i in range(420)],
+        "doc_id long, lang string")
+    out = exact_k_sample(df, "doc_id", "lang", k=8)
+    by = {r.stratum: [] for r in out.collect()}
+    for r in out.collect():
+        by[r.stratum].append((r.rk, r.doc))
+    assert len(by["big"]) == 8                 # exactly k, never ±1
+    assert len(by["small"]) == 8
+    assert sorted(rk for rk, _ in by["big"]) == list(range(1, 9))
+    again = {(r.stratum, r.rk, r.doc)
+             for r in exact_k_sample(df.repartition(17), "doc_id", "lang",
+                                     k=8).collect()}
+    assert again == {(s, rk, d) for s, l in by.items() for rk, d in l}
+
+
+def test_exact_k_sample_small_stratum_keeps_all(spark):
+    from ocr_spark.functions.curation import exact_k_sample
+
+    df = spark.createDataFrame(
+        [(i, "tiny") for i in range(5)], "doc_id long, lang string")
+    got = exact_k_sample(df, "doc_id", "lang", k=8).collect()
+    assert len(got) == 5                       # n < k -> whole stratum

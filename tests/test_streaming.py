@@ -192,3 +192,48 @@ def test_streaming_first_seen_dedup_across_batches(spark, tmp_path):
     assert "u3" not in got       # in-batch dup suppressed
     assert "u4" not in got       # cross-batch dup suppressed by state
     assert "u5" in got           # fresh content emitted
+
+
+def test_stream_neardup_admission(spark, tmp_path):
+    """Pages duplicating the retained corpus are rejected per micro-batch;
+    fresh pages land in out_dir; a second run from the same checkpoint
+    reprocesses nothing (no double-append)."""
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.dedup import build_signature_index
+    from ocr_spark.streaming.incremental import stream_neardup_admission
+
+    retained = spark.createDataFrame(
+        [(f"old{i}", f"retained corpus page body number {i} with words")
+         for i in range(6)],
+        "doc string, text string")
+    idx = build_signature_index(retained, "doc", "text")
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    rows = (
+        [(f"http://dup/{i}",
+          f"retained corpus page body number {i} with words")
+         for i in range(3)]
+        + [(f"http://new/{i}",
+            f"entirely novel content block {i} nothing shared here")
+           for i in range(4)]
+    )
+    spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    ).write.parquet(str(feed / "batch0"))
+
+    out = str(tmp_path / "admitted")
+    q = stream_neardup_admission(
+        spark, str(feed) + "/*", idx, str(tmp_path / "nckpt"), out,
+        available_now=True)
+    q.awaitTermination(120)
+    got = {r.url for r in spark.read.parquet(out).collect()}
+    assert got == {f"http://new/{i}" for i in range(4)}
+
+    q2 = stream_neardup_admission(
+        spark, str(feed) + "/*", idx, str(tmp_path / "nckpt"), out,
+        available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 4   # replay appended nothing
