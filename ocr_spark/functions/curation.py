@@ -2637,8 +2637,9 @@ def exact_k_sample(df: DataFrame, id_col: str, stratum_col: str,
     # division whose rounding could drift between engines. h*n stays
     # under 10^31 << decimal(38) for any real stratum size.
     hd = F.col("h").cast("decimal(38,0)")
+    # the 2^61*k literal exceeds int64 — ship it as a decimal string
     keep = (hd * F.col("n").cast("decimal(38,0)")
-            < F.lit((1 << 61) * k).cast("decimal(38,0)")) | \
+            < F.expr(f"CAST('{(1 << 61) * k}' AS DECIMAL(38,0))")) | \
            (F.col("h") < F.lit(1 << 54))
     pre = (
         df.select(F.col(id_col).alias("doc"),
