@@ -162,6 +162,10 @@ HEADLINE = [
     "image_resize",
     "video_frame_sample",
     "audio_features",
+    "pmi_collocations",
+    "mirror_hosts",
+    "recrawl_deltas",
+    "leakage_split",
 ]
 
 

@@ -6523,3 +6523,300 @@ def q_exact_k_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return exact_k_sample(
         _cpu(spark, sf_dir, "documents"), "doc_id", "lang", k=25)
+
+
+# ===========================================================================
+# Round-3 batch: collocation mining, mirror-host detection, recrawl change
+# rate, leakage-safe corpus splits — the crawl-analytics layer a web-scale
+# training-data pipeline runs between extraction and packing.
+# ===========================================================================
+
+@query(
+    "pmi_collocations",
+    f"""
+    WITH {_WORDS_CTE},
+    biu AS (
+      SELECT unnest([{{'w1': words[i], 'w2': words[i + 1]}}
+                     for i in range(1, len(words))]) AS bi
+      FROM base),
+    bi0 AS (SELECT bi.w1 AS w1, bi.w2 AS w2 FROM biu),
+    b AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+          FROM bi0 GROUP BY w1, w2),
+    m1 AS (SELECT w1, CAST(SUM(c_xy) AS BIGINT) AS c_w1 FROM b GROUP BY w1),
+    m2 AS (SELECT w2, CAST(SUM(c_xy) AS BIGINT) AS c_w2 FROM b GROUP BY w2),
+    t AS (SELECT CAST(SUM(c_xy) AS BIGINT) AS n_bi FROM b),
+    j AS (
+      SELECT w1, w2, c_xy,
+             CAST(c_xy * n_bi AS BIGINT) AS lift_num,
+             CAST(c_w1 * c_w2 AS BIGINT) AS lift_den
+      FROM b JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN t
+      WHERE c_xy >= 3)
+    SELECT w1, w2, c_xy, lift_num, lift_den,
+           CAST(ROW_NUMBER() OVER (ORDER BY c_xy DESC, w1, w2) AS BIGINT) AS rank
+    FROM (SELECT * FROM j ORDER BY c_xy DESC, w1, w2 LIMIT 50)
+    """,
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-50 corpus bigrams (frequency >= 3) with
+    exact-integer PMI components. ``lift_num / lift_den`` is the
+    positional-marginal lift P(w1,w2) / (P(w1,.) P(.,w2)); the consumer
+    takes ``ln(lift_num / lift_den)`` for PMI — emitted as two exact
+    integers (not a rounded float) so the oracle compare is bit-stable,
+    per the repo's kl/entropy precedent.
+
+    Scale shape: bigrams come from a zip_with over the in-row word array
+    (no self-join, no positional shuffle); the (w1,w2)-keyed count has
+    map-side partials; the two marginals re-aggregate the vocab-bounded
+    bigram table, not the corpus; the final order+limit compiles to
+    TakeOrdered. At 10^12 documents lift_num = c_xy * n_bi outruns int64 —
+    widen both products to decimal(38,0) there (one-line cast); at test
+    scale int64 is exact and cheaper."""
+    base = _cpu(spark, sf_dir, "documents")
+    words = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    flat = (
+        base.select(words.alias("w"))
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(w, 1, greatest(size(w) - 1, 0))"),
+                    F.expr("slice(w, 2, greatest(size(w) - 1, 0))"),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("bi")
+        )
+        .select("bi.w1", "bi.w2")
+    )
+    b = flat.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_xy"))
+    m1 = b.groupBy("w1").agg(F.sum("c_xy").alias("c_w1"))
+    m2 = b.groupBy("w2").agg(F.sum("c_xy").alias("c_w2"))
+    t = b.agg(F.sum("c_xy").alias("n_bi"))
+    j = (
+        b.join(m1, "w1").join(m2, "w2").crossJoin(F.broadcast(t))
+        .filter(F.col("c_xy") >= 3)
+        .select(
+            "w1", "w2", "c_xy",
+            (F.col("c_xy") * F.col("n_bi")).alias("lift_num"),
+            (F.col("c_w1") * F.col("c_w2")).alias("lift_den"),
+        )
+    )
+    top = j.orderBy(F.desc("c_xy"), "w1", "w2").limit(50)
+    w = Window.orderBy(F.desc("c_xy"), "w1", "w2")
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+_MIRROR_CTE = """
+    md0 AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+      WHERE length(trim(text)) > 0),
+    md AS (
+      SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS host, fp FROM md0
+      UNION ALL
+      SELECT 'm' || CAST(doc_id % 5 AS VARCHAR) AS host, fp
+      FROM md0 WHERE doc_id % 3 = 0)
+"""
+
+
+@query(
+    "mirror_hosts",
+    f"""
+    WITH {_MIRROR_CTE},
+    hf AS (SELECT DISTINCT host, fp FROM md),
+    n AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fp FROM hf GROUP BY host),
+    p AS (
+      SELECT a.host AS host_a, b.host AS host_b,
+             CAST(COUNT(*) AS BIGINT) AS shared
+      FROM hf a JOIN hf b ON a.fp = b.fp AND a.host < b.host
+      GROUP BY a.host, b.host
+      HAVING COUNT(*) >= 2)
+    SELECT host_a, host_b, shared,
+           na.n_fp AS n_fp_a, nb.n_fp AS n_fp_b
+    FROM p JOIN n na ON p.host_a = na.host
+           JOIN n nb ON p.host_b = nb.host
+    """,
+)
+def q_mirror_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection: host pairs sharing >= 2 canonicalized content
+    fingerprints, with each side's distinct-fingerprint count so the
+    consumer can form the overlap coefficient shared/min(n_a,n_b) exactly.
+    The crawl fixture serves every doc from its primary host (doc_id%40)
+    and every third doc ALSO from a mirror host (m<doc_id%5>) — the union
+    models the same page crawled at two addresses, which is exactly what a
+    mirror is; fingerprints are the same case/punct/ws-insensitive md5 as
+    ``doc_fingerprint``.
+
+    Scale shape: the pair generator is one equi-join keyed on fingerprint —
+    candidate pairs are quadratic only in the per-fingerprint host count
+    (a duplicate cluster's mirror fan-out, bounded in practice; the same
+    oversize-cap-with-observability treatment as lsh_candidate_pairs
+    applies if a degenerate fingerprint appears). The host-level agg and
+    both count joins are host-cardinality-bounded, never doc-bounded."""
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", ""),
+            r"\s+", " ",
+        )
+    )
+    md0 = (
+        _cpu(spark, sf_dir, "documents")
+        .filter(F.length(F.trim(F.col("text"))) > 0)
+        .select("doc_id", F.md5(canon).alias("fp"))
+    )
+    md = md0.select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string")).alias("host"),
+        "fp",
+    ).unionByName(
+        md0.filter(F.col("doc_id") % 3 == 0).select(
+            F.concat(F.lit("m"), (F.col("doc_id") % 5).cast("string")).alias("host"),
+            "fp",
+        )
+    )
+    hf = md.distinct()
+    n = hf.groupBy("host").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = hf.select(F.col("host").alias("host_a"), "fp")
+    b = hf.select(F.col("host").alias("host_b"), "fp")
+    p = (
+        a.join(b, "fp")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+    return (
+        p.join(n.select(F.col("host").alias("host_a"), F.col("n_fp").alias("n_fp_a")), "host_a")
+        .join(n.select(F.col("host").alias("host_b"), F.col("n_fp").alias("n_fp_b")), "host_b")
+        .select("host_a", "host_b", "shared", "n_fp_a", "n_fp_b")
+    )
+
+
+@query(
+    "recrawl_deltas",
+    """
+    WITH v AS (
+      SELECT 'u' || CAST(doc_id % 97 AS VARCHAR) AS url,
+             CAST(doc_id AS BIGINT) AS ts,
+             CAST((doc_id // 97) // ((doc_id % 97) % 3 + 1) AS BIGINT) AS rev
+      FROM documents),
+    d AS (
+      SELECT url, ts, rev,
+             LAG(rev) OVER (PARTITION BY url ORDER BY ts) AS prev_rev
+      FROM v)
+    SELECT url,
+           CAST(COUNT(*) AS BIGINT) AS n_visits,
+           CAST(SUM(CASE WHEN prev_rev IS NOT NULL AND rev <> prev_rev
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM d GROUP BY url
+    """,
+)
+def q_recrawl_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl change-rate: per url, how many of its successive crawl
+    snapshots changed content revision — the signal a crawl scheduler uses
+    to set per-url revisit frequency. Snapshots are the deterministic
+    fixture (url = doc_id%97, visit time = doc_id, revision advances every
+    url-dependent k visits, k in 1..3, so change rates genuinely differ).
+
+    Scale shape: one shuffle on url for the lag window, then the same
+    partitioning feeds the per-url agg (no second exchange); all counters
+    are exact integers. At 10^12 rows the url key is high-cardinality and
+    unskewed (bounded snapshots per url), the shape AQE handles without
+    salting."""
+    v = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("u"), (F.col("doc_id") % 97).cast("string")).alias("url"),
+        F.col("doc_id").cast("bigint").alias("ts"),
+        F.expr(
+            "CAST((doc_id DIV 97) DIV ((doc_id % 97) % 3 + 1) AS BIGINT)"
+        ).alias("rev"),
+    )
+    w = Window.partitionBy("url").orderBy("ts")
+    d = v.withColumn("prev_rev", F.lag("rev").over(w))
+    return d.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_visits"),
+        F.sum(
+            F.when(
+                F.col("prev_rev").isNotNull() & (F.col("rev") != F.col("prev_rev")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_changes"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@query(
+    "leakage_split",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             'h' || CAST(doc_id % 40 AS VARCHAR) AS host,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(lower(trim(text)), '\\s+')) END AS n_tokens
+      FROM documents),
+    s AS (
+      SELECT host, n_tokens,
+             CASE WHEN ('0x' || substr(md5(host), 1, 15))::BIGINT % 10 < 8
+                  THEN 'train' ELSE 'val' END AS split,
+             CASE WHEN ('0x' || substr(md5('d' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 8
+                  THEN 'train' ELSE 'val' END AS naive_split
+      FROM d),
+    leak AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS naive_straddle_hosts
+      FROM (SELECT host FROM s GROUP BY host
+            HAVING COUNT(DISTINCT naive_split) > 1)),
+    g AS (
+      SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+      FROM s GROUP BY split)
+    SELECT split, n_docs, n_hosts, n_tokens, naive_straddle_hosts
+    FROM g CROSS JOIN leak
+    """,
+)
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val split: deterministic 80/20 assignment hashed
+    at HOST granularity, so near-duplicate pages from one site can never
+    straddle the split. Emits per-split doc/host/token counts plus
+    ``naive_straddle_hosts`` — how many hosts a doc-level hash split would
+    scatter across both sides (the leakage a host-level split prevents;
+    structurally zero for the host-level assignment itself).
+
+    Scale shape: split assignment is a pure projection (md5 of the key, no
+    shuffle); the report is one host-keyed distinct-agg plus a two-row
+    broadcast of the leak counter. The md5-derived bucket is portable
+    across engines and stable across runs — reshuffling the corpus never
+    moves a document between splits."""
+    bucket = lambda col: F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast(  # noqa: E731
+        "bigint"
+    ) % 10
+    words_n = F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    )
+    s = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string")).alias("host"),
+        words_n.cast("bigint").alias("n_tokens"),
+        F.when(
+            bucket(F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string"))) < 8,
+            F.lit("train"),
+        ).otherwise(F.lit("val")).alias("split"),
+        F.when(
+            bucket(F.concat(F.lit("d"), F.col("doc_id").cast("string"))) < 8,
+            F.lit("train"),
+        ).otherwise(F.lit("val")).alias("naive_split"),
+    )
+    leak = (
+        s.groupBy("host")
+        .agg(F.countDistinct("naive_split").alias("k"))
+        .filter(F.col("k") > 1)
+        .agg(F.count(F.lit(1)).alias("naive_straddle_hosts"))
+    )
+    g = s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("host").alias("n_hosts"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    return g.crossJoin(F.broadcast(leak)).select(
+        "split", "n_docs", "n_hosts", "n_tokens", "naive_straddle_hosts"
+    )

@@ -1,0 +1,97 @@
+"""Unit tests for the crawl-analytics batch: collocations, mirror-host
+detection, recrawl change rate, leakage-safe splits. Value assertions on
+small frames; the sf0.01 value oracles are the cross-engine gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ocr_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pmi_collocations_counts_and_rank(spark):
+    rows = QUERIES["pmi_collocations"](spark, SF).collect()
+    assert rows, "collocation top-k must be non-empty on the test corpus"
+    assert all(r.c_xy >= 3 for r in rows)
+    # rank is dense 1..n in (c_xy desc, w1, w2) order
+    ordered = sorted(rows, key=lambda r: (-r.c_xy, r.w1, r.w2))
+    assert [r.rank for r in ordered] == list(range(1, len(rows) + 1))
+    # lift components: num/den = c_xy * n_bi / (c_w1 * c_w2) > 0
+    assert all(r.lift_num > 0 and r.lift_den > 0 for r in rows)
+
+
+def test_pmi_collocations_exact_on_tiny_frame(spark, tmp_path):
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "a b a b c", "en", "s", 9), (2, "a b x", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    rows = {(r.w1, r.w2): (r.c_xy, r.lift_num, r.lift_den)
+            for r in QUERIES["pmi_collocations"](spark, d).collect()}
+    # bigrams: (a,b)x3 (b,a)x1 (b,c)x1 (b,x)x1 -> n_bi=6; only (a,b) >= 3
+    # marginals over bigram slots: c_a. = 3, c_.b = 3
+    assert rows == {("a", "b"): (3, 3 * 6, 3 * 3)}
+
+
+def test_mirror_hosts_finds_planted_mirrors(spark):
+    rows = QUERIES["mirror_hosts"](spark, SF).collect()
+    assert rows, "the %3==0 mirror fixture must produce shared hosts"
+    for r in rows:
+        # every pair involves one primary (h*) and one mirror (m*) host,
+        # shares at least 2 fingerprints, and overlap <= each side's total
+        assert r.shared >= 2
+        assert r.shared <= min(r.n_fp_a, r.n_fp_b)
+        assert {r.host_a[0], r.host_b[0]} <= {"h", "m"}
+    # mirror m<y> of doc k is h<k%40>'s copy only when k%5 == y%5-compatible:
+    # every planted pair must satisfy x % 5 == y for (h<x>, m<y>)
+    for r in rows:
+        a, b = sorted([r.host_a, r.host_b])
+        if a[0] == "h" and b[0] == "m":
+            assert int(a[1:]) % 5 == int(b[1:])
+
+
+def test_recrawl_deltas_change_rate_shape(spark):
+    rows = {r.url: r for r in QUERIES["recrawl_deltas"](spark, SF).collect()}
+    assert rows
+    for r in rows.values():
+        assert 0 <= r.n_changes < r.n_visits  # first visit is never a change
+        assert r.first_ts <= r.last_ts
+    # urls with k=1 (rev advances every visit) change on every revisit when
+    # the revision counter increments; verify one concrete url exactly
+    import duckdb
+
+    want = duckdb.sql(f"""
+      WITH v AS (SELECT 'u' || CAST(doc_id % 97 AS VARCHAR) url,
+                        doc_id ts,
+                        (doc_id // 97) // ((doc_id % 97) % 3 + 1) rev
+                 FROM '{SF}/documents.parquet'),
+      d AS (SELECT url, rev, LAG(rev) OVER (PARTITION BY url ORDER BY ts) p FROM v)
+      SELECT url, SUM(CASE WHEN p IS NOT NULL AND rev <> p THEN 1 ELSE 0 END) c
+      FROM d GROUP BY url
+    """).fetchall()
+    for url, c in want:
+        assert rows[url].n_changes == c
+
+
+def test_leakage_split_host_level_never_straddles(spark):
+    rows = {r.split: r for r in QUERIES["leakage_split"](spark, SF).collect()}
+    assert set(rows) == {"train", "val"}
+    # the doc-level hash split DOES scatter hosts; the host-level one cannot
+    assert rows["train"].naive_straddle_hosts > 0
+    total_hosts = rows["train"].n_hosts + rows["val"].n_hosts
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n_hosts_true = docs.select((F.col("doc_id") % 40).alias("h")).distinct().count()
+    assert total_hosts == n_hosts_true  # partition of hosts: no overlap, no loss
+
+
+def test_leakage_split_stable_under_repartition(spark, tmp_path):
+    out1 = {(r.split, r.n_docs, r.n_hosts, r.n_tokens)
+            for r in QUERIES["leakage_split"](spark, SF).collect()}
+    d = str(tmp_path / "sf")
+    spark.read.parquet(f"{SF}/documents.parquet").repartition(13).write.parquet(
+        f"{d}/documents.parquet")
+    out2 = {(r.split, r.n_docs, r.n_hosts, r.n_tokens)
+            for r in QUERIES["leakage_split"](spark, d).collect()}
+    assert out1 == out2
