@@ -166,6 +166,7 @@ HEADLINE = [
     "mirror_hosts",
     "recrawl_deltas",
     "leakage_split",
+    "bpe_merges",
 ]
 
 

@@ -2653,3 +2653,85 @@ def exact_k_sample(df: DataFrame, id_col: str, stratum_col: str,
         .where(F.col("rk") <= k)
         .select("stratum", "doc", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+def bpe_merges(
+    df: DataFrame, text_col: str, n_merges: int = 3
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merge rules from the corpus:
+    (rank, left, right, pair_count), rank 1 = most frequent adjacent
+    symbol pair, recomputed after each merge — the tokenizer-training
+    primitive (Sennrich et al. 2016; cf. the byte-pair loop in
+    openai/tiktoken's educational implementation, public reference).
+
+    Semantics: training runs on the word-frequency dictionary (standard
+    BPE), words restricted to ^[a-z0-9]+$ so the symbol alphabet stays
+    replace-safe. Each word is armored as " c1  c2  c3 " (every symbol
+    wrapped in single spaces, so adjacent symbols are separated by TWO
+    spaces); a merge of (x, y) is the plain string replacement
+    " x  y " -> " xy ", which both Spark and DuckDB apply left-to-right
+    non-overlapping — exactly BPE's greedy merge order, with no regex
+    (and no lookbehind, which RE2 lacks). Argmax ties break on
+    (count desc, left asc, right asc), a total order, so both engines
+    pick the identical rule at every step.
+
+    Scale shape: the ONLY corpus-wide pass is the initial word count (one
+    shuffle with map-side partials); every merge iteration runs on the
+    vocab-bounded frequency table — pair counts are a vocab-keyed agg, the
+    argmax is a 1-row TakeOrdered broadcast-crossJoined back, and the
+    merge application is a projection. The whole program is ONE lazy plan
+    (no driver-side collect between iterations); at production vocab
+    sizes persist the word-count table once so the n_merges re-reads hit
+    cache instead of rescanning the corpus."""
+    words = F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    flat = df.select(F.explode(words).alias("w")).filter(
+        F.col("w").rlike(r"^[a-z0-9]+$")
+    )
+    wc = flat.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    cur = wc.select(
+        "cnt",
+        F.concat(
+            F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1  "), F.lit(" ")
+        ).alias("sym"),
+    )
+    # " c1  c2  c3   " form above has a stray trailing run; normalize to
+    # exactly " c1  c2  c3 " (single leading/trailing space, double between)
+    cur = cur.select(
+        "cnt",
+        F.concat(F.lit(" "), F.trim(F.col("sym")), F.lit(" ")).alias("sym"),
+    )
+    out = None
+    for rank in range(1, n_merges + 1):
+        toks = F.split(F.trim(F.col("sym")), "  ")
+        prs = F.zip_with(
+            F.expr("slice(t, 1, greatest(size(t) - 1, 0))"),
+            F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        )
+        pair_counts = (
+            cur.select("cnt", toks.alias("t"))
+            .select("cnt", F.explode(prs).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = pair_counts.orderBy(F.desc("c"), "l", "r").limit(1)
+        rule = best.select(
+            F.lit(rank).cast("bigint").alias("rank"),
+            F.col("l").alias("left"),
+            F.col("r").alias("right"),
+            F.col("c").cast("bigint").alias("pair_count"),
+        )
+        out = rule if out is None else out.unionByName(rule)
+        cur = cur.crossJoin(
+            F.broadcast(best.select(F.col("l").alias("_l"), F.col("r").alias("_r")))
+        ).select(
+            "cnt",
+            F.replace(
+                F.col("sym"),
+                F.concat(F.lit(" "), F.col("_l"), F.lit("  "), F.col("_r"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("_l"), F.col("_r"), F.lit(" ")),
+            ).alias("sym"),
+        )
+    return out

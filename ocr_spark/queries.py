@@ -6820,3 +6820,56 @@ def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.crossJoin(F.broadcast(leak)).select(
         "split", "n_docs", "n_hosts", "n_tokens", "naive_straddle_hosts"
     )
+
+
+def _bpe_oracle(n_merges: int = 3) -> str:
+    """Unrolled DuckDB twin of ``bpe_merges``: same word-frequency dict,
+    same space-armored symbol strings, same plain-replace merge, same
+    (count desc, left, right) argmax at every step."""
+    parts = [
+        f"WITH {_WORDS_CTE},",
+        "flat AS (SELECT unnest(words) AS w FROM base),",
+        "wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM flat"
+        " WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w),",
+        "w0 AS (SELECT cnt,"
+        " regexp_replace(w, '(.)', ' \\1 ', 'g') AS sym FROM wc),",
+    ]
+    selects = []
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"t{i} AS (SELECT cnt, string_split(trim(sym), '  ') AS t FROM {prev}),"
+        )
+        parts.append(
+            f"pu{i} AS (SELECT cnt, unnest([{{'l': t[j], 'r': t[j + 1]}}"
+            f" for j in range(1, len(t))]) AS p FROM t{i}),"
+        )
+        parts.append(
+            f"p{i} AS (SELECT p.l AS l, p.r AS r, CAST(SUM(cnt) AS BIGINT) AS c"
+            f" FROM pu{i} GROUP BY p.l, p.r),"
+        )
+        parts.append(
+            f"b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),"
+        )
+        if i < n_merges:
+            parts.append(
+                f"w{i} AS (SELECT cnt, replace(sym,"
+                f" ' ' || b{i}.l || '  ' || b{i}.r || ' ',"
+                f" ' ' || b{i}.l || b{i}.r || ' ') AS sym FROM {prev}, b{i}),"
+            )
+        selects.append(
+            f"SELECT CAST({i} AS BIGINT) AS rank, l AS \"left\","
+            f" r AS \"right\", c AS pair_count FROM b{i}"
+        )
+    sql = "\n".join(parts)
+    return sql.rstrip(",") + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("bpe_merges", _bpe_oracle(3))
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merge rules learned from the documents corpus — the
+    tokenizer-training primitive. See functions/curation.bpe_merges for
+    the merge semantics and the vocab-bounded scale shape."""
+    from ocr_spark.functions.curation import bpe_merges
+
+    return bpe_merges(_cpu(spark, sf_dir, "documents"), "text", n_merges=3)

@@ -95,3 +95,34 @@ def test_leakage_split_stable_under_repartition(spark, tmp_path):
     out2 = {(r.split, r.n_docs, r.n_hosts, r.n_tokens)
             for r in QUERIES["leakage_split"](spark, d).collect()}
     assert out1 == out2
+
+
+def test_bpe_merges_hand_computed(spark):
+    from ocr_spark.functions.curation import bpe_merges
+
+    # corpus word dict: low x3, lower x2, newest x1 (classic BPE example)
+    df = spark.createDataFrame(
+        [("low low low lower lower newest",)], "text string")
+    got = [(r.rank, r.left, r.right, r.pair_count)
+           for r in bpe_merges(df, "text", n_merges=3).collect()]
+    got.sort()
+    # pairs: l-o 5, o-w 5, w-e 3, e-r 2, ... argmax ties (5) break on
+    # left asc: ('l','o') first; after merging -> lo: (lo,w) 5 wins;
+    # after -> low: (low,e) 2, (e,r) 2, (w,e) 1(newest)... recount:
+    # words: low(5 as lo->low), lower x2 -> l o w e r; newest x1
+    # after low merge: lower = "low e r", newest = "n e w e s t"
+    # pairs: (low,e) 2, (e,r) 2, (n,e) 1, (e,w) 1, (w,e) 1, (e,s) 1, (s,t) 1
+    # argmax tie (2): (e,r) vs (low,e) -> 'e' < 'low' lexicographically
+    assert got[0] == (1, "l", "o", 5)
+    assert got[1] == (2, "lo", "w", 5)
+    assert got[2] == (3, "e", "r", 2)
+
+
+def test_bpe_merges_partition_invariant(spark):
+    from ocr_spark.functions.curation import bpe_merges
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    a = {tuple(r) for r in bpe_merges(df.select("text"), "text").collect()}
+    b = {tuple(r)
+         for r in bpe_merges(df.repartition(13).select("text"), "text").collect()}
+    assert a == b and len(a) == 3
