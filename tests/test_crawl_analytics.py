@@ -126,3 +126,43 @@ def test_bpe_merges_partition_invariant(spark):
     b = {tuple(r)
          for r in bpe_merges(df.repartition(13).select("text"), "text").collect()}
     assert a == b and len(a) == 3
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_recrawl_deltas_single_exchange(spark):
+    """The lag window and the per-url agg must share ONE url partitioning;
+    a second Exchange is a plan regression."""
+    plan = _plan(QUERIES["recrawl_deltas"](spark, SF))
+    assert plan.count("Exchange") == 1
+
+
+def test_leakage_split_assignment_is_projection(spark):
+    """Split assignment must not shuffle: every Exchange in the plan
+    belongs to the two aggs (host-keyed leak counter, split-keyed report)
+    and the one-row broadcast — never to assigning rows to splits."""
+    plan = _plan(QUERIES["leakage_split"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    # the leak counter must arrive broadcast, not as a shuffled join
+    assert "SortMergeJoin" not in plan
+
+
+def test_pmi_collocations_no_cartesian_blowup(spark):
+    """The only nested-loop join allowed is the broadcast of the ONE-ROW
+    totals frame; the bigram/marginal joins must be hash joins."""
+    plan = _plan(QUERIES["pmi_collocations"](spark, SF))
+    nlj = plan.count("CartesianProduct")
+    assert nlj == 0, "cartesian product in the collocation plan"
+
+
+def test_bpe_merges_no_driver_iteration(spark):
+    """The 3-merge program is ONE lazy plan: the argmax frames join back
+    as broadcasts (1 row each), never shuffled, never collected."""
+    from ocr_spark.functions.curation import bpe_merges
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(bpe_merges(docs.select("text"), "text"))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
