@@ -167,6 +167,7 @@ HEADLINE = [
     "recrawl_deltas",
     "leakage_split",
     "bpe_merges",
+    "bpe_tokenize",
 ]
 
 

@@ -2683,24 +2683,36 @@ def bpe_merges(
     (no driver-side collect between iterations); at production vocab
     sizes persist the word-count table once so the n_merges re-reads hit
     cache instead of rescanning the corpus."""
-    words = F.when(
+    out, _ = _bpe_chain(df, text_col, n_merges)
+    return out
+
+
+def _bpe_words(text_col: str) -> Column:
+    return F.when(
         F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
     ).otherwise(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    flat = df.select(F.explode(words).alias("w")).filter(
+
+
+def _bpe_chain(
+    df: DataFrame, text_col: str, n_merges: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared BPE learning chain: returns (rules, merged word dict) where
+    rules = (rank, left, right, pair_count) and the dict carries each
+    vocab word's final space-armored symbol string after all merges."""
+    flat = df.select(F.explode(_bpe_words(text_col)).alias("w")).filter(
         F.col("w").rlike(r"^[a-z0-9]+$")
     )
     wc = flat.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # " c1  c2  c3 ": every symbol wrapped in single spaces, so adjacent
+    # symbols are separated by exactly two
     cur = wc.select(
+        "w",
         "cnt",
         F.concat(
-            F.lit(" "), F.regexp_replace(F.col("w"), "(.)", "$1  "), F.lit(" ")
+            F.lit(" "),
+            F.trim(F.regexp_replace(F.col("w"), "(.)", "$1  ")),
+            F.lit(" "),
         ).alias("sym"),
-    )
-    # " c1  c2  c3   " form above has a stray trailing run; normalize to
-    # exactly " c1  c2  c3 " (single leading/trailing space, double between)
-    cur = cur.select(
-        "cnt",
-        F.concat(F.lit(" "), F.trim(F.col("sym")), F.lit(" ")).alias("sym"),
     )
     out = None
     for rank in range(1, n_merges + 1):
@@ -2727,6 +2739,7 @@ def bpe_merges(
         cur = cur.crossJoin(
             F.broadcast(best.select(F.col("l").alias("_l"), F.col("r").alias("_r")))
         ).select(
+            "w",
             "cnt",
             F.replace(
                 F.col("sym"),
@@ -2734,4 +2747,37 @@ def bpe_merges(
                 F.concat(F.lit(" "), F.col("_l"), F.col("_r"), F.lit(" ")),
             ).alias("sym"),
         )
-    return out
+    return out, cur
+
+
+def bpe_tokenize(
+    df: DataFrame, id_col: str, text_col: str, n_merges: int = 3
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE rules (see :func:`bpe_merges`) and
+    APPLY them to the corpus: per document, (n_words, n_tokens, n_skipped)
+    where n_tokens is the post-merge symbol count summed over the doc's
+    tokenizable words and n_skipped counts words outside ^[a-z0-9]+$.
+
+    Scale shape: the merges are applied to the DISTINCT-WORD dictionary
+    (vocab-bounded — the per-word token count is computed once per vocab
+    entry, not once per occurrence), and the corpus side is one explode +
+    one word-keyed hash join + one doc-keyed agg. At web scale the dict
+    side is millions of rows against trillions of word occurrences; the
+    join key is the word string, which AQE's skew handling splits for
+    stopword-grade hot keys."""
+    _, dic = _bpe_chain(df, text_col, n_merges)
+    tok = dic.select(
+        "w",
+        F.size(F.split(F.trim(F.col("sym")), "  ")).cast("bigint").alias("tok_n"),
+    )
+    flat = df.select(
+        F.col(id_col).alias("doc"), F.explode(_bpe_words(text_col)).alias("w")
+    )
+    j = flat.join(tok, "w", "left")
+    return j.groupBy("doc").agg(
+        F.count("tok_n").alias("n_words"),
+        F.coalesce(F.sum("tok_n"), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("tok_n").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_skipped"),
+    )

@@ -6873,3 +6873,63 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.functions.curation import bpe_merges
 
     return bpe_merges(_cpu(spark, sf_dir, "documents"), "text", n_merges=3)
+
+
+def _bpe_tokenize_oracle(n_merges: int = 3) -> str:
+    """Unrolled DuckDB twin of ``bpe_tokenize``: the bpe_merges chain with
+    the word column carried through, the LAST merge also applied, then the
+    per-word token count joined back to the exploded corpus."""
+    parts = [
+        f"WITH {_WORDS_CTE},",
+        "flat0 AS (SELECT doc, unnest(words) AS w FROM base),",
+        "wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM flat0"
+        " WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w),",
+        "w0 AS (SELECT w, cnt,"
+        " regexp_replace(w, '(.)', ' \\1 ', 'g') AS sym FROM wc),",
+    ]
+    for i in range(1, n_merges + 1):
+        prev = f"w{i - 1}"
+        parts.append(
+            f"t{i} AS (SELECT cnt, string_split(trim(sym), '  ') AS t FROM {prev}),"
+        )
+        parts.append(
+            f"pu{i} AS (SELECT cnt, unnest([{{'l': t[j], 'r': t[j + 1]}}"
+            f" for j in range(1, len(t))]) AS p FROM t{i}),"
+        )
+        parts.append(
+            f"p{i} AS (SELECT p.l AS l, p.r AS r, CAST(SUM(cnt) AS BIGINT) AS c"
+            f" FROM pu{i} GROUP BY p.l, p.r),"
+        )
+        parts.append(
+            f"b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),"
+        )
+        parts.append(
+            f"w{i} AS (SELECT w, cnt, replace(sym,"
+            f" ' ' || b{i}.l || '  ' || b{i}.r || ' ',"
+            f" ' ' || b{i}.l || b{i}.r || ' ') AS sym FROM {prev}, b{i}),"
+        )
+    parts.append(
+        f"dict AS (SELECT w, CAST(len(string_split(trim(sym), '  ')) AS BIGINT)"
+        f" AS tok_n FROM w{n_merges}),"
+    )
+    parts.append(
+        "j AS (SELECT flat0.doc, dict.tok_n FROM flat0"
+        " LEFT JOIN dict ON flat0.w = dict.w)"
+    )
+    return "\n".join(parts) + """
+    SELECT doc, CAST(COUNT(tok_n) AS BIGINT) AS n_words,
+           CAST(COALESCE(SUM(tok_n), 0) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tok_n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_skipped
+    FROM j GROUP BY doc
+    """
+
+
+@query("bpe_tokenize", _bpe_tokenize_oracle(3))
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE end-to-end: learn 3 merges from the corpus, apply them, count
+    post-merge tokens per document. The merge application is vocab-bounded
+    (per distinct word, not per occurrence); see curation.bpe_tokenize."""
+    from ocr_spark.functions.curation import bpe_tokenize
+
+    return bpe_tokenize(_cpu(spark, sf_dir, "documents"), "doc_id", "text")

@@ -166,3 +166,19 @@ def test_bpe_merges_no_driver_iteration(spark):
     plan = _plan(bpe_merges(docs.select("text"), "text"))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bpe_tokenize_hand_computed(spark):
+    from ocr_spark.functions.curation import bpe_tokenize
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower lower newest"), (2, "low x% low")],
+        "doc_id long, text string")
+    got = {r.doc: (r.n_words, r.n_tokens, r.n_skipped)
+           for r in bpe_tokenize(df, "doc_id", "text").collect()}
+    # corpus merges (incl. doc 2's lows): (l,o)->(lo,w)->... counts: lo 7,
+    # then (lo,w) 7, then pairs: (low,e) 2 vs (e,r) 2 -> 'e' wins -> er
+    # final syms: low -> [low] (1); lower -> [low,er] (2);
+    # newest -> [n,e,w,e,s,t] (6); x% skipped
+    assert got[1] == (6, 3 * 1 + 2 * 2 + 6, 0)
+    assert got[2] == (2, 2 * 1, 1)
