@@ -144,6 +144,7 @@ HEADLINE = [
     "host_quality_trend",
     "lineage_digest",
     "lsh_recall_eval",
+    "extraction_eval",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -2781,3 +2781,74 @@ def bpe_tokenize(
         .cast("bigint")
         .alias("n_skipped"),
     )
+
+
+def extraction_eval(
+    df: DataFrame, id_col: str, pred_col: str, gold_col: str
+) -> DataFrame:
+    """Extraction-quality evaluation at corpus scale: per document, the
+    token-BAG precision / recall / F1 of a predicted extraction column
+    against a gold text column — the eval harness an extraction tier runs
+    whenever the extractor (or its config) changes, over the slice of the
+    corpus that has editorial gold text.
+
+    Token bags use the engine-wide tokenization (lower + trim + split on
+    whitespace); overlap is the multiset intersection
+    ``sum_w least(tf_pred(w), tf_gold(w))``, so a predicted token only
+    counts as many times as gold actually contains it. Precision
+    (overlap/|pred|) and recall (overlap/|gold|) are floored to exact
+    integer BASIS POINTS (``x div y`` on BIGINTs — non-negative, so
+    truncation == floor in both engines), and F1 is the harmonic mean of
+    the floored bp values, floored again: every emitted number is an exact
+    integer, immune to cross-engine float drift. Zero denominators emit 0.
+
+    Returns (doc, pred_n, gold_n, overlap, precision_bp, recall_bp, f1_bp).
+
+    Scale shape: one explode per side into a shared (doc, token)-keyed
+    hash agg (map-side partials collapse repeated tokens before the
+    shuffle), then a doc-keyed integer SUM — the same two-shuffle profile
+    as unigram_kl. Per-doc sizes ride the row-local array length, so empty
+    documents survive without a distinct-ids pass. Nothing is quadratic
+    and nothing crosses into Python."""
+    pw = _doc_words(df, id_col, pred_col)
+    gw = _doc_words(df, id_col, gold_col)
+    sizes = (
+        pw.select("doc", F.size("words").cast("bigint").alias("pred_n"))
+        .join(gw.select("doc", F.size("words").cast("bigint").alias("gold_n")),
+              "doc")
+    )
+    sides = (
+        pw.select("doc", F.explode("words").alias("w"),
+                  F.lit(1).alias("p"), F.lit(0).alias("g"))
+        .unionByName(
+            gw.select("doc", F.explode("words").alias("w"),
+                      F.lit(0).alias("p"), F.lit(1).alias("g")))
+    )
+    tf = sides.groupBy("doc", "w").agg(
+        F.sum("p").alias("tp"), F.sum("g").alias("tg"))
+    ov = tf.groupBy("doc").agg(
+        F.sum(F.least("tp", "tg")).cast("bigint").alias("overlap"))
+    pr = (
+        sizes.join(ov, "doc", "left")
+        .select(
+            "doc", "pred_n", "gold_n",
+            F.coalesce("overlap", F.lit(0)).cast("bigint").alias("overlap"),
+        )
+        .select(
+            "doc", "pred_n", "gold_n", "overlap",
+            F.when(F.col("pred_n") > 0,
+                   F.expr("(10000 * overlap) div pred_n"))
+            .otherwise(F.lit(0)).cast("bigint").alias("precision_bp"),
+            F.when(F.col("gold_n") > 0,
+                   F.expr("(10000 * overlap) div gold_n"))
+            .otherwise(F.lit(0)).cast("bigint").alias("recall_bp"),
+        )
+    )
+    return pr.select(
+        "*",
+        F.when(
+            F.col("precision_bp") + F.col("recall_bp") > 0,
+            F.expr("(2 * precision_bp * recall_bp)"
+                   " div (precision_bp + recall_bp)"),
+        ).otherwise(F.lit(0)).cast("bigint").alias("f1_bp"),
+    )

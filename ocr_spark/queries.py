@@ -6933,3 +6933,77 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.functions.curation import bpe_tokenize
 
     return bpe_tokenize(_cpu(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@query(
+    "extraction_eval",
+    r"""
+    WITH t0 AS (
+      SELECT doc_id AS doc, text AS gold, trim(text) AS gt FROM documents),
+    tk AS (SELECT doc, gold, string_split_regex(gt, '\s+') AS w0 FROM t0),
+    bu AS (
+      SELECT doc, gold,
+             array_to_string(
+               list_transform(
+                 list_filter(generate_series(1, len(w0)), i -> i % 7 <> 0),
+                 i -> w0[i]), ' ')
+               || ' subscribe to our newsletter today' AS pred
+      FROM tk),
+    pt AS (
+      SELECT doc,
+             CASE WHEN length(trim(pred)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(pred)), '\s+') END AS words
+      FROM bu),
+    gt2 AS (
+      SELECT doc,
+             CASE WHEN length(trim(gold)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(gold)), '\s+') END AS words
+      FROM bu),
+    sz AS (
+      SELECT pt.doc, CAST(len(pt.words) AS BIGINT) AS pred_n,
+             CAST(len(gt2.words) AS BIGINT) AS gold_n
+      FROM pt JOIN gt2 ON pt.doc = gt2.doc),
+    tok AS (
+      SELECT doc, unnest(words) AS w, 1 AS p, 0 AS g FROM pt
+      UNION ALL
+      SELECT doc, unnest(words) AS w, 0 AS p, 1 AS g FROM gt2),
+    tf AS (SELECT doc, w, SUM(p) AS tp, SUM(g) AS tg FROM tok GROUP BY doc, w),
+    ov AS (SELECT doc, CAST(SUM(LEAST(tp, tg)) AS BIGINT) AS overlap
+           FROM tf GROUP BY doc),
+    pr AS (
+      SELECT sz.doc, pred_n, gold_n,
+             CAST(COALESCE(overlap, 0) AS BIGINT) AS overlap
+      FROM sz LEFT JOIN ov ON sz.doc = ov.doc),
+    bp AS (
+      SELECT doc, pred_n, gold_n, overlap,
+             CAST(CASE WHEN pred_n > 0 THEN (10000 * overlap) // pred_n
+                       ELSE 0 END AS BIGINT) AS precision_bp,
+             CAST(CASE WHEN gold_n > 0 THEN (10000 * overlap) // gold_n
+                       ELSE 0 END AS BIGINT) AS recall_bp
+      FROM pr)
+    SELECT doc, pred_n, gold_n, overlap, precision_bp, recall_bp,
+           CAST(CASE WHEN precision_bp + recall_bp > 0
+                     THEN (2 * precision_bp * recall_bp)
+                          // (precision_bp + recall_bp)
+                     ELSE 0 END AS BIGINT) AS f1_bp
+    FROM bp
+    """,
+)
+def q_extraction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extraction-quality eval over the documents corpus: token-bag
+    precision/recall/F1 (exact basis points) of a degraded extraction
+    against the gold text. The degraded side drops every 7th token and
+    appends a boilerplate tail — a deterministic stand-in for a candidate
+    extractor's miss/leak profile, so both the <1.0-recall and
+    <1.0-precision paths are exercised on every document. See
+    functions/curation.extraction_eval for the two-shuffle scale shape."""
+    from ocr_spark.functions.curation import extraction_eval
+
+    docs = _cpu(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    kept = F.filter(toks, lambda x, i: (i + 1) % 7 != 0)
+    pred = F.concat(F.array_join(kept, " "),
+                    F.lit(" subscribe to our newsletter today"))
+    d = docs.select(
+        "doc_id", F.col("text").alias("gold"), pred.alias("pred"))
+    return extraction_eval(d, "doc_id", "pred", "gold")

@@ -182,3 +182,45 @@ def test_bpe_tokenize_hand_computed(spark):
     # newest -> [n,e,w,e,s,t] (6); x% skipped
     assert got[1] == (6, 3 * 1 + 2 * 2 + 6, 0)
     assert got[2] == (2, 2 * 1, 1)
+
+
+def test_extraction_eval_hand_computed(spark):
+    from ocr_spark.functions.curation import extraction_eval
+
+    df = spark.createDataFrame(
+        [
+            # gold bag {a:2,b:1}, pred bag {a:1,c:1}: overlap 1
+            (1, "a c", "A a b"),
+            # perfect match incl. case fold
+            (2, "X y", "x Y"),
+            # empty pred vs non-empty gold
+            (3, "   ", "a b"),
+            # both empty
+            (4, "", " "),
+        ],
+        "doc long, pred string, gold string",
+    )
+    rows = {r.doc: r for r in extraction_eval(df, "doc", "pred", "gold").collect()}
+    assert (rows[1].pred_n, rows[1].gold_n, rows[1].overlap) == (2, 3, 1)
+    assert (rows[1].precision_bp, rows[1].recall_bp) == (5000, 3333)
+    assert rows[1].f1_bp == (2 * 5000 * 3333) // (5000 + 3333)  # 4000
+    assert (rows[2].precision_bp, rows[2].recall_bp, rows[2].f1_bp) == (
+        10000, 10000, 10000)
+    assert (rows[3].pred_n, rows[3].precision_bp, rows[3].recall_bp,
+            rows[3].f1_bp) == (0, 0, 0, 0)
+    assert (rows[4].pred_n, rows[4].gold_n, rows[4].f1_bp) == (0, 0, 0)
+
+
+def test_extraction_eval_query_degradation_profile(spark, tmp_path):
+    from ocr_spark.queries import QUERIES
+
+    d = str(tmp_path / "sf")
+    spark.createDataFrame(
+        [(1, "a a b c d e f g", "en", "s", 15)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(f"{d}/documents.parquet")
+    r = QUERIES["extraction_eval"](spark, d).collect()[0]
+    # pred drops token 7 ('f') and appends the 5-token boilerplate tail:
+    # pred_n = 7 + 5 = 12, gold_n = 8, overlap = 7
+    assert (r.pred_n, r.gold_n, r.overlap) == (12, 8, 7)
+    assert (r.precision_bp, r.recall_bp, r.f1_bp) == (5833, 8750, 6999)
