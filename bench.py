@@ -145,6 +145,8 @@ HEADLINE = [
     "lineage_digest",
     "lsh_recall_eval",
     "extraction_eval",
+    "cdx_index",
+    "url_patterns",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -2852,3 +2852,115 @@ def extraction_eval(
                    " div (precision_bp + recall_bp)"),
         ).otherwise(F.lit(0)).cast("bigint").alias("f1_bp"),
     )
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) urlkey — the canonical
+    key of web-archive CDX indexes: the host is lowercased, a single
+    leading ``www.`` is stripped, the remaining labels are reversed and
+    comma-joined (``com,example``), then ``)`` + the lowercased path and
+    the query with its parameters sorted, so all captures of one logical
+    resource sort (and hash-partition) together regardless of host casing,
+    www aliasing, or query-parameter order.
+
+    IP hosts (dotted-quad or bracketless IPv6 from url_host) stay
+    verbatim — reversing address octets would be meaningless. Ports are
+    dropped with the authority (crawl-equivalence semantics). A bare
+    authority gets the explicit ``/`` root path. Pure codegen'd
+    projection: string/array ops only, no shuffle, fuses into any scan."""
+    host = F.regexp_replace(url_host(url), r"^www\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    hostkey = F.when(
+        host.rlike(r"^[0-9.]+$") | host.contains(":"), host
+    ).otherwise(rev)
+    rest = F.regexp_replace(
+        F.lower(
+            F.regexp_replace(url, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]*", "")
+        ),
+        r"#.*$", "",
+    )
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(rest, r"\?(.*)$", 1)
+    sq = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    return F.concat(
+        hostkey, F.lit(")"), path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sq)),
+    )
+
+
+def cdx_index(
+    df: DataFrame, id_col: str, url_col: str, ts_col: str, text_col: str
+) -> DataFrame:
+    """CDX-style capture index over a crawl snapshot table: per capture,
+    the SURT urlkey, timestamp, content digest (sha256 hex), how many
+    captures the urlkey has, and whether this capture is a REVISIT — an
+    identical-digest recrawl of content the index already holds at an
+    earlier timestamp (web archives store revisits as pointers, not
+    payload; a curation pipeline drops them before dedup even starts).
+
+    Returns (capture, urlkey, ts, digest, n_captures, is_revisit).
+
+    Scale shape: ONE exchange. The n_captures window partitions on urlkey,
+    and the first-capture window on (urlkey, digest) reuses that
+    partitioning — hash-partitioning on the key subset already clusters
+    the superset, so Catalyst plans no second shuffle. The digest is
+    computed at the scan (payload bytes never shuffle; 64 hex chars do)."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("capture"),
+        surt_key(F.col(url_col)).alias("urlkey"),
+        F.col(ts_col).cast("bigint").alias("ts"),
+        F.sha2(F.col(text_col), 256).alias("digest"),
+    )
+    wk = Window.partitionBy("urlkey")
+    wd = Window.partitionBy("urlkey", "digest")
+    return base.select(
+        "capture", "urlkey", "ts", "digest",
+        F.count(F.lit(1)).over(wk).cast("bigint").alias("n_captures"),
+        (F.min("ts").over(wd) < F.col("ts")).cast("bigint").alias("is_revisit"),
+    )
+
+
+def url_patterns(
+    df: DataFrame, url_col: str, trap_min_distinct: int = 16
+) -> DataFrame:
+    """Templated-URL mining / crawler-trap detection: URLs collapse to a
+    per-host template (runs of >=8 hex chars -> ``H``, digit runs -> ``N``,
+    query values -> ``=V``), and templates whose DISTINCT-url count
+    explodes are flagged — calendar traps, session-id links, and faceted
+    listings generate unbounded URL spaces a frontier must cap per
+    template, not per host.
+
+    Returns (host, pattern, n_urls, n_distinct, is_trap).
+
+    Scale shape: the template is a pure regexp projection at the scan;
+    one hash agg keyed (host, pattern) with a partial-aggregating exact
+    COUNT(DISTINCT url) — template cardinality is bounded (that is the
+    point of templating), so the agg state stays small even for mega-hosts."""
+    url = F.col(url_col)
+    rest = F.regexp_replace(
+        F.regexp_replace(url, r"(?i)^[a-z][a-z0-9+.-]*://[^/?#]*", ""),
+        r"#.*$", "",
+    )
+    pat = F.regexp_replace(rest, r"[0-9a-f]{8,}", "H")
+    pat = F.regexp_replace(pat, r"[0-9]+", "N")
+    pat = F.regexp_replace(pat, r"=[^&#]*", "=V")
+    return (
+        df.select(
+            url_host(url).alias("host"), pat.alias("pattern"), url.alias("u")
+        )
+        .groupBy("host", "pattern")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("u").alias("n_distinct"),
+        )
+        .select(
+            "host", "pattern",
+            F.col("n_urls").cast("bigint").alias("n_urls"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+            (F.col("n_distinct") >= trap_min_distinct)
+            .cast("bigint").alias("is_trap"),
+        )
+    )

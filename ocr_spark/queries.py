@@ -7007,3 +7007,159 @@ def q_extraction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id", F.col("text").alias("gold"), pred.alias("pred"))
     return extraction_eval(d, "doc_id", "pred", "gold")
+
+
+_SURT_SQL = r"""
+    regexp_replace(lower(regexp_replace(
+      regexp_extract({u}, '(?i)^[a-z][a-z0-9+.-]*://(\[[^\]]+\]|[^/:?#]+)', 1),
+      '^\[|\]$', '', 'g')), '^www\.', '')
+"""
+
+
+@query(
+    "cdx_index",
+    r"""
+    WITH caps AS (
+      SELECT doc_id * 2 AS capture, CAST(doc_id AS BIGINT) AS ts,
+             doc_id AS k, text FROM documents
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS capture, CAST(doc_id + 1000000 AS BIGINT) AS ts,
+             doc_id AS k,
+             CASE WHEN doc_id % 3 = 0 THEN text ELSE text || '~' END AS text
+      FROM documents),
+    u AS (
+      SELECT capture, ts, text,
+             CASE WHEN k % 4 = 0 THEN
+                    'https://WWW.Site' || CAST(k % 11 AS VARCHAR) || '.com/P/'
+                      || CAST(k % 7 AS VARCHAR) || '?b=2&a=1'
+                  WHEN k % 4 = 1 THEN
+                    'https://site' || CAST(k % 11 AS VARCHAR) || '.com/p/'
+                      || CAST(k % 7 AS VARCHAR) || '?a=1&b=2'
+                  WHEN k % 4 = 2 THEN
+                    'http://[2001:db8::' || CAST(k % 5 AS VARCHAR) || ']:8080/idx'
+                  ELSE 'HTTP://Host' || CAST(k % 13 AS VARCHAR) || '.org'
+             END AS url
+      FROM caps),
+    s AS (
+      SELECT capture, ts, text,
+             {surt} AS host,
+             regexp_replace(lower(regexp_replace(
+               url, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]*', '')), '#.*$', '') AS rest
+      FROM u),
+    kx AS (
+      SELECT capture, ts, text,
+             CASE WHEN regexp_matches(host, '^[0-9.]+$') OR contains(host, ':')
+                  THEN host
+                  ELSE array_to_string(list_reverse(string_split(host, '.')), ',')
+             END AS hostkey,
+             CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/'
+                  ELSE regexp_extract(rest, '^([^?]*)', 1) END AS path,
+             regexp_extract(rest, '\?(.*)$', 1) AS query
+      FROM s),
+    base AS (
+      SELECT capture,
+             hostkey || ')' || path ||
+             CASE WHEN query = '' THEN ''
+                  ELSE '?' || array_to_string(
+                         list_sort(string_split(query, '&')), '&') END AS urlkey,
+             ts, sha256(text) AS digest
+      FROM kx)
+    SELECT CAST(capture AS BIGINT) AS capture, urlkey, ts, digest,
+           CAST(COUNT(*) OVER (PARTITION BY urlkey) AS BIGINT) AS n_captures,
+           CAST(CASE WHEN MIN(ts) OVER (PARTITION BY urlkey, digest) < ts
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_revisit
+    FROM base
+    """.replace("{surt}", _SURT_SQL.format(u="url")),
+)
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style capture index over a two-visit recrawl fixture: every
+    document is captured twice (the recrawl keeps identical content for
+    doc_id%3==0, so exactly those second captures are revisits), under
+    URLs that exercise the SURT urlkey — www/case aliases and shuffled
+    query-parameter order collapse to one key, IPv6 literals stay
+    verbatim, bare authorities get the root path. See
+    functions/curation.cdx_index for the one-exchange window plan."""
+    from ocr_spark.functions.curation import cdx_index
+
+    d = _cpu(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    url = (
+        F.when(k % 4 == 0, F.concat(
+            F.lit("https://WWW.Site"), (k % 11).cast("string"),
+            F.lit(".com/P/"), (k % 7).cast("string"), F.lit("?b=2&a=1")))
+        .when(k % 4 == 1, F.concat(
+            F.lit("https://site"), (k % 11).cast("string"),
+            F.lit(".com/p/"), (k % 7).cast("string"), F.lit("?a=1&b=2")))
+        .when(k % 4 == 2, F.concat(
+            F.lit("http://[2001:db8::"), (k % 5).cast("string"),
+            F.lit("]:8080/idx")))
+        .otherwise(F.concat(
+            F.lit("HTTP://Host"), (k % 13).cast("string"), F.lit(".org")))
+    )
+    caps = (
+        d.select((k * 2).alias("capture"), k.cast("bigint").alias("ts"),
+                 url.alias("url"), F.col("text"))
+        .unionByName(
+            d.select(
+                (k * 2 + 1).alias("capture"),
+                (k + 1000000).cast("bigint").alias("ts"),
+                url.alias("url"),
+                F.when(k % 3 == 0, F.col("text"))
+                .otherwise(F.concat(F.col("text"), F.lit("~"))).alias("text"),
+            ))
+    )
+    out = cdx_index(caps, "capture", "url", "ts", "text")
+    return out.withColumn("capture", F.col("capture").cast("bigint"))
+
+
+@query(
+    "url_patterns",
+    r"""
+    WITH u AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN
+                    'https://trap.example/cal?d=' || CAST(doc_id AS VARCHAR)
+                  WHEN doc_id % 3 = 1 THEN
+                    'https://ok.example/page/' || CAST(doc_id % 4 AS VARCHAR)
+                  ELSE 'https://ids.example/s/' || substr(sha256(text), 1, 12)
+             END AS url
+      FROM documents),
+    p AS (
+      SELECT lower(regexp_replace(
+               regexp_extract(url, '(?i)^[a-z][a-z0-9+.-]*://(\[[^\]]+\]|[^/:?#]+)', 1),
+               '^\[|\]$', '', 'g')) AS host,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(url, '(?i)^[a-z][a-z0-9+.-]*://[^/?#]*', ''),
+               '#.*$', ''),
+               '[0-9a-f]{8,}', 'H', 'g'),
+               '[0-9]+', 'N', 'g'),
+               '=[^&#]*', '=V', 'g') AS pattern,
+             url AS u2
+      FROM u)
+    SELECT host, pattern,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT u2) AS BIGINT) AS n_distinct,
+           CAST(CASE WHEN COUNT(DISTINCT u2) >= 16 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_trap
+    FROM p GROUP BY host, pattern
+    """,
+)
+def q_url_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawler-trap template mining over a three-host fixture: a calendar
+    trap (one template, unbounded distinct URLs), a bounded pagination
+    host (4 distinct pages — never flagged), and a hex-id host whose long
+    ids collapse to H but still explode distinct URLs. See
+    functions/curation.url_patterns."""
+    from ocr_spark.functions.curation import url_patterns
+
+    k = F.col("doc_id")
+    url = (
+        F.when(k % 3 == 0, F.concat(
+            F.lit("https://trap.example/cal?d="), k.cast("string")))
+        .when(k % 3 == 1, F.concat(
+            F.lit("https://ok.example/page/"), (k % 4).cast("string")))
+        .otherwise(F.concat(
+            F.lit("https://ids.example/s/"),
+            F.substring(F.sha2(F.col("text"), 256), 1, 12)))
+    )
+    d = _cpu(spark, sf_dir, "documents").select(url.alias("url"))
+    return url_patterns(d, "url")

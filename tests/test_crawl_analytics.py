@@ -224,3 +224,64 @@ def test_extraction_eval_query_degradation_profile(spark, tmp_path):
     # pred_n = 7 + 5 = 12, gold_n = 8, overlap = 7
     assert (r.pred_n, r.gold_n, r.overlap) == (12, 8, 7)
     assert (r.precision_bp, r.recall_bp, r.f1_bp) == (5833, 8750, 6999)
+
+
+def test_surt_key_rules(spark):
+    from pyspark.sql import functions as F
+    from ocr_spark.functions.curation import surt_key
+
+    cases = {
+        # www strip + case fold + label reversal + query sort
+        "https://WWW.Sub.Example.COM/A/B?b=2&a=1": "com,example,sub)/a/b?a=1&b=2",
+        # bare authority -> explicit root; default port dropped with authority
+        "HTTP://Host.org:8080": "org,host)/",
+        # IPv6 literal stays verbatim, port dropped
+        "http://[2001:DB8::1]:443/x": "2001:db8::1)/x",
+        # dotted-quad stays verbatim
+        "http://10.0.0.1/p": "10.0.0.1)/p",
+        # fragment dropped; single-param query keeps its '?'
+        "https://e.com/p?k=v#frag": "com,e)/p?k=v",
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string")
+    got = {r.url: r.k for r in df.select("url", surt_key(F.col("url")).alias("k")).collect()}
+    assert got == cases
+
+
+def test_cdx_index_revisit_semantics(spark):
+    from ocr_spark.functions.curation import cdx_index
+
+    df = spark.createDataFrame(
+        [
+            # same key (www/query-order alias), same content: 2nd is a revisit
+            (1, "https://www.a.com/x?b=2&a=1", 10, "same"),
+            (2, "https://A.com/x?a=1&b=2", 20, "same"),
+            # same key, changed content: NOT a revisit
+            (3, "https://a.com/x?a=1&b=2", 30, "changed"),
+            # other key
+            (4, "https://b.com/", 5, "same"),
+        ],
+        "cap long, url string, ts long, text string",
+    )
+    rows = {r.capture: r
+            for r in cdx_index(df, "cap", "url", "ts", "text").collect()}
+    assert rows[1].urlkey == rows[2].urlkey == rows[3].urlkey
+    assert (rows[1].is_revisit, rows[2].is_revisit, rows[3].is_revisit) == (0, 1, 0)
+    assert rows[1].n_captures == 3 and rows[4].n_captures == 1
+    # same-content doc on a DIFFERENT key never counts as a revisit
+    assert rows[4].is_revisit == 0
+
+
+def test_url_patterns_templating(spark):
+    from ocr_spark.functions.curation import url_patterns
+
+    urls = (
+        [(f"https://t.com/cal?d=20240{i:02d}",) for i in range(1, 21)]  # trap
+        + [("https://t.com/page/1",), ("https://t.com/page/1",)]  # repeat, bounded
+        + [("https://t.com/s/deadbeef1234",)]  # hex id -> H
+    )
+    df = spark.createDataFrame(urls, "url string")
+    got = {r.pattern: (r.n_urls, r.n_distinct, r.is_trap)
+           for r in url_patterns(df, "url").collect()}
+    assert got["/cal?d=V"] == (20, 20, 1)
+    assert got["/page/N"] == (2, 1, 0)
+    assert got["/s/H"] == (1, 1, 0)
