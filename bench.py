@@ -147,6 +147,8 @@ HEADLINE = [
     "extraction_eval",
     "cdx_index",
     "url_patterns",
+    "manifest_prune",
+    "phrase_search",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -2964,3 +2964,124 @@ def url_patterns(
             .cast("bigint").alias("is_trap"),
         )
     )
+
+
+def zone_map_prune(
+    df: DataFrame,
+    file_col: str,
+    preds: list[tuple[int, str, int, int]],
+) -> DataFrame:
+    """Zone-map (min/max file-statistics) pruning evaluation — the data-
+    skipping layer of Iceberg manifests / Parquet row-group indexes,
+    measured instead of assumed: given a file-id column (the physical
+    clustering) and a list of ``(pred_id, col, lo, hi)`` range predicates
+    over integer columns, build the per-file manifest (row count + min/max
+    per referenced column) and report, per predicate, how many files a
+    min/max-overlap scan planner keeps, how many rows those files hold,
+    the exact matching row count, and how many kept files are pure false
+    positives (zone-map overlap but zero matching rows) — the number that
+    tells you whether the table's clustering actually serves the workload.
+
+    Returns (pred_id, col, lo, hi, n_files, n_files_kept, rows_total,
+    rows_in_kept_files, exact_rows, n_fp_files), all counts BIGINT.
+
+    Scale shape: ONE pass over the data — the manifest stats AND the exact
+    per-(file, predicate) match counts are conditional aggregates in the
+    same map-side-combinable hash agg keyed on the file id (in production
+    the min/max half arrives free from the table format's manifest; the
+    exact half is the audit). The predicate evaluation then runs on the
+    manifest alone — file-count-sized, row-count-free — so the report
+    costs the same at 10^12 rows as the scan that builds it."""
+    cols = sorted({c for _, c, _, _ in preds})
+    stats = df.groupBy(F.col(file_col).alias("f")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        *[F.min(c).cast("bigint").alias(f"mn_{c}") for c in cols],
+        *[F.max(c).cast("bigint").alias(f"mx_{c}") for c in cols],
+        *[
+            F.sum(
+                F.when(F.col(c).between(lo, hi), 1).otherwise(0)
+            ).alias(f"m_{pid}")
+            for pid, c, lo, hi in preds
+        ],
+    )
+    exp = stats.select(
+        F.col("n_rows"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(pid).cast("bigint").alias("pred_id"),
+                        F.lit(c).alias("col"),
+                        F.lit(lo).cast("bigint").alias("lo"),
+                        F.lit(hi).cast("bigint").alias("hi"),
+                        F.col(f"mn_{c}").alias("mn"),
+                        F.col(f"mx_{c}").alias("mx"),
+                        F.col(f"m_{pid}").alias("m"),
+                    )
+                    for pid, c, lo, hi in preds
+                ]
+            )
+        ).alias("p"),
+    )
+    kept = (F.col("p.mx") >= F.col("p.lo")) & (F.col("p.mn") <= F.col("p.hi"))
+    return (
+        exp.groupBy("p.pred_id", "p.col", "p.lo", "p.hi")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum(kept.cast("int")).cast("bigint").alias("n_files_kept"),
+            F.sum("n_rows").cast("bigint").alias("rows_total"),
+            F.sum(F.when(kept, F.col("n_rows")).otherwise(0))
+            .cast("bigint").alias("rows_in_kept_files"),
+            F.sum("p.m").cast("bigint").alias("exact_rows"),
+            F.sum(F.when(kept & (F.col("p.m") == 0), 1).otherwise(0))
+            .cast("bigint").alias("n_fp_files"),
+        )
+    )
+
+
+def phrase_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Phrase-index retrieval for the corpus's hottest two-word phrases:
+    build the adjacent-token (bigram) stream row-locally, find the top-k
+    bigrams by collection frequency (ties broken lexicographically), and
+    return every (bigram, document) occurrence count — the positional-
+    postings phrase-match next to term_postings (df/postings) and
+    bm25_search (ranked single terms): the adjacency constraint that
+    postings-with-positions exist to answer, expressed as a zip of the
+    token array with its own tail so no position column ever shuffles.
+
+    Returns (bigram, corpus_freq, doc_id, n_occ).
+
+    Scale shape: bigram construction is a zero-shuffle projection
+    (zip_with over the split array); the collection-frequency agg is the
+    one data-sized shuffle, keyed on the bigram with map-side partials;
+    top-k is a TakeOrdered over the aggregated vocabulary (never a total
+    sort of the corpus); the per-document occurrence agg joins the
+    exploded stream against the BROADCAST k-row phrase list before its
+    own (bigram, doc) agg, so only matching rows reach the second
+    shuffle."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    stream = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(bigrams).alias("bigram")
+    )
+    top = (
+        stream.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("corpus_freq"))
+        .orderBy(F.desc("corpus_freq"), F.asc("bigram"))
+        .limit(k)
+    )
+    return (
+        stream.join(F.broadcast(top), "bigram")
+        .groupBy("bigram", "corpus_freq", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
+    )

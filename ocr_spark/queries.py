@@ -7163,3 +7163,108 @@ def q_url_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = _cpu(spark, sf_dir, "documents").select(url.alias("url"))
     return url_patterns(d, "url")
+
+
+@query(
+    "manifest_prune",
+    r"""
+    WITH li AS (
+      SELECT l_orderkey // 500 AS f,
+             l_orderkey AS orderkey,
+             CAST(l_quantity AS BIGINT) AS qty,
+             CAST(date_part('year', l_shipdate) * 12
+                  + date_part('month', l_shipdate) AS BIGINT) AS shipm,
+             l_orderkey * 2 AS evens
+      FROM lineitem),
+    stats AS (
+      SELECT f, COUNT(*) AS n_rows,
+             MIN(orderkey) AS mn_o, MAX(orderkey) AS mx_o,
+             MIN(qty) AS mn_q, MAX(qty) AS mx_q,
+             MIN(shipm) AS mn_s, MAX(shipm) AS mx_s,
+             MIN(evens) AS mn_e, MAX(evens) AS mx_e,
+             SUM(CASE WHEN orderkey BETWEEN 310 AND 1650 THEN 1 ELSE 0 END) AS m1,
+             SUM(CASE WHEN qty BETWEEN 1 AND 3 THEN 1 ELSE 0 END) AS m2,
+             SUM(CASE WHEN shipm BETWEEN 23941 AND 23943 THEN 1 ELSE 0 END) AS m3,
+             SUM(CASE WHEN evens BETWEEN 1001 AND 1001 THEN 1 ELSE 0 END) AS m4
+      FROM li GROUP BY f),
+    exp AS (
+      SELECT 1 AS pred_id, 'orderkey' AS col, 310 AS lo, 1650 AS hi,
+             n_rows, mn_o AS mn, mx_o AS mx, m1 AS m FROM stats
+      UNION ALL
+      SELECT 2, 'qty', 1, 3, n_rows, mn_q, mx_q, m2 FROM stats
+      UNION ALL
+      SELECT 3, 'shipm', 23941, 23943, n_rows, mn_s, mx_s, m3 FROM stats
+      UNION ALL
+      SELECT 4, 'evens', 1001, 1001, n_rows, mn_e, mx_e, m4 FROM stats)
+    SELECT CAST(pred_id AS BIGINT) AS pred_id, col,
+           CAST(lo AS BIGINT) AS lo, CAST(hi AS BIGINT) AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN mx >= lo AND mn <= hi THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_files_kept,
+           CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+           CAST(SUM(CASE WHEN mx >= lo AND mn <= hi THEN n_rows ELSE 0 END)
+                AS BIGINT) AS rows_in_kept_files,
+           CAST(SUM(m) AS BIGINT) AS exact_rows,
+           CAST(SUM(CASE WHEN mx >= lo AND mn <= hi AND m = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_fp_files
+    FROM exp GROUP BY pred_id, col, lo, hi
+    """,
+)
+def q_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map data-skipping audit over an orderkey-clustered synthetic
+    file layout (file = l_orderkey//500): predicate 1 (an orderkey range)
+    prunes all but the boundary-straddling files, predicates 2-3 (quantity
+    / ship-month ranges, uncorrelated with the clustering) keep every file,
+    and predicate 4 probes an odd value of a doubled-key column — min/max
+    overlap everywhere, zero matching rows, so every kept file is counted
+    a false positive (the case dictionary/Bloom skipping exists to close).
+    See functions/curation.zone_map_prune for the one-pass scale shape."""
+    from ocr_spark.functions.curation import zone_map_prune
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_orderkey") / 500).alias("f"),
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+        .cast("bigint").alias("shipm"),
+        (F.col("l_orderkey") * 2).alias("evens"),
+    )
+    preds = [
+        (1, "orderkey", 310, 1650),
+        (2, "qty", 1, 3),
+        (3, "shipm", 23941, 23943),
+        (4, "evens", 1001, 1001),
+    ]
+    return zone_map_prune(li, "f", preds)
+
+
+@query(
+    "phrase_search",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+      FROM documents),
+    b AS (
+      SELECT doc_id,
+             unnest([l[i] || ' ' || l[i + 1] for i in range(1, len(l))])
+               AS bigram
+      FROM t),
+    cf AS (SELECT bigram, COUNT(*) AS corpus_freq FROM b GROUP BY bigram),
+    top3 AS (SELECT bigram, corpus_freq FROM cf
+             ORDER BY corpus_freq DESC, bigram LIMIT 3)
+    SELECT b.bigram, CAST(t3.corpus_freq AS BIGINT) AS corpus_freq,
+           b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ
+    FROM b JOIN top3 t3 ON t3.bigram = b.bigram
+    GROUP BY b.bigram, t3.corpus_freq, b.doc_id
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hottest-phrase retrieval over the documents corpus: the top-3
+    adjacent-token bigrams by collection frequency and every document
+    occurrence count for them — the phrase-match query a positional
+    postings index answers, with the adjacency join expressed row-locally.
+    See functions/curation.phrase_topk for the zero-shuffle bigram
+    construction and broadcast phrase-list scale shape."""
+    from ocr_spark.functions.curation import phrase_topk
+
+    return phrase_topk(_cpu(spark, sf_dir, "documents"), "doc_id", "text", 3)

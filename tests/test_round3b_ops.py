@@ -1,0 +1,101 @@
+"""Edge-case tests for the round-3b operator batch: zone-map pruning
+(boundary inclusivity, false-positive files, fully-pruned predicates) and
+phrase-index retrieval (degenerate docs, tie-breaks, multiplicity) —
+properties the oracle parity harness can't express.
+"""
+
+from __future__ import annotations
+
+from ocr_spark.functions.curation import phrase_topk, zone_map_prune
+
+
+def _prune(spark, rows, preds):
+    df = spark.createDataFrame(rows, ["f", "x"])
+    out = zone_map_prune(df, "f", preds)
+    return {r["pred_id"]: r.asDict() for r in out.collect()}
+
+
+def test_zone_map_prune_boundary_inclusive(spark):
+    # file 0 holds {10, 20}, file 1 holds {30, 40}
+    rows = [(0, 10), (0, 20), (1, 30), (1, 40)]
+    # hi == file-0 max and lo == file-1 min: both files kept
+    out = _prune(spark, rows, [(1, "x", 20, 30)])
+    assert out[1]["n_files_kept"] == 2
+    assert out[1]["exact_rows"] == 2
+    assert out[1]["n_fp_files"] == 0
+
+
+def test_zone_map_prune_prunes_and_counts_rows(spark):
+    rows = [(0, 10), (0, 20), (1, 30), (1, 40), (2, 50)]
+    out = _prune(spark, rows, [(1, "x", 35, 60)])
+    r = out[1]
+    assert r["n_files"] == 3
+    assert r["n_files_kept"] == 2          # file 0 pruned
+    assert r["rows_total"] == 5
+    assert r["rows_in_kept_files"] == 3
+    assert r["exact_rows"] == 2            # 40 and 50
+    # 30 is in a kept file but outside the range: zone maps over-read
+    assert r["exact_rows"] < r["rows_in_kept_files"]
+
+
+def test_zone_map_prune_false_positive_file(spark):
+    # file 0 spans [10, 30] but holds no 20: kept AND zero matches
+    rows = [(0, 10), (0, 30), (1, 100)]
+    out = _prune(spark, rows, [(1, "x", 20, 20)])
+    r = out[1]
+    assert r["n_files_kept"] == 1
+    assert r["exact_rows"] == 0
+    assert r["n_fp_files"] == 1
+
+
+def test_zone_map_prune_all_pruned(spark):
+    rows = [(0, 10), (1, 20)]
+    out = _prune(spark, rows, [(1, "x", 500, 600)])
+    r = out[1]
+    assert r["n_files_kept"] == 0
+    assert r["rows_in_kept_files"] == 0
+    assert r["exact_rows"] == 0
+    assert r["n_fp_files"] == 0
+
+
+def test_zone_map_prune_multi_pred_multi_col(spark):
+    df = spark.createDataFrame(
+        [(0, 1, 100), (0, 2, 200), (1, 3, 300)], ["f", "a", "b"]
+    )
+    out = zone_map_prune(
+        df, "f", [(1, "a", 1, 1), (2, "b", 250, 999)]
+    )
+    got = {r["pred_id"]: r.asDict() for r in out.collect()}
+    assert got[1]["col"] == "a" and got[1]["exact_rows"] == 1
+    assert got[2]["col"] == "b" and got[2]["n_files_kept"] == 1
+    assert got[2]["rows_in_kept_files"] == 1
+
+
+def _phrases(spark, rows, k=3):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return phrase_topk(df, "doc_id", "text", k).collect()
+
+
+def test_phrase_topk_degenerate_docs(spark):
+    # empty / whitespace / single-token docs contribute no bigrams
+    rows = [(0, ""), (1, "   "), (2, "one"), (3, "a b a b")]
+    out = _phrases(spark, rows, k=2)
+    assert {r["bigram"] for r in out} == {"a b", "b a"}
+    occ = {(r["bigram"], r["doc_id"]): r["n_occ"] for r in out}
+    assert occ[("a b", 3)] == 2            # within-doc multiplicity
+    assert occ[("b a", 3)] == 1
+
+
+def test_phrase_topk_tie_break_lexicographic(spark):
+    # three bigrams all with frequency 1; k=2 must take the two smallest
+    rows = [(0, "z z"), (1, "a a"), (2, "m m")]
+    out = _phrases(spark, rows, k=2)
+    assert sorted({r["bigram"] for r in out}) == ["a a", "m m"]
+
+
+def test_phrase_topk_corpus_freq_consistency(spark):
+    rows = [(0, "x y x y"), (1, "x y"), (2, "q r")]
+    out = _phrases(spark, rows, k=1)
+    assert all(r["bigram"] == "x y" for r in out)
+    assert all(r["corpus_freq"] == 3 for r in out)
+    assert sum(r["n_occ"] for r in out) == 3
