@@ -149,6 +149,8 @@ HEADLINE = [
     "url_patterns",
     "manifest_prune",
     "phrase_search",
+    "label_propagation",
+    "ks_drift",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -3085,3 +3085,56 @@ def phrase_topk(
         .groupBy("bigram", "corpus_freq", "doc_id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_occ"))
     )
+
+
+def ks_drift(df: DataFrame, value_col: str, side_col: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between the integer
+    ``value_col`` distributions of side 0 (baseline) and side 1
+    (candidate) — the distribution-shift gate between crawl snapshots,
+    extractor versions, or curation configs: supremum distance between
+    the two empirical CDFs, carried EXACTLY as the integer numerator
+    ``|cum_a*n_b - cum_b*n_a|`` (the CDF difference times n_a*n_b) so the
+    argmax and the reported basis points are engine- and order-exact.
+    The supremum's location ties break to the smallest value.
+
+    Returns ONE row (n_a, n_b, at_value, d_num, ks_bp) with
+    ks_bp = d_num * 10000 // (n_a * n_b).
+
+    Scale shape: the value histogram is the one data-sized shuffle (hash
+    agg keyed on the value with map-side partials) — everything after
+    runs on distinct-value-count rows, not row count. The cumulative
+    window is a single ordered pass over that bounded histogram (the same
+    value-histogram plan as length_percentiles); the supremum is a
+    TakeOrdered(1), never a total sort of the data. n_a*n_b*10000 must
+    fit BIGINT — holds to ~10^7 rows per side; shard-and-merge above."""
+    from pyspark.sql.window import Window
+
+    side = F.col(side_col)
+    pv = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.sum(F.when(side == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(side == 0, 0).otherwise(1)).alias("b"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pv.select(
+        "v",
+        F.sum("a").over(w).alias("ca"),
+        F.sum("b").over(w).alias("cb"),
+    )
+    tot = pv.agg(
+        F.sum("a").cast("bigint").alias("n_a"),
+        F.sum("b").cast("bigint").alias("n_b"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "n_a", "n_b", F.col("v").alias("at_value"),
+        F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+        .cast("bigint").alias("d_num"),
+    )
+    return (
+        d.orderBy(F.desc("d_num"), F.asc("at_value"))
+        .limit(1)
+        .select(
+            "n_a", "n_b", "at_value", "d_num",
+            F.expr("CAST((d_num * 10000) DIV (n_a * n_b) AS BIGINT)")
+            .alias("ks_bp"),
+        )
+    )

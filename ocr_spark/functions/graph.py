@@ -247,3 +247,65 @@ def hits(
             "hub",
         )
     return hub.join(auth, "node").select("node", "hub", "authority")
+
+
+def label_propagation(edges: DataFrame, n_iters: int = 4) -> DataFrame:
+    """Deterministic synchronous label propagation (community detection)
+    over (src, dst) edges: the graph is symmetrized, every node starts
+    with its own id as label, and each of ``n_iters`` synchronous rounds
+    reassigns every node the MOST FREQUENT label among its neighbors,
+    ties broken to the SMALLEST label — the mode-of-neighbors rule that
+    separates LPA communities from min-label connected components
+    (dedup.connected_components), which merge everything reachable.
+    Isolated nodes (and rounds where a node's neighborhood is empty)
+    keep the previous label. Synchronous update + total tie-break make
+    the result bit-identical on any engine, partitioning, or retry.
+
+    Returns (node, community, community_size).
+
+    Scale shape: per round, one join of the label frame onto the edge
+    list keyed on the neighbor end, then one (node, label) hash agg with
+    map-side partials and a struct-MAX argmax per node — never a window
+    sort. The label frame is node-sized (graph nodes = hosts, orders of
+    magnitude below rows), so the per-round cost is edge-count-bound
+    with AQE free to re-plan each round's skew."""
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    nodes = (
+        und.select(F.col("src").alias("node"))
+        .unionByName(und.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(n_iters):
+        neigh = und.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        counts = neigh.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        best = counts.groupBy("node").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))
+            .alias("b")
+        ).select("node", (-F.col("b.nl")).alias("new_label"))
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+        )
+    sizes = labels.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return labels.join(sizes, "label").select(
+        "node",
+        F.col("label").alias("community"),
+        "community_size",
+    )

@@ -7268,3 +7268,131 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.functions.curation import phrase_topk
 
     return phrase_topk(_cpu(spark, sf_dir, "documents"), "doc_id", "text", 3)
+
+
+@query("label_propagation", """
+    WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+    raw AS (SELECT node, unnest(generate_series(1, 1 + node % 3)) AS j
+            FROM nodes),
+    e AS (SELECT DISTINCT node AS src, (node * 13 + j * 29) % 100 AS dst
+          FROM raw WHERE (node * 13 + j * 29) % 100 != node),
+    und AS (SELECT DISTINCT src, dst FROM (
+              SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+            WHERE src != dst),
+    gn AS (SELECT DISTINCT src AS node FROM und
+           UNION SELECT DISTINCT dst FROM und),
+    l0 AS (SELECT node, node AS label FROM gn),
+    c1 AS (
+      SELECT u.src AS node, l.label, COUNT(*) AS c
+      FROM und u JOIN l0 l ON l.node = u.dst
+      GROUP BY u.src, l.label),
+    m1 AS (SELECT node, MAX(c) AS mc FROM c1 GROUP BY node),
+    l1 AS (
+      SELECT p.node,
+             COALESCE(MIN(CASE WHEN c.c = m.mc THEN c.label END), p.label)
+               AS label
+      FROM l0 p
+      LEFT JOIN c1 c ON c.node = p.node
+      LEFT JOIN m1 m ON m.node = p.node
+      GROUP BY p.node, p.label),
+    c2 AS (
+      SELECT u.src AS node, l.label, COUNT(*) AS c
+      FROM und u JOIN l1 l ON l.node = u.dst
+      GROUP BY u.src, l.label),
+    m2 AS (SELECT node, MAX(c) AS mc FROM c2 GROUP BY node),
+    l2 AS (
+      SELECT p.node,
+             COALESCE(MIN(CASE WHEN c.c = m.mc THEN c.label END), p.label)
+               AS label
+      FROM l1 p
+      LEFT JOIN c2 c ON c.node = p.node
+      LEFT JOIN m2 m ON m.node = p.node
+      GROUP BY p.node, p.label),
+    c3 AS (
+      SELECT u.src AS node, l.label, COUNT(*) AS c
+      FROM und u JOIN l2 l ON l.node = u.dst
+      GROUP BY u.src, l.label),
+    m3 AS (SELECT node, MAX(c) AS mc FROM c3 GROUP BY node),
+    l3 AS (
+      SELECT p.node,
+             COALESCE(MIN(CASE WHEN c.c = m.mc THEN c.label END), p.label)
+               AS label
+      FROM l2 p
+      LEFT JOIN c3 c ON c.node = p.node
+      LEFT JOIN m3 m ON m.node = p.node
+      GROUP BY p.node, p.label),
+    c4 AS (
+      SELECT u.src AS node, l.label, COUNT(*) AS c
+      FROM und u JOIN l3 l ON l.node = u.dst
+      GROUP BY u.src, l.label),
+    m4 AS (SELECT node, MAX(c) AS mc FROM c4 GROUP BY node),
+    l4 AS (
+      SELECT p.node,
+             COALESCE(MIN(CASE WHEN c.c = m.mc THEN c.label END), p.label)
+               AS label
+      FROM l3 p
+      LEFT JOIN c4 c ON c.node = p.node
+      LEFT JOIN m4 m ON m.node = p.node
+      GROUP BY p.node, p.label),
+    sz AS (SELECT label, COUNT(*) AS community_size
+           FROM l4 GROUP BY label)
+    SELECT l.node, l.label AS community,
+           CAST(s.community_size AS BIGINT) AS community_size
+    FROM l4 l JOIN sz s ON s.label = l.label
+    """)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the shared 100-host link graph via 4 rounds
+    of deterministic synchronous label propagation (mode-of-neighbors,
+    smallest-label ties) — the community signal beside PageRank (authority),
+    HITS (hubs), triangle counting (local density), and min-label
+    connected components (reachability). The DuckDB twin unrolls the same
+    synchronous rounds. See functions/graph.label_propagation."""
+    from ocr_spark.functions.graph import label_propagation
+
+    return label_propagation(_host_edges(spark, sf_dir), n_iters=4)
+
+
+@query(
+    "ks_drift",
+    """
+    WITH s AS (
+      SELECT CASE WHEN doc_id % 2 = 0 THEN n_chars
+                  ELSE n_chars + (doc_id % 7) * 25 END AS v,
+             doc_id % 2 AS side
+      FROM documents),
+    pv AS (SELECT v,
+                  SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS a,
+                  SUM(CASE WHEN side = 0 THEN 0 ELSE 1 END) AS b
+           FROM s GROUP BY v),
+    t AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+                 CAST(SUM(b) AS BIGINT) AS n_b FROM pv),
+    c AS (SELECT v,
+                 SUM(a) OVER (ORDER BY v) AS ca,
+                 SUM(b) OVER (ORDER BY v) AS cb
+          FROM pv)
+    SELECT t.n_a, t.n_b, c.v AS at_value,
+           CAST(ABS(c.ca * t.n_b - c.cb * t.n_a) AS BIGINT) AS d_num,
+           CAST(ABS(c.ca * t.n_b - c.cb * t.n_a) * 10000
+                // (t.n_a * t.n_b) AS BIGINT) AS ks_bp
+    FROM c, t
+    ORDER BY ABS(c.ca * t.n_b - c.cb * t.n_a) DESC, c.v
+    LIMIT 1
+    """,
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift gate between two synthetic crawl snapshots of
+    the documents corpus: the baseline side keeps n_chars, the recrawl
+    side is shifted by a deterministic doc-dependent offset, and the
+    two-sample KS statistic (exact integer numerator, supremum location,
+    basis points) quantifies the drift an extractor-version bump must
+    stay under. See functions/curation.ks_drift for the value-histogram
+    scale shape."""
+    from ocr_spark.functions.curation import ks_drift
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 2 == 0, F.col("n_chars"))
+        .otherwise(F.col("n_chars") + (F.col("doc_id") % 7) * 25)
+        .alias("v"),
+        (F.col("doc_id") % 2).alias("side"),
+    )
+    return ks_drift(d, "v", "side")

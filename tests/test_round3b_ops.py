@@ -6,7 +6,8 @@ properties the oracle parity harness can't express.
 
 from __future__ import annotations
 
-from ocr_spark.functions.curation import phrase_topk, zone_map_prune
+from ocr_spark.functions.curation import ks_drift, phrase_topk, zone_map_prune
+from ocr_spark.functions.graph import label_propagation
 
 
 def _prune(spark, rows, preds):
@@ -99,3 +100,70 @@ def test_phrase_topk_corpus_freq_consistency(spark):
     assert all(r["bigram"] == "x y" for r in out)
     assert all(r["corpus_freq"] == 3 for r in out)
     assert sum(r["n_occ"] for r in out) == 3
+
+
+def _lpa(spark, edges, n_iters=4):
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    out = label_propagation(df, n_iters=n_iters)
+    return {r["node"]: (r["community"], r["community_size"])
+            for r in out.collect()}
+
+
+def test_label_propagation_two_cliques(spark):
+    # two triangles with no connection: two communities of size 3
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    out = _lpa(spark, tri1 + tri2)
+    c1 = {out[n][0] for n in (0, 1, 2)}
+    c2 = {out[n][0] for n in (10, 11, 12)}
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+    assert all(out[n][1] == 3 for n in out)
+
+
+def test_label_propagation_barbell_keeps_sides(spark):
+    # two triangles joined by one bridge edge: each side stays one block
+    edges = [(0, 1), (1, 2), (2, 0), (10, 11), (11, 12), (12, 10), (2, 10)]
+    out = _lpa(spark, edges)
+    assert len({out[n][0] for n in (0, 1, 2)}) == 1
+    assert len({out[n][0] for n in (10, 11, 12)}) == 1
+
+
+def test_label_propagation_symmetrizes_directed_edges(spark):
+    # a one-directional edge still makes both endpoints neighbors
+    out = _lpa(spark, [(7, 8), (8, 9), (9, 7)])
+    assert len({out[n][0] for n in (7, 8, 9)}) == 1
+
+
+def test_label_propagation_partition_invariance(spark):
+    edges = [(a, (a * 13 + j * 29) % 50) for a in range(50)
+             for j in (1, 2) if (a * 13 + j * 29) % 50 != a]
+    df1 = spark.createDataFrame(edges, ["src", "dst"])
+    df2 = df1.repartition(17, "dst")
+    r1 = sorted(map(tuple, label_propagation(df1).collect()))
+    r2 = sorted(map(tuple, label_propagation(df2).collect()))
+    assert r1 == r2
+
+
+def _ks(spark, a_vals, b_vals):
+    rows = [(v, 0) for v in a_vals] + [(v, 1) for v in b_vals]
+    df = spark.createDataFrame(rows, ["v", "side"])
+    return ks_drift(df, "v", "side").collect()[0].asDict()
+
+
+def test_ks_drift_identical_sides_zero(spark):
+    r = _ks(spark, [1, 2, 3], [1, 2, 3])
+    assert r["d_num"] == 0 and r["ks_bp"] == 0
+    assert r["at_value"] == 1              # tie-break: smallest value
+
+
+def test_ks_drift_disjoint_is_10000bp(spark):
+    r = _ks(spark, [1, 1, 1, 1], [2, 2, 2])
+    assert r["n_a"] == 4 and r["n_b"] == 3
+    assert r["at_value"] == 1
+    assert r["d_num"] == 12 and r["ks_bp"] == 10000
+
+
+def test_ks_drift_hand_computed(spark):
+    r = _ks(spark, [1, 2], [1, 3])
+    assert r["at_value"] == 2
+    assert r["d_num"] == 2 and r["ks_bp"] == 5000
