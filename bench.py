@@ -151,6 +151,8 @@ HEADLINE = [
     "phrase_search",
     "label_propagation",
     "ks_drift",
+    "zipf_fit",
+    "ngram_novelty",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

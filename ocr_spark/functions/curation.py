@@ -3138,3 +3138,139 @@ def ks_drift(df: DataFrame, value_col: str, side_col: str) -> DataFrame:
             .alias("ks_bp"),
         )
     )
+
+
+def zipf_fit(df: DataFrame, text_col: str, top_r: int = 256) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: the
+    least-squares slope of ln(freq) against ln(rank) for the top
+    ``top_r`` terms — natural text tracks slope ≈ -1, and the deviation
+    is a corpus-health signal (template/boilerplate floods flatten the
+    head; OCR noise or spam fattens the tail). Engine-exact by the
+    micro-nat convention: the ONLY float op is one ln per ranked term,
+    quantized to BIGINT milli-nats; the regression sums, the slope
+    numerator/denominator, and the reported magnitude are pure integer
+    arithmetic (positive-only divisions, so floor and truncation agree
+    across engines).
+
+    Returns ONE row (n_terms, num, den, abs_slope_ppm): the exact
+    integers num = n*Sxy - Sx*Sy (<= 0 here: frequency is
+    rank-monotone), den = n*Sxx - Sx^2, and the quotient+remainder ppm
+    abs_slope_ppm = ((-num) DIV den)*10^6 + (((-num) % den)*1000) DIV
+    (den DIV 1000) — ~1_000_000 for slope -1. Splitting the integer and
+    fractional parts keeps every intermediate under 2^63 (remainder <
+    den <= n*Sxx ~ 2e12, times 1000 is safe) while losing only the
+    den DIV 1000 truncation (~1e-3 relative, below the milli-nat
+    quantization noise already in x/y); 0 when den < 1000 (degenerate
+    sub-milli spread).
+
+    Scale shape: the vocabulary agg is the one data-sized shuffle
+    (term-keyed, map-side partials); top_r selection is a TakeOrdered
+    over the aggregated vocabulary; ranking and the regression run on
+    top_r rows — corpus-size-free."""
+    from pyspark.sql.window import Window
+
+    terms = df.select(
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("freq"))
+    top = vocab.orderBy(F.desc("freq"), F.asc("term")).limit(top_r)
+    ranked = top.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.desc("freq"), F.asc("term")))
+        .alias("rank"),
+    )
+    xy = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1000)
+        .cast("bigint").alias("x"),
+        F.round(F.log(F.col("freq").cast("double")) * 1000)
+        .cast("bigint").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return s.select(
+        F.col("n").alias("n_terms"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint").alias("num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint").alias("den"),
+    ).select(
+        "n_terms", "num", "den",
+        F.expr(
+            "CAST(CASE WHEN den DIV 1000 > 0"
+            "     THEN ((-num) DIV den) * 1000000"
+            "        + (((-num) % den) * 1000) DIV (den DIV 1000)"
+            "     ELSE 0 END AS BIGINT)"
+        ).alias("abs_slope_ppm"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a document's DISTINCT
+    word n-grams whose FIRST corpus occurrence (smallest document id) is
+    this document — the incremental-contribution signal of a crawl batch:
+    recrawls, mirrors, and template floods score near zero, genuinely new
+    content near 10000 bp, and the corpus-wide novelty trend tells you
+    when a crawl has stopped finding new text.
+
+    Returns (doc_id, n_grams, n_novel, novelty_bp) for every document
+    (gram-free docs — shorter than n words — carry zeros).
+
+    Scale shape: n-gram construction AND the per-doc dedup are
+    zero-shuffle projections (``array_distinct`` dedupes inside each
+    document's gram array before the explode — no corpus-wide DISTINCT
+    shuffle); the gram-keyed MIN(doc) attribution is a
+    map-side-combinable agg whose g-exchange Spark reuses
+    (ReusedExchange) for the join probe side, and the join itself is
+    gram-keyed so AQE can split a template-flood hot gram (a window
+    PARTITION BY g could not); the final per-doc count agg is
+    doc-keyed. No all-pairs surface anywhere."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sz = F.size(toks)
+    grams = F.when(
+        sz >= n,
+        F.transform(
+            F.sequence(F.lit(1), sz - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dg = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.array_distinct(grams)).alias("g"),
+    )
+    first = dg.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        dg.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("int"))
+            .cast("bigint").alias("n_novel"),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_novel",
+            F.expr(
+                "CAST(CASE WHEN n_grams > 0"
+                "     THEN (n_novel * 10000) DIV n_grams ELSE 0 END"
+                "     AS BIGINT)"
+            ).alias("novelty_bp"),
+        )
+    )

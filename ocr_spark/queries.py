@@ -7396,3 +7396,87 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2).alias("side"),
     )
     return ks_drift(d, "v", "side")
+
+
+@query(
+    "zipf_fit",
+    r"""
+    WITH t AS (
+      SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+      FROM documents),
+    v AS (SELECT term, COUNT(*) AS freq FROM t
+          WHERE term != '' GROUP BY term),
+    topv AS (SELECT term, freq FROM v ORDER BY freq DESC, term LIMIT 256),
+    r AS (SELECT freq,
+                 ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rank
+          FROM topv),
+    xy AS (SELECT
+             CAST(ROUND(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS x,
+             CAST(ROUND(ln(CAST(freq AS DOUBLE)) * 1000) AS BIGINT) AS y
+           FROM r),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx
+          FROM xy),
+    f AS (SELECT n AS n_terms,
+                 CAST(n * sxy - sx * sy AS BIGINT) AS num,
+                 CAST(n * sxx - sx * sx AS BIGINT) AS den
+          FROM s)
+    SELECT n_terms, num, den,
+           CAST(CASE WHEN den // 1000 > 0
+                THEN ((-num) // den) * 1000000
+                   + (((-num) % den) * 1000) // (den // 1000)
+                ELSE 0 END AS BIGINT) AS abs_slope_ppm
+    FROM f
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency regression over the documents vocabulary —
+    exact integer milli-nat least squares on the top-256 terms; the
+    corpus-health statistic beside vocab_topk (who the head terms are)
+    and unigram_kl (who deviates from the corpus). See
+    functions/curation.zipf_fit."""
+    from ocr_spark.functions.curation import zipf_fit
+
+    return zipf_fit(_cpu(spark, sf_dir, "documents"), "text", 256)
+
+
+@query(
+    "ngram_novelty",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS l
+      FROM documents),
+    dg AS (
+      SELECT DISTINCT doc_id,
+             unnest([l[i] || ' ' || l[i + 1] || ' ' || l[i + 2]
+                     for i in range(1, len(l) - 1)]) AS g
+      FROM t),
+    first AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g),
+    per_doc AS (
+      SELECT dg.doc_id,
+             COUNT(*) AS n_grams,
+             SUM(CASE WHEN f.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+               AS n_novel
+      FROM dg JOIN first f ON f.g = dg.g
+      GROUP BY dg.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+           CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+           CAST(CASE WHEN COALESCE(p.n_grams, 0) > 0
+                THEN (p.n_novel * 10000) // p.n_grams
+                ELSE 0 END AS BIGINT) AS novelty_bp
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty over the documents corpus: how much
+    of each document's distinct trigram set first enters the corpus with
+    that document — the is-the-crawl-still-finding-new-text signal,
+    complementary to corpus_dup_ngrams (how shared the corpus is) and
+    dup_span_removal (which spans to cut). See
+    functions/curation.ngram_novelty."""
+    from ocr_spark.functions.curation import ngram_novelty
+
+    return ngram_novelty(_cpu(spark, sf_dir, "documents"), "doc_id", "text", 3)

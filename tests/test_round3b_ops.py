@@ -6,7 +6,13 @@ properties the oracle parity harness can't express.
 
 from __future__ import annotations
 
-from ocr_spark.functions.curation import ks_drift, phrase_topk, zone_map_prune
+from ocr_spark.functions.curation import (
+    ks_drift,
+    ngram_novelty,
+    phrase_topk,
+    zipf_fit,
+    zone_map_prune,
+)
 from ocr_spark.functions.graph import label_propagation
 
 
@@ -167,3 +173,64 @@ def test_ks_drift_hand_computed(spark):
     r = _ks(spark, [1, 2], [1, 3])
     assert r["at_value"] == 2
     assert r["d_num"] == 2 and r["ks_bp"] == 5000
+
+
+def _zipf(spark, freqs):
+    # one row per word occurrence: term_i with frequency freqs[i]
+    text = " ".join(
+        " ".join(f"w{i:03d}" for _ in range(f)) for i, f in enumerate(freqs)
+    )
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    return zipf_fit(df, "text").collect()[0].asDict()
+
+
+def test_zipf_fit_true_zipf_slope_near_minus_one(spark):
+    # freq = 840 / rank exactly: the continuous slope is -1
+    r = _zipf(spark, [840 // i for i in range(1, 9)])
+    assert r["n_terms"] == 8
+    # exact fixture: 840 = lcm(1..8), so freq = 840/rank exactly and the
+    # continuous slope is -1; milli-nat quantization leaves ~1e-4
+    assert 995_000 <= r["abs_slope_ppm"] <= 1_005_000
+    assert r["num"] < 0 and r["den"] > 0
+
+
+def test_zipf_fit_flat_distribution_zero_slope(spark):
+    r = _zipf(spark, [7] * 10)
+    assert r["num"] == 0 and r["abs_slope_ppm"] == 0
+
+
+def test_zipf_fit_single_term_degenerate(spark):
+    r = _zipf(spark, [5])
+    assert r["n_terms"] == 1
+    assert r["den"] == 0 and r["abs_slope_ppm"] == 0
+
+
+def _novelty(spark, rows):
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    return {r["doc_id"]: r.asDict()
+            for r in ngram_novelty(df, "doc_id", "text", 3).collect()}
+
+
+def test_ngram_novelty_copy_scores_zero(spark):
+    out = _novelty(spark, [
+        (0, "a b c d e"),          # introduces all 3 trigrams
+        (1, "a b c d e"),          # exact copy: nothing novel
+        (2, "a b c x y z"),        # 1 old trigram (a b c), 3 new
+    ])
+    assert out[0]["novelty_bp"] == 10000 and out[0]["n_grams"] == 3
+    assert out[1]["novelty_bp"] == 0 and out[1]["n_novel"] == 0
+    assert out[2]["n_grams"] == 4 and out[2]["n_novel"] == 3
+    assert out[2]["novelty_bp"] == 7500
+
+
+def test_ngram_novelty_short_and_empty_docs(spark):
+    out = _novelty(spark, [(0, "one two"), (1, ""), (2, "x y z")])
+    assert out[0]["n_grams"] == 0 and out[0]["novelty_bp"] == 0
+    assert out[1]["n_grams"] == 0
+    assert out[2]["novelty_bp"] == 10000
+
+
+def test_ngram_novelty_within_doc_repeat_counts_once(spark):
+    out = _novelty(spark, [(0, "a b c a b c a b c")])
+    # distinct trigrams of the cycle: a b c / b c a / c a b — each once
+    assert out[0]["n_grams"] == 3 and out[0]["n_novel"] == 3
