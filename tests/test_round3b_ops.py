@@ -234,3 +234,31 @@ def test_ngram_novelty_within_doc_repeat_counts_once(spark):
     out = _novelty(spark, [(0, "a b c a b c a b c")])
     # distinct trigrams of the cycle: a b c / b c a / c a b — each once
     assert out[0]["n_grams"] == 3 and out[0]["n_novel"] == 3
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_zipf_fit_topk_is_take_ordered(spark):
+    """The top-256 vocabulary selection must plan as TakeOrderedAndProject
+    (a bounded heap per partition), never a global Sort of the whole
+    vocabulary; the only data-sized shuffle is the term agg."""
+    import __spark_entry__ as E
+
+    plan = _plan(E.queries()["zipf_fit"](spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_ngram_novelty_plan_no_corpus_distinct(spark):
+    """In-doc dedup must be the array_distinct projection — no corpus-wide
+    (doc, gram) DISTINCT Exchange, no cartesian anywhere; every shuffle is
+    keyed on grams or doc ids (<= 4 hash exchanges pre-AQE)."""
+    import __spark_entry__ as E
+
+    df = E.queries()["ngram_novelty"](spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "array_distinct" in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
