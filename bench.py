@@ -153,6 +153,10 @@ HEADLINE = [
     "ks_drift",
     "zipf_fit",
     "ngram_novelty",
+    "salt_skew_audit",
+    "degree_stats",
+    "digit_hist_quantiles",
+    "event_transitions",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Dialect-common PII patterns (Java regex / RE2 / Python re agree):
 # emails, international-ish phone numbers, 12-digit aadhaar-style ids.
@@ -3272,5 +3273,124 @@ def ngram_novelty(
                 "     THEN (n_novel * 10000) DIV n_grams ELSE 0 END"
                 "     AS BIGINT)"
             ).alias("novelty_bp"),
+        )
+    )
+
+
+def salt_skew_audit(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    n_buckets: int = 16,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Audit how salting defuses partition-key skew: bucket every row by
+    md5(key) % n_buckets (``plain``) and by md5(key # id % n_salts) %
+    n_buckets (``salted``), and report per-strategy bucket-occupancy
+    stats. ``skew_bp`` is max-bucket share relative to the uniform ideal
+    in basis points (10000 = perfectly even; a single hot key at 40% of
+    rows reads ~ 40% * n_buckets * 10000).
+
+    This is the planning twin of the pipeline's hash(url)+salt
+    repartition (pipeline.py): a crawl's host distribution is Zipfian, so
+    hash(host) alone leaves one reducer holding the mega-host; appending
+    a small per-row salt splits that key across ``n_salts`` buckets at
+    the cost of a second-stage merge. The audit quantifies exactly that
+    trade before a 100 TB run commits to a layout.
+
+    Shape: two B-key hash aggs (map-side partials) over a projected
+    bucket id — the md5 runs codegen'd JVM-side; nothing driver-side.
+    Portable: md5 is bit-identical in every engine, so the DuckDB twin
+    reproduces the buckets exactly.
+    """
+
+    def _bucket(key: Column) -> Column:
+        return (
+            F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+            % n_buckets
+        )
+
+    def _summary(bucketed: DataFrame, strategy: str) -> DataFrame:
+        per = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+        return per.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets_used"),
+            F.max("n").cast("bigint").alias("max_bucket_n"),
+            F.min("n").cast("bigint").alias("min_bucket_n"),
+            F.expr(
+                f"CAST((MAX(n) * {n_buckets} * 10000) DIV SUM(n) AS BIGINT)"
+            ).alias("skew_bp"),
+        ).select(
+            F.lit(strategy).alias("strategy"),
+            "n_buckets_used", "max_bucket_n", "min_bucket_n", "skew_bp",
+        )
+
+    key = F.col(key_col)
+    salted = F.concat(
+        key, F.lit("#"), (F.col(id_col) % n_salts).cast("string"))
+    plain_b = df.select(_bucket(key).alias("bucket"))
+    salted_b = df.select(_bucket(salted).alias("bucket"))
+    return _summary(plain_b, "plain").unionByName(
+        _summary(salted_b, "salted"))
+
+
+def digit_hist_quantiles(
+    df: DataFrame,
+    col: str,
+    quantiles: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Mergeable decimal-digit histogram quantiles over a non-negative
+    integer column: bucket every value by its decimal digit count (a
+    base-10 log histogram — ~19 buckets cover all of int64), then read
+    each requested percentile as the smallest bucket whose cumulative
+    count reaches it. Returns (quantile_pct, bucket_digits, bucket_ub,
+    n_le) where ``bucket_ub`` = 10^digits - 1 is the bucket's inclusive
+    upper bound and ``n_le`` the cumulative count through that bucket.
+
+    This is the quantile member of the sketch family beside HLL
+    (:func:`hll_distinct`), CMS (:func:`cms_heavy_hitters`) and the Bloom
+    semi-join: per-partition histograms are plain counts, so they merge
+    by addition — one map-side-partial agg over <= 19 keys replaces a
+    global sort, and the answer is a deterministic bucket bound rather
+    than an engine-specific interpolation (exact integer arithmetic,
+    identical in any engine — no approx_percentile nondeterminism).
+
+    Shape: one hash agg on the digit bucket, then windows + the quantile
+    read over the <= 19-row histogram frame. Nothing data-sized past the
+    first agg. ``bucket_ub`` is NULL for buckets past 18 digits (10^19-1
+    exceeds int64; ANSI mode would raise on the cast otherwise).
+    """
+    base = df.filter(F.col(col).isNotNull() & (F.col(col) >= 0))
+    hist = (
+        base.select(F.length(F.col(col).cast("string")).alias("bucket"))
+        .groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    )
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        hist
+        .withColumn("cum", F.sum("n").over(wcum))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    qs = cum.limit(1).select(
+        F.explode(F.array(*[F.lit(int(q)) for q in quantiles]))
+        .alias("quantile_pct"))
+    sel = (
+        qs.crossJoin(cum.select("bucket", "cum", "total"))
+        .filter(F.col("cum") * 100 >= F.col("quantile_pct") * F.col("total"))
+        .groupBy("quantile_pct")
+        .agg(F.min("bucket").alias("bucket_digits"))
+    )
+    return (
+        sel.join(cum.select("bucket", "cum"),
+                 sel.bucket_digits == F.col("bucket"))
+        .select(
+            F.col("quantile_pct").cast("bigint").alias("quantile_pct"),
+            F.col("bucket_digits").cast("bigint").alias("bucket_digits"),
+            F.expr(
+                "CASE WHEN bucket_digits <= 18"
+                "     THEN CAST(repeat('9', bucket_digits) AS BIGINT)"
+                "     ELSE NULL END"
+            ).alias("bucket_ub"),
+            F.col("cum").cast("bigint").alias("n_le"),
         )
     )

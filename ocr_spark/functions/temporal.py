@@ -151,3 +151,55 @@ def funnel(
           for i in range(1, len(steps) + 1)],
         stage.cast("int").alias("stage"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Markov transition mining over per-user event streams: for every
+    ordered pair of consecutive events by the same user, count the
+    (prev_type, next_type) transition and score its independence lift —
+    ``lift_bp`` = P(pair) / (P(prev→·) * P(·→next)) in basis points
+    (10000 = the pair occurs exactly as often as independent marginals
+    predict; >>10000 = a funnel edge, <<10000 = an avoided path).
+
+    Ordering within a user is (ts, tiebreak) so same-instant events
+    resolve deterministically on any engine.
+
+    Shape: ONE user-keyed shuffle for the lag window, then a hash agg on
+    the (prev, next) pair; the marginals are window sums over the tiny
+    distinct-pair frame (|event types|^2 rows), not the event stream.
+    Lift arithmetic is exact BIGINT — n * total * 10000 must fit int64,
+    which holds through ~10^7 transitions per run; beyond that swap the
+    three lift columns to DECIMAL(38,0) (same plan, wider lanes).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    trans = (
+        events
+        .withColumn("prev_type", F.lag(type_col).over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type"),
+            F.col(type_col).alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wr = Window.partitionBy("prev_type")
+    wc = Window.partitionBy("next_type")
+    wt = Window.partitionBy()
+    return (
+        trans
+        .withColumn("row_m", F.sum("n").over(wr))
+        .withColumn("col_m", F.sum("n").over(wc))
+        .withColumn("total", F.sum("n").over(wt))
+        .select(
+            "prev_type", "next_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.expr("CAST((n * total * 10000) DIV (row_m * col_m) AS BIGINT)")
+            .alias("lift_bp"),
+        )
+    )

@@ -7480,3 +7480,166 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.functions.curation import ngram_novelty
 
     return ngram_novelty(_cpu(spark, sf_dir, "documents"), "doc_id", "text", 3)
+
+
+_SKEW_HOST_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 4 THEN 'mega.example'
+                  ELSE 'h' || CAST(doc_id % 37 AS VARCHAR) || '.example'
+             END AS host
+      FROM documents
+"""
+
+
+@query(
+    "salt_skew_audit",
+    f"""
+    WITH u AS ({_SKEW_HOST_SQL}),
+    pb AS (SELECT ('0x' || substr(md5(host), 1, 15))::BIGINT % 16 AS bucket
+           FROM u),
+    sb AS (SELECT ('0x' || substr(md5(host || '#'
+                || CAST(doc_id % 8 AS VARCHAR)), 1, 15))::BIGINT % 16 AS bucket
+           FROM u),
+    ps AS (SELECT bucket, COUNT(*) AS n FROM pb GROUP BY bucket),
+    ss AS (SELECT bucket, COUNT(*) AS n FROM sb GROUP BY bucket)
+    SELECT 'plain' AS strategy,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets_used,
+           CAST(MAX(n) AS BIGINT) AS max_bucket_n,
+           CAST(MIN(n) AS BIGINT) AS min_bucket_n,
+           CAST((MAX(n) * 16 * 10000) // SUM(n) AS BIGINT) AS skew_bp
+    FROM ps
+    UNION ALL
+    SELECT 'salted',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(MAX(n) AS BIGINT),
+           CAST(MIN(n) AS BIGINT),
+           CAST((MAX(n) * 16 * 10000) // SUM(n) AS BIGINT)
+    FROM ss
+    """,
+)
+def q_salt_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew audit on a deterministically skewed host column
+    (one mega-host holding 40% of rows, a Zipf-ish tail of 37 small
+    hosts): bucket occupancy by md5(host) alone vs md5(host + per-row
+    salt), quantifying exactly what the extraction pipeline's
+    hash(url)+salt repartition buys before a 100 TB run commits to a
+    layout. See functions/curation.salt_skew_audit."""
+    from ocr_spark.functions.curation import salt_skew_audit
+
+    k = F.col("doc_id")
+    host = F.when(k % 10 < 4, F.lit("mega.example")).otherwise(
+        F.concat(F.lit("h"), (k % 37).cast("string"), F.lit(".example")))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", host.alias("host"))
+    return salt_skew_audit(docs, "host", "doc_id", n_buckets=16, n_salts=8)
+
+
+@query(
+    "degree_stats",
+    f"""
+    WITH {_HOST_EDGES_SQL},
+    vn AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    out_d AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY src),
+    in_d AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY dst),
+    rec AS (SELECT a.src AS node, COUNT(*) AS n_reciprocal
+            FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
+            GROUP BY a.src)
+    SELECT vn.node,
+           CAST(COALESCE(out_d.out_deg, 0) AS BIGINT) AS out_deg,
+           CAST(COALESCE(in_d.in_deg, 0) AS BIGINT) AS in_deg,
+           CAST(COALESCE(rec.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+           CAST(CASE WHEN COALESCE(out_d.out_deg, 0) > 0
+                THEN (COALESCE(rec.n_reciprocal, 0) * 10000)
+                     // out_d.out_deg
+                ELSE 0 END AS BIGINT) AS reciprocity_bp
+    FROM vn
+    LEFT JOIN out_d ON out_d.node = vn.node
+    LEFT JOIN in_d ON in_d.node = vn.node
+    LEFT JOIN rec ON rec.node = vn.node
+    """,
+)
+def q_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree and link-reciprocity stats over the shared 100-host
+    link graph — the link-farm shape detector (high out-degree, near-zero
+    reciprocity) beside host_pagerank (authority) and triangle_count
+    (local density). See functions/graph.degree_stats."""
+    from ocr_spark.functions.graph import degree_stats
+
+    return degree_stats(_host_edges(spark, sf_dir))
+
+
+@query(
+    "digit_hist_quantiles",
+    """
+    WITH base AS (
+      SELECT n_chars FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars >= 0),
+    hist AS (
+      SELECT length(CAST(n_chars AS VARCHAR)) AS bucket, COUNT(*) AS n
+      FROM base GROUP BY 1),
+    cum AS (
+      SELECT bucket, n,
+             SUM(n) OVER (ORDER BY bucket) AS cum,
+             SUM(n) OVER () AS total
+      FROM hist),
+    qs AS (SELECT unnest([50, 90, 99]) AS quantile_pct),
+    sel AS (
+      SELECT q.quantile_pct, MIN(c.bucket) AS bucket_digits
+      FROM qs q JOIN cum c ON c.cum * 100 >= q.quantile_pct * c.total
+      GROUP BY q.quantile_pct)
+    SELECT CAST(s.quantile_pct AS BIGINT) AS quantile_pct,
+           CAST(s.bucket_digits AS BIGINT) AS bucket_digits,
+           CASE WHEN s.bucket_digits <= 18
+                THEN CAST(repeat('9', s.bucket_digits) AS BIGINT)
+                ELSE NULL END AS bucket_ub,
+           CAST(c.cum AS BIGINT) AS n_le
+    FROM sel s JOIN cum c ON c.bucket = s.bucket_digits
+    """,
+)
+def q_digit_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable decimal-digit histogram quantiles over documents.n_chars:
+    the sketch-family quantile reader (beside HLL/CMS/Bloom) — one <=19-key
+    hash agg replaces a global sort, and the answer is a deterministic
+    bucket bound, not an engine-specific interpolation. See
+    functions/curation.digit_hist_quantiles."""
+    from ocr_spark.functions.curation import digit_hist_quantiles
+
+    return digit_hist_quantiles(
+        _t(spark, sf_dir, "documents"), "n_chars", (50, 90, 99))
+
+
+@query(
+    "event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2),
+    m AS (
+      SELECT prev_type, next_type, n,
+             SUM(n) OVER (PARTITION BY prev_type) AS row_m,
+             SUM(n) OVER (PARTITION BY next_type) AS col_m,
+             SUM(n) OVER () AS total
+      FROM trans)
+    SELECT prev_type, next_type,
+           CAST(n AS BIGINT) AS n,
+           CAST((n * total * 10000) // (row_m * col_m) AS BIGINT) AS lift_bp
+    FROM m
+    """,
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition mining over per-user event streams: consecutive
+    (prev_type, next_type) pair counts with an exact-integer independence
+    lift in basis points — funnel edges read >>10000, avoided paths
+    <<10000. One user-keyed shuffle, then tiny-frame marginals. See
+    functions/temporal.event_transitions."""
+    from ocr_spark.functions.temporal import event_transitions
+
+    return event_transitions(
+        _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
+        "event_id")
