@@ -157,6 +157,8 @@ HEADLINE = [
     "degree_stats",
     "digit_hist_quantiles",
     "event_transitions",
+    "hits_scores",
+    "pareto_orders",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -3394,3 +3394,63 @@ def digit_hist_quantiles(
             F.col("cum").cast("bigint").alias("n_le"),
         )
     )
+
+
+def pareto_front(
+    df: DataFrame,
+    id_col: str,
+    x_col: str,
+    y_col: str,
+    n_prune_buckets: int = 64,
+) -> DataFrame:
+    """Exact 2-D Pareto front (maximize both axes) over integer metric
+    columns: returns the (id, x, y) rows no other row dominates, where
+    dominance is x' >= x AND y' >= y with at least one strict (equal
+    points are mutually non-dominating and both kept).
+
+    Two-stage scale shape: rows are first bucketed by md5(id) %
+    ``n_prune_buckets`` and pruned to each bucket's LOCAL front — local
+    dominance implies global dominance, so the prune is lossless — with
+    a bucket-partitioned window (never a single-partition sort over the
+    data). Only the survivors (at most the sum of local front sizes,
+    typically O(sqrt) of the input for uncorrelated axes) hit the final
+    global window. The front test per frame is one descending-x range
+    window: on the front iff y beats max(y) over strictly-greater x AND
+    y equals max(y) within its own x.
+
+    Worst case (perfectly anti-correlated axes) every row IS the front
+    and no pruning exists for any algorithm; the bucket stage still
+    bounds each task's frame to 1/B of the data.
+    """
+
+    def _front(pts: DataFrame, *part_cols: str) -> DataFrame:
+        w_gt = (
+            Window.partitionBy(*part_cols).orderBy(F.col("x").desc())
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        w_eq = Window.partitionBy(*part_cols, "x")
+        return (
+            pts
+            .withColumn("max_y_gt", F.max("y").over(w_gt))
+            .withColumn("max_y_eq", F.max("y").over(w_eq))
+            .filter(
+                (F.col("max_y_gt").isNull()
+                 | (F.col("y") > F.col("max_y_gt")))
+                & (F.col("y") == F.col("max_y_eq"))
+            )
+            .select("id", "x", "y")
+        )
+
+    pts = df.select(
+        F.col(id_col).alias("id"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+    )
+    bucketed = pts.withColumn(
+        "bk",
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 15),
+               16, 10).cast("bigint") % n_prune_buckets,
+    )
+    survivors = _front(bucketed, "bk")
+    return _front(survivors).select(
+        F.col("id"), F.col("x"), F.col("y"))

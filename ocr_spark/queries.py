@@ -7643,3 +7643,88 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_transitions(
         _t(spark, sf_dir, "events"), "user_id", "ts", "event_type",
         "event_id")
+
+
+def _hits_oracle(n_iters: int = 3, scale: int = 10**6) -> str:
+    iters = ""
+    for i in range(1, n_iters + 1):
+        iters += f""",
+    ar{i} AS (
+      SELECT vn.node, COALESCE(x.raw, 0) AS raw FROM vn LEFT JOIN (
+        SELECT e.dst AS node, SUM(h.hub) AS raw
+        FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst) x
+      ON x.node = vn.node),
+    a{i} AS (
+      SELECT ar.node,
+             CAST(CASE WHEN s.s > 0 THEN (ar.raw * {scale}) // s.s
+                  ELSE 0 END AS BIGINT) AS auth
+      FROM ar{i} ar CROSS JOIN (SELECT SUM(raw) AS s FROM ar{i}) s),
+    hr{i} AS (
+      SELECT vn.node, COALESCE(x.raw, 0) AS raw FROM vn LEFT JOIN (
+        SELECT e.src AS node, SUM(a.auth) AS raw
+        FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src) x
+      ON x.node = vn.node),
+    h{i} AS (
+      SELECT hr.node,
+             CAST(CASE WHEN s.s > 0 THEN (hr.raw * {scale}) // s.s
+                  ELSE 0 END AS BIGINT) AS hub
+      FROM hr{i} hr CROSS JOIN (SELECT SUM(raw) AS s FROM hr{i}) s)"""
+    return f"""
+    WITH {_HOST_EDGES_SQL},
+    vn AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM vn){iters}
+    SELECT vn.node, h.hub, a.auth
+    FROM vn JOIN h{n_iters} h ON h.node = vn.node
+    JOIN a{n_iters} a ON a.node = vn.node
+    """
+
+
+@query("hits_scores", _hits_oracle())
+def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer HITS (3 iterations, L1-normalized to 1e6
+    units) over the shared 100-host link graph — hubs vs authorities
+    split what PageRank blends: link farms score as hubs but earn no
+    authority. See functions/graph.hits_scores."""
+    from ocr_spark.functions.graph import hits_scores
+
+    return hits_scores(_host_edges(spark, sf_dir), n_iters=3)
+
+
+@query(
+    "pareto_orders",
+    """
+    WITH pts AS (
+      SELECT o_orderkey AS id,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS x,
+             CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) AS BIGINT) AS y
+      FROM orders)
+    SELECT id AS o_orderkey, x AS price_cents, y AS order_day
+    FROM (
+      SELECT id, x, y,
+             MAX(y) OVER (ORDER BY x DESC
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mgt,
+             MAX(y) OVER (PARTITION BY x) AS meq
+      FROM pts)
+    WHERE (mgt IS NULL OR y > mgt) AND y = meq
+    """,
+)
+def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-D Pareto front of orders by (price, recency) — the
+    non-dominated set selection primitive (data-selection twin:
+    quality x freshness). The lossless bucket-local prune keeps the
+    global window off the raw table. See functions/curation.pareto_front."""
+    from ocr_spark.functions.curation import pareto_front
+
+    pts = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        _cents("o_totalprice").alias("price_cents"),
+        F.datediff("o_orderdate", F.lit("1992-01-01")).alias("order_day"),
+    )
+    return pareto_front(
+        pts, "o_orderkey", "price_cents", "order_day"
+    ).select(
+        F.col("id").alias("o_orderkey"),
+        F.col("x").alias("price_cents"),
+        F.col("y").alias("order_day"),
+    )
