@@ -159,6 +159,11 @@ HEADLINE = [
     "event_transitions",
     "hits_scores",
     "pareto_orders",
+    "rank_fusion",
+    "readability",
+    "term_burstiness",
+    "int8_topk",
+    "int8_recall",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

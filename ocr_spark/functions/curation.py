@@ -3454,3 +3454,117 @@ def pareto_front(
     survivors = _front(bucketed, "bk")
     return _front(survivors).select(
         F.col("id"), F.col("x"), F.col("y"))
+
+
+def rrf_fusion(
+    df: DataFrame,
+    id_col: str,
+    signal_cols: list[str],
+    k: int = 60,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of integer quality signals: per row, the
+    exact global rank under each signal (ordered signal DESC, id ASC —
+    fully deterministic), fused as ``rrf_micro`` = sum over signals of
+    ``scale // (k + rank)``. RRF is the standard way to combine
+    incomparable quality scores (length vs vocabulary vs alpha purity)
+    without normalizing their distributions: only ranks matter, outliers
+    can't capture the blend, and k=60 damps rank-1 dominance.
+
+    Scale shape — exact global rank WITHOUT a global sort: rank =
+    (count of rows with a strictly greater signal) + (row_number within
+    the equal-signal group ordered by id). The first term comes from a
+    cumulative window over the signal's VALUE HISTOGRAM (one map-side
+    partial agg, then a window over distinct values only — histogram-
+    sized, not data-sized); the second is a signal-partitioned window,
+    never a single global partition. One hash agg + one partitioned
+    window + one histogram join per signal, then an id-keyed join to
+    fuse; every frame AQE-splittable.
+    """
+    out = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c).cast("bigint").alias(c) for c in signal_cols],
+    )
+    ranks = None
+    for c in signal_cols:
+        hist = out.groupBy(c).agg(F.count(F.lit(1)).alias("n"))
+        w_gt = (
+            Window.orderBy(F.col(c).desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum = hist.select(
+            c, F.coalesce(F.sum("n").over(w_gt), F.lit(0)).alias("n_gt"))
+        w_eq = Window.partitionBy(c).orderBy("id")
+        r = (
+            out.select("id", c)
+            .withColumn("rn", F.row_number().over(w_eq))
+            .join(cum, c)
+            .select(
+                "id",
+                (F.col("n_gt") + F.col("rn")).cast("bigint")
+                .alias(f"rank_{c}"),
+            )
+        )
+        ranks = r if ranks is None else ranks.join(r, "id")
+    rrf = None
+    for c in signal_cols:
+        term = F.expr(f"CAST({scale} AS BIGINT) div ({k} + rank_{c})")
+        rrf = term if rrf is None else rrf + term
+    return ranks.select(
+        "id",
+        *[f"rank_{c}" for c in signal_cols],
+        rrf.cast("bigint").alias("rrf_micro"),
+    )
+
+
+def readability(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Integer Flesch-reading-ease proxy per document: (id, n_words,
+    n_sentences, n_syllables, flesch_milli, band). Sentences are runs of
+    ``[.!?]`` (floored at 1), syllables the classic vowel-run proxy
+    (``[aeiouy]+`` on the lowercased text), and the score is the Flesch
+    formula in exact milli-points — ``206835 - (1015*W) div S -
+    (84600*Syl) div W`` — so it is bit-identical on any engine (no float
+    coefficients). Empty/whitespace-only documents are excluded (W=0 has
+    no defined score). Bands at the textbook 90/60/30 cut points.
+
+    Readability is a standard cheap quality lens for web-text curation
+    (boilerplate and keyword-stuffed pages score as extreme outliers on
+    W/S and Syl/W). Shape: one codegen'd regex projection, no shuffle,
+    no UDF.
+    """
+    t = F.trim(F.col(text_col))
+    low = F.lower(F.col(text_col))
+    base = (
+        df.filter(F.length(t) > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            F.size(F.split(t, r"\s+")).cast("bigint").alias("n_words"),
+            F.greatest(
+                F.regexp_count(F.col(text_col), F.lit(r"[.!?]+")),
+                F.lit(1),
+            ).cast("bigint").alias("n_sentences"),
+            F.regexp_count(low, F.lit(r"[aeiouy]+"))
+            .cast("bigint").alias("n_syllables"),
+        )
+        .filter(F.col("n_words") > 0)
+    )
+    flesch = F.expr(
+        "206835 - (1015 * n_words) div n_sentences"
+        " - (84600 * n_syllables) div n_words"
+    ).cast("bigint")
+    return base.select(
+        "id", "n_words", "n_sentences", "n_syllables",
+        flesch.alias("flesch_milli"),
+    ).select(
+        "id", "n_words", "n_sentences", "n_syllables", "flesch_milli",
+        F.expr(
+            "CASE WHEN flesch_milli >= 90000 THEN 'very_easy'"
+            "     WHEN flesch_milli >= 60000 THEN 'standard'"
+            "     WHEN flesch_milli >= 30000 THEN 'difficult'"
+            "     ELSE 'very_difficult' END"
+        ).alias("band"),
+    )

@@ -358,3 +358,70 @@ def hamming_rerank_topk(
     return rer.withColumn(
         "rank", F.row_number().over(wr).cast("bigint")
     ).filter(F.col("rank") <= k)
+
+
+def int8_codes(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Max-abs scalar quantization to int8 codes: (nid, qv) where
+    qv[i] = floor(x[i] * 127 / max_j |x[j]|), all-zero vectors mapping to
+    all-zero codes. This is the standard 4x memory compression for
+    corpus-scale vector search (float32 -> int8); downstream similarity
+    becomes an exact int64 dot product — order-free, so partitioning and
+    retries can't perturb results (unlike float accumulation).
+
+    floor (not round) keeps the code cross-engine bit-exact: IEEE double
+    ops in the same order give the same double everywhere, and floor has
+    no tie semantics for engines to disagree on. One codegen'd
+    projection, no shuffle, no UDF.
+    """
+    base = df.select(
+        F.col(id_col).alias("nid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("nvec"),
+    )
+    m = F.aggregate(
+        F.col("nvec"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x)))
+    return base.withColumn("m", m).select(
+        "nid",
+        F.when(
+            F.col("m") > 0,
+            F.transform(
+                F.col("nvec"),
+                lambda x: F.floor(x * F.lit(127.0) / F.col("m"))
+                .cast("bigint"),
+            ),
+        ).otherwise(
+            F.transform(F.col("nvec"), lambda x: F.lit(0).cast("bigint"))
+        ).alias("qv"),
+    )
+
+
+def int8_topk(df: DataFrame, id_col: str, vec_col: str,
+              k: int = 5, n_queries: int = 10) -> DataFrame:
+    """Top-k neighbors under the int8-quantized dot product for the first
+    ``n_queries`` ids: (qid, nid, dot_q, rank), ties broken by neighbor
+    id. The recall twin of :func:`brute_force_topk` — run both and join
+    to measure what 4x compression costs in neighbor quality (see the
+    ``int8_recall`` query).
+
+    Scale shape: codes are one no-shuffle projection; the tiny query
+    side broadcasts; scoring is one codegen'd int64 fold per pair and
+    the per-query top-k is a qid-partitioned window over n_queries
+    frames. Swap the broadcast cross for the sign-LSH bucket join at
+    corpus scale, exactly as the float path does.
+    """
+    from pyspark.sql.window import Window
+
+    codes = int8_codes(df, id_col, vec_col)
+    queries = codes.filter(F.col("nid") < n_queries).select(
+        F.col("nid").alias("qid"), F.col("qv").alias("qqv"))
+    dot = F.aggregate(
+        F.zip_with(F.col("qqv"), F.col("qv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"), lambda acc, v: acc + v)
+    scored = codes.join(
+        F.broadcast(queries), F.col("nid") != F.col("qid")
+    ).select("qid", "nid", dot.alias("dot_q"))
+    w = Window.partitionBy("qid").orderBy(F.desc("dot_q"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "dot_q", "rank")
+    )

@@ -7728,3 +7728,231 @@ def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("price_cents"),
         F.col("y").alias("order_day"),
     )
+
+
+@query(
+    "rank_fusion",
+    r"""
+    WITH sig AS (
+      SELECT doc_id AS id,
+             CAST(n_chars AS BIGINT) AS s_len,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(list_distinct(
+                         string_split_regex(lower(trim(text)), '\s+')))
+                  END AS BIGINT) AS s_vocab,
+             CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+                  AS BIGINT) AS s_alpha
+      FROM documents),
+    r AS (
+      SELECT id,
+        CAST(ROW_NUMBER() OVER (ORDER BY s_len DESC, id) AS BIGINT)
+          AS rank_s_len,
+        CAST(ROW_NUMBER() OVER (ORDER BY s_vocab DESC, id) AS BIGINT)
+          AS rank_s_vocab,
+        CAST(ROW_NUMBER() OVER (ORDER BY s_alpha DESC, id) AS BIGINT)
+          AS rank_s_alpha
+      FROM sig)
+    SELECT id AS doc_id, rank_s_len, rank_s_vocab, rank_s_alpha,
+           CAST(1000000 // (60 + rank_s_len)
+                + 1000000 // (60 + rank_s_vocab)
+                + 1000000 // (60 + rank_s_alpha) AS BIGINT) AS rrf_micro
+    FROM r
+    """,
+)
+def q_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of three incomparable quality signals
+    (length, distinct-token vocabulary, alpha-char purity) into one
+    integer curation score — exact global ranks WITHOUT a global sort
+    (histogram n_gt + value-partitioned row_number). See
+    functions/curation.rrf_fusion."""
+    from ocr_spark.functions.curation import rrf_fusion
+
+    t = F.trim(F.col("text"))
+    sig = _cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("s_len"),
+        F.when(F.length(t) == 0, F.lit(0)).otherwise(
+            F.size(F.array_distinct(F.split(F.lower(t), r"\s+")))
+        ).alias("s_vocab"),
+        F.length(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+        ).alias("s_alpha"),
+    )
+    return rrf_fusion(
+        sig, "doc_id", ["s_len", "s_vocab", "s_alpha"]
+    ).select(
+        F.col("id").alias("doc_id"),
+        "rank_s_len", "rank_s_vocab", "rank_s_alpha", "rrf_micro",
+    )
+
+
+@query(
+    "readability",
+    r"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             CAST(length(string_split_regex(trim(text), '\s+'))
+                  AS BIGINT) AS n_words,
+             CAST(GREATEST(
+               length(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS n_sentences,
+             CAST(length(regexp_extract_all(lower(text), '[aeiouy]+'))
+                  AS BIGINT) AS n_syllables
+      FROM documents
+      WHERE length(trim(text)) > 0),
+    scored AS (
+      SELECT id, n_words, n_sentences, n_syllables,
+             CAST(206835 - (1015 * n_words) // n_sentences
+                  - (84600 * n_syllables) // n_words AS BIGINT)
+               AS flesch_milli
+      FROM base WHERE n_words > 0)
+    SELECT id AS doc_id, n_words, n_sentences, n_syllables, flesch_milli,
+           CASE WHEN flesch_milli >= 90000 THEN 'very_easy'
+                WHEN flesch_milli >= 60000 THEN 'standard'
+                WHEN flesch_milli >= 30000 THEN 'difficult'
+                ELSE 'very_difficult' END AS band
+    FROM scored
+    """,
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Flesch-reading-ease proxy per document (vowel-run syllable
+    counting, exact milli-point formula, textbook 90/60/30 bands) — the
+    cheap readability lens beside doc_quality/gopher_rules. See
+    functions/curation.readability."""
+    from ocr_spark.functions.curation import readability
+
+    return readability(
+        _cpu(spark, sf_dir, "documents"), "doc_id", "text"
+    ).select(
+        F.col("id").alias("doc_id"),
+        "n_words", "n_sentences", "n_syllables", "flesch_milli", "band",
+    )
+
+
+@query(
+    "term_burstiness",
+    f"""
+    WITH {_WORDS_CTE},
+    flat AS (SELECT doc, unnest(words) AS w FROM base),
+    td AS (SELECT w, doc, COUNT(*) AS n FROM flat GROUP BY w, doc),
+    v AS (SELECT w, CAST(SUM(n) AS BIGINT) AS cf,
+                 CAST(COUNT(*) AS BIGINT) AS df
+          FROM td GROUP BY w)
+    SELECT w, cf, df,
+           CAST((cf * 10000) // df AS BIGINT) AS burstiness_bp
+    FROM v WHERE df >= 5
+    ORDER BY burstiness_bp DESC, w LIMIT 100
+    """,
+)
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness: collection frequency over document
+    frequency in basis points — a bursty term (cf >> df) concentrates in
+    few documents (topical/template vocabulary), a non-bursty one spreads
+    evenly (function words). The curation read: extreme burstiness at
+    high cf flags boilerplate/template tokens that repetition filters
+    should see.
+
+    Scale shape: the (term, doc) pre-agg makes df a plain COUNT instead
+    of a data-sized COUNT DISTINCT; both aggs have map-side partials and
+    the global top-100 compiles to TakeOrdered, never a total sort."""
+    base = _cpu(spark, sf_dir, "documents")
+    words = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    flat = base.select(F.col("doc_id").alias("doc"), F.explode(words).alias("w"))
+    td = flat.groupBy("w", "doc").agg(F.count(F.lit(1)).alias("n"))
+    v = td.groupBy("w").agg(
+        F.sum("n").cast("bigint").alias("cf"),
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+    )
+    return (
+        v.filter(F.col("df") >= 5)
+        .select(
+            "w", "cf", "df",
+            F.expr("CAST((cf * 10000) div df AS BIGINT)")
+            .alias("burstiness_bp"),
+        )
+        .orderBy(F.col("burstiness_bp").desc(), "w")
+        .limit(100)
+    )
+
+
+_INT8_TOPK_SQL = """
+    SELECT * FROM (
+    WITH base AS (
+      SELECT vec_id AS nid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nvec
+      FROM embeddings),
+    mx AS (SELECT nid, nvec,
+                  list_max(list_transform(nvec, x -> abs(x))) AS m
+           FROM base),
+    codes AS (
+      SELECT nid,
+             CASE WHEN m > 0
+                  THEN list_transform(nvec,
+                         x -> CAST(floor(x * CAST(127 AS DOUBLE) / m)
+                                   AS BIGINT))
+                  ELSE list_transform(nvec, x -> CAST(0 AS BIGINT))
+             END AS qv
+      FROM mx),
+    q AS (SELECT nid AS qid, qv AS qqv FROM codes WHERE nid < 10),
+    scored AS (
+      SELECT q.qid, c.nid,
+             CAST(list_aggregate(
+               list_transform(list_zip(q.qqv, c.qv), p -> p[1] * p[2]),
+               'sum') AS BIGINT) AS dot_q
+      FROM codes c CROSS JOIN q WHERE c.nid != q.qid)
+    SELECT qid, nid, dot_q, CAST(rk AS BIGINT) AS rank FROM (
+      SELECT qid, nid, dot_q,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY dot_q DESC, nid) AS rk
+      FROM scored)
+    WHERE rk <= 5
+    )
+"""
+
+
+@query("int8_topk", _INT8_TOPK_SQL)
+def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 neighbors under max-abs int8 scalar quantization — the 4x
+    memory-compression search path with an exact order-free int64 dot
+    product. See functions/similarity.int8_topk."""
+    out = similarity.int8_topk(
+        _cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    return out.select(
+        "qid", "nid", "dot_q", F.col("rank").cast("bigint").alias("rank"))
+
+
+@query(
+    "int8_recall",
+    f"""
+    WITH ex AS (SELECT qid, nid FROM ({_COSINE_TOPK_SQL})),
+    qz AS (SELECT qid, nid FROM ({_INT8_TOPK_SQL})),
+    hits AS (
+      SELECT ex.qid, COUNT(qz.nid) AS n_hits
+      FROM ex LEFT JOIN qz ON ex.qid = qz.qid AND ex.nid = qz.nid
+      GROUP BY ex.qid)
+    SELECT qid, CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits * 10000 // 5 AS BIGINT) AS recall_bp
+    FROM hits
+    """,
+)
+def q_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@5 of the int8-quantized search against the
+    brute-force float cosine ground truth — measures what 4x compression
+    costs in neighbor quality, inside the correctness gate like ann_eval."""
+    emb = _cpu(spark, sf_dir, "embeddings")
+    ex = similarity.brute_force_topk(emb, "vec_id", "embedding").select(
+        "qid", "nid")
+    qz = similarity.int8_topk(emb, "vec_id", "embedding").select(
+        F.col("qid").alias("zqid"), F.col("nid").alias("znid"))
+    hits = (
+        ex.join(qz, (ex["qid"] == qz["zqid"]) & (ex["nid"] == qz["znid"]),
+                "left")
+        .groupBy("qid")
+        .agg(F.count("znid").alias("n_hits"))
+    )
+    return hits.select(
+        "qid", F.col("n_hits").cast("bigint").alias("n_hits"),
+        F.expr("CAST(n_hits * 10000 div 5 AS BIGINT)").alias("recall_bp"),
+    )

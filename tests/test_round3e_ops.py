@@ -1,0 +1,96 @@
+"""Edge-case tests for the round-3e operator batch: RRF rank fusion
+(exact rank decomposition, tie semantics), integer Flesch readability
+(hand-counted formula, degenerate docs), and int8 scalar quantization
+(floor semantics, zero vectors, recall bounds).
+"""
+
+from __future__ import annotations
+
+from ocr_spark.functions.curation import readability, rrf_fusion
+from ocr_spark.functions.similarity import int8_codes, int8_topk
+
+
+def test_rrf_ranks_match_global_sort(spark):
+    # signals chosen so the three rankings disagree
+    rows = [(1, 10, 1, 5), (2, 20, 2, 5), (3, 30, 3, 1)]
+    df = spark.createDataFrame(rows, ["id", "a", "b", "c"])
+    out = {r["id"]: r.asDict()
+           for r in rrf_fusion(df, "id", ["a", "b", "c"]).collect()}
+    assert (out[3]["rank_a"], out[2]["rank_a"], out[1]["rank_a"]) == (1, 2, 3)
+    # signal c ties at 5 for ids 1,2 -> id-ordered within the tie
+    assert (out[3]["rank_c"], out[1]["rank_c"], out[2]["rank_c"]) == (3, 1, 2)
+    # fused score: scale//(60+r) summed over the three ranks
+    s = 10**6
+    assert out[1]["rrf_micro"] == s // 63 + s // 63 + s // 61
+    assert out[3]["rrf_micro"] == s // 61 + s // 61 + s // 63
+
+
+def test_rrf_all_equal_signal_is_pure_id_order(spark):
+    df = spark.createDataFrame([(i, 7) for i in range(1, 6)], ["id", "s"])
+    out = {r["id"]: r["rank_s"]
+           for r in rrf_fusion(df, "id", ["s"]).collect()}
+    assert out == {i: i for i in range(1, 6)}
+
+
+def _read(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["id", "text"])
+    return {r["id"]: r.asDict()
+            for r in readability(df, "id", "text").collect()}
+
+
+def test_readability_hand_counts(spark):
+    out = _read(spark, ["The cat sat."])
+    r = out[0]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (3, 1, 3)
+    assert r["flesch_milli"] == 206835 - (1015 * 3) // 1 - (84600 * 3) // 3
+    assert r["band"] == "very_easy"
+
+
+def test_readability_degenerate_docs(spark):
+    out = _read(spark, ["", "   ", "no punctuation here"])
+    assert 0 not in out and 1 not in out  # empty/ws-only excluded
+    assert out[2]["n_sentences"] == 1     # floored, no div-by-zero
+
+
+def test_readability_dense_prose_scores_lower(spark):
+    easy = _read(spark, ["He is up. She is in. We go on."])[0]
+    hard = _read(spark, [
+        "Incomprehensibility characterizes institutionalization "
+        "notwithstanding anthropological contemporaneousness."])[0]
+    assert easy["flesch_milli"] > hard["flesch_milli"]
+    assert hard["band"] == "very_difficult"
+
+
+def _codes(spark, vecs):
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "emb"])
+    return {r["nid"]: r["qv"]
+            for r in int8_codes(df, "vec_id", "emb").collect()}
+
+
+def test_int8_codes_floor_and_sign(spark):
+    out = _codes(spark, [[-1.0, 0.5, 1.0, 0.0]])
+    assert out[0] == [-127, 63, 127, 0]
+
+
+def test_int8_codes_zero_vector_is_zero_not_nan(spark):
+    out = _codes(spark, [[0.0, 0.0, 0.0]])
+    assert out[0] == [0, 0, 0]
+
+
+def test_int8_codes_scale_invariant(spark):
+    a = _codes(spark, [[0.1, -0.2, 0.4]])[0]
+    b = _codes(spark, [[1.0, -2.0, 4.0]])[0]
+    assert a == b  # max-abs normalization cancels uniform scale
+
+
+def test_int8_topk_identical_direction_wins(spark):
+    # neighbor 10 is exactly query 0's direction; 11 is orthogonal
+    vecs = {0: [1.0, 0.0], 10: [2.0, 0.0], 11: [0.0, 3.0]}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "emb"])
+    out = int8_topk(df, "vec_id", "emb", k=1, n_queries=1).collect()
+    assert len(out) == 1
+    assert out[0]["qid"] == 0 and out[0]["nid"] == 10
+    assert out[0]["dot_q"] == 127 * 127
