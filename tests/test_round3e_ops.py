@@ -94,3 +94,78 @@ def test_int8_topk_identical_direction_wins(spark):
     assert len(out) == 1
     assert out[0]["qid"] == 0 and out[0]["nid"] == 10
     assert out[0]["dot_q"] == 127 * 127
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_readability_plan_zero_shuffle(spark):
+    """Readability must be one codegen'd projection: no Exchange of any
+    kind, no Python eval."""
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["readability"](spark, SF))
+    # the only Exchange is _cpu's small-file RoundRobin repartition (a
+    # no-op at production scale) — nothing keyed, nothing single-partition
+    assert p.count("Exchange hashpartitioning") == 0
+    assert p.count("Exchange SinglePartition") == 0
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_term_burstiness_plan_two_aggs_take_ordered(spark):
+    """Exactly the (term,doc) pre-agg + (term) agg — two hash exchanges —
+    and the top-100 as TakeOrderedAndProject, never a global Sort."""
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["term_burstiness"](spark, SF))
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "TakeOrderedAndProject" in p
+
+
+def test_int8_topk_plan_broadcast_one_window_shuffle(spark):
+    """The query side must broadcast (no shuffled join of the corpus) and
+    the only hash exchange is the qid-partitioned top-k window."""
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["int8_topk"](spark, SF))
+    assert "BroadcastExchange" in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in p
+
+
+def test_pareto_plan_bucketed_prune_before_global(spark):
+    """The data-sized window must be bucket-partitioned (one hash
+    exchange); only the pruned survivors reach the single-partition
+    global pass."""
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["pareto_orders"](spark, SF))
+    assert p.count("Exchange hashpartitioning") == 1
+    assert p.count("Exchange SinglePartition") == 1
+
+
+def test_rank_fusion_plan_no_global_data_sort(spark):
+    """Exact ranks without a global sort: every SinglePartition exchange
+    operates on a histogram frame (downstream of a hash agg), never on
+    the raw table, and there is no Python eval anywhere."""
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["rank_fusion"](spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # the three histogram cumsums are the only single-partition points
+    assert p.count("Exchange SinglePartition") == 3
+
+
+def test_hits_plan_persists_iteration_state(spark):
+    """The iterative frames must read from cache (InMemoryTableScan) —
+    without it the branched lineage recomputes the prefix 2^(2N) times."""
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["hits_scores"](spark, SF))
+    assert "InMemoryTableScan" in p
+    assert "CartesianProduct" not in p
