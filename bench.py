@@ -157,13 +157,14 @@ HEADLINE = [
     "degree_stats",
     "digit_hist_quantiles",
     "event_transitions",
-    "hits_scores",
     "pareto_orders",
     "rank_fusion",
     "readability",
     "term_burstiness",
     "int8_topk",
     "int8_recall",
+    "source_overlap",
+    "kcore",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

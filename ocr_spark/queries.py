@@ -7645,51 +7645,6 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id")
 
 
-def _hits_oracle(n_iters: int = 3, scale: int = 10**6) -> str:
-    iters = ""
-    for i in range(1, n_iters + 1):
-        iters += f""",
-    ar{i} AS (
-      SELECT vn.node, COALESCE(x.raw, 0) AS raw FROM vn LEFT JOIN (
-        SELECT e.dst AS node, SUM(h.hub) AS raw
-        FROM e JOIN h{i - 1} h ON h.node = e.src GROUP BY e.dst) x
-      ON x.node = vn.node),
-    a{i} AS (
-      SELECT ar.node,
-             CAST(CASE WHEN s.s > 0 THEN (ar.raw * {scale}) // s.s
-                  ELSE 0 END AS BIGINT) AS auth
-      FROM ar{i} ar CROSS JOIN (SELECT SUM(raw) AS s FROM ar{i}) s),
-    hr{i} AS (
-      SELECT vn.node, COALESCE(x.raw, 0) AS raw FROM vn LEFT JOIN (
-        SELECT e.src AS node, SUM(a.auth) AS raw
-        FROM e JOIN a{i} a ON a.node = e.dst GROUP BY e.src) x
-      ON x.node = vn.node),
-    h{i} AS (
-      SELECT hr.node,
-             CAST(CASE WHEN s.s > 0 THEN (hr.raw * {scale}) // s.s
-                  ELSE 0 END AS BIGINT) AS hub
-      FROM hr{i} hr CROSS JOIN (SELECT SUM(raw) AS s FROM hr{i}) s)"""
-    return f"""
-    WITH {_HOST_EDGES_SQL},
-    vn AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-    h0 AS (SELECT node, CAST({scale} AS BIGINT) AS hub FROM vn){iters}
-    SELECT vn.node, h.hub, a.auth
-    FROM vn JOIN h{n_iters} h ON h.node = vn.node
-    JOIN a{n_iters} a ON a.node = vn.node
-    """
-
-
-@query("hits_scores", _hits_oracle())
-def q_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-iteration integer HITS (3 iterations, L1-normalized to 1e6
-    units) over the shared 100-host link graph — hubs vs authorities
-    split what PageRank blends: link farms score as hubs but earn no
-    authority. See functions/graph.hits_scores."""
-    from ocr_spark.functions.graph import hits_scores
-
-    return hits_scores(_host_edges(spark, sf_dir), n_iters=3)
-
-
 @query(
     "pareto_orders",
     """
@@ -7956,3 +7911,119 @@ def q_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", F.col("n_hits").cast("bigint").alias("n_hits"),
         F.expr("CAST(n_hits * 10000 div 5 AS BIGINT)").alias("recall_bp"),
     )
+
+
+@query(
+    "source_overlap",
+    f"""
+    WITH pairs AS ({_LSH_PAIRS_SQL}),
+    smap AS (SELECT doc_id, source FROM documents),
+    cs AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    pg AS (
+      SELECT LEAST(a.source, b.source) AS src_a,
+             GREATEST(a.source, b.source) AS src_b,
+             COUNT(*) AS n_pairs
+      FROM pairs p
+      JOIN smap a ON a.doc_id = p.doc_a
+      JOIN smap b ON b.doc_id = p.doc_b
+      GROUP BY 1, 2)
+    SELECT pg.src_a, pg.src_b,
+           CAST(pg.n_pairs AS BIGINT) AS n_pairs,
+           CAST(CASE WHEN pg.src_a = pg.src_b
+                THEN pg.n_pairs * 1000000 // (ca.n * (ca.n - 1) // 2)
+                ELSE pg.n_pairs * 1000000 // (ca.n * cb.n)
+                END AS BIGINT) AS overlap_ppm
+    FROM pg
+    JOIN cs ca ON ca.source = pg.src_a
+    JOIN cs cb ON cb.source = pg.src_b
+    """,
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate affinity matrix: LSH candidate pairs
+    rolled up to unordered (source, source) cells, normalized by the
+    possible-pair count into exact ppm — the corpus-mixing signal
+    (mirror sites and syndicated feeds light up off-diagonal cells;
+    within-source template reuse lights the diagonal).
+
+    Scale shape: composes lsh_candidate_pairs (bucket-local joins keyed
+    on (band, signature), degenerate-cap bounded) with two broadcast-able
+    id->source lookups and a source-pair agg whose frame is
+    |sources|^2 — corpus-size-free past the pair generator."""
+    from ocr_spark.functions.dedup import lsh_candidate_pairs
+
+    docs = _cpu(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(docs, "doc_id", "text", n_bands=4)
+    smap = docs.select("doc_id", "source")
+    cs = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    j = (
+        pairs
+        .join(smap.withColumnRenamed("doc_id", "doc_a")
+              .withColumnRenamed("source", "sa"), "doc_a")
+        .join(smap.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("source", "sb"), "doc_b")
+    )
+    pg = (
+        j.select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    return (
+        pg
+        .join(cs.withColumnRenamed("source", "src_a")
+              .withColumnRenamed("n", "na"), "src_a")
+        .join(cs.withColumnRenamed("source", "src_b")
+              .withColumnRenamed("n", "nb"), "src_b")
+        .select(
+            "src_a", "src_b",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.expr(
+                "CAST(CASE WHEN src_a = src_b"
+                "     THEN n_pairs * 1000000 div (na * (na - 1) div 2)"
+                "     ELSE n_pairs * 1000000 div (na * nb)"
+                "     END AS BIGINT)"
+            ).alias("overlap_ppm"),
+        )
+    )
+
+
+def _kcore_oracle(k: int = 3, rounds: int = 6) -> str:
+    """Unrolled peel: each round keeps edges whose BOTH endpoints have
+    degree >= k; once peeling converges the remaining rounds are no-ops,
+    so a fixed unroll >= the fixture's peel depth (4 for k=3) is the
+    exact k-core (the Spark side loops to convergence and raises if it
+    needs more rounds than this twin unrolls — see tests). MATERIALIZED
+    is required: each round reads its predecessor three times, and
+    DuckDB's default CTE inlining would expand the base scan 3^rounds
+    times (observed as a too-many-open-files explosion)."""
+    iters = ""
+    for i in range(1, rounds + 1):
+        iters += f""",
+    s{i} AS MATERIALIZED (
+      SELECT t.src, t.dst FROM s{i - 1} t
+      JOIN (SELECT src, COUNT(*) AS d FROM s{i - 1} GROUP BY src) da
+        ON da.src = t.src AND da.d >= {k}
+      JOIN (SELECT src, COUNT(*) AS d FROM s{i - 1} GROUP BY src) db
+        ON db.src = t.dst AND db.d >= {k})"""
+    return f"""
+    WITH {_HOST_EDGES_SQL},
+    s0 AS MATERIALIZED (
+      SELECT src, dst FROM e UNION SELECT dst, src FROM e){iters}
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM s{rounds} GROUP BY src
+    """
+
+
+@query("kcore", _kcore_oracle())
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the shared 100-host link graph by iterative peel — the
+    dense-subgraph reduction that sheds link farms at low k and is the
+    standard prefilter before community detection. The Spark side peels
+    to convergence (raising on non-convergence, never a silent partial
+    core); the DuckDB twin unrolls 10 peel rounds, which is >= the
+    fixture's peel depth. See functions/graph.kcore."""
+    from ocr_spark.functions.graph import kcore
+
+    return kcore(_host_edges(spark, sf_dir), k=3)

@@ -159,13 +159,3 @@ def test_rank_fusion_plan_no_global_data_sort(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     # the three histogram cumsums are the only single-partition points
     assert p.count("Exchange SinglePartition") == 3
-
-
-def test_hits_plan_persists_iteration_state(spark):
-    """The iterative frames must read from cache (InMemoryTableScan) —
-    without it the branched lineage recomputes the prefix 2^(2N) times."""
-    import __spark_entry__ as E
-
-    p = _plan(E.queries()["hits_scores"](spark, SF))
-    assert "InMemoryTableScan" in p
-    assert "CartesianProduct" not in p
