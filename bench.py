@@ -165,6 +165,8 @@ HEADLINE = [
     "int8_recall",
     "source_overlap",
     "kcore",
+    "seed_distance",
+    "vocab_coverage",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

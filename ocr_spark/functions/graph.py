@@ -200,9 +200,10 @@ def hits(
     in Spark and DuckDB.
 
     Scale shape: per iteration one src-keyed join + dst-keyed SUM and
-    one dst-keyed join + src-keyed SUM (map-side partials), plus a
-    broadcast-scalar max; nothing driver-side, iteration count a fixed
-    literal so the program is one lazy plan.
+    one dst-keyed join + src-keyed SUM (map-side partials), plus an
+    in-flow window max over the |V|-sized score frame (see _norm);
+    nothing driver-side, iteration count a fixed literal so the program
+    is one lazy plan.
 
     Returns (node, hub, authority) for every node in the edge set.
     """
@@ -421,3 +422,44 @@ def kcore(edges: DataFrame, k: int = 3, max_iters: int = 30) -> DataFrame:
         peel.unpersist()
     raise RuntimeError(
         f"kcore: did not converge within {max_iters} peel rounds")
+
+
+def seed_distance(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+) -> DataFrame:
+    """Hop distance from a seed set over directed (src, dst) edges by
+    ``rounds`` synchronous BFS relaxations: (node, dist) for every node
+    reachable within ``rounds`` hops, dist = exact shortest hop count.
+    This is the crawl-frontier prioritization signal — distance from
+    trusted seeds is the classic spam-demotion/crawl-ordering feature
+    (TrustRank's discrete cousin), and nodes absent from the result are
+    "beyond the frontier horizon" by construction, not silently zero.
+
+    Determinism: min-of-integers fixpoint per node, so any partitioning
+    or evaluation order yields the same table; a fixed round count makes
+    the DuckDB twin an exact unroll (converged rounds are no-ops).
+
+    Scale shape: per round one src-keyed join of the frontier table onto
+    edges + one node-keyed MIN agg with map-side partials. Each round's
+    distance frame feeds TWO consumers (the propagation join and the
+    union), so it persists per round — the same discipline as hits()'s
+    in-flow normalizer rationale: unpersisted, the branched lineage
+    doubles the prefix per round.
+    """
+    dist = seeds.select(
+        F.col("node"), F.lit(0).cast("bigint").alias("dist"))
+    for _ in range(rounds):
+        dist = dist.persist()
+        prop = (
+            edges.join(dist, edges["src"] == dist["node"])
+            .select(F.col("dst").alias("node"),
+                    (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+        )
+    return dist

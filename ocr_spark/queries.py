@@ -8027,3 +8027,105 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.functions.graph import kcore
 
     return kcore(_host_edges(spark, sf_dir), k=3)
+
+
+def _seed_distance_oracle(rounds: int = 4) -> str:
+    iters = ""
+    for i in range(1, rounds + 1):
+        iters += f""",
+    d{i} AS MATERIALIZED (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT e.dst AS node, d.dist + 1 AS dist
+        FROM e JOIN d{i - 1} d ON d.node = e.src
+        UNION ALL SELECT node, dist FROM d{i - 1}) GROUP BY node)"""
+    return f"""
+    WITH {_HOST_EDGES_SQL},
+    d0 AS MATERIALIZED (
+      SELECT DISTINCT src AS node, 0 AS dist FROM e WHERE src % 10 = 0
+      UNION SELECT DISTINCT dst, 0 FROM e WHERE dst % 10 = 0){iters}
+    SELECT node, CAST(dist AS BIGINT) AS dist FROM d{rounds}
+    """
+
+
+@query("seed_distance", _seed_distance_oracle())
+def q_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from the 10 trusted-seed hosts (node % 10 == 0)
+    over the directed link graph, 4 relaxation rounds — the
+    crawl-frontier prioritization / spam-demotion signal (TrustRank's
+    discrete cousin); nodes beyond the horizon are absent, not silently
+    zero. See functions/graph.seed_distance."""
+    from ocr_spark.functions.graph import seed_distance
+
+    e = _host_edges(spark, sf_dir)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.filter(F.col("node") % 10 == 0)
+    return seed_distance(e, seeds, rounds=4)
+
+
+@query(
+    "vocab_coverage",
+    f"""
+    WITH {_WORDS_CTE},
+    flat AS (SELECT doc, unnest(words) AS w FROM base),
+    v AS (SELECT w, COUNT(*) AS cf FROM flat GROUP BY w),
+    tot AS (SELECT SUM(cf) AS total FROM v),
+    top AS (SELECT w, cf, ROW_NUMBER() OVER (ORDER BY cf DESC, w) AS rk
+            FROM v ORDER BY cf DESC, w LIMIT 1000),
+    cum AS (SELECT rk, SUM(cf) OVER (ORDER BY rk) AS mass FROM top)
+    SELECT n.top_n,
+           CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS vocab_size,
+           CAST(COALESCE((SELECT MAX(mass) FROM cum WHERE rk <= n.top_n),
+                         0) AS BIGINT) AS covered_cf,
+           CAST(COALESCE((SELECT MAX(mass) FROM cum WHERE rk <= n.top_n),
+                         0) * 10000 // t.total AS BIGINT) AS covered_bp
+    FROM (SELECT unnest([10, 100, 1000]) AS top_n) n CROSS JOIN tot t
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what share of corpus token mass the
+    top-10/100/1000 terms cover (exact bp) — the tokenizer-budget
+    diagnostic (a steep curve says a small vocab suffices; a flat one
+    says the corpus is vocabulary-hungry).
+
+    Scale shape: one term-keyed agg with map-side partials is the only
+    data-sized shuffle; the top-1000 selection is TakeOrdered (bounded
+    heap, never a vocab sort) and the cumulative/checkpoint reads run on
+    the 1000-row frame with one broadcast total."""
+    base = _cpu(spark, sf_dir, "documents")
+    words = F.when(
+        F.length(F.trim(F.col("text"))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    flat = base.select(F.col("doc_id").alias("doc"), F.explode(words).alias("w"))
+    v = flat.groupBy("w").agg(F.count(F.lit(1)).alias("cf")).persist()
+    tot = v.agg(
+        F.sum("cf").alias("total"), F.count(F.lit(1)).alias("vocab_size"))
+    top = v.orderBy(F.col("cf").desc(), "w").limit(1000)
+    wcum = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        top.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("cf").desc(), "w")),
+        )
+        .withColumn("mass", F.sum("cf").over(wcum))
+    )
+    ns = spark.range(1).select(
+        F.explode(F.array(F.lit(10), F.lit(100), F.lit(1000)))
+        .alias("top_n"))
+    cov = (
+        ns.join(F.broadcast(cum.select("rk", "mass")),
+                F.col("rk") <= F.col("top_n"), "left")
+        .groupBy("top_n")
+        .agg(F.coalesce(F.max("mass"), F.lit(0)).alias("covered_cf"))
+    )
+    return cov.crossJoin(F.broadcast(tot)).select(
+        F.col("top_n").cast("bigint").alias("top_n"),
+        F.col("vocab_size").cast("bigint").alias("vocab_size"),
+        F.col("covered_cf").cast("bigint").alias("covered_cf"),
+        F.expr("CAST(covered_cf * 10000 div total AS BIGINT)")
+        .alias("covered_bp"),
+    )

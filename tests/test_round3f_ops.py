@@ -64,3 +64,63 @@ def test_source_overlap_plan_no_cartesian_no_python(spark):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+from ocr_spark.functions.graph import seed_distance
+
+
+def _dist(spark, edges, seeds, rounds=4):
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    s = spark.createDataFrame([(n,) for n in seeds], ["node"])
+    return {r["node"]: r["dist"]
+            for r in seed_distance(e, s, rounds=rounds).collect()}
+
+
+def test_seed_distance_chain_and_horizon(spark):
+    # 0 -> 1 -> 2 -> 3 -> 4 -> 5, seed 0, 4 rounds: node 5 beyond horizon
+    edges = [(i, i + 1) for i in range(5)]
+    out = _dist(spark, edges, [0], rounds=4)
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_seed_distance_min_over_paths(spark):
+    # 0->1->2 and 0->2 direct: dist(2) must be 1, not 2
+    out = _dist(spark, [(0, 1), (1, 2), (0, 2)], [0])
+    assert out[2] == 1
+
+
+def test_seed_distance_multiple_seeds_take_nearest(spark):
+    out = _dist(spark, [(0, 1), (1, 2), (9, 2)], [0, 9])
+    assert out[2] == 1  # via seed 9, not 2 via seed 0
+    assert out[9] == 0
+
+
+def test_seed_distance_directedness(spark):
+    # edge 1->0 does NOT make 1 reachable from seed 0
+    out = _dist(spark, [(1, 0)], [0])
+    assert out == {0: 0}
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    import __spark_entry__ as E
+
+    rows = {r["top_n"]: r.asDict()
+            for r in E.queries()["vocab_coverage"](
+                spark, "/root/testdata/sf0.001").collect()}
+    assert set(rows) == {10, 100, 1000}
+    assert rows[10]["covered_bp"] <= rows[100]["covered_bp"] \
+        <= rows[1000]["covered_bp"] <= 10000
+    assert rows[10]["covered_cf"] > 0
+    # all three rows agree on vocab_size
+    assert len({r["vocab_size"] for r in rows.values()}) == 1
+
+
+def test_vocab_coverage_full_vocab_is_total_mass(spark):
+    import __spark_entry__ as E
+
+    rows = {r["top_n"]: r.asDict()
+            for r in E.queries()["vocab_coverage"](
+                spark, "/root/testdata/sf0.001").collect()}
+    # fixture vocab < 1000 terms -> top-1000 covers everything exactly
+    if rows[1000]["vocab_size"] <= 1000:
+        assert rows[1000]["covered_bp"] == 10000
