@@ -167,6 +167,8 @@ HEADLINE = [
     "kcore",
     "seed_distance",
     "vocab_coverage",
+    "winsorize_events",
+    "power_iteration",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",
@@ -308,7 +310,8 @@ def main() -> None:
             # work during plan CONSTRUCTION (checkpoint-per-round), so the
             # build must sit inside the timed window — timing only the
             # final force would read back a cached result in ~0 s.
-            iterative = name in {"dedup_components"}
+            iterative = name in {"dedup_components", "kcore",
+                                 "dsir_select", "power_iteration"}
             df = None if iterative else QUERIES[name](spark, sf_dir)
             # Heap-state isolation: after ~40 queries the shared JVM carries
             # whatever garbage the previous plans left, and a query that

@@ -3568,3 +3568,69 @@ def readability(
             "     ELSE 'very_difficult' END"
         ).alias("band"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    lo_pct: int = 1,
+    hi_pct: int = 99,
+) -> DataFrame:
+    """Per-group winsorization report over an integer metric: exact
+    percentile bounds p_lo/p_hi (smallest value whose cumulative count
+    reaches ceil(pct*n/100) — the value-histogram rule shared with
+    :func:`length_percentiles`), how many values each tail clamps, and
+    the group sum before/after clamping. Winsorization is the standard
+    robust pre-aggregation guard: one corrupted 10^12 outlier (price
+    glitch, scraper artifact) otherwise owns the group mean.
+
+    All arithmetic is exact BIGINT (ceil as ``(pct*n + 99) div 100``) so
+    the report is bit-identical cross-engine. Shape: one (key, value)
+    hash agg with map-side partials is the only data-sized shuffle; the
+    percentile windows and the clamp-sum agg run on the per-group
+    distinct-value histogram.
+    """
+    hist = (
+        df.select(F.col(key_col).alias("k"),
+                  F.col(val_col).cast("bigint").alias("v"))
+        .groupBy("k", "v").agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = (
+        Window.partitionBy("k").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wk = Window.partitionBy("k")
+    r = (
+        hist
+        .withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(wk))
+    )
+    bounds = r.groupBy("k").agg(
+        F.min(F.when(
+            F.col("cum") >= F.expr(f"({lo_pct} * n + 99) div 100"),
+            F.col("v"))).alias("p_lo"),
+        F.min(F.when(
+            F.col("cum") >= F.expr(f"({hi_pct} * n + 99) div 100"),
+            F.col("v"))).alias("p_hi"),
+    ).select("k", "p_lo", "p_hi")
+    return (
+        hist.join(bounds, "k")
+        .groupBy("k")
+        .agg(
+            F.max("p_lo").cast("bigint").alias("p_lo"),
+            F.max("p_hi").cast("bigint").alias("p_hi"),
+            F.sum(F.when(F.col("v") < F.col("p_lo"), F.col("c"))
+                  .otherwise(F.lit(0))).cast("bigint").alias("n_lo"),
+            F.sum(F.when(F.col("v") > F.col("p_hi"), F.col("c"))
+                  .otherwise(F.lit(0))).cast("bigint").alias("n_hi"),
+            F.sum(F.col("c") * F.col("v")).cast("bigint").alias("sum_raw"),
+            F.sum(
+                F.col("c")
+                * F.greatest(F.least(F.col("v"), F.col("p_hi")),
+                             F.col("p_lo"))
+            ).cast("bigint").alias("sum_clamped"),
+        )
+        .select(F.col("k").alias(key_col), "p_lo", "p_hi",
+                "n_lo", "n_hi", "sum_raw", "sum_clamped")
+    )

@@ -425,3 +425,106 @@ def int8_topk(df: DataFrame, id_col: str, vec_col: str,
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "dot_q", "rank")
     )
+
+
+POWER_Q = 1 << 20   # power-of-2 fixed-point for components: round() is
+                    # exact (no .5 ties exist), mirroring FIXED_POINT
+POWER_V = 10**6     # iterate vector normalized to max-abs = POWER_V
+
+
+def power_iteration(df: DataFrame, id_col: str, vec_col: str,
+                    n_iters: int = 3) -> DataFrame:
+    """Dominant principal direction of the (uncentered) second-moment
+    matrix X^T X by deterministic fixed-point power iteration: returns
+    (pos, v) with the direction normalized to max-abs = 1e6 integer
+    units. This is the embedding-space structure audit (is one axis
+    eating the variance? did a collapse happen after a bad encoder
+    push?) and the first step of whitening. Uncentered by design —
+    centering adds a mean pass without changing the plan shape; at
+    near-zero-mean embedding corpora the directions agree.
+
+    Determinism/exactness: components quantize to int64 at a POWER-OF-2
+    scale (exact — a float32-derived double times 2^20 has no .5 round
+    ties), every sum is integer (order-free under any partitioning) and
+    every normalization is truncate-toward-zero division of bigints, so
+    N iterations are bit-identical in any engine. Overflow budget:
+    |w_j| <= N_rows * max|q| * 1e6 — int64-safe through ~1e7 vectors at
+    these scales; shrink POWER_V for larger corpora (same plan).
+
+    Scale shape: the quantized long form (nid, pos, q) persists ONCE,
+    nid-partitioned — after that, no iteration ever shuffles it again.
+    Per round: the dot is a BROADCAST join of the dim-sized iterate v
+    onto base followed by groupBy(nid) that reuses base's persisted
+    partitioning (zero Exchange); the update joins the narrow (nid, d)
+    frame back on nid (only that 2-column frame shuffles) and SUMs per
+    pos with map-side partials (dim-many groups). The dot frame is
+    data-sized, so ITS normalizer is agg+broadcast over a persisted
+    frame (never an all-rows window); the dim-sized update frame
+    normalizes in-flow.
+    The dim-sized iterate is localCheckpoint()ed each round (the same
+    lineage-truncation rule as dedup_components / kcore — swap for
+    reliable checkpoint() on a real cluster): without it the plan nests
+    one level per iteration and deep runs overflow codegen, and with it
+    each round's data-sized dot cache can be dropped immediately.
+    """
+    from pyspark.sql.window import Window
+
+    base = (
+        df.select(
+            F.col(id_col).alias("nid"),
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("pos", "x"),
+        )
+        .select(
+            "nid", "pos",
+            F.round(F.col("x") * F.lit(float(POWER_Q)))
+            .cast("bigint").alias("q"),
+        )
+        # nid-partitioned ONCE at persist time: the per-round dot
+        # groupBy("nid") and the nid-keyed update join then reuse this
+        # partitioning (zero Exchange on the data-sized side every
+        # round); the pos-keyed joins broadcast the dim-sized frame so
+        # they never shuffle base either.
+        .repartition("nid")
+        .persist()
+    )
+    v = base.select("pos").distinct().select(
+        "pos", F.lit(POWER_V).cast("bigint").alias("v"))
+    for _ in range(n_iters):
+        dot = (
+            base.join(F.broadcast(v), "pos")
+            .groupBy("nid")
+            .agg(F.sum(F.col("q") * F.col("v")).alias("dot"))
+            .persist()  # data-sized; read by its normalizer AND the update
+        )
+        m = dot.agg(
+            F.greatest(F.max(F.abs(F.col("dot"))), F.lit(1))
+            .cast("bigint").alias("m"))
+        dn = dot.crossJoin(F.broadcast(m)).select(
+            "nid",
+            F.expr(
+                f"(dot div greatest(m div {POWER_V}, 1)) * {POWER_V}"
+                f" div greatest(m div greatest(m div {POWER_V}, 1), 1)"
+            ).cast("bigint").alias("d"),
+        )
+        w = (
+            base.join(dn, "nid")
+            .groupBy("pos")
+            .agg(F.sum(F.col("q") * F.col("d")).alias("w"))
+        )
+        wm = F.greatest(
+            F.max(F.abs(F.col("w"))).over(Window.partitionBy(F.lit(1))),
+            F.lit(1))
+        v = w.select(
+            "pos", F.col("w").alias("w"), wm.cast("bigint").alias("m")
+        ).select(
+            "pos",
+            F.expr(
+                f"(w div greatest(m div {POWER_V}, 1)) * {POWER_V}"
+                f" div greatest(m div greatest(m div {POWER_V}, 1), 1)"
+            ).cast("bigint").alias("v"),
+        ).localCheckpoint(eager=True)
+        dot.unpersist()
+    base.unpersist()
+    return v.select("pos", "v")

@@ -8129,3 +8129,107 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(covered_cf * 10000 div total AS BIGINT)")
         .alias("covered_bp"),
     )
+
+
+@query(
+    "winsorize_events",
+    """
+    WITH hist AS (
+      SELECT event_type AS k,
+             CAST(ROUND(value * 100) AS BIGINT) AS v,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT k, v, c,
+             SUM(c) OVER (PARTITION BY k ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY k) AS n
+      FROM hist),
+    bounds AS (
+      SELECT k,
+             MIN(CASE WHEN cum >= (1 * n + 99) // 100 THEN v END) AS p_lo,
+             MIN(CASE WHEN cum >= (99 * n + 99) // 100 THEN v END) AS p_hi
+      FROM r GROUP BY k)
+    SELECT h.k AS event_type,
+           CAST(MAX(b.p_lo) AS BIGINT) AS p_lo,
+           CAST(MAX(b.p_hi) AS BIGINT) AS p_hi,
+           CAST(SUM(CASE WHEN h.v < b.p_lo THEN h.c ELSE 0 END)
+                AS BIGINT) AS n_lo,
+           CAST(SUM(CASE WHEN h.v > b.p_hi THEN h.c ELSE 0 END)
+                AS BIGINT) AS n_hi,
+           CAST(SUM(h.c * h.v) AS BIGINT) AS sum_raw,
+           CAST(SUM(h.c * GREATEST(LEAST(h.v, b.p_hi), b.p_lo))
+                AS BIGINT) AS sum_clamped
+    FROM hist h JOIN bounds b ON b.k = h.k
+    GROUP BY h.k
+    """,
+)
+def q_winsorize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization report (exact integer p1/p99 bounds
+    via the value-histogram rule, tail clamp counts, sum before/after) —
+    the robust-aggregation guard against scraper-artifact outliers. See
+    functions/curation.winsorize."""
+    from ocr_spark.functions.curation import winsorize
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _cents("value").alias("value_cents"))
+    return winsorize(ev, "event_type", "value_cents", lo_pct=1, hi_pct=99)
+
+
+def _power_iter_oracle(n_iters: int = 3) -> str:
+    """Unrolled fixed-point power iteration. DuckDB's // FLOORS while
+    Spark's div TRUNCATES toward zero, so every signed division is
+    spelled as a sign CASE over positive //; the normalizer scalars (m,
+    q0) are positive, so their own // is safe."""
+    V = 10**6
+    Q = 1 << 20
+
+    def trunc(x: str, d: str) -> str:
+        return (f"(CASE WHEN ({x}) >= 0 THEN ({x}) // ({d})"
+                f" ELSE -((-({x})) // ({d})) END)")
+
+    def norm(src: str, key: str, val: str, out: str) -> str:
+        inner = trunc(val, f"GREATEST(m // {V}, 1)")
+        full = trunc(f"{inner} * {V}",
+                     f"GREATEST(m // GREATEST(m // {V}, 1), 1)")
+        return (f"SELECT {key}, CAST({full} AS BIGINT) AS {out}"
+                f" FROM {src} CROSS JOIN (SELECT GREATEST(MAX(ABS({val})),"
+                f" 1) AS m FROM {src})")
+
+    iters = ""
+    for i in range(1, n_iters + 1):
+        iters += f""",
+    d{i} AS MATERIALIZED (
+      SELECT b.nid, SUM(b.q * v.v) AS dot
+      FROM base b JOIN v{i - 1} v USING (pos) GROUP BY b.nid),
+    dn{i} AS MATERIALIZED ({norm(f'd{i}', 'nid', 'dot', 'd')}),
+    w{i} AS MATERIALIZED (
+      SELECT b.pos, SUM(b.q * d.d) AS w
+      FROM base b JOIN dn{i} d USING (nid) GROUP BY b.pos),
+    v{i} AS MATERIALIZED ({norm(f'w{i}', 'pos', 'w', 'v')})"""
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT nid, unnest(pairs, recursive := true) FROM (
+        SELECT vec_id AS nid,
+               list_transform(generate_series(0, len(embedding) - 1),
+                 i -> {{'pos': i,
+                       'q': CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE)
+                                       * CAST({Q} AS DOUBLE)) AS BIGINT)}})
+                 AS pairs
+        FROM embeddings)),
+    v0 AS MATERIALIZED (
+      SELECT DISTINCT pos, CAST({V} AS BIGINT) AS v FROM base){iters}
+    SELECT CAST(pos AS BIGINT) AS pos, v FROM v{n_iters}
+    """
+
+
+@query("power_iteration", _power_iter_oracle())
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding second-moment matrix
+    by 3 rounds of deterministic fixed-point power iteration (exact
+    int64; truncating division spelled identically in both engines) —
+    the embedding-space collapse/whitening audit. See
+    functions/similarity.power_iteration."""
+    out = similarity.power_iteration(
+        _cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding")
+    return out.select(F.col("pos").cast("bigint").alias("pos"), "v")

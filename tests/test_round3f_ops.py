@@ -124,3 +124,122 @@ def test_vocab_coverage_full_vocab_is_total_mass(spark):
     # fixture vocab < 1000 terms -> top-1000 covers everything exactly
     if rows[1000]["vocab_size"] <= 1000:
         assert rows[1000]["covered_bp"] == 10000
+
+
+from ocr_spark.functions.curation import winsorize
+from ocr_spark.functions.similarity import power_iteration
+
+
+def test_winsorize_hand_bounds_and_clamps(spark):
+    # 100 values 1..100 in one group: p1 = 1, p99 = 99 (ceil rule);
+    # one value (100) clamps high, none clamp low
+    rows = [("a", v) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = winsorize(df, "k", "v", lo_pct=1, hi_pct=99).collect()[0]
+    assert (out["p_lo"], out["p_hi"]) == (1, 99)
+    assert (out["n_lo"], out["n_hi"]) == (0, 1)
+    assert out["sum_raw"] == 5050
+    assert out["sum_clamped"] == 5050 - 1  # 100 -> 99
+
+
+def test_winsorize_outlier_is_contained(spark):
+    rows = [("a", 10)] * 98 + [("a", 10**12), ("a", -10**12)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = winsorize(df, "k", "v").collect()[0]
+    assert out["p_lo"] == -10**12  # ceil(1*100/100)=1st value IS the outlier
+    assert out["p_hi"] == 10
+    assert out["n_hi"] == 1
+    assert out["sum_clamped"] == -10**12 + 99 * 10
+
+
+def test_winsorize_groups_are_independent(spark):
+    rows = [("a", v) for v in range(1, 101)] + [("b", 7)] * 10
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {r["k"]: r.asDict() for r in winsorize(df, "k", "v").collect()}
+    assert out["b"]["p_lo"] == out["b"]["p_hi"] == 7
+    assert out["b"]["n_lo"] == out["b"]["n_hi"] == 0
+    assert out["a"]["p_hi"] == 99
+
+
+def test_power_iteration_finds_dominant_axis(spark):
+    # vectors concentrated on axis 0 with deterministic small noise
+    vecs = [[10.0 if j == 0 else ((i * 7 + j) % 5 - 2) * 0.01
+             for j in range(8)] for i in range(50)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "emb"])
+    out = {r["pos"]: r["v"] for r in
+           power_iteration(df, "vec_id", "emb", n_iters=3).collect()}
+    assert abs(out[0]) == 10**6  # axis 0 carries the max component
+    assert all(abs(out[j]) < 10**4 for j in range(1, 8))
+
+
+def test_power_iteration_matches_numpy_direction(spark):
+    import numpy as np
+
+    rng_vals = [[((i * 13 + j * 29) % 17 - 8) / 8.0 + (0.5 if j < 2 else 0)
+                 for j in range(6)] for i in range(80)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(rng_vals)], ["vec_id", "emb"])
+    out = {r["pos"]: r["v"] for r in
+           power_iteration(df, "vec_id", "emb", n_iters=20).collect()}
+    got = np.array([out[j] for j in range(6)], dtype=float)
+    got /= np.linalg.norm(got)
+    x = np.array(rng_vals)
+    evals, evecs = np.linalg.eigh(x.T @ x)
+    top = evecs[:, -1]
+    # convergence is gap-limited ((l2/l1)^T); this fixture's gap is 0.79
+    # so 20 rounds give ~4-nines alignment (12 rounds only ~0.9987)
+    assert abs(float(got @ top)) > 0.999
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_power_iteration_dot_step_reuses_base_partitioning(spark):
+    """The per-round dot must be a BroadcastHashJoin of the dim-sized
+    iterate onto the nid-partitioned persisted base, with groupBy(nid)
+    reusing that partitioning: zero Exchange above the cached relation."""
+    from pyspark.sql import functions as F
+
+    base = (
+        spark.range(100)
+        .select(
+            F.col("id").alias("nid"),
+            F.posexplode(F.array(*[F.lit(float(i)) for i in range(8)]))
+            .alias("pos", "x"),
+        )
+        .select("nid", "pos", F.col("x").cast("bigint").alias("q"))
+        .repartition("nid")
+        .persist()
+    )
+    try:
+        base.count()
+        v = base.groupBy("pos").agg(
+            F.max("q").cast("bigint").alias("v"))  # non-literal iterate
+        dot = (
+            base.join(F.broadcast(v), "pos")
+            .groupBy("nid")
+            .agg(F.sum(F.col("q") * F.col("v")).alias("dot"))
+        )
+        above_cache = _plan(dot).split("InMemoryRelation")[0]
+        assert "BroadcastHashJoin" in above_cache
+        assert "Exchange hashpartitioning" not in above_cache
+        assert "Exchange SinglePartition" not in above_cache
+    finally:
+        base.unpersist()
+
+
+def test_winsorize_plan_one_data_sized_exchange(spark):
+    """winsorize's only data-sized shuffle is the (key, value) histogram
+    agg; everything downstream runs on the per-group value histogram."""
+    import __spark_entry__ as E
+
+    p = _plan(E.queries()["winsorize_events"](spark, SF))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    # hist agg + window repartition + bounds agg + join + final agg —
+    # all keyed on k after the first; no single-partition collapse
+    assert p.count("Exchange SinglePartition") == 0
