@@ -169,6 +169,10 @@ HEADLINE = [
     "vocab_coverage",
     "winsorize_events",
     "power_iteration",
+    "axis_share",
+    "source_dup_rates",
+    "script_mix",
+    "sitemap_coverage",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",
@@ -310,8 +314,8 @@ def main() -> None:
             # work during plan CONSTRUCTION (checkpoint-per-round), so the
             # build must sit inside the timed window — timing only the
             # final force would read back a cached result in ~0 s.
-            iterative = name in {"dedup_components", "kcore",
-                                 "dsir_select", "power_iteration"}
+            iterative = name in {"dedup_components", "kcore", "dsir_select",
+                                 "power_iteration", "axis_share"}
             df = None if iterative else QUERIES[name](spark, sf_dir)
             # Heap-state isolation: after ~40 queries the shared JVM carries
             # whatever garbage the previous plans left, and a query that

@@ -3634,3 +3634,53 @@ def winsorize(
         .select(F.col("k").alias(key_col), "p_lo", "p_hi",
                 "n_lo", "n_hi", "sum_raw", "sum_clamped")
     )
+
+
+SCRIPT_CLASSES = [
+    # (name, Java-regex class) — the DuckDB oracle spells the same
+    # classes in RE2 form (\p{Devanagari} etc.); both engines count
+    # code points, so the counts are bit-identical.
+    ("deva", r"\p{IsDevanagari}"),
+    ("han", r"\p{IsHan}"),
+    ("cyr", r"\p{IsCyrillic}"),
+    ("latin", r"\p{IsLatin}"),
+    ("digit", r"[0-9]"),
+]
+
+
+def script_counts(df: DataFrame, text_col: str) -> DataFrame:
+    """Per-row Unicode-script composition: code-point counts per script
+    class (Devanagari, Han, Cyrillic, Latin, ASCII digits, other) plus a
+    dominant-script label with a fixed deterministic tie-break (deva >
+    han > cyr > latin). Script mix is the standard pre-language-ID
+    routing signal in multilingual web corpora — a page that is 40%
+    Devanagari never goes to the Latin-alphabet language classifier, and
+    a sudden corpus-level script-share shift is a crawler-config
+    regression alarm.
+
+    Pure codegen'd projection (count = length minus length after
+    stripping the class): no shuffle, no Python."""
+    t = F.col(text_col)
+    cols = [df["*"]]
+    for name, cls in SCRIPT_CLASSES:
+        cols.append(
+            (F.length(t) - F.length(F.regexp_replace(t, cls, "")))
+            .cast("bigint").alias(f"{name}_chars"))
+    out = df.select(*cols)
+    known = None
+    for name, _ in SCRIPT_CLASSES:
+        c = F.col(f"{name}_chars")
+        known = c if known is None else known + c
+    return out.select(
+        "*",
+        (F.length(t).cast("bigint") - known).alias("other_chars"),
+        F.when(
+            (F.col("deva_chars") >= F.col("han_chars"))
+            & (F.col("deva_chars") >= F.col("cyr_chars"))
+            & (F.col("deva_chars") >= F.col("latin_chars")), "deva")
+        .when(
+            (F.col("han_chars") >= F.col("cyr_chars"))
+            & (F.col("han_chars") >= F.col("latin_chars")), "han")
+        .when(F.col("cyr_chars") >= F.col("latin_chars"), "cyr")
+        .otherwise("latin").alias("dominant_script"),
+    )

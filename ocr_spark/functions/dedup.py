@@ -839,3 +839,37 @@ def admit_against_index(new: DataFrame, idx: DataFrame, id_col: str,
             .otherwise(F.lit("keep")).alias("action"),
         )
     )
+
+
+def dup_rates(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Per-group duplication-rate report: (group, n_docs, n_distinct,
+    dup_docs, dup_bp) where dup_bp is the share of docs that are exact
+    duplicates of an earlier one, in basis points. This is the crawl-ops
+    dashboard number that decides which source/host gets recrawl budget
+    cut first — a mirror or a template farm shows up as dup_bp ≈ 10000
+    long before any content inspection.
+
+    Scale shape: texts are digested to sha256 in the map stage so the
+    distinct-count shuffle carries 32-byte keys, never document bodies
+    (distinct-on-digest equals distinct-on-text modulo collisions, the
+    same standing assumption as exact_dedup); one (group) hash agg with
+    map-side partials is the only shuffle."""
+    return (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.sha2(F.col(text_col).cast("string"), 256).alias("d"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("d").cast("bigint").alias("n_distinct"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_distinct",
+            (F.col("n_docs") - F.col("n_distinct")).alias("dup_docs"),
+            F.expr("(n_docs - n_distinct) * 10000 div n_docs")
+            .alias("dup_bp"),
+        )
+    )

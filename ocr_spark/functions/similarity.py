@@ -528,3 +528,52 @@ def power_iteration(df: DataFrame, id_col: str, vec_col: str,
         dot.unpersist()
     base.unpersist()
     return v.select("pos", "v")
+
+
+def axis_share(df: DataFrame, id_col: str, vec_col: str,
+               n_iters: int = 3) -> DataFrame:
+    """Share of total second-moment mass on the dominant principal axis,
+    in basis points: Rayleigh quotient of the :func:`power_iteration`
+    direction over trace(X^T X). Returns one row (n_vecs, n_dims,
+    share_bp). share_bp near 10000 = representation collapse; near
+    10000/dim = isotropic.
+
+    Exactness: the three aggregates (sum of squared dots, v^T v, trace)
+    are DECIMAL(38)/BIGINT integer sums — order-free under any
+    partitioning; the single final division is one scalar double op, so
+    the result is bit-identical cross-engine. Plan: power_iteration's
+    zero-reshuffle rounds, then one broadcast join + two aggs."""
+    v = power_iteration(df, id_col, vec_col, n_iters=n_iters)
+    base = df.select(
+        F.col(id_col).alias("nid"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    ).select(
+        "nid", "pos",
+        F.round(F.col("x") * F.lit(float(POWER_Q))).cast("bigint").alias("q"),
+    )
+    dot = (
+        base.join(F.broadcast(v), "pos")
+        .groupBy("nid")
+        .agg(F.sum(F.col("q") * F.col("v")).alias("dot"))
+    )
+    num = dot.agg(
+        F.sum(F.col("dot").cast("decimal(38,0)")
+              * F.col("dot").cast("decimal(38,0)")).alias("num"),
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+    )
+    vtv = v.agg(F.sum(F.col("v") * F.col("v")).alias("vtv"),
+                F.count(F.lit(1)).cast("bigint").alias("n_dims"))
+    trace = base.agg(
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("trace"))
+    return (
+        num.crossJoin(F.broadcast(vtv)).crossJoin(F.broadcast(trace))
+        .select(
+            "n_vecs", "n_dims",
+            F.expr(
+                "CAST(FLOOR(10000.0D * (CAST(num AS DOUBLE)"
+                " / (CAST(vtv AS DOUBLE) * CAST(trace AS DOUBLE))))"
+                " AS BIGINT)").alias("share_bp"),
+        )
+    )

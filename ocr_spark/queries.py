@@ -8207,7 +8207,7 @@ def _power_iter_oracle(n_iters: int = 3) -> str:
       SELECT b.pos, SUM(b.q * d.d) AS w
       FROM base b JOIN dn{i} d USING (nid) GROUP BY b.pos),
     v{i} AS MATERIALIZED ({norm(f'w{i}', 'pos', 'w', 'v')})"""
-    return f"""
+    prefix = f"""
     WITH base AS MATERIALIZED (
       SELECT nid, unnest(pairs, recursive := true) FROM (
         SELECT vec_id AS nid,
@@ -8218,9 +8218,17 @@ def _power_iter_oracle(n_iters: int = 3) -> str:
                  AS pairs
         FROM embeddings)),
     v0 AS MATERIALIZED (
-      SELECT DISTINCT pos, CAST({V} AS BIGINT) AS v FROM base){iters}
-    SELECT CAST(pos AS BIGINT) AS pos, v FROM v{n_iters}
-    """
+      SELECT DISTINCT pos, CAST({V} AS BIGINT) AS v FROM base){iters}"""
+    return (prefix
+            + f"\n    SELECT CAST(pos AS BIGINT) AS pos, v FROM v{n_iters}\n")
+
+
+def _power_iter_cte(n_iters: int = 3) -> str:
+    """The WITH-prefix of :func:`_power_iter_oracle` (base + v0..vN CTEs,
+    no final SELECT) for oracles that post-process the converged
+    direction."""
+    full = _power_iter_oracle(n_iters)
+    return full[: full.rindex("SELECT")]
 
 
 @query("power_iteration", _power_iter_oracle())
@@ -8233,3 +8241,211 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = similarity.power_iteration(
         _cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding")
     return out.select(F.col("pos").cast("bigint").alias("pos"), "v")
+
+
+@query(
+    "source_dup_rates",
+    """
+    WITH d AS (
+      SELECT source AS grp, text FROM documents)
+    SELECT grp AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT text) AS BIGINT) AS dup_docs,
+           CAST((COUNT(*) - COUNT(DISTINCT text)) * 10000 // COUNT(*)
+                AS BIGINT) AS dup_bp
+    FROM d GROUP BY grp
+    """,
+)
+def q_source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication rate (docs, distinct texts, dup share
+    in bp) — the recrawl-budget dashboard number; the engine shuffles
+    sha256 digests, the oracle counts distinct raw texts (equal modulo
+    collisions). See functions/dedup.dup_rates."""
+    from ocr_spark.functions.dedup import dup_rates
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    return dup_rates(docs, "source", "text")
+
+
+_SCRIPT_SYNTH_SQL = """
+      SELECT doc_id,
+             repeat('अआइई ', CASE WHEN doc_id % 5 = 0 THEN 6 ELSE 1 END
+                             + CAST(doc_id % 3 AS INTEGER))
+             || repeat('汉字文本 ', CASE WHEN doc_id % 5 = 1 THEN 6 ELSE 1 END)
+             || repeat('текст ', CASE WHEN doc_id % 5 = 2 THEN 6 ELSE 1 END
+                                 + CAST(doc_id % 2 AS INTEGER))
+             || repeat('word ', CASE WHEN doc_id % 5 = 3 THEN 6 ELSE 1 END)
+             || repeat('7', 1 + CAST(doc_id % 4 AS INTEGER)) AS t
+      FROM documents
+"""
+
+
+@query(
+    "script_mix",
+    f"""
+    WITH synth AS ({_SCRIPT_SYNTH_SQL}),
+    counted AS (
+      SELECT doc_id,
+             length(t) AS total,
+             length(t) - length(regexp_replace(t, '\\p{{Devanagari}}', '', 'g')) AS deva_chars,
+             length(t) - length(regexp_replace(t, '\\p{{Han}}', '', 'g')) AS han_chars,
+             length(t) - length(regexp_replace(t, '\\p{{Cyrillic}}', '', 'g')) AS cyr_chars,
+             length(t) - length(regexp_replace(t, '\\p{{Latin}}', '', 'g')) AS latin_chars,
+             length(t) - length(regexp_replace(t, '[0-9]', '', 'g')) AS digit_chars
+      FROM synth),
+    labeled AS (
+      SELECT *,
+             total - deva_chars - han_chars - cyr_chars - latin_chars
+                   - digit_chars AS other_chars,
+             CASE WHEN deva_chars >= han_chars AND deva_chars >= cyr_chars
+                       AND deva_chars >= latin_chars THEN 'deva'
+                  WHEN han_chars >= cyr_chars
+                       AND han_chars >= latin_chars THEN 'han'
+                  WHEN cyr_chars >= latin_chars THEN 'cyr'
+                  ELSE 'latin' END AS dominant_script
+      FROM counted)
+    SELECT dominant_script,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(deva_chars) AS BIGINT) AS deva_chars,
+           CAST(SUM(han_chars) AS BIGINT) AS han_chars,
+           CAST(SUM(cyr_chars) AS BIGINT) AS cyr_chars,
+           CAST(SUM(latin_chars) AS BIGINT) AS latin_chars,
+           CAST(SUM(digit_chars) AS BIGINT) AS digit_chars,
+           CAST(SUM(other_chars) AS BIGINT) AS other_chars
+    FROM labeled GROUP BY dominant_script
+    """,
+)
+def q_script_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus script-composition rollup over deterministic multi-script
+    synthetic text: per dominant script, document count and code-point
+    totals per script class. The pre-language-ID routing signal and the
+    crawler-config regression alarm (a corpus-level script-share jump
+    means the fetcher's charset/seed mix changed). See
+    functions/curation.script_counts; one projection + one small agg."""
+    from ocr_spark.functions.curation import script_counts
+
+    k = F.col("doc_id")
+    m = k % 5
+    synth = _cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.expr("repeat('अआइई ', CASE WHEN doc_id % 5 = 0 THEN 6 ELSE 1"
+                   " END + CAST(doc_id % 3 AS INT))"),
+            F.expr("repeat('汉字文本 ', CASE WHEN doc_id % 5 = 1 THEN 6"
+                   " ELSE 1 END)"),
+            F.expr("repeat('текст ', CASE WHEN doc_id % 5 = 2 THEN 6 ELSE 1"
+                   " END + CAST(doc_id % 2 AS INT))"),
+            F.expr("repeat('word ', CASE WHEN doc_id % 5 = 3 THEN 6 ELSE 1"
+                   " END)"),
+            F.expr("repeat('7', 1 + CAST(doc_id % 4 AS INT))"),
+        ).alias("t"),
+    )
+    return (
+        script_counts(synth, "t")
+        .groupBy("dominant_script")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("deva_chars").cast("bigint").alias("deva_chars"),
+            F.sum("han_chars").cast("bigint").alias("han_chars"),
+            F.sum("cyr_chars").cast("bigint").alias("cyr_chars"),
+            F.sum("latin_chars").cast("bigint").alias("latin_chars"),
+            F.sum("digit_chars").cast("bigint").alias("digit_chars"),
+            F.sum("other_chars").cast("bigint").alias("other_chars"),
+        )
+    )
+
+
+@query(
+    "sitemap_coverage",
+    """
+    WITH sm AS (
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '/p'
+                 || CAST(doc_id AS VARCHAR) AS url
+      FROM documents WHERE doc_id % 3 <> 2),
+    cr AS (
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+             'h' || CAST(doc_id % 7 AS VARCHAR) || '/p'
+                 || CAST(doc_id AS VARCHAR) AS url
+      FROM documents WHERE doc_id % 2 = 0 OR doc_id % 5 = 0),
+    j AS (
+      SELECT COALESCE(sm.host, cr.host) AS host,
+             CASE WHEN sm.url IS NOT NULL THEN 1 ELSE 0 END AS in_sm,
+             CASE WHEN cr.url IS NOT NULL THEN 1 ELSE 0 END AS in_cr
+      FROM sm FULL OUTER JOIN cr ON sm.url = cr.url)
+    SELECT host,
+           CAST(SUM(in_sm) AS BIGINT) AS n_sitemap,
+           CAST(SUM(in_cr) AS BIGINT) AS n_crawled,
+           CAST(SUM(in_sm * in_cr) AS BIGINT) AS n_both,
+           CAST(SUM(in_sm * in_cr) * 10000 // SUM(in_sm) AS BIGINT)
+               AS coverage_bp,
+           CAST(SUM(in_cr * (1 - in_sm)) AS BIGINT) AS n_orphans
+    FROM j GROUP BY host
+    """,
+)
+def q_sitemap_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap-vs-crawl coverage diff per host over deterministic
+    synthetic URL sets: how much of each host's sitemap was actually
+    fetched (coverage_bp) and how many fetched pages the sitemap never
+    listed (orphans — the crawler-trap / infinite-calendar signal).
+    One url-keyed full outer join + a host agg; at corpus scale both
+    sides shuffle on url once and AQE handles host skew."""
+    docs = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string"))
+    url = F.concat(host, F.lit("/p"), F.col("doc_id").cast("string"))
+    sm = docs.filter(F.col("doc_id") % 3 != 2).select(
+        host.alias("host"), url.alias("url"))
+    cr = docs.filter((F.col("doc_id") % 2 == 0) | (F.col("doc_id") % 5 == 0)
+                     ).select(host.alias("host"), url.alias("url"))
+    j = (
+        sm.alias("sm").join(cr.alias("cr"),
+                            F.col("sm.url") == F.col("cr.url"), "full_outer")
+        .select(
+            F.coalesce(F.col("sm.host"), F.col("cr.host")).alias("host"),
+            F.when(F.col("sm.url").isNotNull(), 1).otherwise(0).alias("in_sm"),
+            F.when(F.col("cr.url").isNotNull(), 1).otherwise(0).alias("in_cr"),
+        )
+    )
+    return (
+        j.groupBy("host")
+        .agg(
+            F.sum("in_sm").cast("bigint").alias("n_sitemap"),
+            F.sum("in_cr").cast("bigint").alias("n_crawled"),
+            F.sum(F.col("in_sm") * F.col("in_cr")).cast("bigint")
+            .alias("n_both"),
+            F.expr("CAST(SUM(in_sm * in_cr) * 10000"
+                   " div SUM(in_sm) AS BIGINT)").alias("coverage_bp"),
+            F.sum(F.col("in_cr") * (1 - F.col("in_sm"))).cast("bigint")
+            .alias("n_orphans"),
+        )
+    )
+
+
+@query(
+    "axis_share",
+    _power_iter_cte() + """SELECT
+      CAST((SELECT COUNT(DISTINCT nid) FROM base) AS BIGINT) AS n_vecs,
+      CAST((SELECT COUNT(*) FROM v3) AS BIGINT) AS n_dims,
+      CAST(FLOOR(10000.0 * (
+        CAST((SELECT SUM(d.dot * d.dot) FROM (
+                SELECT SUM(b.q * v.v) AS dot
+                FROM base b JOIN v3 v USING (pos) GROUP BY b.nid) d)
+             AS DOUBLE)
+        / (CAST((SELECT SUM(v * v) FROM v3) AS DOUBLE)
+           * CAST((SELECT SUM(q * q) FROM base) AS DOUBLE))))
+      AS BIGINT) AS share_bp
+    """,
+)
+def q_axis_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of total embedding second-moment mass carried by the
+    dominant principal axis, in basis points: the Rayleigh quotient of
+    the power-iteration direction over trace(X^T X). share_bp near
+    10000 = representation collapse; near 10000/dim = isotropic. Sums
+    are exact (DECIMAL(38) squares, order-free); the one final division
+    is a single scalar double op spelled identically in both engines.
+    Plan: power_iteration's zero-reshuffle rounds, then one broadcast
+    join + two aggs over the quantized form. See
+    functions/similarity.axis_share."""
+    return similarity.axis_share(
+        _cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_iters=3)
