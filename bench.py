@@ -173,6 +173,10 @@ HEADLINE = [
     "source_dup_rates",
     "script_mix",
     "sitemap_coverage",
+    "politeness_schedule",
+    "markdown_strip",
+    "cdc_chunks",
+    "nfc_audit",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 from pyspark.sql.window import Window
 
 # Dialect-common PII patterns (Java regex / RE2 / Python re agree):
@@ -3683,4 +3684,133 @@ def script_counts(df: DataFrame, text_col: str) -> DataFrame:
             & (F.col("han_chars") >= F.col("latin_chars")), "han")
         .when(F.col("cyr_chars") >= F.col("latin_chars"), "cyr")
         .otherwise("latin").alias("dominant_script"),
+    )
+
+
+def politeness_schedule(
+    df: DataFrame,
+    host_col: str,
+    arrival_micros_col: str,
+    order_col: str,
+    delay_micros_col: str,
+) -> DataFrame:
+    """Per-host crawl politeness scheduling: given fetch arrivals and a
+    per-host minimum delay d, the k-th fetch of a host starts at
+    sched_k = max(arr_k, sched_{k-1} + d). Returns one row per host:
+    (host, n_fetches, total_wait_micros, max_wait_micros,
+    finish_micros) — the queueing report that sizes the frontier (is
+    the crawl host-bound or fetcher-bound?).
+
+    The sequential recurrence has the closed form
+    sched_k = k*d + max_{j<=k}(arr_j - j*d), so it is ONE running
+    window max over (arrival, order)-sorted rows per host — no
+    driver-side loop, no per-row Python, exact BIGINT micros. Scale
+    shape: a single host-keyed Exchange feeds both windows and the
+    final per-host agg; hosts are independent, so AQE splits skewed
+    hosts' window partitions only if a host truly dominates."""
+    w_ord = Window.partitionBy("h").orderBy("arr", "ord")
+    w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows = (
+        df.select(
+            F.col(host_col).alias("h"),
+            F.col(arrival_micros_col).cast("bigint").alias("arr"),
+            F.col(order_col).alias("ord"),
+            F.col(delay_micros_col).cast("bigint").alias("d"),
+        )
+        .withColumn("seq", (F.row_number().over(w_ord) - 1).cast("bigint"))
+        .withColumn("adj", F.col("arr") - F.col("seq") * F.col("d"))
+        .withColumn("sched",
+                    F.col("seq") * F.col("d") + F.max("adj").over(w_run))
+    )
+    return (
+        rows.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+            F.sum(F.col("sched") - F.col("arr")).cast("bigint")
+            .alias("total_wait_micros"),
+            F.max(F.col("sched") - F.col("arr")).cast("bigint")
+            .alias("max_wait_micros"),
+            F.max("sched").cast("bigint").alias("finish_micros"),
+        )
+        .select(F.col("h").alias(host_col), "n_fetches",
+                "total_wait_micros", "max_wait_micros", "finish_micros")
+    )
+
+
+MD_STRIP_STEPS = [
+    # (pattern, replacement) applied in order — common Java-regex/RE2
+    # dialect (no lookbehind/backrefs). Order matters: images before
+    # links (shared suffix), code spans before emphasis.
+    (r"```[^`]*```", " "),                    # fenced code blocks
+    (r"`([^`]*)`", "$1"),                     # inline code
+    (r"!\[([^\]]*)\]\([^)]*\)", "$1"),        # images -> alt text
+    (r"\[([^\]]*)\]\([^)]*\)", "$1"),         # links -> anchor text
+    (r"(^|\n)#{1,6}[ \t]*", "$1"),            # ATX headers
+    (r"\*\*([^*]*)\*\*", "$1"),               # bold
+    (r"\*([^*]*)\*", "$1"),                   # italic
+    (r"(^|\n)>[ \t]*", "$1"),                 # blockquotes
+    (r"(^|\n)[-*_]{3,}[ \t]*(\n|$)", "$1"),   # horizontal rules
+]
+
+
+def markdown_strip(df: DataFrame, text_col: str) -> DataFrame:
+    """Markdown → plain text as a fixed chain of codegen'd regex
+    replacements (fences, code spans, images/links to their text,
+    headers, emphasis, blockquotes, rules) — the document-prep step for
+    markdown-heavy web corpora (READMEs, forums, wikis). Adds
+    ``stripped`` plus audit counts (n_links, n_headers, md_len,
+    txt_len). Pure projection: no shuffle, no Python; the DuckDB twin
+    applies the same steps with RE2 backreference syntax."""
+    t = F.col(text_col)
+    s = t
+    for pat, rep in MD_STRIP_STEPS:
+        s = F.regexp_replace(s, pat, rep)
+    return df.select(
+        "*",
+        F.size(F.split(t, r"\]\(", -1)).cast("bigint").alias("_lp"),
+        s.alias("stripped"),
+    ).select(
+        *[c for c in df.columns],
+        "stripped",
+        (F.col("_lp") - 1).alias("n_links"),
+        (F.size(F.split(t, r"(^|\n)#{1,6}[ \t]", -1)) - 1).cast("bigint")
+        .alias("n_headers"),
+        F.length(t).cast("bigint").alias("md_len"),
+        F.length("stripped").cast("bigint").alias("txt_len"),
+    )
+
+
+@F.pandas_udf(StringType())
+def _nfc(s):
+    """Unicode NFC via pandas' vectorized str.normalize — the one
+    string-normalization crossing into Python (Spark ships no NFC
+    builtin; production swaps this for an ICU/JVM UDF with identical
+    semantics). Arrow-batched: no per-row Python in this module's
+    code."""
+    return s.str.normalize("NFC")
+
+
+def nfc_audit(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Per-group Unicode-normalization drift report: how many docs
+    change under NFC (decomposed sequences, compatibility leftovers
+    from CMS exports) and the code-point delta. Mixed NFC/NFD corpora
+    silently break exact dedup and substring matching — this is the
+    gate that decides whether a source needs a normalize pass.
+
+    Returns (group, n_docs, n_drifted, chars_raw, chars_nfc). Shape:
+    one Arrow-batched projection + one group hash agg."""
+    t = F.col(text_col)
+    return (
+        df.select(F.col(group_col).alias("g"), t.alias("t"),
+                  _nfc(t).alias("n"))
+        .groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("t") != F.col("n"), 1).otherwise(0))
+            .cast("bigint").alias("n_drifted"),
+            F.sum(F.length("t")).cast("bigint").alias("chars_raw"),
+            F.sum(F.length("n")).cast("bigint").alias("chars_nfc"),
+        )
+        .select(F.col("g").alias(group_col), "n_docs", "n_drifted",
+                "chars_raw", "chars_nfc")
     )

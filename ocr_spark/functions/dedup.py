@@ -873,3 +873,64 @@ def dup_rates(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
             .alias("dup_bp"),
         )
     )
+
+
+def cdc_chunks(df: DataFrame, id_col: str, text_col: str,
+               mask: int = 8) -> DataFrame:
+    """Content-defined chunking over whitespace words: a chunk boundary
+    opens where md5(word) % mask == 0 (and at position 0), so insertions
+    shift at most the chunks they touch — the property that makes CDC
+    the standard unit for INCREMENTAL corpus dedup (a re-crawled page
+    re-shares every untouched chunk, where fixed-size chunks all shift).
+    Returns per doc: (doc, n_words, n_chunks, shared_chunks) where
+    shared_chunks counts this doc's chunks whose fingerprint also
+    appears in at least one OTHER doc.
+
+    Scale shape: explode → one doc-keyed window cumsum for chunk ids →
+    (doc, chunk) agg building order-exact fingerprints (array_sort on
+    (pos, word) structs — collect_list alone has no order guarantee) →
+    one fingerprint-keyed agg for document frequency → a fingerprint
+    join back. All shuffles are keyed; the fingerprint carries 32 hex
+    chars, never chunk text."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc").orderBy("pos")
+    words = (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.col(text_col), r"\s+")).alias("pos", "w"),
+        )
+        .filter(F.col("w") != "")
+        .withColumn(
+            "b",
+            ((F.col("pos") == 0)
+             | (F.conv(F.substring(F.md5("w"), 1, 15), 16, 10)
+                .cast("bigint") % mask == 0)).cast("int"),
+        )
+        .withColumn("chunk", F.sum("b").over(w))
+    )
+    chunks = (
+        words.groupBy("doc", "chunk")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.md5(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"]),
+                " ")).alias("fp"),
+        )
+    )
+    docfreq = chunks.groupBy("fp").agg(
+        F.countDistinct("doc").alias("ndocs"))
+    return (
+        chunks.join(docfreq, "fp")
+        .groupBy("doc")
+        .agg(
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("ndocs") > 1, 1).otherwise(0))
+            .cast("bigint").alias("shared_chunks"),
+        )
+        .select(F.col("doc").alias(id_col), "n_words", "n_chunks",
+                "shared_chunks")
+    )

@@ -8449,3 +8449,202 @@ def q_axis_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/similarity.axis_share."""
     return similarity.axis_share(
         _cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding", n_iters=3)
+
+
+@query(
+    "politeness_schedule",
+    """
+    WITH f AS (
+      SELECT 'h' || CAST(user_id % 19 AS VARCHAR) AS h,
+             epoch_us(ts) AS arr, event_id AS ord,
+             (user_id % 5 + 1) * 1000000 AS d
+      FROM events),
+    s AS (
+      SELECT h, arr, d,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY arr, ord) - 1 AS seq
+      FROM f),
+    r AS (
+      SELECT h, arr,
+             seq * d + MAX(arr - seq * d) OVER (
+               PARTITION BY h ORDER BY seq
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sched
+      FROM s)
+    SELECT h AS host,
+           CAST(COUNT(*) AS BIGINT) AS n_fetches,
+           CAST(SUM(sched - arr) AS BIGINT) AS total_wait_micros,
+           CAST(MAX(sched - arr) AS BIGINT) AS max_wait_micros,
+           CAST(MAX(sched) AS BIGINT) AS finish_micros
+    FROM r GROUP BY h
+    """,
+)
+def q_politeness_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl politeness queueing report: the sequential
+    sched_k = max(arr_k, sched_{k-1} + d) recurrence solved as one
+    running window max (closed form k*d + max(arr_j - j*d)) — no loop,
+    exact BIGINT micros. See functions/curation.politeness_schedule."""
+    from ocr_spark.functions.curation import politeness_schedule
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 19).cast("string"))
+        .alias("host"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("arr"),
+        F.col("event_id").alias("ord"),
+        ((F.col("user_id") % 5 + 1) * 1000000).alias("d"),
+    )
+    return politeness_schedule(ev, "host", "arr", "ord", "d")
+
+
+@query(
+    "markdown_strip",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             '# Head ' || CAST(doc_id AS VARCHAR) || chr(10)
+             || '> note' || chr(10)
+             || 'See [link ' || CAST(doc_id AS VARCHAR)
+             || '](http://h' || CAST(doc_id % 7 AS VARCHAR) || '/p) and '
+             || '![pic](img.png) `code' || CAST(doc_id AS VARCHAR)
+             || '` **bold** *it*' || chr(10) || '---' || chr(10)
+             || substr(text, 1, 50 + CAST(doc_id % 40 AS INTEGER)) AS t
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(t,
+             '```[^`]*```', ' ', 'g'),
+             '`([^`]*)`', '\\1', 'g'),
+             '!\\[([^\\]]*)\\]\\([^)]*\\)', '\\1', 'g'),
+             '\\[([^\\]]*)\\]\\([^)]*\\)', '\\1', 'g'),
+             '(^|\\n)#{1,6}[ \\t]*', '\\1', 'g'),
+             '\\*\\*([^*]*)\\*\\*', '\\1', 'g'),
+             '\\*([^*]*)\\*', '\\1', 'g'),
+             '(^|\\n)>[ \\t]*', '\\1', 'g'),
+             '(^|\\n)[-*_]{3,}[ \\t]*(\\n|$)', '\\1', 'g') AS stripped,
+           CAST(len(str_split(t, '](')) - 1 AS BIGINT) AS n_links,
+           CAST(len(regexp_split_to_array(t, '(^|\\n)#{1,6}[ \\t]')) - 1
+                AS BIGINT) AS n_headers,
+           CAST(length(t) AS BIGINT) AS md_len,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(t,
+             '```[^`]*```', ' ', 'g'),
+             '`([^`]*)`', '\\1', 'g'),
+             '!\\[([^\\]]*)\\]\\([^)]*\\)', '\\1', 'g'),
+             '\\[([^\\]]*)\\]\\([^)]*\\)', '\\1', 'g'),
+             '(^|\\n)#{1,6}[ \\t]*', '\\1', 'g'),
+             '\\*\\*([^*]*)\\*\\*', '\\1', 'g'),
+             '\\*([^*]*)\\*', '\\1', 'g'),
+             '(^|\\n)>[ \\t]*', '\\1', 'g'),
+             '(^|\\n)[-*_]{3,}[ \\t]*(\\n|$)', '\\1', 'g'))
+           AS BIGINT) AS txt_len
+    FROM synth
+    """,
+)
+def q_markdown_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown→plain-text strip over deterministic synthetic markdown
+    wrapping each document's text: links/images reduce to their anchor
+    text, headers/emphasis/quotes/rules drop, code spans unwrap. Pure
+    codegen'd regex projection. See functions/curation.markdown_strip."""
+    from ocr_spark.functions.curation import markdown_strip
+
+    d = F.col("doc_id").cast("string")
+    synth = _cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("# Head "), d, F.lit("\n> note\nSee [link "), d,
+            F.lit("](http://h"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("/p) and ![pic](img.png) `code"), d,
+            F.lit("` **bold** *it*\n---\n"),
+            F.expr("substr(text, 1, 50 + CAST(doc_id % 40 AS INT))"),
+        ).alias("t"),
+    )
+    out = markdown_strip(synth, "t")
+    return out.select("doc_id", "stripped", "n_links", "n_headers",
+                      "md_len", "txt_len")
+
+
+@query(
+    "cdc_chunks",
+    """
+    WITH words AS (
+      SELECT doc, u.pos, u.w FROM (
+        SELECT doc_id AS doc,
+               list_transform(
+                 generate_series(0, len(ws) - 1),
+                 i -> {'pos': i, 'w': ws[i + 1]}) AS pairs
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS ws
+              FROM documents)),
+      LATERAL unnest(pairs) AS t(u)
+      WHERE u.w <> ''),
+    marked AS (
+      SELECT doc, pos, w,
+             CASE WHEN pos = 0 OR
+                  ('0x' || substr(md5(w), 1, 15))::BIGINT % 8 = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM words),
+    numbered AS (
+      SELECT doc, pos, w,
+             SUM(b) OVER (PARTITION BY doc ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS chunk
+      FROM marked),
+    chunks AS (
+      SELECT doc, chunk, COUNT(*) AS n_words,
+             md5(string_agg(w, ' ' ORDER BY pos)) AS fp
+      FROM numbered GROUP BY doc, chunk),
+    df AS (
+      SELECT fp, COUNT(DISTINCT doc) AS ndocs FROM chunks GROUP BY fp)
+    SELECT c.doc AS doc_id,
+           CAST(SUM(c.n_words) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN df.ndocs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS shared_chunks
+    FROM chunks c JOIN df ON df.fp = c.fp
+    GROUP BY c.doc
+    """,
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking of every document (md5-gated word
+    boundaries) with cross-document chunk-sharing counts — the
+    incremental-dedup unit audit. See functions/dedup.cdc_chunks."""
+    from ocr_spark.functions.dedup import cdc_chunks
+
+    return cdc_chunks(
+        _cpu(spark, sf_dir, "documents"), "doc_id", "text", mask=8)
+
+
+@query(
+    "nfc_audit",
+    """
+    WITH synth AS (
+      SELECT source,
+             substr(text, 1, 30)
+             || CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769)
+                     WHEN doc_id % 3 = 1 THEN ' caf' || chr(233)
+                     ELSE '' END AS t
+      FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN t <> nfc_normalize(t) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_drifted,
+           CAST(SUM(length(t)) AS BIGINT) AS chars_raw,
+           CAST(SUM(length(nfc_normalize(t))) AS BIGINT) AS chars_nfc
+    FROM synth GROUP BY source
+    """,
+)
+def q_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-NFC drift per source over synthetic mixed-normalization
+    text (every third doc carries a decomposed e+U+0301): docs changed
+    by NFC and the code-point delta. The mixed-NFC/NFD gate that
+    protects exact dedup. See functions/curation.nfc_audit."""
+    from ocr_spark.functions.curation import nfc_audit
+
+    synth = _cpu(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(
+            F.substring("text", 1, 30),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" café"))
+            .when(F.col("doc_id") % 3 == 1, F.lit(" café"))
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    return nfc_audit(synth, "source", "t")
