@@ -177,6 +177,10 @@ HEADLINE = [
     "markdown_strip",
     "cdc_chunks",
     "nfc_audit",
+    "embedding_outliers",
+    "source_lang_entropy",
+    "feed_parse",
+    "hreflang_groups",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

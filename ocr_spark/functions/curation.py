@@ -3814,3 +3814,93 @@ def nfc_audit(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
         .select(F.col("g").alias(group_col), "n_docs", "n_drifted",
                 "chars_raw", "chars_nfc")
     )
+
+
+def group_entropy(df: DataFrame, group_col: str, class_col: str) -> DataFrame:
+    """Shannon entropy of the class mix inside each group, in exact
+    integer micro-nats: H = ln(n) - (Σ c_k ln c_k)/n over per-group
+    class counts. The host-language-consistency / source-purity gate —
+    a host whose pages split across many languages is usually a
+    translation farm or a mis-routed fetcher, and entropy is the one
+    number that ranks that.
+
+    Exactness: one ln per DISTINCT count value, quantized to BIGINT
+    micro-nats before the order-free integer SUM; the final division is
+    truncating (positive operands). Returns (group, n_rows, n_classes,
+    entropy_micro). Shape: one (group, class) hash agg with map-side
+    partials, then one (group) agg — both keyed, no windows."""
+    counts = (
+        df.select(F.col(group_col).alias("g"), F.col(class_col).alias("k"))
+        .groupBy("g", "k")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    clnc = F.col("c") * F.round(
+        F.log(F.col("c").cast("double")) * 1000000).cast("bigint")
+    return (
+        counts.groupBy("g")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+            F.sum(clnc).alias("sum_clnc"),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n_rows", "n_classes",
+            (F.round(F.log(F.col("n_rows").cast("double")) * 1000000)
+             .cast("bigint")
+             - F.expr("sum_clnc div n_rows")).alias("entropy_micro"),
+        )
+    )
+
+
+_FEED_ITEM_RE = r"(?is)<\s*item[\s>](.*?)<\s*/\s*item\s*>"
+_FEED_ENTRY_RE = r"(?is)<\s*entry[\s>](.*?)<\s*/\s*entry\s*>"
+
+
+def feed_parse(df: DataFrame, host_col: str, xml_col: str) -> DataFrame:
+    """RSS-2.0 / Atom feed parsing: explode a feed document into
+    (host, pos, kind, title, link, published) rows, one per <item>
+    (kind='rss') or <entry> (kind='atom') in document order — the third
+    host-published crawl-discovery input beside robots.txt
+    (parse_robots) and sitemaps (sitemap_parse), and the only one that
+    carries freshness. Atom links live in <link href="...">, RSS links
+    in <link>text</link>; published falls back '' when absent
+    (pubDate for RSS, published/updated for Atom). Malformed feeds
+    yield zero rows, never an error.
+
+    Zero shuffle: root sniff + regexp_extract_all + posexplode + three
+    per-block extractions fused into the scan projection."""
+    xml = F.col(xml_col)
+    kind = F.when(xml.rlike(r"(?is)<\s*feed[\s>]"), F.lit("atom")) \
+        .otherwise(F.lit("rss"))
+    blocks = F.when(
+        kind == "atom",
+        F.regexp_extract_all(xml, F.lit(_FEED_ENTRY_RE), F.lit(1)),
+    ).otherwise(
+        F.regexp_extract_all(xml, F.lit(_FEED_ITEM_RE), F.lit(1))
+    )
+    exploded = df.select(
+        F.col(host_col).alias("host"), kind.alias("kind"),
+        F.posexplode(blocks).alias("pos", "block"),
+    )
+    b = F.col("block")
+    link = F.when(
+        F.col("kind") == "atom",
+        F.regexp_extract(b, r'(?is)<\s*link[^>]*href\s*=\s*"([^"]*)"', 1),
+    ).otherwise(
+        F.regexp_extract(b, r"(?is)<\s*link\s*>\s*([^<\s][^<]*?)\s*<", 1)
+    )
+    published = F.when(
+        F.col("kind") == "atom",
+        F.coalesce(
+            F.regexp_extract(b, r"(?is)<\s*published\s*>\s*([^<]*?)\s*<", 1),
+            F.lit("")),
+    ).otherwise(
+        F.regexp_extract(b, r"(?is)<\s*pubdate\s*>\s*([^<]*?)\s*<", 1))
+    return exploded.select(
+        "host", F.col("pos").cast("bigint").alias("pos"), "kind",
+        F.regexp_extract(b, r"(?is)<\s*title\s*>\s*([^<]*?)\s*<", 1)
+        .alias("title"),
+        link.alias("link"),
+        published.alias("published"),
+    ).filter(F.col("title") != "")

@@ -577,3 +577,68 @@ def axis_share(df: DataFrame, id_col: str, vec_col: str,
                 " AS BIGINT)").alias("share_bp"),
         )
     )
+
+
+def embedding_outliers(df: DataFrame, id_col: str, vec_col: str,
+                       group_col: str) -> DataFrame:
+    """Per-group embedding-outlier report: vectors whose distance from
+    the corpus centroid exceeds 1.5x the RMS distance — encoder-glitch /
+    wrong-modality rows that poison ANN recall and k-means training.
+    Returns (group, n_vecs, n_outliers, outlier_bp).
+
+    Exactness: components quantize to int64 (round(x * 2^20)); the
+    centroid is the truncated integer mean of exact component sums; d²
+    sums are DECIMAL(38); the outlier test 4*d²*N > 9*Σd² is a pure
+    integer cross-multiplication of the d > 1.5*rms rule — no division,
+    no floats, bit-identical cross-engine. Scale shape: one explode +
+    (pos) agg builds the dim-sized centroid (broadcast back); one more
+    pass computes per-vector d² (shuffle keyed on id); the Σd²/N
+    normalizer is an agg + broadcast. Nothing is all-pairs."""
+    base = df.select(
+        F.col(id_col).alias("nid"),
+        F.col(group_col).alias("grp"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    ).select(
+        "nid", "grp", "pos",
+        F.round(F.col("x") * F.lit(float(POWER_Q))).cast("bigint").alias("q"),
+    )
+    cent = (
+        base.groupBy("pos")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        # truncate-toward-zero for possibly-negative sums: the oracle
+        # spells the same sign-CASE over positive //
+        .select(
+            "pos",
+            F.expr("CASE WHEN s >= 0 THEN s div n"
+                   " ELSE -((-s) div n) END").alias("c"),
+        )
+    )
+    d2 = (
+        base.join(F.broadcast(cent), "pos")
+        .groupBy("nid", "grp")
+        .agg(
+            F.sum(
+                (F.col("q") - F.col("c")).cast("decimal(38,0)")
+                * (F.col("q") - F.col("c"))
+            ).alias("d2")
+        )
+    )
+    tot = d2.agg(F.sum("d2").alias("sum_d2"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    return (
+        d2.crossJoin(F.broadcast(tot))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(
+                F.when(F.lit(4) * F.col("d2") * F.col("n_all")
+                       > F.lit(9) * F.col("sum_d2"), 1).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+        .select(
+            F.col("grp").alias(group_col), "n_vecs", "n_outliers",
+            F.expr("n_outliers * 10000 div n_vecs").alias("outlier_bp"),
+        )
+    )

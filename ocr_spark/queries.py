@@ -8648,3 +8648,252 @@ def q_nfc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     return nfc_audit(synth, "source", "t")
+
+
+@query(
+    "embedding_outliers",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT nid, grp, unnest(pairs, recursive := true) FROM (
+        SELECT vec_id AS nid, label AS grp,
+               list_transform(generate_series(0, len(embedding) - 1),
+                 i -> {'pos': i,
+                       'q': CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE)
+                                       * 1048576.0) AS BIGINT)}) AS pairs
+        FROM embeddings)),
+    cent AS (
+      SELECT pos,
+             CASE WHEN SUM(q) >= 0 THEN SUM(q) // COUNT(*)
+                  ELSE -((-SUM(q)) // COUNT(*)) END AS c
+      FROM base GROUP BY pos),
+    d2 AS (
+      SELECT b.nid, b.grp, SUM((b.q - c.c) * (b.q - c.c)) AS d2
+      FROM base b JOIN cent c USING (pos) GROUP BY b.nid, b.grp),
+    tot AS (SELECT SUM(d2) AS sum_d2, COUNT(*) AS n_all FROM d2)
+    SELECT CAST(grp AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN 4 * d2 * n_all > 9 * sum_d2
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN 4 * d2 * n_all > 9 * sum_d2
+                    THEN 1 ELSE 0 END) * 10000 // COUNT(*) AS BIGINT)
+               AS outlier_bp
+    FROM d2 CROSS JOIN tot GROUP BY grp
+    """,
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outliers: vectors farther than 1.5x the RMS
+    distance from the corpus centroid, tested by pure integer
+    cross-multiplication (4*d²*N > 9*Σd²) over DECIMAL(38) sums. See
+    functions/similarity.embedding_outliers."""
+    out = similarity.embedding_outliers(
+        _cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label")
+    return out.select(F.col("label").cast("bigint").alias("label"),
+                      "n_vecs", "n_outliers", "outlier_bp")
+
+
+@query(
+    "source_lang_entropy",
+    """
+    WITH counts AS (
+      SELECT source AS g, lang AS k, COUNT(*) AS c
+      FROM documents GROUP BY 1, 2),
+    g AS (
+      SELECT g, SUM(c) AS n_rows, COUNT(*) AS n_classes,
+             SUM(c * CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000)
+                          AS BIGINT)) AS sum_clnc
+      FROM counts GROUP BY g)
+    SELECT g AS source,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_classes AS BIGINT) AS n_classes,
+           CAST(CAST(ROUND(LN(CAST(n_rows AS DOUBLE)) * 1000000) AS BIGINT)
+                - sum_clnc // n_rows AS BIGINT) AS entropy_micro
+    FROM g
+    """,
+)
+def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix Shannon entropy per source in exact integer
+    micro-nats — the source-purity gate (a 'source' spanning many
+    languages is a mis-routed fetcher or translation farm). See
+    functions/curation.group_entropy."""
+    from ocr_spark.functions.curation import group_entropy
+
+    return group_entropy(
+        _t(spark, sf_dir, "documents"), "source", "lang")
+
+
+@query(
+    "feed_parse",
+    """
+    WITH synth AS (
+      SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+             CASE WHEN doc_id % 3 = 0 THEN
+               '<feed xmlns="http://www.w3.org/2005/Atom">'
+               || '<entry><title>A' || CAST(doc_id AS VARCHAR)
+               || '</title><link href="http://a/' || CAST(doc_id AS VARCHAR)
+               || '"/><published>2026-01-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+               || '</published></entry>'
+               || '<entry><title>B' || CAST(doc_id AS VARCHAR)
+               || '</title><link href="http://b/' || CAST(doc_id AS VARCHAR)
+               || '"/></entry></feed>'
+             WHEN doc_id % 3 = 1 THEN
+               '<rss version="2.0"><channel>'
+               || '<item><title>R' || CAST(doc_id AS VARCHAR)
+               || '</title><link> http://r/' || CAST(doc_id AS VARCHAR)
+               || ' </link><pubDate>Tue 0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+               || ' Jan</pubDate></item>'
+               || '<ITEM><TITLE>S' || CAST(doc_id AS VARCHAR)
+               || '</TITLE></ITEM></channel></rss>'
+             ELSE '<html>not a feed ' || CAST(doc_id AS VARCHAR) || '</html>'
+             END AS xml
+      FROM documents),
+    blocks AS (
+      SELECT host,
+             CASE WHEN regexp_matches(xml, '(?is)<\\s*feed[\\s>]')
+                  THEN 'atom' ELSE 'rss' END AS kind,
+             CASE WHEN regexp_matches(xml, '(?is)<\\s*feed[\\s>]')
+                  THEN regexp_extract_all(xml,
+                    '(?is)<\\s*entry[\\s>](.*?)<\\s*/\\s*entry\\s*>', 1)
+                  ELSE regexp_extract_all(xml,
+                    '(?is)<\\s*item[\\s>](.*?)<\\s*/\\s*item\\s*>', 1)
+             END AS bs
+      FROM synth),
+    e AS (
+      SELECT host, kind, u.pos, u.block FROM (
+        SELECT host, kind,
+               list_transform(generate_series(0, len(bs) - 1),
+                 i -> {'pos': i, 'block': bs[i + 1]}) AS pairs
+        FROM blocks),
+      LATERAL unnest(pairs) AS t(u))
+    SELECT host, CAST(pos AS BIGINT) AS pos, kind,
+           regexp_extract(block, '(?is)<\\s*title\\s*>\\s*([^<]*?)\\s*<', 1)
+               AS title,
+           CASE WHEN kind = 'atom' THEN
+             regexp_extract(block,
+               '(?is)<\\s*link[^>]*href\\s*=\\s*"([^"]*)"', 1)
+           ELSE
+             regexp_extract(block,
+               '(?is)<\\s*link\\s*>\\s*([^<\\s][^<]*?)\\s*<', 1)
+           END AS link,
+           CASE WHEN kind = 'atom' THEN
+             COALESCE(regexp_extract(block,
+               '(?is)<\\s*published\\s*>\\s*([^<]*?)\\s*<', 1), '')
+           ELSE
+             regexp_extract(block,
+               '(?is)<\\s*pubdate\\s*>\\s*([^<]*?)\\s*<', 1)
+           END AS published
+    FROM e
+    WHERE regexp_extract(block,
+      '(?is)<\\s*title\\s*>\\s*([^<]*?)\\s*<', 1) <> ''
+    """,
+)
+def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RSS/Atom feed parsing over deterministic synthetic feeds (an Atom
+    feed with/without published, an RSS channel with uppercase tags and
+    whitespace-padded links, and a non-feed page yielding zero rows).
+    See functions/curation.feed_parse."""
+    from ocr_spark.functions.curation import feed_parse
+
+    k = F.col("doc_id")
+    ks = k.cast("string")
+    xml = (
+        F.when(k % 3 == 0, F.concat(
+            F.lit('<feed xmlns="http://www.w3.org/2005/Atom">'
+                  "<entry><title>A"), ks,
+            F.lit('</title><link href="http://a/'), ks,
+            F.lit('"/><published>2026-01-0'), (k % 9 + 1).cast("string"),
+            F.lit("</published></entry><entry><title>B"), ks,
+            F.lit('</title><link href="http://b/'), ks,
+            F.lit('"/></entry></feed>')))
+        .when(k % 3 == 1, F.concat(
+            F.lit('<rss version="2.0"><channel><item><title>R'), ks,
+            F.lit("</title><link> http://r/"), ks,
+            F.lit(" </link><pubDate>Tue 0"), (k % 9 + 1).cast("string"),
+            F.lit(" Jan</pubDate></item><ITEM><TITLE>S"), ks,
+            F.lit("</TITLE></ITEM></channel></rss>")))
+        .otherwise(F.concat(F.lit("<html>not a feed "), ks,
+                            F.lit("</html>")))
+    )
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (k % 5).cast("string")).alias("host"),
+        xml.alias("xml"),
+    )
+    return feed_parse(docs, "host", "xml")
+
+
+@query(
+    "hreflang_groups",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             'u' || CAST(doc_id // 4 AS VARCHAR) || '-'
+                 || CAST(doc_id % 4 AS VARCHAR) AS url,
+             doc_id // 4 AS cl
+      FROM documents),
+    alts AS (
+      SELECT p.url,
+             'u' || CAST(p.cl AS VARCHAR) || '-' || CAST(v AS VARCHAR)
+                 AS alt_url
+      FROM pages p, LATERAL unnest([0, 1, 2, 3]) AS t(v)),
+    grouped AS (
+      SELECT url, MIN(alt_url) AS cluster_id FROM alts GROUP BY url)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           MIN(url) AS first_url,
+           MAX(url) AS last_url
+    FROM grouped GROUP BY cluster_id
+    """,
+)
+def q_hreflang_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternate-language page grouping from hreflang link clusters:
+    pages listing each other as rel=alternate hreflang variants collapse
+    to one canonical cluster (min alternate URL). hreflang sets are
+    complete cliques by spec — every variant lists all variants — so one
+    min-over-alternates pass groups them with NO iterative closure
+    (contrast dedup_components, which pays the loop for arbitrary
+    graphs; that assumption is the documented contract here). The
+    translated-variant analog of mirror_hosts: training pipelines count
+    a translated clique once per language, not once per URL.
+
+    Plan: parse hreflang links out of the synthetic head (zero-shuffle
+    projection), explode, one (url) agg, one (cluster) agg."""
+    k = F.col("doc_id")
+    pages = _cpu(spark, sf_dir, "documents").select(
+        F.concat(F.lit("u"), (k / 4).cast("bigint").cast("string"),
+                 F.lit("-"), (k % 4).cast("string")).alias("url"),
+        (k / 4).cast("bigint").alias("cl"),
+    )
+    # synthesize the <head> block each page serves, then parse it back
+    head = pages.select(
+        "url",
+        F.concat(
+            F.lit("<head>"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(3)),
+                    lambda v: F.concat(
+                        F.lit('<link rel="alternate" hreflang="l'),
+                        v.cast("string"), F.lit('" href="u'),
+                        F.col("cl").cast("string"), F.lit("-"),
+                        v.cast("string"), F.lit('"/>')),
+                )),
+            F.lit("</head>"),
+        ).alias("html"),
+    )
+    alts = head.select(
+        "url",
+        F.explode(
+            F.regexp_extract_all(
+                F.col("html"),
+                F.lit(r'(?i)<link[^>]*rel="alternate"[^>]*href="([^"]*)"'),
+                F.lit(1))).alias("alt_url"),
+    )
+    grouped = alts.groupBy("url").agg(F.min("alt_url").alias("cluster_id"))
+    return (
+        grouped.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pages"),
+            F.min("url").alias("first_url"),
+            F.max("url").alias("last_url"),
+        )
+    )
