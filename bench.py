@@ -181,6 +181,10 @@ HEADLINE = [
     "source_lang_entropy",
     "feed_parse",
     "hreflang_groups",
+    "fetch_status_rollup",
+    "script_runs",
+    "url_token_entropy",
+    "bm25_ndcg",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -8897,3 +8897,314 @@ def q_hreflang_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("url").alias("last_url"),
         )
     )
+
+
+@query(
+    "fetch_status_rollup",
+    """
+    WITH f AS (
+      SELECT 'h' || CAST(user_id % 19 AS VARCHAR) AS host,
+             CASE WHEN event_id % 10 <= 5 THEN 200
+                  WHEN event_id % 10 = 6 THEN 301
+                  WHEN event_id % 10 = 7 THEN 404
+                  WHEN event_id % 10 = 8 THEN 500
+                  ELSE 304 END AS status,
+             (event_id % 997 + 1) * 1000 AS lat
+      FROM events),
+    hist AS (
+      SELECT host, lat, COUNT(*) AS c FROM f GROUP BY host, lat),
+    r AS (
+      SELECT host, lat, c,
+             SUM(c) OVER (PARTITION BY host ORDER BY lat
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY host) AS n
+      FROM hist),
+    p95 AS (
+      SELECT host, MIN(CASE WHEN cum >= (95 * n + 99) // 100 THEN lat END)
+                 AS p95_lat
+      FROM r GROUP BY host)
+    SELECT f.host,
+           CAST(COUNT(*) AS BIGINT) AS n_fetches,
+           CAST(SUM(CASE WHEN status = 200 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c2xx,
+           CAST(SUM(CASE WHEN status IN (301, 304) THEN 1 ELSE 0 END)
+               AS BIGINT) AS c3xx,
+           CAST(SUM(CASE WHEN status = 404 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c4xx,
+           CAST(SUM(CASE WHEN status = 500 THEN 1 ELSE 0 END) AS BIGINT)
+               AS c5xx,
+           CAST(SUM(CASE WHEN status IN (200, 304) THEN 1 ELSE 0 END)
+                * 10000 // COUNT(*) AS BIGINT) AS ok_bp,
+           CAST(SUM(lat) AS BIGINT) AS lat_sum_micros,
+           CAST(MAX(p95.p95_lat) AS BIGINT) AS p95_lat_micros
+    FROM f JOIN p95 ON p95.host = f.host
+    GROUP BY f.host
+    """,
+)
+def q_fetch_status_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host fetch-log operations report over deterministic synthetic
+    statuses/latencies: status-class counts, success share (2xx + 304),
+    latency sum and exact p95 via the value-histogram percentile rule
+    (the same rule as winsorize/length_percentiles). The crawl health
+    dashboard: a host going 5xx-heavy or p95-slow gets its budget cut
+    before it stalls fetch slots. One (host,lat) histogram agg + one
+    host agg; the percentile runs on the small histogram."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("h"), (F.col("user_id") % 19).cast("string"))
+        .alias("host"),
+        F.when(F.col("event_id") % 10 <= 5, 200)
+        .when(F.col("event_id") % 10 == 6, 301)
+        .when(F.col("event_id") % 10 == 7, 404)
+        .when(F.col("event_id") % 10 == 8, 500)
+        .otherwise(304).alias("status"),
+        ((F.col("event_id") % 997 + 1) * 1000).alias("lat"),
+    )
+    hist = ev.groupBy("host", "lat").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (Window.partitionBy("host").orderBy("lat")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    p95 = (
+        hist.withColumn("cum", F.sum("c").over(wcum))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("host")))
+        .groupBy("host")
+        .agg(F.min(F.when(
+            F.col("cum") >= F.expr("(95 * n + 99) div 100"),
+            F.col("lat"))).alias("p95_lat"))
+    )
+    return (
+        ev.join(p95, "host")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fetches"),
+            F.sum(F.when(F.col("status") == 200, 1).otherwise(0))
+            .cast("bigint").alias("c2xx"),
+            F.sum(F.when(F.col("status").isin(301, 304), 1).otherwise(0))
+            .cast("bigint").alias("c3xx"),
+            F.sum(F.when(F.col("status") == 404, 1).otherwise(0))
+            .cast("bigint").alias("c4xx"),
+            F.sum(F.when(F.col("status") == 500, 1).otherwise(0))
+            .cast("bigint").alias("c5xx"),
+            F.expr("CAST(SUM(CASE WHEN status IN (200, 304) THEN 1 ELSE 0"
+                   " END) * 10000 div COUNT(*) AS BIGINT)").alias("ok_bp"),
+            F.sum("lat").cast("bigint").alias("lat_sum_micros"),
+            F.max("p95_lat").cast("bigint").alias("p95_lat_micros"),
+        )
+    )
+
+
+_SCRIPT_RUN_SYNTH = (
+    "CASE WHEN doc_id % 4 = 0 THEN 'one देव two слово 汉 three'"
+    " WHEN doc_id % 4 = 1 THEN 'अआ इई उऊ ' || substr(text, 1, 20)"
+    " WHEN doc_id % 4 = 2 THEN substr(text, 1, 40)"
+    " ELSE '7 word семь 77 слово' END"
+)
+
+
+@query(
+    "script_runs",
+    f"""
+    WITH synth AS (
+      SELECT doc_id, {_SCRIPT_RUN_SYNTH} AS t FROM documents),
+    cls AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(string_split_regex(t, '\\s+'), w -> w <> ''),
+               w -> CASE
+                 WHEN regexp_matches(w[1], '\\p{{Devanagari}}') THEN 'deva'
+                 WHEN regexp_matches(w[1], '\\p{{Han}}') THEN 'han'
+                 WHEN regexp_matches(w[1], '\\p{{Cyrillic}}') THEN 'cyr'
+                 WHEN regexp_matches(w[1], '[0-9]') THEN 'digit'
+                 WHEN regexp_matches(w[1], '\\p{{Latin}}') THEN 'latin'
+                 ELSE 'other' END) AS cs
+      FROM synth)
+    SELECT doc_id,
+           CAST(len(cs) AS BIGINT) AS n_words,
+           CAST(COALESCE(list_sum(
+             [CASE WHEN cs[i] <> cs[i + 1] THEN 1 ELSE 0 END
+              for i in generate_series(1, len(cs) - 1)]), 0) AS BIGINT)
+               AS n_switches
+    FROM cls
+    """,
+)
+def q_script_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document script-switch count (code-switching detector) over
+    deterministic multi-script synthetic text: classify each word by its
+    first code point's script, count adjacent-class transitions. A high
+    switch rate flags spam keyword-stuffing and broken-encoding pages
+    that per-corpus script shares (script_mix) can't see. Zero shuffle:
+    split + two HOF passes (transform classes, zip_with shifted slices)
+    fused into the scan projection."""
+    docs = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SCRIPT_RUN_SYNTH).alias("t"))
+    words = F.filter(F.split(F.col("t"), r"\s+"), lambda w: w != "")
+    first = lambda w: F.substring(w, 1, 1)  # noqa: E731
+    cls = F.transform(
+        words,
+        lambda w: F.when(first(w).rlike(r"\p{IsDevanagari}"), "deva")
+        .when(first(w).rlike(r"\p{IsHan}"), "han")
+        .when(first(w).rlike(r"\p{IsCyrillic}"), "cyr")
+        .when(first(w).rlike("[0-9]"), "digit")
+        .when(first(w).rlike(r"\p{IsLatin}"), "latin")
+        .otherwise("other"),
+    )
+    docs = docs.select("doc_id", cls.alias("cs"))
+    n = F.size("cs")
+    switches = F.aggregate(
+        F.zip_with(
+            F.slice(F.col("cs"), 1, n - 1),
+            F.slice(F.col("cs"), 2, n - 1),
+            lambda a, b: F.when(a != b, 1).otherwise(0),
+        ),
+        F.lit(0), lambda acc, v: acc + v,
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        F.when(n > 1, switches).otherwise(0).cast("bigint")
+        .alias("n_switches"),
+    )
+
+
+@query(
+    "url_token_entropy",
+    """
+    WITH toks AS (
+      SELECT 'h' || CAST(doc_id % 11 AS VARCHAR) AS host,
+             CASE WHEN doc_id % 11 < 3
+                  THEN 'p' || CAST(doc_id AS VARCHAR)
+                  ELSE 'p' || CAST(doc_id % 5 AS VARCHAR) END AS tok
+      FROM documents),
+    counts AS (
+      SELECT host AS g, tok AS k, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    g AS (
+      SELECT g, SUM(c) AS n_rows, COUNT(*) AS n_classes,
+             SUM(c * CAST(ROUND(LN(CAST(c AS DOUBLE)) * 1000000)
+                          AS BIGINT)) AS sum_clnc
+      FROM counts GROUP BY g)
+    SELECT g AS host,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_classes AS BIGINT) AS n_classes,
+           CAST(CAST(ROUND(LN(CAST(n_rows AS DOUBLE)) * 1000000) AS BIGINT)
+                - sum_clnc // n_rows AS BIGINT) AS entropy_micro
+    FROM g
+    """,
+)
+def q_url_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-token entropy per host over synthetic URL tokens (three
+    'trap' hosts mint a unique token per page, the rest reuse five):
+    near-maximal entropy = infinite-URL-space crawler trap (calendars,
+    session ids), low entropy = a real site template. Reuses
+    functions/curation.group_entropy — two keyed aggs, no windows."""
+    from ocr_spark.functions.curation import group_entropy
+
+    k = F.col("doc_id")
+    toks = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (k % 11).cast("string")).alias("host"),
+        F.when(k % 11 < 3, F.concat(F.lit("p"), k.cast("string")))
+        .otherwise(F.concat(F.lit("p"), (k % 5).cast("string")))
+        .alias("tok"),
+    )
+    return group_entropy(toks, "host", "tok")
+
+
+_NDCG_DISCOUNTS = [1000000, 630930, 500000, 430677, 386853,
+                   356207, 333333, 315465, 301030, 289065]
+
+
+@query(
+    "bm25_ndcg",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS doc,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '\\s+') END
+                 AS words
+      FROM documents),
+    rel AS (
+      SELECT doc,
+             CAST(list_contains(words, 'spark') AS INTEGER)
+             + CAST(list_contains(words, 'window') AS INTEGER)
+             + CAST(list_contains(words, 'merge') AS INTEGER) AS rel
+      FROM base),
+    d AS (SELECT unnest([{", ".join(
+        f"{{'rank': {i + 1}, 'disc': {d}}}"
+        for i, d in enumerate(_NDCG_DISCOUNTS))}], recursive := true)),
+    docs AS (SELECT doc, CAST(len(words) AS BIGINT) AS dl FROM base),
+    tot AS (SELECT COUNT(*) AS n,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM docs),
+    flat AS (SELECT doc, w FROM (SELECT doc, unnest(words) AS w FROM base)
+             WHERE w IN ('spark', 'window', 'merge')),
+    tf AS (SELECT doc, w, COUNT(*) AS tf FROM flat GROUP BY doc, w),
+    dfq AS (SELECT w, COUNT(*) AS dfq FROM tf GROUP BY w),
+    scored AS (
+      SELECT tf.doc, tf.w,
+             LN(1.0 + (CAST(tot.n AS DOUBLE) - dfq.dfq + 0.5)
+                      / (dfq.dfq + 0.5))
+             * (CAST(tf.tf AS DOUBLE) * 2.2)
+             / (CAST(tf.tf AS DOUBLE)
+                + 1.2 * (0.25 + 0.75 * CAST(docs.dl AS DOUBLE) / tot.avgdl))
+                 AS s
+      FROM tf JOIN docs USING (doc) JOIN dfq USING (w) CROSS JOIN tot),
+    p AS (SELECT doc,
+                 COALESCE(MAX(CASE WHEN w = 'spark' THEN s END), 0)
+                 + COALESCE(MAX(CASE WHEN w = 'window' THEN s END), 0)
+                 + COALESCE(MAX(CASE WHEN w = 'merge' THEN s END), 0) AS s
+          FROM scored GROUP BY doc),
+    ranked AS (
+      SELECT doc, ROW_NUMBER() OVER (ORDER BY ROUND(s, 6) DESC, doc) AS rk
+      FROM p),
+    dcg AS (
+      SELECT SUM(rel.rel * d.disc) AS dcg_micro
+      FROM ranked JOIN rel USING (doc) JOIN d ON d.rank = ranked.rk
+      WHERE ranked.rk <= 10),
+    ideal AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc) AS rk
+      FROM rel),
+    idcg AS (
+      SELECT SUM(ideal.rel * d.disc) AS idcg_micro
+      FROM ideal JOIN d ON d.rank = ideal.rk WHERE ideal.rk <= 10)
+    SELECT CAST(dcg_micro AS BIGINT) AS dcg_micro,
+           CAST(idcg_micro AS BIGINT) AS idcg_micro,
+           CAST(dcg_micro * 10000 // idcg_micro AS BIGINT) AS ndcg_bp
+    FROM dcg CROSS JOIN idcg
+    """,
+)
+def q_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the BM25 ranking against a deterministic relevance
+    oracle (rel = number of distinct query terms a document contains,
+    0-3): the retrieval-quality eval for the index layer, exact to the
+    last integer (log2 position discounts pre-quantized to micro-units
+    as shared literal tables, DCG/IDCG as integer sums, final ratio a
+    truncating integer division). Plan: bm25_topk's scan-fused
+    term-filtered stats + two small ranked joins."""
+    from ocr_spark.functions.curation import bm25_topk
+
+    docs = _cpu(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    rel = docs.select(
+        F.col("doc_id").alias("doc"),
+        (F.array_contains(words, "spark").cast("int")
+         + F.array_contains(words, "window").cast("int")
+         + F.array_contains(words, "merge").cast("int")).alias("rel"),
+    )
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISCOUNTS])
+    top = bm25_topk(docs, "doc_id", "text",
+                    terms=("spark", "window", "merge"), k=10)
+    dcg = (
+        top.join(rel, "doc")
+        .select((F.col("rel")
+                 * F.element_at(disc, F.col("rank").cast("int"))).alias("t"))
+        .agg(F.sum("t").cast("bigint").alias("dcg_micro"))
+    )
+    w = Window.orderBy(F.desc("rel"), F.asc("doc"))
+    idcg = (
+        rel.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select((F.col("rel")
+                 * F.element_at(disc, F.col("rk").cast("int"))).alias("t"))
+        .agg(F.sum("t").cast("bigint").alias("idcg_micro"))
+    )
+    return dcg.crossJoin(F.broadcast(idcg)).select(
+        "dcg_micro", "idcg_micro",
+        F.expr("CAST(dcg_micro * 10000 div idcg_micro AS BIGINT)")
+        .alias("ndcg_bp"),
+    )
