@@ -185,6 +185,8 @@ HEADLINE = [
     "script_runs",
     "url_token_entropy",
     "bm25_ndcg",
+    "jl_distortion",
+    "mix_solver",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

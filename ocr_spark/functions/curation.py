@@ -3904,3 +3904,58 @@ def feed_parse(df: DataFrame, host_col: str, xml_col: str) -> DataFrame:
         link.alias("link"),
         published.alias("published"),
     ).filter(F.col("title") != "")
+
+
+def mix_solver(df: DataFrame, source_col: str, avail_col: str,
+               budget: int, rounds: int = 3) -> DataFrame:
+    """Deterministic waterfilling of a token budget across sources: start
+    from an equal per-source share, cap each source at its available
+    tokens, and redistribute the leftover equally among uncapped sources
+    for ``rounds`` passes — the static training-mix allocator (the
+    degenerate-but-ubiquitous case of mixture optimization: hit a target
+    composition without oversampling small sources). Returns
+    (source, avail, alloc, capped) with SUM(alloc) <= budget and
+    alloc <= avail everywhere.
+
+    Exactness: every share is a truncating BIGINT division of
+    non-negative operands, so the allocation is bit-identical in any
+    engine and under any partitioning. Shape: the source frame is
+    dim-sized (thousands of sources at web scale, not rows), so each
+    round is one agg + one broadcast over it; the corpus-sized work
+    (computing avail) happens once, upstream, in the caller."""
+    alloc = df.select(
+        F.col(source_col).alias("src"),
+        F.col(avail_col).cast("bigint").alias("avail"),
+    ).select(
+        "src", "avail",
+        F.lit(0).cast("bigint").alias("alloc"),
+        F.lit(int(budget)).cast("bigint").alias("leftover"),
+    )
+    for _ in range(rounds):
+        stats = alloc.agg(
+            F.max("leftover").alias("lo"),
+            F.sum(F.when(F.col("alloc") < F.col("avail"), 1).otherwise(0))
+            .cast("bigint").alias("n_open"),
+        )
+        alloc = (
+            alloc.crossJoin(F.broadcast(stats))
+            .select(
+                "src", "avail",
+                (F.col("alloc") + F.least(
+                    F.col("avail") - F.col("alloc"),
+                    F.when(F.col("alloc") < F.col("avail"),
+                           F.expr("lo div greatest(n_open, 1)"))
+                    .otherwise(F.lit(0)),
+                )).alias("alloc"),
+            )
+        )
+        spent = alloc.agg(F.sum("alloc").cast("bigint").alias("s"))
+        alloc = alloc.crossJoin(F.broadcast(spent)).select(
+            "src", "avail", "alloc",
+            (F.lit(int(budget)).cast("bigint") - F.col("s"))
+            .alias("leftover"),
+        )
+    return alloc.select(
+        F.col("src").alias(source_col), "avail", "alloc",
+        (F.col("alloc") >= F.col("avail")).cast("int").alias("capped"),
+    )

@@ -642,3 +642,115 @@ def embedding_outliers(df: DataFrame, id_col: str, vec_col: str,
             F.expr("n_outliers * 10000 div n_vecs").alias("outlier_bp"),
         )
     )
+
+
+JL_DIM = 16
+
+
+def jl_project(df: DataFrame, id_col: str, vec_col: str,
+               out_dim: int = JL_DIM) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with deterministic ±1
+    signs (parity of a md5 hex nibble keyed on (input pos, output pos)):
+    (id, array<bigint> of out_dim components in POWER_Q units). With ±1
+    entries E||Sx||² = out_dim·||x||², so downstream distance math
+    rescales by out_dim. The dimensionality-reduction front end for ANN
+    at corpus scale: 64→16 dims is 4× less shuffle weight on every
+    similarity join, with distortion measured (jl_distortion), never
+    assumed.
+
+    Exactness: projected components are exact int64 sums of ±q (order
+    irrelevant under integer addition); |y| ≤ dim·max|q| keeps far from
+    overflow. Shape: explode × out_dim fan-out (md5 sign inside codegen)
+    + one id-keyed agg with partials; the sign 'matrix' is an expression,
+    not a table — nothing is broadcast, nothing is all-pairs."""
+    base = df.select(
+        F.col(id_col).alias("nid"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    ).select(
+        "nid", "pos",
+        F.round(F.col("x") * F.lit(float(POWER_Q))).cast("bigint").alias("q"),
+    )
+    fan = base.select(
+        "nid", "pos", "q",
+        F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1))).alias("p"),
+    )
+    sign = F.when(
+        F.conv(F.substring(
+            F.md5(F.concat_ws("|", F.col("pos"), F.col("p"))), 1, 1),
+            16, 10).cast("int") % 2 == 0,
+        F.lit(1)).otherwise(F.lit(-1))
+    proj = (
+        fan.groupBy("nid", "p")
+        .agg(F.sum(F.col("q") * sign).alias("y"))
+    )
+    return (
+        proj.groupBy("nid")
+        .agg(F.array_sort(F.collect_list(F.struct("p", "y"))).alias("py"))
+        .select(
+            "nid",
+            F.transform(F.col("py"), lambda s: s["y"]).alias("proj"),
+        )
+    )
+
+
+def jl_distortion(df: DataFrame, id_col: str, vec_col: str,
+                  out_dim: int = JL_DIM, n_pairs: int = 50) -> DataFrame:
+    """JL distortion eval on consecutive-id probe pairs: per pair the
+    ratio d²_proj / (out_dim · d²_orig) in basis points (10000 = the JL
+    expectation; the spread around it is the price of 4× cheaper
+    similarity shuffles). Integer-exact: both squared distances are
+    DECIMAL(38) sums, the ratio one truncating integer division.
+
+    Shape: jl_project's keyed aggs + two self-joins on consecutive ids
+    restricted to n_pairs probes (broadcast-sized)."""
+    pairs = (
+        df.select(F.col(id_col).alias("a"))
+        .filter(F.col("a") < n_pairs)
+        .select("a", (F.col("a") + 1).alias("b"))
+    )
+    base = df.select(
+        F.col(id_col).alias("nid"),
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    ).select(
+        "nid", "pos",
+        F.round(F.col("x") * F.lit(float(POWER_Q))).cast("bigint").alias("q"),
+    )
+    d_orig = (
+        base.join(F.broadcast(pairs), base["nid"] == pairs["a"])
+        .select("a", "b", "pos", F.col("q").alias("qa"))
+        .join(base.select(F.col("nid").alias("b2"),
+                          F.col("pos").alias("pos2"),
+                          F.col("q").alias("qb")),
+              (F.col("b") == F.col("b2")) & (F.col("pos") == F.col("pos2")))
+        .groupBy("a", "b")
+        .agg(F.sum(
+            (F.col("qa") - F.col("qb")).cast("decimal(38,0)")
+            * (F.col("qa") - F.col("qb"))).alias("d2_orig"))
+    )
+    proj = jl_project(df, id_col, vec_col, out_dim)
+    pl = proj.select(F.col("nid").alias("a"), F.col("proj").alias("pa"))
+    pr = proj.select(F.col("nid").alias("b"), F.col("proj").alias("pb"))
+    d_proj = (
+        pairs.join(pl, "a").join(pr, "b")
+        .select(
+            "a", "b",
+            F.aggregate(
+                F.zip_with(F.col("pa"), F.col("pb"),
+                           lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("decimal(38,0)"),
+                lambda acc, v: acc + v).alias("d2_proj"),
+        )
+    )
+    return (
+        d_orig.join(d_proj, ["a", "b"])
+        .select(
+            F.col("a").cast("bigint").alias("qid_a"),
+            F.col("b").cast("bigint").alias("qid_b"),
+            F.expr(f"CAST(d2_proj * 10000 div ({out_dim} * d2_orig)"
+                   " AS BIGINT)").alias("ratio_bp"),
+        )
+    )

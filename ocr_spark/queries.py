@@ -9208,3 +9208,125 @@ def q_bm25_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(dcg_micro * 10000 div idcg_micro AS BIGINT)")
         .alias("ndcg_bp"),
     )
+
+
+def _jl_sign_sql() -> str:
+    return ("CASE WHEN CAST(('0x' || substr(md5(CAST(pos AS VARCHAR)"
+            " || '|' || CAST(p AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0"
+            " THEN 1 ELSE -1 END")
+
+
+@query(
+    "jl_distortion",
+    f"""
+    WITH base AS MATERIALIZED (
+      SELECT nid, unnest(pairs, recursive := true) FROM (
+        SELECT vec_id AS nid,
+               list_transform(generate_series(0, len(embedding) - 1),
+                 i -> {{'pos': i,
+                       'q': CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE)
+                                       * 1048576.0) AS BIGINT)}}) AS pairs
+        FROM embeddings)),
+    probe AS (
+      SELECT nid AS a, nid + 1 AS b FROM (SELECT DISTINCT nid FROM base)
+      WHERE nid < 50),
+    d_orig AS (
+      SELECT p.a, p.b, SUM((l.q - r.q) * (l.q - r.q)) AS d2_orig
+      FROM probe p
+      JOIN base l ON l.nid = p.a
+      JOIN base r ON r.nid = p.b AND r.pos = l.pos
+      GROUP BY p.a, p.b),
+    fan AS (
+      SELECT nid, pos, q, p
+      FROM base CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS p)),
+    proj AS (
+      SELECT nid, p, SUM(q * {_jl_sign_sql()}) AS y
+      FROM fan GROUP BY nid, p),
+    d_proj AS (
+      SELECT pr.a, pr.b, SUM((l.y - r.y) * (l.y - r.y)) AS d2_proj
+      FROM probe pr
+      JOIN proj l ON l.nid = pr.a
+      JOIN proj r ON r.nid = pr.b AND r.p = l.p
+      GROUP BY pr.a, pr.b)
+    SELECT CAST(o.a AS BIGINT) AS qid_a, CAST(o.b AS BIGINT) AS qid_b,
+           CAST(j.d2_proj * 10000 // (16 * o.d2_orig) AS BIGINT)
+               AS ratio_bp
+    FROM d_orig o JOIN d_proj j ON j.a = o.a AND j.b = o.b
+    """,
+)
+def q_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64→16 projection with measured (not assumed)
+    distortion on 50 probe pairs: d²_proj/(16·d²_orig) in basis points,
+    10000 = the JL expectation. The dimensionality-reduction front end
+    that makes every downstream similarity shuffle 4× lighter. See
+    functions/similarity.jl_project / jl_distortion."""
+    return similarity.jl_distortion(
+        _cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        out_dim=16, n_pairs=50)
+
+
+_MIX_BUDGET = 2000
+
+
+@query(
+    "mix_solver",
+    f"""
+    WITH srcs AS (
+      SELECT source AS src,
+             CAST(SUM(n_chars) // (1 + length(source) % 5) AS BIGINT)
+                 AS avail
+      FROM documents GROUP BY source),
+    a0 AS (
+      SELECT src, avail, CAST(0 AS BIGINT) AS alloc,
+             CAST({_MIX_BUDGET} AS BIGINT) AS leftover
+      FROM srcs),
+    s1 AS (SELECT MAX(leftover) AS lo,
+                  SUM(CASE WHEN alloc < avail THEN 1 ELSE 0 END) AS n_open
+           FROM a0),
+    b1 AS (SELECT src, avail,
+                  alloc + LEAST(avail - alloc,
+                    CASE WHEN alloc < avail
+                         THEN lo // GREATEST(n_open, 1) ELSE 0 END) AS alloc
+           FROM a0 CROSS JOIN s1),
+    a1 AS (SELECT src, avail, alloc,
+                  {_MIX_BUDGET} - (SELECT SUM(alloc) FROM b1) AS leftover
+           FROM b1),
+    s2 AS (SELECT MAX(leftover) AS lo,
+                  SUM(CASE WHEN alloc < avail THEN 1 ELSE 0 END) AS n_open
+           FROM a1),
+    b2 AS (SELECT src, avail,
+                  alloc + LEAST(avail - alloc,
+                    CASE WHEN alloc < avail
+                         THEN lo // GREATEST(n_open, 1) ELSE 0 END) AS alloc
+           FROM a1 CROSS JOIN s2),
+    a2 AS (SELECT src, avail, alloc,
+                  {_MIX_BUDGET} - (SELECT SUM(alloc) FROM b2) AS leftover
+           FROM b2),
+    s3 AS (SELECT MAX(leftover) AS lo,
+                  SUM(CASE WHEN alloc < avail THEN 1 ELSE 0 END) AS n_open
+           FROM a2),
+    b3 AS (SELECT src, avail,
+                  alloc + LEAST(avail - alloc,
+                    CASE WHEN alloc < avail
+                         THEN lo // GREATEST(n_open, 1) ELSE 0 END) AS alloc
+           FROM a2 CROSS JOIN s3)
+    SELECT src AS source, avail, CAST(alloc AS BIGINT) AS alloc,
+           CAST(alloc >= avail AS INTEGER) AS capped
+    FROM b3
+    """,
+)
+def q_mix_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix waterfilling: allocate a fixed token budget across
+    sources with per-source availability caps (heterogenized
+    deterministically), equal-share + redistribute for 3 rounds. See
+    functions/curation.mix_solver."""
+    from ocr_spark.functions.curation import mix_solver
+
+    srcs = (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.expr(
+            "CAST(SUM(n_chars) div (1 + length(source) % 5) AS BIGINT)")
+            .alias("avail"))
+    )
+    return mix_solver(srcs, "source", "avail", budget=_MIX_BUDGET, rounds=3)
