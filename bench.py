@@ -187,6 +187,9 @@ HEADLINE = [
     "bm25_ndcg",
     "jl_distortion",
     "mix_solver",
+    "seed_pagerank",
+    "quality_auc",
+    "best_span",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

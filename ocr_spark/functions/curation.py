@@ -3959,3 +3959,72 @@ def mix_solver(df: DataFrame, source_col: str, avail_col: str,
         F.col("src").alias(source_col), "avail", "alloc",
         (F.col("alloc") >= F.col("avail")).cast("int").alias("capped"),
     )
+
+
+def roc_auc(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC AUC of an integer score against a binary label via the
+    tie-aware Mann-Whitney rank sum — the one-number eval for every
+    quality / dedup / spam scorer in the pipeline, computed without a
+    single float: per distinct score value, positives contribute
+    (2*cum_below + c_all + 1) doubled-average-ranks, and
+    auc_bp = (10000*(2R - n_pos*(n_pos+1))) div (2*n_pos*n_neg).
+
+    Returns one row (n_pos, n_neg, auc_bp). Shape: one (score) histogram
+    agg with map-side partials; the rank windows run over the distinct-
+    value histogram, never the corpus rows."""
+    hist = (
+        df.select(F.col(score_col).cast("bigint").alias("s"),
+                  F.col(label_col).cast("int").alias("y"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c_all"),
+             F.sum("y").alias("c_pos"))
+    )
+    w = (Window.orderBy("s")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = hist.withColumn("cum", F.sum("c_all").over(w))
+    agg = r.agg(
+        F.sum("c_pos").cast("bigint").alias("n_pos"),
+        (F.sum("c_all") - F.sum("c_pos")).cast("bigint").alias("n_neg"),
+        F.sum(F.col("c_pos")
+              * (F.lit(2) * (F.col("cum") - F.col("c_all"))
+                 + F.col("c_all") + 1)).cast("bigint").alias("r2"),
+    )
+    return agg.select(
+        "n_pos", "n_neg",
+        F.expr("CAST((10000 * (r2 - n_pos * (n_pos + 1)))"
+               " div (2 * n_pos * n_neg) AS BIGINT)").alias("auc_bp"),
+    )
+
+
+def best_span(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Best contiguous word-span score per document (empty-span floor 0)
+    — Kadane's maximum-subarray as ONE sequential codegen'd fold, no
+    shuffle, no window: the 'quality spine' extractor that finds the
+    best run inside a page whose head/tail are boilerplate. Word score =
+    length(word) - 3 (short-word runs drag negative), so the span locks
+    onto runs of substantial words.
+
+    The fold is order-dependent by definition (that's Kadane), but the
+    per-document array preserves document order, so the result is
+    deterministic under any partitioning. The DuckDB twin uses the
+    prefix-sum window formulation (max over j of prefix_j - min earlier
+    prefix) — different algebra, identical integers. Returns (id,
+    n_words, best_score)."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    scores = F.transform(words, lambda w: F.length(w).cast("bigint") - 3)
+    acc0 = F.struct(F.lit(0).cast("bigint").alias("best"),
+                    F.lit(0).cast("bigint").alias("cur"))
+    folded = F.aggregate(
+        scores, acc0,
+        lambda a, x: F.struct(
+            F.greatest(a["best"],
+                       F.greatest(F.lit(0).cast("bigint"), a["cur"] + x))
+            .alias("best"),
+            F.greatest(F.lit(0).cast("bigint"), a["cur"] + x).alias("cur"),
+        ),
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(words).cast("bigint").alias("n_words"),
+        folded["best"].alias("best_score"),
+    )

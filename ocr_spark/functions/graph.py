@@ -463,3 +463,68 @@ def seed_distance(
             .agg(F.min("dist").cast("bigint").alias("dist"))
         )
     return dist
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Personalized PageRank: identical to :func:`pagerank` except the
+    teleport mass returns to the ``seeds`` (node) set instead of
+    spreading uniformly — rank becomes 'importance as seen from the
+    seeds', the standard crawl-frontier prioritizer (expand outward from
+    trusted hubs) and related-host finder. Nodes unreachable from the
+    seeds end at rank 0, which is the point.
+
+    Exactness: same integer program as pagerank (BIGINT scale units,
+    truncating divisions, fixed iterations) with the seed indicator
+    folded into the base term; initial rank = scale div n_seeds on
+    seeds, 0 elsewhere. Scale shape: unchanged — per iteration one
+    src-keyed join + one dst-keyed SUM with partials; the seed frame is
+    dim-sized and broadcast into the base projection."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    s = seeds.select(F.col("node").alias("node"),
+                     F.lit(1).alias("is_seed")).distinct()
+    ns = s.agg(F.count(F.lit(1)).alias("n_seeds"))
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    e = edges.join(outdeg, "src")
+    marked = (
+        nodes.join(F.broadcast(s), "node", "left")
+        .crossJoin(F.broadcast(ns))
+        .select("node", F.coalesce("is_seed", F.lit(0)).alias("is_seed"),
+                "n_seeds")
+    )
+    base = F.expr(
+        f"CAST(is_seed * ({(100 - damping_pct) * scale}"
+        " div (100 * n_seeds)) AS BIGINT)")
+    ranks = marked.select(
+        "node", "is_seed", "n_seeds",
+        F.expr(f"CAST(is_seed * ({scale} div n_seeds) AS BIGINT)")
+        .alias("rank"),
+    )
+    for _ in range(n_iters):
+        contrib = (
+            e.join(ranks.select("node", "rank"), e["src"] == F.col("node"))
+            .select(
+                "dst",
+                F.expr(f"(rank * {damping_pct}) div (100 * od)").alias("t"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("t").alias("c"))
+        )
+        ranks = (
+            marked.join(contrib, marked["node"] == contrib["dst"], "left")
+            .select(
+                "node", "is_seed", "n_seeds",
+                (base + F.coalesce(F.col("c"), F.lit(0))).cast("bigint")
+                .alias("rank"),
+            )
+        )
+    return ranks.select("node", "rank")

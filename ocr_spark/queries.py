@@ -9330,3 +9330,141 @@ def q_mix_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avail"))
     )
     return mix_solver(srcs, "source", "avail", budget=_MIX_BUDGET, rounds=3)
+
+
+def _seed_pagerank_oracle(n_iters: int = 3) -> str:
+    iters = ""
+    for i in range(1, n_iters + 1):
+        iters += f""",
+    r{i} AS (
+      SELECT nd.node,
+             CAST(nd.is_seed * (15000000000 // (100 * t.ns))
+                  + COALESCE(c.c, 0) AS BIGINT) AS rank
+      FROM marked nd CROSS JOIN ns t
+      LEFT JOIN (
+        SELECT e.dst AS node,
+               CAST(SUM((p.rank * 85) // (100 * od.od)) AS BIGINT) AS c
+        FROM r{i - 1} p JOIN e ON e.src = p.node JOIN od ON od.src = e.src
+        GROUP BY e.dst) c ON c.node = nd.node)"""
+    return f"""
+    WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+    raw AS (SELECT node, unnest(generate_series(1, 1 + node % 3)) AS j
+            FROM nodes),
+    e AS (SELECT DISTINCT node AS src, (node * 13 + j * 29) % 100 AS dst
+          FROM raw WHERE (node * 13 + j * 29) % 100 != node),
+    marked AS (SELECT node,
+                      CASE WHEN node % 10 = 0 THEN 1 ELSE 0 END AS is_seed
+               FROM nodes),
+    ns AS (SELECT SUM(is_seed) AS ns FROM marked),
+    od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(is_seed * (1000000000 // t.ns) AS BIGINT)
+                      AS rank
+           FROM marked CROSS JOIN ns t){iters}
+    SELECT node, rank FROM r{n_iters}
+    """
+
+
+@query("seed_pagerank", _seed_pagerank_oracle())
+def q_seed_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the node%10==0 seed set over the shared
+    100-host link graph: teleport mass returns to the seeds, so rank is
+    importance-as-seen-from-trusted-hubs — the crawl-frontier
+    prioritizer. Unreachable hosts end at exactly 0. See
+    functions/graph.personalized_pagerank."""
+    from ocr_spark.functions.graph import personalized_pagerank
+
+    edges = _host_edges(spark, sf_dir)
+    seeds = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct().filter(F.col("node") % 10 == 0)
+    return personalized_pagerank(edges, seeds, n_iters=3)
+
+
+@query(
+    "quality_auc",
+    """
+    WITH scored AS (
+      SELECT CAST(n_chars AS BIGINT) AS s,
+             CASE WHEN list_contains(
+               string_split_regex(lower(trim(text)), '\\s+'), 'the')
+               THEN 1 ELSE 0 END AS y
+      FROM documents),
+    hist AS (
+      SELECT s, COUNT(*) AS c_all, SUM(y) AS c_pos
+      FROM scored GROUP BY s),
+    r AS (
+      SELECT s, c_all, c_pos,
+             SUM(c_all) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM hist),
+    agg AS (
+      SELECT CAST(SUM(c_pos) AS BIGINT) AS n_pos,
+             CAST(SUM(c_all) - SUM(c_pos) AS BIGINT) AS n_neg,
+             CAST(SUM(c_pos * (2 * (cum - c_all) + c_all + 1)) AS BIGINT)
+                 AS r2
+      FROM r)
+    SELECT n_pos, n_neg,
+           CAST((10000 * (r2 - n_pos * (n_pos + 1)))
+                // (2 * n_pos * n_neg) AS BIGINT) AS auc_bp
+    FROM agg
+    """,
+)
+def q_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-aware ROC AUC (Mann-Whitney rank sum, zero floats) of
+    document length as a predictor of containing the stopword 'the' —
+    the eval primitive for every scorer in the pipeline. See
+    functions/curation.roc_auc."""
+    from ocr_spark.functions.curation import roc_auc
+
+    scored = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("s"),
+        F.array_contains(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "the")
+        .cast("int").alias("y"),
+    )
+    return roc_auc(scored, "s", "y")
+
+
+@query(
+    "best_span",
+    """
+    WITH words AS (
+      SELECT doc, u.pos, length(u.w) - 3 AS sc FROM (
+        SELECT doc_id AS doc,
+               list_transform(generate_series(0, len(ws) - 1),
+                 i -> {'pos': i, 'w': ws[i + 1]}) AS pairs
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 w -> w <> '') AS ws
+              FROM documents)),
+      LATERAL unnest(pairs) AS t(u)),
+    pfx AS (
+      SELECT doc, pos, sc,
+             SUM(sc) OVER (PARTITION BY doc ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre
+      FROM words),
+    lo AS (
+      SELECT doc, pos, pre,
+             MIN(pre) OVER (PARTITION BY doc ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS minb
+      FROM pfx),
+    best AS (
+      SELECT doc,
+             MAX(pre - LEAST(COALESCE(minb, 0), 0)) AS raw,
+             COUNT(*) AS n_words
+      FROM lo GROUP BY doc)
+    SELECT CAST(doc AS BIGINT) AS doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(GREATEST(raw, 0) AS BIGINT) AS best_score
+    FROM best
+    """,
+)
+def q_best_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best contiguous word-span score per document (Kadane's maximum
+    subarray, empty floor 0) as one zero-shuffle codegen'd fold — the
+    quality-spine extractor. The DuckDB twin proves the same integers
+    via the prefix-sum window formulation. See
+    functions/curation.best_span."""
+    from ocr_spark.functions.curation import best_span
+
+    return best_span(_cpu(spark, sf_dir, "documents"), "doc_id", "text")
