@@ -190,6 +190,9 @@ HEADLINE = [
     "seed_pagerank",
     "quality_auc",
     "best_span",
+    "label_leakage_pairs",
+    "degree_gini",
+    "quantile_align",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -9468,3 +9468,227 @@ def q_best_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.functions.curation import best_span
 
     return best_span(_cpu(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _label_leak_oracle() -> str:
+    bsql = ORACLE["lsh_buckets"]
+    cos = ("list_aggregate(list_transform(list_zip(a.nvec, b.nvec),"
+           " p -> p[1]*p[2]), 'sum')"
+           " / (sqrt(list_aggregate(list_transform(a.nvec, x -> x*x),"
+           " 'sum'))"
+           " * sqrt(list_aggregate(list_transform(b.nvec, x -> x*x),"
+           " 'sum')))")
+    return f"""
+    WITH bk AS ({bsql}),
+    base AS (
+      SELECT vec_id AS nid, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nvec,
+             b.bucket
+      FROM embeddings e JOIN bk b ON e.vec_id = b.doc)
+    SELECT a.nid AS doc_a, b.nid AS doc_b,
+           CAST(a.label AS BIGINT) AS label_a,
+           CAST(b.label AS BIGINT) AS label_b,
+           ROUND({cos}, 6) AS cos
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.nid < b.nid
+    WHERE a.label <> b.label AND ROUND({cos}, 6) >= CAST(0.3 AS DOUBLE)
+    """
+
+
+@query("label_leakage_pairs", _label_leak_oracle())
+def q_label_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-label near-duplicates: sign-LSH bucket join, exact cosine
+    within buckets, kept only when the two sides carry DIFFERENT labels
+    — the classifier-training consistency audit (near-identical content
+    labeled two ways poisons both eval trust and training). Same
+    bucketed plan as embedding_near_dup: shuffle key is the bucket,
+    never an all-pairs join."""
+    emb = _cpu(spark, sf_dir, "embeddings")
+    buckets = similarity.hyperplane_lsh_buckets(emb, "vec_id", "embedding")
+    base = emb.select(
+        F.col("vec_id").alias("nid"), "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        .alias("nvec"),
+    ).join(buckets.select(F.col("doc").alias("nid"), "bucket"), "nid")
+    a = base.select(F.col("nid").alias("doc_a"),
+                    F.col("label").alias("label_a"),
+                    F.col("nvec").alias("va"), "bucket")
+    b = base.select(F.col("nid").alias("doc_b"),
+                    F.col("label").alias("label_b"),
+                    F.col("nvec").alias("vb"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter((F.col("doc_a") < F.col("doc_b"))
+                & (F.col("label_a") != F.col("label_b")))
+    )
+    cos = F.round(similarity.cosine(F.col("va"), F.col("vb")),
+                  similarity.ROUND)
+    return (
+        pairs.select(
+            "doc_a", "doc_b",
+            F.col("label_a").cast("bigint").alias("label_a"),
+            F.col("label_b").cast("bigint").alias("label_b"),
+            cos.alias("cos"))
+        .filter(F.col("cos") >= 0.3)
+    )
+
+
+@query(
+    "degree_gini",
+    """
+    WITH nodes AS (SELECT DISTINCT doc_id % 100 AS node FROM documents),
+    raw AS (SELECT node, unnest(generate_series(1, 1 + node % 3)) AS j
+            FROM nodes),
+    e AS (SELECT DISTINCT node AS src, (node * 13 + j * 29) % 100 AS dst
+          FROM raw WHERE (node * 13 + j * 29) % 100 != node),
+    deg AS (
+      SELECT n.node, COALESCE(d.c, 0) AS degree
+      FROM nodes n LEFT JOIN
+        (SELECT src, COUNT(*) AS c FROM e GROUP BY src) d
+        ON d.src = n.node),
+    hist AS (SELECT degree AS v, COUNT(*) AS c FROM deg GROUP BY degree),
+    r AS (
+      SELECT v, c,
+             SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+                 AS cum_before
+      FROM hist),
+    agg AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(v * c) AS BIGINT) AS s,
+             CAST(SUM(v * (2 * c * cum_before + c * c + c)) AS BIGINT)
+                 AS s2
+      FROM r)
+    SELECT n, s AS degree_sum,
+           CAST((10000 * (s2 - (n + 1) * s)) // (n * s) AS BIGINT)
+               AS gini_bp
+    FROM agg
+    """,
+)
+def q_degree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer Gini coefficient of the host out-degree distribution
+    (0 = every host links equally, →10000 = one hub owns the graph) —
+    the one-number inequality summary beside degree_stats, computed on
+    the degree HISTOGRAM with doubled rank sums so no float ever
+    appears. Windows run over distinct degree values, never nodes."""
+    edges = _host_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = (
+        nodes.join(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("c")),
+            nodes["node"] == F.col("src"), "left")
+        .select(F.coalesce("c", F.lit(0)).alias("degree"))
+    )
+    hist = deg.groupBy("degree").agg(F.count(F.lit(1)).alias("c"))
+    w = (Window.orderBy("degree")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = hist.withColumn("cum_before", F.sum("c").over(w) - F.col("c"))
+    agg = r.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.col("degree") * F.col("c")).cast("bigint").alias("s"),
+        F.sum(F.col("degree")
+              * (F.lit(2) * F.col("c") * F.col("cum_before")
+                 + F.col("c") * F.col("c") + F.col("c")))
+        .cast("bigint").alias("s2"),
+    )
+    return agg.select(
+        "n", F.col("s").alias("degree_sum"),
+        F.expr("CAST((10000 * (s2 - (n + 1) * s)) div (n * s) AS BIGINT)")
+        .alias("gini_bp"),
+    )
+
+
+@query(
+    "quantile_align",
+    """
+    WITH scored AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents),
+    shist AS (
+      SELECT source, v, COUNT(*) AS c FROM scored GROUP BY source, v),
+    sr AS (
+      SELECT source, v, c,
+             SUM(c) OVER (PARTITION BY source ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY source) AS n
+      FROM shist),
+    probes AS (
+      SELECT source, v, c, cum * 10000 // n AS pct_bp FROM sr),
+    ghist AS (
+      SELECT v, COUNT(*) AS c FROM scored GROUP BY v),
+    gr AS (
+      SELECT v, SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             * 10000 // (SELECT COUNT(*) FROM scored) AS gcum_bp
+      FROM ghist),
+    u AS (
+      SELECT NULL AS source, NULL AS c, v AS gval, gcum_bp AS bp, 0 AS t
+      FROM gr
+      UNION ALL
+      SELECT source, c, NULL, pct_bp, 1 FROM probes),
+    m AS (
+      SELECT source, c, bp, t,
+             MIN(gval) OVER (ORDER BY bp DESC, t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS aligned_v
+      FROM u)
+    SELECT source,
+           CAST(bp AS BIGINT) AS pct_bp,
+           CAST(c AS BIGINT) AS n_docs,
+           CAST(aligned_v AS BIGINT) AS aligned_v
+    FROM m WHERE t = 1
+    """,
+)
+def q_quantile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quantile normalization of an integer score: each
+    source-local histogram value maps to the GLOBAL score at the same
+    percentile (smallest global value whose cumulative share reaches the
+    source-local share) — the calibration step before comparing quality
+    scores across sources with different scales. The inequality lookup
+    is the asof-union trick: global histogram rows and source probes
+    union into ONE descending-bp window with a running MIN — never an
+    inequality join. All windows run over histograms, not docs."""
+    scored = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("bigint").alias("v"))
+    shist = scored.groupBy("source", "v").agg(F.count(F.lit(1)).alias("c"))
+    ws = (Window.partitionBy("source").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    probes = (
+        shist
+        .withColumn("cum", F.sum("c").over(ws))
+        .withColumn("n", F.sum("c").over(Window.partitionBy("source")))
+        .select("source", "c",
+                F.expr("cum * 10000 div n").alias("bp"),
+                F.lit(1).alias("t"),
+                F.lit(None).cast("bigint").alias("gval"))
+    )
+    tot = scored.agg(F.count(F.lit(1)).alias("nt"))
+    ghist = scored.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    wg = (Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    grows = (
+        ghist.withColumn("gcum", F.sum("c").over(wg))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.lit(None).cast("string").alias("source"),
+            F.lit(None).cast("bigint").alias("c"),
+            F.expr("gcum * 10000 div nt").alias("bp"),
+            F.lit(0).alias("t"),
+            F.col("v").alias("gval"),
+        )
+    )
+    u = grows.unionByName(probes)
+    wm = (Window.orderBy(F.desc("bp"), F.asc("t"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        u.withColumn("aligned_v", F.min("gval").over(wm))
+        .filter(F.col("t") == 1)
+        .select(
+            "source",
+            F.col("bp").cast("bigint").alias("pct_bp"),
+            F.col("c").cast("bigint").alias("n_docs"),
+            F.col("aligned_v").cast("bigint").alias("aligned_v"),
+        )
+    )
