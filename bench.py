@@ -193,6 +193,8 @@ HEADLINE = [
     "label_leakage_pairs",
     "degree_gini",
     "quantile_align",
+    "bot_gap_regularity",
+    "idf_drift",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

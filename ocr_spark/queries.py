@@ -9692,3 +9692,171 @@ def q_quantile_align(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("aligned_v").cast("bigint").alias("aligned_v"),
         )
     )
+
+
+@query(
+    "bot_gap_regularity",
+    """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS raw,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS seq
+      FROM events),
+    arr AS (
+      SELECT user_id,
+             CASE WHEN user_id % 7 = 0 THEN seq * 1000000 ELSE raw END
+                 AS arr,
+             seq
+      FROM ev),
+    gaps AS (
+      SELECT user_id,
+             arr - LAG(arr) OVER (PARTITION BY user_id ORDER BY seq)
+                 AS g
+      FROM arr),
+    agg AS (
+      SELECT user_id,
+             COUNT(g) AS n_gaps,
+             SUM(g) AS sum_gap,
+             SUM(CAST(g AS HUGEINT) * g) AS sum_g2
+      FROM gaps WHERE g IS NOT NULL GROUP BY user_id
+      HAVING COUNT(g) >= 3)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(n_gaps AS BIGINT) AS n_gaps,
+           CAST(sum_gap AS BIGINT) AS sum_gap_micros,
+           CAST((10000 * (n_gaps * sum_g2
+                          - CAST(sum_gap AS HUGEINT) * sum_gap))
+                // (CAST(sum_gap AS HUGEINT) * sum_gap) AS BIGINT)
+               AS cv2_bp,
+           CAST(100 * (n_gaps * sum_g2
+                       - CAST(sum_gap AS HUGEINT) * sum_gap)
+                < CAST(sum_gap AS HUGEINT) * sum_gap AS INTEGER) AS is_bot
+    FROM agg
+    """,
+)
+def q_bot_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot detection by inter-arrival regularity: per user the squared
+    coefficient of variation of event gaps in basis points
+    (cv2_bp = 10000·(n·Σg² - (Σg)²)/(Σg)²; machines metronome near 0,
+    humans burst high) and an is_bot flag at CV < 0.1, tested by pure
+    integer cross-multiplication — the decimal sums never meet a float.
+    Synthetic bots (user_id % 7 == 0) get exactly regular gaps and must
+    flag. One user-keyed window pass + one user agg; the variance
+    identity n·Σg² - (Σg)² needs no second mean pass."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("raw"),
+    )
+    wseq = Window.partitionBy("user_id").orderBy("raw", "event_id")
+    arr = ev.withColumn("seq", F.row_number().over(wseq)).select(
+        "user_id", "seq",
+        F.when(F.col("user_id") % 7 == 0,
+               F.col("seq").cast("bigint") * 1000000)
+        .otherwise(F.col("raw")).alias("arr"),
+    )
+    wl = Window.partitionBy("user_id").orderBy("seq")
+    gaps = arr.select(
+        "user_id",
+        (F.col("arr") - F.lag("arr").over(wl)).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    agg = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("g").cast("bigint").alias("sum_gap"),
+            F.sum(F.col("g").cast("decimal(38,0)") * F.col("g"))
+            .alias("sum_g2"),
+        )
+        .filter(F.col("n_gaps") >= 3)
+    )
+    var_num = F.expr("n_gaps * sum_g2 - CAST(sum_gap AS DECIMAL(38,0))"
+                     " * sum_gap")
+    return agg.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "n_gaps",
+        F.col("sum_gap").alias("sum_gap_micros"),
+        F.expr("CAST((10000 * (n_gaps * sum_g2"
+               " - CAST(sum_gap AS DECIMAL(38,0)) * sum_gap))"
+               " div (CAST(sum_gap AS DECIMAL(38,0)) * sum_gap)"
+               " AS BIGINT)").alias("cv2_bp"),
+        (F.lit(100) * var_num
+         < F.expr("CAST(sum_gap AS DECIMAL(38,0)) * sum_gap"))
+        .cast("int").alias("is_bot"),
+    )
+
+
+@query(
+    "idf_drift",
+    """
+    WITH words AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                           w -> w <> ''))) AS w
+      FROM documents),
+    dfab AS (
+      SELECT w,
+             SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS df_a,
+             SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS df_b
+      FROM words GROUP BY w
+      HAVING SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) >= 5
+         AND SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) >= 5),
+    ranked AS (
+      SELECT w, df_a, df_b,
+             ROW_NUMBER() OVER (ORDER BY df_a DESC, w) AS rank_a,
+             ROW_NUMBER() OVER (ORDER BY df_b DESC, w) AS rank_b
+      FROM dfab)
+    SELECT w AS term,
+           CAST(df_a AS BIGINT) AS df_a,
+           CAST(df_b AS BIGINT) AS df_b,
+           CAST(rank_a AS BIGINT) AS rank_a,
+           CAST(rank_b AS BIGINT) AS rank_b,
+           CAST(ABS(rank_a - rank_b) AS BIGINT) AS drift
+    FROM ranked
+    ORDER BY ABS(rank_a - rank_b) DESC, w LIMIT 20
+    """,
+)
+def q_idf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency rank drift between two crawl halves (doc_id
+    parity as crawl A/B): the 20 terms whose df rank moved most. A
+    vocabulary whose top ranks churn between crawls signals topic drift
+    or a fetcher-mix change before any model metric does. One distinct-
+    word explode + term agg; the rank windows run over the df-filtered
+    vocabulary (small), and top-20 is a bounded TakeOrdered."""
+    words = (
+        _cpu(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.explode(F.array_distinct(F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda w: w != ""))).alias("w"),
+        )
+    )
+    dfab = (
+        words.groupBy("w")
+        .agg(
+            F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+            .alias("df_a"),
+            F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0))
+            .alias("df_b"),
+        )
+        .filter((F.col("df_a") >= 5) & (F.col("df_b") >= 5))
+    )
+    ranked = (
+        dfab
+        .withColumn("rank_a", F.row_number().over(
+            Window.orderBy(F.desc("df_a"), F.asc("w"))))
+        .withColumn("rank_b", F.row_number().over(
+            Window.orderBy(F.desc("df_b"), F.asc("w"))))
+    )
+    return (
+        ranked.select(
+            F.col("w").alias("term"),
+            F.col("df_a").cast("bigint").alias("df_a"),
+            F.col("df_b").cast("bigint").alias("df_b"),
+            F.col("rank_a").cast("bigint").alias("rank_a"),
+            F.col("rank_b").cast("bigint").alias("rank_b"),
+            F.abs(F.col("rank_a") - F.col("rank_b")).cast("bigint")
+            .alias("drift"),
+        )
+        .orderBy(F.desc("drift"), F.asc("term"))
+        .limit(20)
+    )
