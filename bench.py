@@ -195,6 +195,8 @@ HEADLINE = [
     "quantile_align",
     "bot_gap_regularity",
     "idf_drift",
+    "filter_funnel",
+    "host_common_prefix",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -9860,3 +9860,160 @@ def q_idf_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("drift"), F.asc("term"))
         .limit(20)
     )
+
+
+def _filter_funnel_oracle() -> str:
+    g = ORACLE["gopher_rules"]
+    return f"""
+    WITH g AS ({g}),
+    d AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY text)
+                  THEN 1 ELSE 0 END AS is_rep
+      FROM documents),
+    j AS (
+      SELECT d.doc_id,
+             CASE WHEN g.keep THEN 1 ELSE 0 END AS k1,
+             CASE WHEN g.keep AND d.lang = 'en' THEN 1 ELSE 0 END AS k2,
+             CASE WHEN g.keep AND d.lang = 'en' AND d.is_rep = 1
+                  THEN 1 ELSE 0 END AS k3
+      FROM d JOIN g ON g.doc = d.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(k1) AS BIGINT) AS n_quality,
+           CAST(SUM(k2) AS BIGINT) AS n_lang,
+           CAST(SUM(k3) AS BIGINT) AS n_final,
+           CAST((COUNT(*) - SUM(k1)) * 10000 // COUNT(*) AS BIGINT)
+               AS quality_drop_bp,
+           CAST((SUM(k1) - SUM(k2)) * 10000 // GREATEST(SUM(k1), 1)
+               AS BIGINT) AS lang_drop_bp,
+           CAST((SUM(k2) - SUM(k3)) * 10000 // GREATEST(SUM(k2), 1)
+               AS BIGINT) AS dedup_drop_bp
+    FROM j
+    """
+
+
+@query("filter_funnel", _filter_funnel_oracle())
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation funnel report: documents surviving each stage of
+    gopher-quality → english-only → exact-dedup-representative, with
+    per-stage attrition in basis points — the number every dataset card
+    leads with, and the first thing to re-check when a corpus shrinks
+    unexpectedly. Reuses gopher_rules (zero-shuffle flags); the dedup
+    stage partitions by a text digest (the oracle by raw text — same
+    equality groups, same representative)."""
+    from ocr_spark.functions.curation import gopher_rules
+
+    docs = _cpu(spark, sf_dir, "documents")
+    flags = gopher_rules(docs, "doc_id", "text").select(
+        F.col("doc").alias("doc_id"), "keep")
+    wrep = Window.partitionBy(F.sha2(F.col("text"), 256))
+    d = docs.select(
+        "doc_id", "lang", "text",
+        (F.col("doc_id") == F.min("doc_id").over(wrep)).cast("int")
+        .alias("is_rep"),
+    )
+    j = d.join(flags, "doc_id").select(
+        F.when(F.col("keep"), 1).otherwise(0).alias("k1"),
+        F.when(F.col("keep") & (F.col("lang") == "en"), 1).otherwise(0)
+        .alias("k2"),
+        F.when(F.col("keep") & (F.col("lang") == "en")
+               & (F.col("is_rep") == 1), 1).otherwise(0).alias("k3"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("k1").cast("bigint").alias("n_quality"),
+        F.sum("k2").cast("bigint").alias("n_lang"),
+        F.sum("k3").cast("bigint").alias("n_final"),
+        F.expr("CAST((COUNT(*) - SUM(k1)) * 10000 div COUNT(*) AS BIGINT)")
+        .alias("quality_drop_bp"),
+        F.expr("CAST((SUM(k1) - SUM(k2)) * 10000"
+               " div GREATEST(SUM(k1), 1) AS BIGINT)").alias("lang_drop_bp"),
+        F.expr("CAST((SUM(k2) - SUM(k3)) * 10000"
+               " div GREATEST(SUM(k2), 1) AS BIGINT)")
+        .alias("dedup_drop_bp"),
+    )
+
+
+@query(
+    "host_common_prefix",
+    """
+    WITH pages AS (
+      SELECT 'h' || CAST(doc_id % 9 AS VARCHAR) AS host,
+             'NAV h' || CAST(doc_id % 9 AS VARCHAR)
+             || ' | home | about | '
+             || CASE WHEN doc_id % 9 < 3
+                     THEN 'section ' || CAST(doc_id % 4 AS VARCHAR) || ' | '
+                     ELSE '' END
+             || text AS t
+      FROM documents),
+    mm AS (
+      SELECT host, COUNT(*) AS n_pages,
+             MIN(t) AS lo, MAX(t) AS hi,
+             CAST(SUM(length(t)) AS BIGINT) AS chars_total
+      FROM pages GROUP BY host),
+    lcp AS (
+      SELECT host, n_pages, chars_total,
+             COALESCE(MIN(CASE WHEN substr(lo, i, 1) <> substr(hi, i, 1)
+                           THEN i - 1 END),
+                      LEAST(length(lo), length(hi))) AS lcp_len
+      FROM (SELECT *, unnest(generate_series(
+                1, LEAST(length(lo), length(hi)))) AS i
+            FROM mm)
+      GROUP BY host, n_pages, chars_total, lo, hi)
+    SELECT host,
+           CAST(n_pages AS BIGINT) AS n_pages,
+           CAST(lcp_len AS BIGINT) AS lcp_len,
+           CAST(lcp_len * n_pages * 10000 // chars_total AS BIGINT)
+               AS boilerplate_bp
+    FROM lcp
+    """,
+)
+def q_host_common_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-boilerplate length per host via the sorted-set LCP
+    identity: the common prefix of ALL of a host's pages equals the
+    common prefix of just the lexicographic MIN and MAX page — so
+    template detection costs one (min, max, count) agg per host plus a
+    two-string compare, never a page-pairwise scan. Reports the longest
+    common prefix (the nav/header template) and its share of the host's
+    bytes. The char compare explodes positions of two strings per host
+    only (host-sized, not corpus-sized)."""
+    k = F.col("doc_id")
+    pages = _cpu(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (k % 9).cast("string")).alias("host"),
+        F.concat(
+            F.lit("NAV h"), (k % 9).cast("string"),
+            F.lit(" | home | about | "),
+            F.when(k % 9 < 3,
+                   F.concat(F.lit("section "), (k % 4).cast("string"),
+                            F.lit(" | "))).otherwise(F.lit("")),
+            F.col("text"),
+        ).alias("t"),
+    )
+    mm = pages.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.min("t").alias("lo"),
+        F.max("t").alias("hi"),
+        F.sum(F.length("t")).cast("bigint").alias("chars_total"),
+    )
+    pos = mm.select(
+        "host", "n_pages", "chars_total", "lo", "hi",
+        F.explode(F.sequence(
+            F.lit(1),
+            F.least(F.length("lo"), F.length("hi")))).alias("i"),
+    )
+    lcp = (
+        pos.groupBy("host", "n_pages", "chars_total", "lo", "hi")
+        .agg(F.coalesce(
+            F.min(F.when(
+                F.expr("substr(lo, i, 1) <> substr(hi, i, 1)"),
+                F.col("i") - 1)),
+            F.least(F.length("lo"), F.length("hi")).cast("bigint"),
+        ).alias("lcp_len"))
+    )
+    return lcp.select(
+        "host",
+        F.col("n_pages").cast("bigint").alias("n_pages"),
+        F.col("lcp_len").cast("bigint").alias("lcp_len"),
+        F.expr("CAST(lcp_len * n_pages * 10000 div chars_total AS BIGINT)")
+        .alias("boilerplate_bp"),
+    )
