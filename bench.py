@@ -197,6 +197,9 @@ HEADLINE = [
     "idf_drift",
     "filter_funnel",
     "host_common_prefix",
+    "entity_census",
+    "f1_threshold_sweep",
+    "source_centroid_drift",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

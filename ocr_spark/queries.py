@@ -10017,3 +10017,199 @@ def q_host_common_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(lcp_len * n_pages * 10000 div chars_total AS BIGINT)")
         .alias("boilerplate_bp"),
     )
+
+
+_CENSUS_SUFFIX_SQL = (
+    "CASE WHEN doc_id % 3 = 0 THEN"
+    " ' mail a' || CAST(doc_id AS VARCHAR) || '@h.example now'"
+    " WHEN doc_id % 3 = 1 THEN"
+    " ' call +91 98765 43210 or visit http://h' ||"
+    " CAST(doc_id % 7 AS VARCHAR) || '.example/p'"
+    " ELSE ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 ref"
+    " 2345 6789 0123' END"
+)
+
+_CENSUS_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?[0-9]{2,3}[-\s][0-9]{5}[-\s][0-9]{5}"),
+    ("id12", r"[0-9]{4}\s[0-9]{4}\s[0-9]{4}"),
+    ("url", r"https?://[^\s]+"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+]
+
+
+@query(
+    "entity_census",
+    f"""
+    WITH src AS (
+      SELECT source, text || {_CENSUS_SUFFIX_SQL} AS t FROM documents)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {", ".join(
+        f"CAST(SUM(len(regexp_extract_all(t, '{pat}'))) AS BIGINT)"
+        f" AS n_{name}" for name, pat in _CENSUS_PATTERNS)}
+    FROM src GROUP BY source
+    """,
+)
+def q_entity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source entity census (emails, phones, 12-digit ids, URLs,
+    IPs) over deterministically salted text — the PII-exposure and
+    link-density inventory that decides which sources need a scrub pass
+    (the counting complement of pii_scrub's redaction). One codegen'd
+    regexp projection + one source agg."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(F.col("text"),
+                 F.expr(_CENSUS_SUFFIX_SQL.replace("VARCHAR", "STRING")))
+        .alias("t"),
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    for name, pat in _CENSUS_PATTERNS:
+        aggs.append(
+            F.sum(F.size(F.regexp_extract_all(F.col("t"), F.lit(pat),
+                                              F.lit(0))))
+            .cast("bigint").alias(f"n_{name}"))
+    return docs.groupBy("source").agg(*aggs)
+
+
+@query(
+    "f1_threshold_sweep",
+    """
+    WITH scored AS (
+      SELECT CAST(n_chars AS BIGINT) AS s,
+             CASE WHEN list_contains(
+               string_split_regex(lower(trim(text)), '\\s+'), 'the')
+               THEN 1 ELSE 0 END AS y
+      FROM documents),
+    hist AS (
+      SELECT s, COUNT(*) AS c_all, SUM(y) AS c_pos
+      FROM scored GROUP BY s),
+    tot AS (SELECT SUM(c_pos) AS n_pos FROM hist),
+    r AS (
+      SELECT s AS thr,
+             SUM(c_pos) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             SUM(c_all) OVER (ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pred
+      FROM hist),
+    f AS (
+      SELECT thr, tp, pred - tp AS fp, t.n_pos - tp AS fn,
+             20000 * tp // (2 * tp + (pred - tp) + (t.n_pos - tp))
+                 AS f1_bp
+      FROM r CROSS JOIN tot t WHERE tp > 0)
+    SELECT CAST(thr AS BIGINT) AS threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(f1_bp AS BIGINT) AS f1_bp
+    FROM f ORDER BY f1_bp DESC, thr ASC LIMIT 1
+    """,
+)
+def q_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact F1-optimal threshold search for the predict-positive-when-
+    score>=t rule: TP/FP/FN at EVERY distinct score via two descending
+    cumulative windows over the score histogram, F1 in basis points by
+    integer division, argmax with a smallest-threshold tie-break. The
+    operating-point picker that turns quality_auc's ranking quality
+    into a deployable gate. Windows run over distinct scores, not docs."""
+    scored = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("bigint").alias("s"),
+        F.array_contains(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"), "the")
+        .cast("int").alias("y"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.count(F.lit(1)).alias("c_all"), F.sum("y").alias("c_pos"))
+    tot = hist.agg(F.sum("c_pos").alias("n_pos"))
+    w = (Window.orderBy(F.desc("s"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = hist.select(
+        F.col("s").alias("thr"),
+        F.sum("c_pos").over(w).alias("tp"),
+        F.sum("c_all").over(w).alias("pred"),
+    )
+    f = (
+        r.crossJoin(F.broadcast(tot))
+        .filter(F.col("tp") > 0)
+        .select(
+            "thr", "tp",
+            (F.col("pred") - F.col("tp")).alias("fp"),
+            (F.col("n_pos") - F.col("tp")).alias("fn"),
+            F.expr("20000 * tp div (2 * tp + (pred - tp)"
+                   " + (n_pos - tp))").alias("f1_bp"),
+        )
+    )
+    return (
+        f.orderBy(F.desc("f1_bp"), F.asc("thr")).limit(1)
+        .select(
+            F.col("thr").cast("bigint").alias("threshold"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("fp").cast("bigint").alias("fp"),
+            F.col("fn").cast("bigint").alias("fn"),
+            F.col("f1_bp").cast("bigint").alias("f1_bp"),
+        )
+    )
+
+
+@query(
+    "source_centroid_drift",
+    """
+    WITH base AS MATERIALIZED (
+      SELECT nid, grp, unnest(pairs, recursive := true) FROM (
+        SELECT vec_id AS nid, label AS grp,
+               list_transform(generate_series(0, len(embedding) - 1),
+                 i -> {'pos': i,
+                       'q': CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE)
+                                       * 1048576.0) AS BIGINT)}) AS pairs
+        FROM embeddings)),
+    g AS (
+      SELECT pos,
+             CASE WHEN SUM(q) >= 0 THEN SUM(q) // COUNT(*)
+                  ELSE -((-SUM(q)) // COUNT(*)) END AS c
+      FROM base GROUP BY pos),
+    s AS (
+      SELECT grp, pos,
+             CASE WHEN SUM(q) >= 0 THEN SUM(q) // COUNT(*)
+                  ELSE -((-SUM(q)) // COUNT(*)) END AS sc,
+             COUNT(*) AS n
+      FROM base GROUP BY grp, pos)
+    SELECT CAST(s.grp AS BIGINT) AS label,
+           CAST(MAX(s.n) AS BIGINT) AS n_vecs,
+           CAST(SUM((s.sc - g.c) * (s.sc - g.c)) AS BIGINT) AS drift_d2
+    FROM s JOIN g USING (pos)
+    GROUP BY s.grp
+    """,
+)
+def q_source_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift from the global centroid
+    (exact squared distance between truncated integer means) — the
+    collapsed-label / mis-routed-encoder check at group granularity,
+    complementing embedding_outliers' per-vector view. Two dim-sized
+    centroid aggs + one dim-keyed join; the corpus is read once."""
+    from ocr_spark.functions.similarity import POWER_Q
+
+    base = _cpu(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("nid"), F.col("label").alias("grp"),
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("pos", "x"),
+    ).select(
+        "grp", "pos",
+        F.round(F.col("x") * F.lit(float(POWER_Q))).cast("bigint").alias("q"),
+    )
+    tr = "CASE WHEN s >= 0 THEN s div n ELSE -((-s) div n) END"
+    g = (base.groupBy("pos")
+         .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+         .select("pos", F.expr(tr).alias("c")))
+    s = (base.groupBy("grp", "pos")
+         .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+         .select("grp", "pos", F.expr(tr).alias("sc"), "n"))
+    return (
+        s.join(F.broadcast(g), "pos")
+        .groupBy("grp")
+        .agg(
+            F.max("n").cast("bigint").alias("n_vecs"),
+            F.sum((F.col("sc") - F.col("c")) * (F.col("sc") - F.col("c")))
+            .cast("bigint").alias("drift_d2"),
+        )
+        .select(F.col("grp").cast("bigint").alias("label"),
+                "n_vecs", "drift_d2")
+    )
