@@ -200,6 +200,8 @@ HEADLINE = [
     "entity_census",
     "f1_threshold_sweep",
     "source_centroid_drift",
+    "shard_rebalance",
+    "pps_sample",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -10213,3 +10213,158 @@ def q_source_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("grp").cast("bigint").alias("label"),
                 "n_vecs", "drift_d2")
     )
+
+
+_RING_SHARDS_OLD = 8
+_RING_VNODES = 8
+
+
+def _ring_oracle() -> str:
+    h = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    vp = ("('0x' || substr(md5(CAST(s AS VARCHAR) || ':'"
+          " || CAST(v AS VARCHAR)), 1, 15))::BIGINT")
+    return f"""
+    WITH docs AS (SELECT doc_id, {h} AS h FROM documents),
+    vn AS (
+      SELECT s, {vp} AS p
+      FROM (SELECT unnest(generate_series(0, {_RING_SHARDS_OLD})) AS s),
+           (SELECT unnest(generate_series(0, {_RING_VNODES - 1})) AS v)),
+    assign_old AS (
+      SELECT d.doc_id,
+             COALESCE(
+               MIN(CASE WHEN v.p >= d.h THEN v.p END),
+               MIN(v.p)) AS owner_p
+      FROM docs d CROSS JOIN vn v
+      WHERE v.s < {_RING_SHARDS_OLD}
+      GROUP BY d.doc_id, d.h),
+    assign_new AS (
+      SELECT d.doc_id,
+             COALESCE(
+               MIN(CASE WHEN v.p >= d.h THEN v.p END),
+               MIN(v.p)) AS owner_p
+      FROM docs d CROSS JOIN vn v
+      GROUP BY d.doc_id, d.h),
+    ring AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN o.owner_p <> nw.owner_p THEN 1 ELSE 0 END)
+                 AS moved
+      FROM assign_old o JOIN assign_new nw USING (doc_id)),
+    m AS (
+      SELECT COUNT(*) AS n,
+             SUM(CASE WHEN h % {_RING_SHARDS_OLD}
+                      <> h % {_RING_SHARDS_OLD + 1} THEN 1 ELSE 0 END)
+                 AS moved
+      FROM docs)
+    SELECT 'mod' AS strategy, CAST(n AS BIGINT) AS n_docs,
+           CAST(moved AS BIGINT) AS n_moved,
+           CAST(moved * 10000 // n AS BIGINT) AS moved_bp
+    FROM m
+    UNION ALL
+    SELECT 'ring', CAST(n AS BIGINT), CAST(moved AS BIGINT),
+           CAST(moved * 10000 // n AS BIGINT)
+    FROM ring
+    """
+
+
+@query("shard_rebalance", _ring_oracle())
+def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-count change audit: how many documents move when growing 8
+    shards to 9 under modulo assignment vs a consistent-hash ring (8
+    md5 virtual nodes per shard). Modulo reshuffles ~8/9 of the corpus;
+    the ring moves only the arcs the new shard steals (~1/9) — THE
+    reason bucketed storage layouts use ring hashing at 100 TB, shown
+    exactly, not asymptotically. The vnode table is a constant 72-row
+    broadcast fan-out (like the IVF centroid pattern), never a
+    data-sized join."""
+    h = F.expr("CAST(CONV(substr(md5(CAST(doc_id AS STRING)), 1, 15),"
+               " 16, 10) AS BIGINT)")
+    docs = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", h.alias("h"))
+    vn_rows = [(s, v) for s in range(_RING_SHARDS_OLD + 1)
+               for v in range(_RING_VNODES)]
+    vn = spark.createDataFrame(vn_rows, ["s", "v"]).select(
+        "s",
+        F.expr("CAST(CONV(substr(md5(CAST(s AS STRING) || ':'"
+               " || CAST(v AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        .alias("p"),
+    )
+
+    def _assign(vnodes):
+        return (
+            docs.crossJoin(F.broadcast(vnodes))
+            .groupBy("doc_id")
+            .agg(F.coalesce(
+                F.min(F.when(F.col("p") >= F.col("h"), F.col("p"))),
+                F.min("p")).alias("owner_p"))
+        )
+
+    old = _assign(vn.filter(F.col("s") < _RING_SHARDS_OLD)) \
+        .withColumnRenamed("owner_p", "op")
+    new = _assign(vn)
+    ring = (
+        old.join(new, "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("op") != F.col("owner_p"), 1).otherwise(0))
+            .cast("bigint").alias("n_moved"),
+        )
+        .select(F.lit("ring").alias("strategy"), "n_docs", "n_moved",
+                F.expr("CAST(n_moved * 10000 div n_docs AS BIGINT)")
+                .alias("moved_bp"))
+    )
+    mod = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(
+            F.col("h") % _RING_SHARDS_OLD
+            != F.col("h") % (_RING_SHARDS_OLD + 1), 1).otherwise(0))
+        .cast("bigint").alias("n_moved"),
+    ).select(F.lit("mod").alias("strategy"), "n_docs", "n_moved",
+             F.expr("CAST(n_moved * 10000 div n_docs AS BIGINT)")
+             .alias("moved_bp"))
+    return mod.unionByName(ring)
+
+
+@query(
+    "pps_sample",
+    """
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents),
+    tot AS (SELECT SUM(wt) AS tw FROM w),
+    c AS (
+      SELECT doc_id, wt,
+             SUM(wt) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             GREATEST(t.tw // 100, 1) AS step
+      FROM w CROSS JOIN tot t)
+    SELECT doc_id, wt,
+           CAST(cum // step - (cum - wt) // step AS BIGINT) AS n_hits
+    FROM c
+    WHERE cum // step > (cum - wt) // step
+    """,
+)
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic probability-proportional-to-size sampling (~100
+    draws): a document is selected each time its weight span crosses a
+    step-grid point on the cumulative-weight line, so inclusion
+    probability is exactly proportional to weight, heavy docs can draw
+    multiple hits, and the whole design is one running-sum window — the
+    deterministic PPS that replaces RNG-based weighted sampling in
+    reproducible corpus subsampling. Returns (doc_id, wt, n_hits)."""
+    w = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("n_chars").cast("bigint").alias("wt"))
+    tot = w.agg(F.sum("wt").alias("tw"))
+    win = (Window.orderBy("doc_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("wt").over(win))
+        .withColumn("step", F.expr("GREATEST(tw div 100, 1)"))
+    )
+    return (
+        c.filter(F.expr("cum div step > (cum - wt) div step"))
+        .select(
+            "doc_id", "wt",
+            F.expr("CAST(cum div step - (cum - wt) div step AS BIGINT)")
+            .alias("n_hits"),
+        )
+    )
