@@ -202,6 +202,8 @@ HEADLINE = [
     "source_centroid_drift",
     "shard_rebalance",
     "pps_sample",
+    "mutual_nn_pairs",
+    "ngram_precision",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

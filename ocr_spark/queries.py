@@ -10368,3 +10368,162 @@ def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_hits"),
         )
     )
+
+
+def _mutual_nn_oracle() -> str:
+    bsql = ORACLE["lsh_buckets"]
+    cos = ("ROUND(list_aggregate(list_transform(list_zip(a.nvec, b.nvec),"
+           " p -> p[1]*p[2]), 'sum')"
+           " / (sqrt(list_aggregate(list_transform(a.nvec, x -> x*x),"
+           " 'sum'))"
+           " * sqrt(list_aggregate(list_transform(b.nvec, x -> x*x),"
+           " 'sum'))), 6)")
+    return f"""
+    WITH bk AS ({bsql}),
+    base AS (
+      SELECT vec_id AS nid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nvec,
+             b.bucket
+      FROM embeddings e JOIN bk b ON e.vec_id = b.doc),
+    pairs AS (
+      SELECT a.nid AS qid, b.nid AS nid, {cos} AS cos
+      FROM base a JOIN base b
+        ON a.bucket = b.bucket AND a.nid <> b.nid),
+    best AS (
+      SELECT qid, nid, cos FROM (
+        SELECT qid, nid, cos,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY cos DESC, nid) AS rk
+        FROM pairs) WHERE rk = 1)
+    SELECT x.qid AS doc_a, x.nid AS doc_b, x.cos
+    FROM best x JOIN best y ON y.qid = x.nid AND y.nid = x.qid
+    WHERE x.qid < x.nid
+    """
+
+
+@query("mutual_nn_pairs", _mutual_nn_oracle())
+def q_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal best-match pairs: a and b pair iff each is the other's
+    top cosine neighbor within their sign-LSH bucket — the mutual-NN
+    rule that mines bitext/aligned pairs with far higher precision than
+    one-directional top-1. Bucket-bounded pairs + one per-qid argmax
+    window + a self-join on the (qid, best) frame (doc-sized, never
+    pairwise)."""
+    emb = _cpu(spark, sf_dir, "embeddings")
+    buckets = similarity.hyperplane_lsh_buckets(emb, "vec_id", "embedding")
+    base = emb.select(
+        F.col("vec_id").alias("nid"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        .alias("nvec"),
+    ).join(buckets.select(F.col("doc").alias("nid"), "bucket"), "nid")
+    a = base.select(F.col("nid").alias("qid"), F.col("nvec").alias("va"),
+                    "bucket")
+    b = base.select(F.col("nid").alias("nid"), F.col("nvec").alias("vb"),
+                    "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid",
+                F.round(similarity.cosine(F.col("va"), F.col("vb")),
+                        similarity.ROUND).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("nid"))
+    best = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("qid", "nid", "cos")
+    )
+    back = best.select(F.col("qid").alias("nid2"),
+                       F.col("nid").alias("qid2"))
+    return (
+        best.join(back, (best["qid"] == F.col("qid2"))
+                  & (best["nid"] == F.col("nid2")))
+        .filter(F.col("qid") < F.col("nid"))
+        .select(F.col("qid").alias("doc_a"), F.col("nid").alias("doc_b"),
+                "cos")
+    )
+
+
+@query(
+    "ngram_precision",
+    """
+    WITH t AS (
+      SELECT doc_id AS doc,
+             string_split_regex(trim(text), '\\s+') AS gw
+      FROM documents),
+    pred AS (
+      SELECT doc, gw,
+             list_concat(
+               [gw[i] for i in generate_series(1, len(gw))
+                      if i % 7 <> 0],
+               ['subscribe', 'now']) AS pw
+      FROM t),
+    gg AS (
+      SELECT doc, g.w || ' ' || g.w2 AS gram, COUNT(*) AS tf_gold
+      FROM (SELECT doc, unnest([{'w': gw[i], 'w2': gw[i + 1]}
+                  for i in generate_series(1, len(gw) - 1)],
+                  recursive := true) FROM pred) g
+      GROUP BY doc, g.w || ' ' || g.w2),
+    pg AS (
+      SELECT doc, g.w || ' ' || g.w2 AS gram, COUNT(*) AS tf_pred
+      FROM (SELECT doc, unnest([{'w': pw[i], 'w2': pw[i + 1]}
+                  for i in generate_series(1, len(pw) - 1)],
+                  recursive := true) FROM pred) g
+      GROUP BY doc, g.w || ' ' || g.w2),
+    ov AS (
+      SELECT p.doc,
+             SUM(LEAST(p.tf_pred, COALESCE(gg.tf_gold, 0))) AS clipped,
+             SUM(p.tf_pred) AS total
+      FROM pg p LEFT JOIN gg ON gg.doc = p.doc AND gg.gram = p.gram
+      GROUP BY p.doc)
+    SELECT CAST(doc AS BIGINT) AS doc_id,
+           CAST(clipped AS BIGINT) AS clipped,
+           CAST(total AS BIGINT) AS total,
+           CAST(10000 * clipped // total AS BIGINT) AS precision_bp
+    FROM ov WHERE total > 0
+    """,
+)
+def q_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modified bigram precision (the BLEU building block) of the
+    degraded extraction against gold: per doc, clipped bigram matches
+    over predicted bigrams, exact basis points — the sequence-aware
+    complement of extraction_eval's token-bag F1 (dropping every 7th
+    word breaks bigrams token-bag metrics can't see). Two (doc, gram)
+    aggs + one gram-keyed join; grams shuffle as strings only within
+    doc-keyed groups."""
+    docs = _cpu(spark, sf_dir, "documents")
+    gw = F.split(F.trim(F.col("text")), r"\s+")
+    pw = F.concat(
+        F.filter(gw, lambda x, i: (i + 1) % 7 != 0),
+        F.array(F.lit("subscribe"), F.lit("now")))
+    base = docs.select(F.col("doc_id").alias("doc"), gw.alias("gw"),
+                       pw.alias("pw"))
+
+    def grams(col):
+        n = F.size(col)
+        return F.zip_with(
+            F.slice(col, 1, n - 1), F.slice(col, 2, n - 1),
+            lambda x, y: F.concat_ws(" ", x, y))
+
+    gg = (base.select("doc", F.explode(grams(F.col("gw"))).alias("gram"))
+          .groupBy("doc", "gram").agg(F.count(F.lit(1)).alias("tf_gold")))
+    pg = (base.select("doc", F.explode(grams(F.col("pw"))).alias("gram"))
+          .groupBy("doc", "gram").agg(F.count(F.lit(1)).alias("tf_pred")))
+    ov = (
+        pg.join(gg, ["doc", "gram"], "left")
+        .groupBy("doc")
+        .agg(
+            F.sum(F.least(F.col("tf_pred"),
+                          F.coalesce(F.col("tf_gold"), F.lit(0))))
+            .alias("clipped"),
+            F.sum("tf_pred").alias("total"),
+        )
+        .filter(F.col("total") > 0)
+    )
+    return ov.select(
+        F.col("doc").cast("bigint").alias("doc_id"),
+        F.col("clipped").cast("bigint").alias("clipped"),
+        F.col("total").cast("bigint").alias("total"),
+        F.expr("CAST(10000 * clipped div total AS BIGINT)")
+        .alias("precision_bp"),
+    )
