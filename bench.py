@@ -204,6 +204,8 @@ HEADLINE = [
     "pps_sample",
     "mutual_nn_pairs",
     "ngram_precision",
+    "equimass_bins",
+    "partition_chi2",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

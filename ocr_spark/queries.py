@@ -10527,3 +10527,111 @@ def q_ngram_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(10000 * clipped div total AS BIGINT)")
         .alias("precision_bp"),
     )
+
+
+@query(
+    "equimass_bins",
+    """
+    WITH w AS (SELECT CAST(n_chars AS BIGINT) AS v FROM documents),
+    hist AS (SELECT v, COUNT(*) AS c FROM w GROUP BY v),
+    r AS (
+      SELECT v, c,
+             SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER () AS n
+      FROM hist),
+    edges AS (
+      SELECT b.k,
+             MIN(CASE WHEN r.cum >= (b.k * r.n + 9) // 10 THEN r.v END)
+                 AS edge
+      FROM r CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS k) b
+      GROUP BY b.k)
+    SELECT CAST(k AS BIGINT) AS decile,
+           CAST(edge AS BIGINT) AS edge
+    FROM edges
+    """,
+)
+def q_equimass_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equal-mass decile edges of an integer metric via the
+    value-histogram ceil rule (edge k = smallest value whose cumulative
+    count reaches ceil(k·n/10)) — the generalized percentile primitive
+    behind equi-depth histograms, stratified range partitioning, and
+    skew-aware bucketing. One histogram agg; the 10 edges come from one
+    constant fan-out over the histogram, not 10 passes."""
+    w = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").cast("bigint").alias("v"))
+    hist = w.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    win = (Window.orderBy("v")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = (hist.withColumn("cum", F.sum("c").over(win))
+         .withColumn("n", F.sum("c").over(
+             Window.rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing))))
+    ks = spark.range(1, 11).select(F.col("id").alias("k"))
+    return (
+        r.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(F.min(F.when(
+            F.col("cum") >= F.expr("(k * n + 9) div 10"),
+            F.col("v"))).alias("edge"))
+        .select(F.col("k").cast("bigint").alias("decile"),
+                F.col("edge").cast("bigint").alias("edge"))
+    )
+
+
+@query(
+    "partition_chi2",
+    """
+    WITH h AS (
+      SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 32 AS part
+      FROM documents),
+    o AS (
+      SELECT p.k AS part, COUNT(h.part) AS obs
+      FROM (SELECT unnest(generate_series(0, 31)) AS k) p
+      LEFT JOIN h ON h.part = p.k
+      GROUP BY p.k),
+    t AS (SELECT SUM(obs) AS n FROM o),
+    agg AS (
+      SELECT t.n AS n,
+             SUM((32 * obs - t.n) * (32 * obs - t.n)) AS chi_num
+      FROM o CROSS JOIN t GROUP BY t.n)
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(chi_num AS BIGINT) AS chi2_num,
+           CAST(chi_num // (32 * n) AS BIGINT) AS chi2_scaled,
+           CAST(chi_num // (32 * n) < 2 * 31 AS INTEGER) AS uniform_ok
+    FROM agg
+    """,
+)
+def q_partition_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-partitioner uniformity audit: the exact chi-square statistic
+    of md5-based assignment into 32 partitions against uniform, kept
+    integer as chi2_num = Σ(32·o_i − n)² with chi2 = chi2_num/(32n);
+    the pass flag is chi2 < 2·df (a loose healthy-partitioner bound).
+    The companion to salt_skew_audit: that one measures data skew, this
+    one certifies the partitioning function itself. One 32-group agg."""
+    h = _t(spark, sf_dir, "documents").select(
+        (F.expr("CAST(CONV(substr(md5(CAST(doc_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT)") % 32).alias("part"))
+    parts = spark.range(0, 32).select(F.col("id").alias("k"))
+    o = (
+        parts.join(h, parts["k"] == h["part"], "left")
+        .groupBy("k")
+        .agg(F.count("part").alias("obs"))
+    )
+    tot = o.agg(F.sum("obs").alias("n"))
+    agg = (
+        o.crossJoin(F.broadcast(tot))
+        .agg(
+            F.max("n").cast("bigint").alias("n"),
+            F.sum((F.lit(32) * F.col("obs") - F.col("n"))
+                  * (F.lit(32) * F.col("obs") - F.col("n")))
+            .cast("bigint").alias("chi_num"),
+        )
+    )
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("chi_num").alias("chi2_num"),
+        F.expr("CAST(chi_num div (32 * n) AS BIGINT)").alias("chi2_scaled"),
+        F.expr("CAST(chi_num div (32 * n) < 62 AS INT)").alias("uniform_ok"),
+    )
