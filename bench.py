@@ -206,6 +206,8 @@ HEADLINE = [
     "ngram_precision",
     "equimass_bins",
     "partition_chi2",
+    "returned_revenue",
+    "nation_trade_flows",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -10635,3 +10635,116 @@ def q_partition_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(chi_num div (32 * n) AS BIGINT)").alias("chi2_scaled"),
         F.expr("CAST(chi_num div (32 * n) < 62 AS INT)").alias("uniform_ok"),
     )
+
+
+@query(
+    "returned_revenue",
+    """
+    SELECT c.c_custkey,
+           MAX(c.c_name) AS c_name,
+           MAX(n.n_name) AS n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(ROUND(l.l_discount * 10000) AS BIGINT)))
+                AS BIGINT) AS revenue_centbp,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey
+    ORDER BY revenue_centbp DESC, c_custkey ASC LIMIT 20
+    """,
+)
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: lost revenue from returned items by customer
+    (4-table star: lineitem filtered to R joins orders joins customer,
+    nation broadcast) — the multi-join optimizer stress query. Revenue
+    is exact integer cent-basis-points (price_cents × (10000 − disc_bp))
+    so the top-20 ranking is bit-stable. The returnflag filter reaches
+    the lineitem scan (PushedFilters); nation broadcasts; the two big
+    joins shuffle on their keys with AQE free to reorder."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        (_cents("l_extendedprice")
+         * (F.lit(10000) - F.round(F.col("l_discount") * 10000)
+            .cast("bigint"))).alias("rev"),
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey")
+        .agg(
+            F.max("c_name").alias("c_name"),
+            F.max("n_name").alias("n_name"),
+            F.sum("rev").cast("bigint").alias("revenue_centbp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+        .orderBy(F.desc("revenue_centbp"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "nation_trade_flows",
+    """
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(ROUND(l.l_discount * 10000) AS BIGINT)))
+                AS BIGINT) AS volume_centbp,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    WHERE ns.n_nationkey <> nc.n_nationkey
+    GROUP BY ns.n_name, nc.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+    """,
+)
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: shipping volume between nation pairs by order
+    year — a 6-table join (two independent nation broadcasts on the
+    supplier and customer sides) with the nation-pair filter applied
+    BEFORE the big lineitem⋈orders shuffle via the broadcast joins.
+    Exact integer cent-bp volume. The query that proves join-order and
+    dual-dimension broadcast planning."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (_cents("l_extendedprice")
+         * (F.lit(10000) - F.round(F.col("l_discount") * 10000)
+            .cast("bigint"))).alias("vol"),
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.year(F.col("o_orderdate").cast("timestamp")).cast("bigint")
+        .alias("o_year"))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ns = n.select(F.col("n_nationkey").alias("ns_key"),
+                  F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("nc_key"),
+                  F.col("n_name").alias("cust_nation"))
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("ns_key") != F.col("nc_key"))
+        .groupBy("supp_nation", "cust_nation", "o_year")
+        .agg(
+            F.sum("vol").cast("bigint").alias("volume_centbp"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        )
+    )
