@@ -208,6 +208,8 @@ HEADLINE = [
     "partition_chi2",
     "returned_revenue",
     "nation_trade_flows",
+    "large_orders",
+    "priority_late_orders",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -10748,3 +10748,76 @@ def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_items"),
         )
     )
+
+
+@query(
+    "large_orders",
+    """
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > 150)
+    SELECT o.o_orderkey,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+           o.o_orderpriority,
+           CAST(b.sum_qty AS BIGINT) AS sum_qty
+    FROM orders o JOIN big b ON b.l_orderkey = o.o_orderkey
+    ORDER BY b.sum_qty DESC, o.o_orderkey ASC LIMIT 50
+    """,
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: orders whose total line quantity exceeds 150 —
+    the HAVING-over-aggregate shape. The quantity agg runs with
+    map-side partials and its HAVING filter prunes the frame BEFORE the
+    join back to orders, so the join's build side is only the heavy
+    hitters. Top-50 is a bounded TakeOrdered."""
+    big = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents("o_totalprice").alias("total_cents"),
+        "o_orderpriority")
+    return (
+        o.join(big, o["o_orderkey"] == big["l_orderkey"])
+        .select("o_orderkey", "total_cents", "o_orderpriority",
+                F.col("sum_qty").cast("bigint").alias("sum_qty"))
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+@query(
+    "priority_late_orders",
+    """
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog: orders with at least one line shipped more than
+    60 days after the order date, counted by priority — the EXISTS
+    semi-join shape (LeftSemi: the probe stops at the first match, and
+    the lineitem side never duplicates orders). The date comparison
+    joins on the key first so the 60-day predicate evaluates inside the
+    join, not as a pre-pass over lineitem."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"]
+           > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"))
