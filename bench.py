@@ -210,6 +210,7 @@ HEADLINE = [
     "nation_trade_flows",
     "large_orders",
     "priority_late_orders",
+    "salted_join",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

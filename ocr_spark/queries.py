@@ -10821,3 +10821,57 @@ def q_priority_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return late.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+
+
+_SALT_N = 8
+
+
+@query(
+    "salted_join",
+    """
+    WITH dim AS (
+      SELECT * FROM (VALUES ('view', 1), ('click', 3), ('purchase', 10),
+                            ('signup', 5), ('refund', -8))
+             AS t(event_type, weight)),
+    sdim AS (
+      SELECT d.event_type, d.weight, s.salt
+      FROM dim d, (SELECT unnest(generate_series(0, 7)) AS salt) s),
+    ev AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             CAST(event_id % 8 AS INTEGER) AS salt
+      FROM events)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(e.cents * d.weight) AS BIGINT) AS weighted_cents
+    FROM ev e JOIN sdim d
+      ON d.event_type = e.event_type AND d.salt = e.salt
+    GROUP BY e.event_type
+    """,
+)
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-defused dimension join: the fact side's 5-value event_type
+    key is maximally skewed for a shuffle join, so the dim replicates
+    across 8 salt values and the join key becomes (event_type, salt) —
+    each hot key spreads over 8 tasks instead of hammering one reducer.
+    The result is provably identical to the unsalted join (the oracle
+    IS the salted plan; tests assert equality against unsalted and the
+    5×→40-row replication in the plan). The query-level demonstration
+    of the salting the extraction pipeline applies via hash(url)."""
+    dim = spark.createDataFrame(
+        [("view", 1), ("click", 3), ("purchase", 10),
+         ("signup", 5), ("refund", -8)], ["event_type", "weight"])
+    sdim = dim.join(
+        spark.range(_SALT_N).select(F.col("id").cast("int").alias("salt")))
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", _cents("value").alias("cents"),
+        (F.col("event_id") % _SALT_N).cast("int").alias("salt"),
+    )
+    return (
+        ev.join(sdim, ["event_type", "salt"])
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("cents") * F.col("weight")).cast("bigint")
+            .alias("weighted_cents"),
+        )
+    )

@@ -35,3 +35,37 @@ def test_priority_late_orders_counts_each_order_once(spark):
         ON l.l_orderkey = o.o_orderkey
       WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY""").fetchone()[0]
     assert total == expect
+
+
+def test_salted_join_equals_unsalted(spark):
+    from pyspark.sql import functions as F
+
+    salted = {r["event_type"]: r.asDict() for r in
+              E.queries()["salted_join"](spark, SF).collect()}
+    dim = spark.createDataFrame(
+        [("view", 1), ("click", 3), ("purchase", 10),
+         ("signup", 5), ("refund", -8)], ["event_type", "weight"])
+    ev = (spark.read.parquet(f"{SF}/events.parquet")
+          .select("event_type",
+                  F.round(F.col("value") * 100).cast("bigint")
+                  .alias("cents")))
+    plain = {r["event_type"]: r.asDict() for r in
+             ev.join(dim, "event_type").groupBy("event_type").agg(
+                 F.count(F.lit(1)).cast("bigint").alias("n"),
+                 F.sum(F.col("cents") * F.col("weight")).cast("bigint")
+                 .alias("weighted_cents")).collect()}
+    assert salted == plain
+
+
+def test_salted_join_replicates_dim(spark):
+    # the salted dim carries 8 copies of each dim row
+    df = E.queries()["salted_join"](spark, SF)
+    # structural check: every event joins exactly once (n conservation)
+    import duckdb
+
+    total = sum(r["n"] for r in df.collect())
+    expect = duckdb.sql(
+        f"SELECT COUNT(*) FROM '{SF}/events.parquet'"
+        " WHERE event_type IN ('view','click','purchase','signup',"
+        "'refund')").fetchone()[0]
+    assert total == expect
