@@ -211,6 +211,8 @@ HEADLINE = [
     "large_orders",
     "priority_late_orders",
     "salted_join",
+    "pdf_text_extract",
+    "reading_order",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

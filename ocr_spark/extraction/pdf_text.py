@@ -1,0 +1,167 @@
+"""PDF text-layer extraction for UNCOMPRESSED content streams.
+
+The PDF text-showing operators live in content streams as
+``BT ... (string) Tj ... [(a)(b)-250(c)] TJ ... ET`` blocks; when the
+stream is not Flate-compressed (linearized simple PDFs, many generated
+invoices/receipts — and every fixture this engine synthesizes), the
+text layer is directly regex-addressable with zero native dependencies.
+Compressed streams are OUT of this operator's scope by design: the
+router (sources/sniff.mime_sniff) sends those payloads down the
+OCR/rasterize path (extraction/recognizer.py), which is the reference
+pipeline's behavior for image-only PDFs anyway. That split — text layer
+when present and readable, OCR otherwise — is exactly how production
+extraction tiers treat PDFs.
+
+Reference parity anchor: the reference repo OCRs every PDF page
+unconditionally (api/server.py renders PDFs to images before
+paddle infer); this operator is the beyond-reference fast path that
+avoids rasterizing born-digital documents.
+
+Extraction rules (deterministic, documented):
+- every ``(...) Tj`` emits its string as one run;
+- every ``[...] TJ`` array concatenates its strings, inserting a space
+  where a kerning adjustment <= -180 thousandths appears between them
+  (the standard word-gap heuristic);
+- runs join with single spaces in stream order;
+- string escapes ``\\(``, ``\\)``, ``\\\\`` unescape (octal escapes and
+  hex strings <...> are rejected to NULL — observable, never silent).
+
+Everything is codegen'd regexp/HOF projection: no shuffle, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# a text block body between BT/ET
+_BT_RE = r"(?s)BT(.*?)ET"
+# (string) Tj  |  [ ... ] TJ — captured with their operator
+_SHOW_RE = r"(?s)(\((?:[^()\\]|\\.)*\)\s*Tj|\[(?:[^\]\\]|\\.)*\]\s*TJ)"
+# one literal string inside a TJ array, with the kern number after it
+_TJ_PART_RE = r"(?s)\((?:[^()\\]|\\.)*\)|-?[0-9]+(?:\.[0-9]+)?"
+
+
+def _unescape(c: Column) -> Column:
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, r"\\\(", "("), r"\\\)", ")"),
+        r"\\\\", r"\\")
+
+
+def _strip_parens(c: Column) -> Column:
+    return _unescape(F.regexp_replace(c, r"(?s)^\((.*)\)$", "$1"))
+
+
+def pdf_text_extract(df: DataFrame, id_col: str, pdf_col: str) -> DataFrame:
+    """(id, n_blocks, n_runs, text) from an uncompressed-PDF string
+    column; rows whose payload contains hex strings or octal escapes in
+    text position return NULL text with rejected=1 (the OCR-path
+    hand-off marker)."""
+    pdf = F.col(pdf_col)
+    rejected = (
+        pdf.rlike(r"(?s)BT.*<[0-9A-Fa-f]+>\s*Tj")
+        | pdf.rlike(r"(?s)\((?:[^()\\]|\\.)*\\[0-7]{3}")
+    ).cast("int")
+    blocks = F.regexp_extract_all(pdf, F.lit(_BT_RE), F.lit(1))
+    shows = F.flatten(F.transform(
+        blocks,
+        lambda b: F.regexp_extract_all(b, F.lit(_SHOW_RE), F.lit(1)),
+    ))
+
+    def run_text(s: Column) -> Column:
+        # a Tj: one literal string. a TJ: fold parts, spacing on kerns.
+        tj = _strip_parens(
+            F.regexp_replace(s, r"(?s)\s*Tj$", ""))
+        parts = F.regexp_extract_all(s, F.lit(_TJ_PART_RE), F.lit(0))
+        tj_arr = F.aggregate(
+            parts,
+            F.lit(""),
+            lambda acc, p: F.when(
+                p.startswith("("),
+                F.concat(acc, _strip_parens(p)),
+            ).otherwise(
+                F.when(p.cast("double") <= -180.0, F.concat(acc, F.lit(" ")))
+                .otherwise(acc)
+            ),
+        )
+        return F.when(s.rlike(r"(?s)\]\s*TJ$"), tj_arr).otherwise(tj)
+
+    runs = F.transform(shows, run_text)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.size(blocks).cast("bigint").alias("n_blocks"),
+        F.size(runs).cast("bigint").alias("n_runs"),
+        F.when(rejected == 1, F.lit(None).cast("string"))
+        .otherwise(F.array_join(runs, " ")).alias("text"),
+        rejected.alias("rejected"),
+    )
+
+
+def reading_order(df: DataFrame, id_col: str,
+                  x_col: str, y_col: str, word_col: str,
+                  min_gap: int = 200) -> DataFrame:
+    """Reading-order reconstruction from word boxes with column
+    detection: find the largest horizontal gap between distinct word x
+    positions per document — if it reaches ``min_gap``, the page is
+    two-column and words order (column, y, x); otherwise (y, x). This
+    is the layout step between OCR word boxes and linear text that
+    naive y-then-x ordering gets wrong on every two-column PDF/scan
+    (it interleaves the columns line by line).
+
+    Returns (doc, n_words, n_cols, ordered_text). Deterministic: gap
+    argmax ties break to the LEFTMOST gap; the final ordering ties
+    break on x then word. Shape: one distinct-x per-doc window pass for
+    the gap scan (x-histogram-sized), one doc agg with an in-row
+    array_sort for the ordering — the per-doc word list is page-sized,
+    which is exactly the granularity OCR emits."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+        F.col(word_col).alias("w"),
+    )
+    from pyspark.sql.window import Window
+
+    xs = base.select("doc", "x").distinct()
+    wlag = Window.partitionBy("doc").orderBy("x")
+    gaps = (
+        xs.withColumn("px", F.lag("x").over(wlag))
+        .filter(F.col("px").isNotNull())
+        .select("doc", (F.col("x") - F.col("px")).alias("gap"),
+                F.col("px").alias("left_x"))
+    )
+    split = (
+        gaps.groupBy("doc")
+        .agg(F.max(F.struct(F.col("gap"), (-F.col("left_x")).alias("nl"),
+                            F.col("left_x"), F.col("gap").alias("g")))
+             .alias("b"))
+        .select(
+            "doc",
+            F.when(F.col("b.gap") >= min_gap,
+                   F.col("b.left_x") + F.col("b.g") / 2)
+            .cast("bigint").alias("split_x"),
+        )
+    )
+    placed = (
+        base.join(split, "doc", "left")
+        .select(
+            "doc", "y", "x", "w",
+            F.when(F.col("split_x").isNotNull()
+                   & (F.col("x") > F.col("split_x")), 1)
+            .otherwise(0).alias("col"),
+        )
+    )
+    return (
+        placed.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            (F.max("col") + 1).cast("bigint").alias("n_cols"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("col", "y", "x", "w"))),
+                    lambda s: s["w"]),
+                " ").alias("ordered_text"),
+        )
+    )

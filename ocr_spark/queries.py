@@ -10875,3 +10875,155 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("weighted_cents"),
         )
     )
+
+
+_PDF_SYNTH_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN"
+    " 'stream BT /F1 12 Tf 72 700 Td (Doc ' || CAST(doc_id AS VARCHAR)"
+    " || ') Tj 0 -14 Td (body line) Tj ET endstream'"
+    " WHEN doc_id % 4 = 1 THEN"
+    " 'stream BT [(Sp)(lit)-250(doc ' || CAST(doc_id AS VARCHAR)"
+    " || ')-50(x)] TJ ET BT (tail \\(esc\\)) Tj ET'"
+    " WHEN doc_id % 4 = 2 THEN"
+    " 'stream BT <4865> Tj ET'"
+    " ELSE '%PDF no text operators ' || CAST(doc_id AS VARCHAR) END"
+)
+
+
+def _pdf_oracle() -> str:
+    bt = r"(?s)BT(.*?)ET"
+    show = r"(?s)(\((?:[^()\\]|\\.)*\)\s*Tj|\[(?:[^\]\\]|\\.)*\]\s*TJ)"
+    part = r"(?s)\((?:[^()\\]|\\.)*\)|-?[0-9]+(?:\.[0-9]+)?"
+    strip = (
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "{X}, '(?s)^\\((.*)\\)$', '\\1', 's'),"
+        " '\\\\\\(', '(', 'g'), '\\\\\\)', ')', 'g'),"
+        " '\\\\\\\\', '\\\\', 'g')"
+    )
+    tj_literal = strip.format(X="regexp_replace(s, '(?s)\\s*Tj$', '')")
+    part_strip = strip.format(X="x")
+    return f"""
+    WITH synth AS (
+      SELECT doc_id, {_PDF_SYNTH_SQL} AS pdf FROM documents),
+    marked AS (
+      SELECT doc_id, pdf,
+             CAST(regexp_matches(pdf, '(?s)BT.*<[0-9A-Fa-f]+>\\s*Tj')
+                  OR regexp_matches(pdf,
+                     '(?s)\\((?:[^()\\\\]|\\\\.)*\\\\[0-7]{{3}}')
+                  AS INTEGER) AS rejected,
+             regexp_extract_all(pdf, '{bt}', 1) AS blocks
+      FROM synth),
+    shows AS (
+      SELECT doc_id, rejected, blocks,
+             flatten(list_transform(blocks,
+               b -> regexp_extract_all(b, '{show}', 1))) AS sh
+      FROM marked),
+    runs AS (
+      SELECT doc_id, rejected, blocks, sh,
+             list_transform(sh, s ->
+               CASE WHEN regexp_matches(s, '(?s)\\]\\s*TJ$') THEN
+                 list_reduce(
+                   list_prepend('', regexp_extract_all(s, '{part}', 0)),
+                   (acc, x) -> CASE
+                     WHEN x LIKE '(%' THEN acc || {part_strip}
+                     WHEN TRY_CAST(x AS DOUBLE) <= -180.0
+                       THEN acc || ' '
+                     ELSE acc END)
+               ELSE {tj_literal} END) AS rs
+      FROM shows)
+    SELECT doc_id,
+           CAST(len(blocks) AS BIGINT) AS n_blocks,
+           CAST(len(rs) AS BIGINT) AS n_runs,
+           CASE WHEN rejected = 1 THEN NULL
+                ELSE COALESCE(array_to_string(rs, ' '), '') END AS text,
+           rejected
+    FROM runs
+    """
+
+
+@query("pdf_text_extract", _pdf_oracle())
+def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text-layer extraction over synthetic uncompressed content
+    streams (Tj literals, TJ arrays with kern-gap word spacing, escaped
+    parens, a hex-string family that must reject to the OCR path, and a
+    no-text family). The born-digital fast path beside the OCR stage.
+    See extraction/pdf_text.py."""
+    from ocr_spark.extraction.pdf_text import pdf_text_extract
+
+    # Spark SQL string literals process backslash escapes (DuckDB's do
+    # not), so the escaped parens need doubling on this side only.
+    spark_synth = (_PDF_SYNTH_SQL.replace("VARCHAR", "STRING")
+                   .replace("\\(", "\\\\(").replace("\\)", "\\\\)"))
+    synth = _cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(spark_synth).alias("pdf"),
+    )
+    out = pdf_text_extract(synth, "doc_id", "pdf")
+    return out.select(F.col("doc").alias("doc_id"), "n_blocks", "n_runs",
+                      "text", "rejected")
+
+
+@query(
+    "reading_order",
+    """
+    WITH words AS (
+      SELECT doc_id AS doc, i,
+             CASE WHEN doc_id % 2 = 1 AND i >= 6 THEN 1 ELSE 0 END AS c,
+             CAST(50 + (i % 3) * 80
+                  + CASE WHEN doc_id % 2 = 1 AND i >= 6
+                         THEN 400 ELSE 0 END AS BIGINT) AS x,
+             CAST(40 + CASE WHEN doc_id % 2 = 1
+                            THEN ((i % 6) // 3) * 20
+                            ELSE (i // 3) * 20 END AS BIGINT) AS y,
+             'w' || CAST(i AS VARCHAR) AS w
+      FROM documents, (SELECT unnest(generate_series(0, 11)) AS i)),
+    xs AS (SELECT DISTINCT doc, x FROM words),
+    gaps AS (
+      SELECT doc, x - LAG(x) OVER (PARTITION BY doc ORDER BY x) AS gap,
+             LAG(x) OVER (PARTITION BY doc ORDER BY x) AS left_x
+      FROM xs),
+    split AS (
+      SELECT doc,
+             CASE WHEN MAX(gap) >= 200 THEN
+               MIN(CASE WHEN gap = (SELECT MAX(g2.gap) FROM gaps g2
+                                    WHERE g2.doc = gaps.doc)
+                        THEN left_x + gap // 2 END)
+             END AS split_x
+      FROM gaps WHERE gap IS NOT NULL GROUP BY doc),
+    placed AS (
+      SELECT w.doc, w.y, w.x, w.w,
+             CASE WHEN s.split_x IS NOT NULL AND w.x > s.split_x
+                  THEN 1 ELSE 0 END AS col
+      FROM words w LEFT JOIN split s ON s.doc = w.doc)
+    SELECT CAST(doc AS BIGINT) AS doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(MAX(col) + 1 AS BIGINT) AS n_cols,
+           string_agg(w, ' ' ORDER BY col, y, x, w) AS ordered_text
+    FROM placed GROUP BY doc
+    """,
+)
+def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reading-order reconstruction over synthetic word boxes (half the
+    docs single-column, half two-column): largest-x-gap column
+    detection, then (column, y, x) ordering — the layout step naive
+    y-then-x ordering gets wrong on every two-column page. See
+    extraction/pdf_text.reading_order."""
+    from ocr_spark.extraction.pdf_text import reading_order
+
+    k = F.col("doc_id")
+    words = _cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(11))).alias("i"),
+    ).select(
+        "doc_id", "i",
+        F.when((k % 2 == 1) & (F.col("i") >= 6), 1).otherwise(0).alias("c"),
+    ).select(
+        "doc_id",
+        (F.lit(50) + (F.col("i") % 3) * 80 + F.col("c") * 400).alias("x"),
+        (F.lit(40) + F.when(k % 2 == 1, ((F.col("i") % 6) / 3).cast("int"))
+         .otherwise((F.col("i") / 3).cast("int")) * 20).alias("y"),
+        F.concat(F.lit("w"), F.col("i").cast("string")).alias("w"),
+    )
+    out = reading_order(words, "doc_id", "x", "y", "w", min_gap=200)
+    return out.select(F.col("doc").alias("doc_id"), "n_words", "n_cols",
+                      "ordered_text")
