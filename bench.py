@@ -213,6 +213,9 @@ HEADLINE = [
     "salted_join",
     "pdf_text_extract",
     "reading_order",
+    "table_from_boxes",
+    "dehyphenate",
+    "ocr_vote",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -165,3 +165,125 @@ def reading_order(df: DataFrame, id_col: str,
                 " ").alias("ordered_text"),
         )
     )
+
+
+def table_from_boxes(df: DataFrame, id_col: str,
+                     x_col: str, y_col: str, word_col: str,
+                     x_gap: int = 60, y_gap: int = 15) -> DataFrame:
+    """Table-structure reconstruction from word boxes: x gaps >= x_gap
+    between distinct word x positions open column bands, y gaps >= y_gap
+    open row bands; every word lands in (row band, column band) and each
+    cell concatenates its words in (y, x) order. Returns per doc
+    (doc, n_rows, n_cols, grid) with the grid rendered row-major as
+    'cell|cell||cell|cell' (| between cells, || between rows) — the
+    deterministic text rendering of the reconstructed table, the step
+    between OCR boxes and html_tables-style structured rows.
+
+    Shape: the band scan runs per doc over DISTINCT x (resp. y) values
+    with one lag window each (histogram-sized); band boundaries come
+    back as per-doc arrays through a doc-keyed join, so cell assignment
+    is an in-row filter count, never a range join."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.col(x_col).cast("bigint").alias("x"),
+        F.col(y_col).cast("bigint").alias("y"),
+        F.col(word_col).alias("w"),
+    )
+
+    def bands(col: str, gap: int):
+        xs = base.select("doc", col).distinct()
+        wl = Window.partitionBy("doc").orderBy(col)
+        return (
+            xs.withColumn("p", F.lag(col).over(wl))
+            .filter(F.col("p").isNotNull()
+                    & (F.col(col) - F.col("p") >= gap))
+            .groupBy("doc")
+            .agg(F.array_sort(F.collect_list(F.col(col)))
+                 .alias(f"{col}_bounds"))
+        )
+
+    placed = (
+        base.join(bands("x", x_gap), "doc", "left")
+        .join(bands("y", y_gap), "doc", "left")
+        .select(
+            "doc", "x", "y", "w",
+            F.size(F.filter(
+                F.coalesce("x_bounds", F.array().cast("array<bigint>")),
+                lambda b: b <= F.col("x"))).alias("col"),
+            F.size(F.filter(
+                F.coalesce("y_bounds", F.array().cast("array<bigint>")),
+                lambda b: b <= F.col("y"))).alias("row"),
+        )
+    )
+    cells = (
+        placed.groupBy("doc", "row", "col")
+        .agg(F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("y", "x", "w"))),
+                lambda s: s["w"]),
+            " ").alias("cell"))
+    )
+    return (
+        cells.groupBy("doc")
+        .agg(
+            (F.max("row") + 1).cast("bigint").alias("n_rows"),
+            (F.max("col") + 1).cast("bigint").alias("n_cols"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct("row", "col", "cell"))),
+                    lambda s: F.concat(
+                        F.when((s["col"] == 0) & (s["row"] > 0),
+                               F.lit("||")).otherwise(
+                            F.when(s["col"] > 0, F.lit("|"))
+                            .otherwise(F.lit(""))),
+                        s["cell"]),
+                ), "").alias("grid"),
+        )
+    )
+
+
+def dehyphenate(text) -> "F.Column":
+    """Repair hyphenation at line breaks: ``exam-\\nple`` rejoins to
+    ``example`` when the continuation starts lowercase (the standard
+    conservative rule — 'Berlin-\\nWest' style proper-noun breaks keep
+    the hyphen as 'Berlin-West', and an explicit double hyphen
+    ``--\\n`` is preserved as punctuation). Pure regexp projection."""
+    # rejoin lowercase continuations: word- \n lower -> wordlower
+    out = F.regexp_replace(
+        text, r"([a-z])-\n([a-z])", "$1$2")
+    # proper-noun breaks: keep the hyphen, drop the line break
+    out = F.regexp_replace(out, r"([A-Za-z])-\n([A-Z])", "$1-$2")
+    return out
+
+
+def ocr_vote(df: DataFrame, id_col: str,
+             words_a: str, conf_a: str,
+             words_b: str, conf_b: str) -> DataFrame:
+    """Confidence-weighted word-level merge of two OCR engines' output
+    (position-aligned arrays): per slot take the word whose engine
+    reported higher confidence, ties to engine A (the reference
+    engine's dual-pass merge J1 applies this at field level; this is
+    the word-level generalization). Returns (doc, n_words, n_from_b,
+    merged) — n_from_b is the audit count of slots engine B won.
+    Zero shuffle: one zip_with over four in-row arrays."""
+    picked = F.zip_with(
+        F.arrays_zip(F.col(words_a), F.col(conf_a)),
+        F.arrays_zip(F.col(words_b), F.col(conf_b)),
+        lambda a, b: F.struct(
+            F.when(b[conf_b] > a[conf_a], b[words_b])
+            .otherwise(a[words_a]).alias("w"),
+            F.when(b[conf_b] > a[conf_a], 1).otherwise(0).alias("fb"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.col(words_a)).cast("bigint").alias("n_words"),
+        F.aggregate(picked, F.lit(0),
+                    lambda acc, s: acc + s["fb"]).cast("bigint")
+        .alias("n_from_b"),
+        F.array_join(F.transform(picked, lambda s: s["w"]), " ")
+        .alias("merged"),
+    )

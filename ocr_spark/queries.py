@@ -11027,3 +11027,188 @@ def q_reading_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = reading_order(words, "doc_id", "x", "y", "w", min_gap=200)
     return out.select(F.col("doc").alias("doc_id"), "n_words", "n_cols",
                       "ordered_text")
+
+
+@query(
+    "table_from_boxes",
+    """
+    WITH words AS (
+      SELECT doc_id AS doc, i,
+             CAST(60 + (i % 3) * 150 + (i % 2) * 30 AS BIGINT) AS x,
+             CAST(40 + (i // 3) * 25 AS BIGINT) AS y,
+             'c' || CAST(i AS VARCHAR) AS w
+      FROM documents, (SELECT unnest(generate_series(0, 8)) AS i)),
+    xb AS (
+      SELECT doc, list_sort(list(x)) AS x_bounds FROM (
+        SELECT DISTINCT doc, x FROM words) t
+      WHERE x - COALESCE((SELECT MAX(t2.x) FROM (
+          SELECT DISTINCT doc AS d2, x FROM words) t2
+          WHERE t2.d2 = t.doc AND t2.x < t.x), x) >= 60
+      GROUP BY doc),
+    yb AS (
+      SELECT doc, list_sort(list(y)) AS y_bounds FROM (
+        SELECT DISTINCT doc, y FROM words) t
+      WHERE y - COALESCE((SELECT MAX(t2.y) FROM (
+          SELECT DISTINCT doc AS d2, y FROM words) t2
+          WHERE t2.d2 = t.doc AND t2.y < t.y), y) >= 15
+      GROUP BY doc),
+    placed AS (
+      SELECT w.doc, w.x, w.y, w.w,
+             len(list_filter(COALESCE(xb.x_bounds, []), b -> b <= w.x))
+                 AS col,
+             len(list_filter(COALESCE(yb.y_bounds, []), b -> b <= w.y))
+                 AS row
+      FROM words w
+      LEFT JOIN xb ON xb.doc = w.doc
+      LEFT JOIN yb ON yb.doc = w.doc),
+    cells AS (
+      SELECT doc, row, col,
+             string_agg(w, ' ' ORDER BY y, x, w) AS cell
+      FROM placed GROUP BY doc, row, col)
+    SELECT CAST(doc AS BIGINT) AS doc_id,
+           CAST(MAX(row) + 1 AS BIGINT) AS n_rows,
+           CAST(MAX(col) + 1 AS BIGINT) AS n_cols,
+           string_agg(
+             CASE WHEN col = 0 AND row > 0 THEN '||' || cell
+                  WHEN col > 0 THEN '|' || cell
+                  ELSE cell END, '' ORDER BY row, col) AS grid
+    FROM cells GROUP BY doc
+    """,
+)
+def q_table_from_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table reconstruction over synthetic 3x3 word grids (two words
+    per x-band via the +30 jitter, so bands must merge them into one
+    cell): gap-opened row/column bands, cells in (y, x) order, grid
+    rendered row-major. See extraction/pdf_text.table_from_boxes."""
+    from ocr_spark.extraction.pdf_text import table_from_boxes
+
+    words = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(8))).alias("i"),
+    ).select(
+        "doc_id",
+        (F.lit(60) + (F.col("i") % 3) * 150 + (F.col("i") % 2) * 30)
+        .alias("x"),
+        (F.lit(40) + (F.col("i") / 3).cast("int") * 25).alias("y"),
+        F.concat(F.lit("c"), F.col("i").cast("string")).alias("w"),
+    )
+    out = table_from_boxes(words, "doc_id", "x", "y", "w",
+                           x_gap=60, y_gap=15)
+    return out.select(F.col("doc").alias("doc_id"), "n_rows", "n_cols",
+                      "grid")
+
+
+@query(
+    "dehyphenate",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             'exam-' || chr(10) || 'ple no ' || CAST(doc_id AS VARCHAR)
+             || ' Berlin-' || chr(10) || 'West plus-' || chr(10)
+             || 'minus end' AS t
+      FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(t,
+             '([a-z])-' || chr(10) || '([a-z])', '\\1\\2', 'g'),
+             '([A-Za-z])-' || chr(10) || '([A-Z])', '\\1-\\2', 'g')
+               AS fixed,
+           CAST(len(regexp_extract_all(t,
+             '[a-z]-' || chr(10) || '[a-z]')) AS BIGINT) AS n_rejoined,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z]-' || chr(10) || '[A-Z]')) AS BIGINT) AS n_kept
+    FROM synth
+    """,
+)
+def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-break de-hyphenation over synthetic hyphen-wrapped text:
+    lowercase continuations rejoin (exam-/ple -> example), proper-noun
+    breaks keep the hyphen on one line (Berlin-/West -> Berlin-West) —
+    the conservative OCR post-processing rule. Counts audit both paths.
+    See extraction/pdf_text.dehyphenate; zero shuffle."""
+    from ocr_spark.extraction.pdf_text import dehyphenate
+
+    d = F.col("doc_id").cast("string")
+    synth = _cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("exam-\nple no "), d, F.lit(" Berlin-\nWest"),
+                 F.lit(" plus-\nminus end")).alias("t"),
+    )
+    return synth.select(
+        "doc_id",
+        dehyphenate(F.col("t")).alias("fixed"),
+        F.size(F.regexp_extract_all(
+            F.col("t"), F.lit(r"[a-z]-\n[a-z]"), F.lit(0)))
+        .cast("bigint").alias("n_rejoined"),
+        F.size(F.regexp_extract_all(
+            F.col("t"), F.lit(r"[A-Za-z]-\n[A-Z]"), F.lit(0)))
+        .cast("bigint").alias("n_kept"),
+    )
+
+
+@query(
+    "ocr_vote",
+    """
+    WITH base AS (
+      SELECT doc_id AS doc,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents),
+    eng AS (
+      SELECT doc,
+             ws AS wa,
+             [('0x' || substr(md5(CAST(doc AS VARCHAR) || ':'
+                || CAST(i AS VARCHAR) || ':a'), 1, 4))::INTEGER % 100
+              for i in generate_series(1, len(ws))] AS ca,
+             [CASE WHEN i % 5 = 0 THEN 'X' || ws[i] ELSE ws[i] END
+              for i in generate_series(1, len(ws))] AS wb,
+             [('0x' || substr(md5(CAST(doc AS VARCHAR) || ':'
+                || CAST(i AS VARCHAR) || ':b'), 1, 4))::INTEGER % 100
+              for i in generate_series(1, len(ws))] AS cb
+      FROM base),
+    picked AS (
+      SELECT doc, len(wa) AS n_words,
+             [CASE WHEN cb[i] > ca[i] THEN wb[i] ELSE wa[i] END
+              for i in generate_series(1, len(wa))] AS merged_arr,
+             [CASE WHEN cb[i] > ca[i] THEN 1 ELSE 0 END
+              for i in generate_series(1, len(wa))] AS fb
+      FROM eng)
+    SELECT CAST(doc AS BIGINT) AS doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(COALESCE(list_sum(fb), 0) AS BIGINT) AS n_from_b,
+           COALESCE(array_to_string(merged_arr, ' '), '') AS merged
+    FROM picked
+    """,
+)
+def q_ocr_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence-weighted dual-engine OCR word merge over synthetic
+    position-aligned outputs (engine B corrupts every 5th word; both
+    engines' confidences are md5-derived ints): per slot the higher
+    confidence wins, ties to engine A — the word-level generalization
+    of the reference's dual-pass field merge (J1). Zero shuffle. See
+    extraction/pdf_text.ocr_vote."""
+    from ocr_spark.extraction.pdf_text import ocr_vote
+
+    doc = F.col("doc_id").cast("string")
+    ws = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                  lambda w: w != "")
+
+    def conf(tag: str):
+        return F.transform(
+            ws,
+            lambda w, i: F.conv(F.substring(F.md5(F.concat(
+                doc, F.lit(":"), (i + 1).cast("string"),
+                F.lit(":" + tag))), 1, 4), 16, 10).cast("int") % 100,
+        )
+
+    eng = _cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        ws.alias("wa"),
+        conf("a").alias("ca"),
+        F.transform(ws, lambda w, i: F.when(
+            (i + 1) % 5 == 0, F.concat(F.lit("X"), w)).otherwise(w))
+        .alias("wb"),
+        conf("b").alias("cb"),
+    )
+    out = ocr_vote(eng, "doc_id", "wa", "ca", "wb", "cb")
+    return out.select(F.col("doc").alias("doc_id"), "n_words",
+                      "n_from_b", "merged")

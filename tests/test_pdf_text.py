@@ -74,3 +74,42 @@ def test_reading_order_gap_threshold(spark):
     rows = [(1, 50, 40, "a"), (1, 200, 40, "b"), (1, 50, 60, "c")]
     assert _order(spark, rows, min_gap=200)["n_cols"] == 1
     assert _order(spark, rows, min_gap=100)["n_cols"] == 2
+
+
+from ocr_spark.extraction.pdf_text import (  # noqa: E402
+    ocr_vote,
+    table_from_boxes,
+)
+
+
+def test_table_two_words_per_cell_merge(spark):
+    # two words inside one x-band (x jitter < gap) must share a cell
+    rows = [(1, 60, 40, "aa"), (1, 90, 40, "bb"), (1, 300, 40, "cc")]
+    df = spark.createDataFrame(rows, ["doc_id", "x", "y", "w"])
+    r = table_from_boxes(df, "doc_id", "x", "y", "w").collect()[0]
+    assert r["n_rows"] == 1 and r["n_cols"] == 2
+    assert r["grid"] == "aa bb|cc"
+
+
+def test_table_grid_row_major(spark):
+    rows = [(1, 50, 40, "r0c0"), (1, 300, 40, "r0c1"),
+            (1, 50, 100, "r1c0"), (1, 300, 100, "r1c1")]
+    df = spark.createDataFrame(rows, ["doc_id", "x", "y", "w"])
+    r = table_from_boxes(df, "doc_id", "x", "y", "w").collect()[0]
+    assert r["grid"] == "r0c0|r0c1||r1c0|r1c1"
+
+
+def test_ocr_vote_tie_goes_to_engine_a(spark):
+    df = spark.createDataFrame(
+        [(1, ["x"], [50], ["y"], [50])],
+        ["doc_id", "wa", "ca", "wb", "cb"])
+    r = ocr_vote(df, "doc_id", "wa", "ca", "wb", "cb").collect()[0]
+    assert r["merged"] == "x" and r["n_from_b"] == 0
+
+
+def test_ocr_vote_higher_confidence_wins(spark):
+    df = spark.createDataFrame(
+        [(1, ["thc", "cat"], [40, 90], ["the", "cot"], [80, 10])],
+        ["doc_id", "wa", "ca", "wb", "cb"])
+    r = ocr_vote(df, "doc_id", "wa", "ca", "wb", "cb").collect()[0]
+    assert r["merged"] == "the cat" and r["n_from_b"] == 1
