@@ -216,6 +216,9 @@ HEADLINE = [
     "table_from_boxes",
     "dehyphenate",
     "ocr_vote",
+    "deskew_estimate",
+    "ocr_confusions",
+    "kv_from_boxes",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

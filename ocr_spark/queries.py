@@ -11212,3 +11212,215 @@ def q_ocr_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ocr_vote(eng, "doc_id", "wa", "ca", "wb", "cb")
     return out.select(F.col("doc").alias("doc_id"), "n_words",
                       "n_from_b", "merged")
+
+
+@query(
+    "deskew_estimate",
+    """
+    WITH boxes AS (
+      SELECT doc_id AS doc, (i // 5) AS line, i % 5 AS j,
+             CAST(50 + (i % 5) * 120 AS BIGINT) AS x,
+             CAST(100 + (i // 5) * 40 + ((i % 5) * 120 * (doc_id % 7))
+                  // 1000 AS BIGINT) AS y
+      FROM documents, (SELECT unnest(generate_series(0, 14)) AS i)),
+    fits AS (
+      SELECT doc, line, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM boxes GROUP BY doc, line),
+    slopes AS (
+      SELECT doc, line,
+             (1000000 * (n * sxy - sx * sy))
+               // (n * sxx - sx * sx) AS slope_micro
+      FROM fits WHERE n >= 3),
+    med AS (
+      SELECT doc, slope_micro,
+             ROW_NUMBER() OVER (PARTITION BY doc
+               ORDER BY slope_micro, line) AS rk,
+             COUNT(*) OVER (PARTITION BY doc) AS nl
+      FROM slopes)
+    SELECT CAST(doc AS BIGINT) AS doc_id,
+           CAST(MAX(nl) AS BIGINT) AS n_lines,
+           CAST(MIN(CASE WHEN rk * 2 >= nl + 1 THEN slope_micro END)
+                AS BIGINT) AS slope_micro
+    FROM med GROUP BY doc
+    """,
+)
+def q_deskew_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document skew estimate from word boxes: per text line the exact
+    integer least-squares slope ((n·Σxy − ΣxΣy)/(n·Σx² − (Σx)²) in
+    micro-units), then the per-doc MEDIAN line slope (robust to one
+    curved header line) via the rank rule. The scan-preprocessing
+    diagnostic that decides whether a page needs rotation before OCR.
+    Synthetic boxes tilt by doc_id % 7 per mille. One (doc, line) agg +
+    one doc-keyed median window over line-count-sized frames."""
+    k = F.col("doc_id")
+    boxes = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(14))).alias("i"),
+    ).select(
+        F.col("doc_id").alias("doc"),
+        (F.col("i") / 5).cast("int").alias("line"),
+        (F.lit(50) + (F.col("i") % 5) * 120).alias("x"),
+        (F.lit(100) + (F.col("i") / 5).cast("int") * 40
+         + F.expr("((i % 5) * 120 * (doc_id % 7)) div 1000")).alias("y"),
+    )
+    fits = boxes.groupBy("doc", "line").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slopes = fits.filter(F.col("n") >= 3).select(
+        "doc", "line",
+        F.expr("(1000000 * (n * sxy - sx * sy))"
+               " div (n * sxx - sx * sx)").alias("slope_micro"),
+    )
+    wm = Window.partitionBy("doc").orderBy("slope_micro", "line")
+    med = (slopes
+           .withColumn("rk", F.row_number().over(wm))
+           .withColumn("nl", F.count(F.lit(1)).over(
+               Window.partitionBy("doc"))))
+    return med.groupBy("doc").agg(
+        F.max("nl").cast("bigint").alias("n_lines"),
+        F.min(F.when(F.col("rk") * 2 >= F.col("nl") + 1,
+                     F.col("slope_micro"))).cast("bigint")
+        .alias("slope_micro"),
+    ).select(F.col("doc").cast("bigint").alias("doc_id"), "n_lines",
+             "slope_micro")
+
+
+@query(
+    "ocr_confusions",
+    """
+    WITH base AS (
+      SELECT doc_id AS doc,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w <> '') AS ws
+      FROM documents),
+    pairs AS (
+      SELECT doc, w AS gold,
+             CASE WHEN length(w) >= 3
+                  THEN substr(w, 1, 1)
+                       || CASE substr(w, 2, 1)
+                          WHEN 'a' THEN 'o' WHEN 'e' THEN 'c'
+                          WHEN 'l' THEN '1' WHEN 'o' THEN '0'
+                          ELSE substr(w, 2, 1) END
+                       || substr(w, 3)
+                  ELSE w END AS noisy
+      FROM (SELECT doc, unnest(ws) AS w FROM base)),
+    chars AS (
+      SELECT substr(gold, i, 1) AS g, substr(noisy, i, 1) AS n
+      FROM pairs, LATERAL unnest(generate_series(1, length(gold))) AS t(i)
+      WHERE length(gold) = length(noisy)),
+    conf AS (
+      SELECT g || '>' || n AS confusion, COUNT(*) AS cnt
+      FROM chars WHERE g <> n GROUP BY g, n)
+    SELECT confusion, CAST(cnt AS BIGINT) AS cnt
+    FROM conf ORDER BY cnt DESC, confusion LIMIT 10
+    """,
+)
+def q_ocr_confusions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR character-confusion mining: align equal-length gold/noisy
+    word pairs (synthetic 2nd-char substitutions a>o, e>c, l>1, o>0),
+    explode character positions, and rank substitution pairs by count —
+    the data that builds numeric_deconfusion-style correction tables
+    from a labeled sample instead of folklore. Char explode is in-row;
+    one (g, n) agg + bounded top-10."""
+    ws = F.filter(F.split(F.trim(F.col("text")), r"\s+"),
+                  lambda w: w != "")
+    pairs = _cpu(spark, sf_dir, "documents").select(
+        F.explode(ws).alias("gold")
+    ).select(
+        "gold",
+        F.when(
+            F.length("gold") >= 3,
+            F.concat(
+                F.substring("gold", 1, 1),
+                F.expr("CASE substr(gold, 2, 1)"
+                       " WHEN 'a' THEN 'o' WHEN 'e' THEN 'c'"
+                       " WHEN 'l' THEN '1' WHEN 'o' THEN '0'"
+                       " ELSE substr(gold, 2, 1) END"),
+                F.expr("substr(gold, 3)"),
+            )).otherwise(F.col("gold")).alias("noisy"),
+    )
+    chars = (
+        pairs.filter(F.length("gold") == F.length("noisy"))
+        .select(F.explode(F.zip_with(
+            F.split(F.col("gold"), ""),
+            F.split(F.col("noisy"), ""),
+            lambda g, n: F.struct(g.alias("g"), n.alias("n")),
+        )).alias("p"))
+        .select(F.col("p.g").alias("g"), F.col("p.n").alias("n"))
+        .filter((F.col("g") != F.col("n")) & (F.col("g") != "")
+                & (F.col("n") != ""))
+    )
+    return (
+        chars.groupBy("g", "n").agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.concat(F.col("g"), F.lit(">"), F.col("n"))
+                .alias("confusion"),
+                F.col("cnt").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("confusion"))
+        .limit(10)
+    )
+
+
+@query(
+    "kv_from_boxes",
+    """
+    WITH boxes AS (
+      SELECT doc_id AS doc, i,
+             CASE WHEN i % 2 = 0
+                  THEN 'field' || CAST(i // 2 AS VARCHAR) || ':'
+                  ELSE 'value' || CAST(doc_id AS VARCHAR) || '_'
+                       || CAST(i // 2 AS VARCHAR) END AS w,
+             CAST(60 + (i % 2) * 200 AS BIGINT) AS x,
+             CAST(50 + (i // 2) * 30 AS BIGINT) AS y
+      FROM documents, (SELECT unnest(generate_series(0, 7)) AS i)),
+    nxt AS (
+      SELECT doc, w, x, y,
+             LEAD(w) OVER (PARTITION BY doc, y ORDER BY x) AS next_w,
+             LEAD(x) OVER (PARTITION BY doc, y ORDER BY x) AS next_x
+      FROM boxes)
+    SELECT CAST(doc AS BIGINT) AS doc_id,
+           rtrim(w, ':') AS field,
+           next_w AS value,
+           CAST(next_x - x AS BIGINT) AS gap_px
+    FROM nxt
+    WHERE w LIKE '%:' AND next_w IS NOT NULL
+    """,
+)
+def q_kv_from_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-value extraction from box layout: a label box (text ending
+    in ':') pairs with the next box to its right on the same line — the
+    form-understanding primitive behind every invoice/ID extractor
+    (the reference's field extractors do this implicitly via regex over
+    linearized text; this is the layout-aware version). One (doc, line)
+    window; labels without a right neighbor drop."""
+    k = F.col("doc_id")
+    boxes = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(F.sequence(F.lit(0), F.lit(7))).alias("i"),
+    ).select(
+        F.col("doc_id").alias("doc"),
+        F.when(F.col("i") % 2 == 0,
+               F.concat(F.lit("field"),
+                        (F.col("i") / 2).cast("int").cast("string"),
+                        F.lit(":")))
+        .otherwise(F.concat(F.lit("value"), k.cast("string"), F.lit("_"),
+                            (F.col("i") / 2).cast("int").cast("string")))
+        .alias("w"),
+        (F.lit(60) + (F.col("i") % 2) * 200).alias("x"),
+        (F.lit(50) + (F.col("i") / 2).cast("int") * 30).alias("y"),
+    )
+    wl = Window.partitionBy("doc", "y").orderBy("x")
+    nxt = (boxes
+           .withColumn("next_w", F.lead("w").over(wl))
+           .withColumn("next_x", F.lead("x").over(wl)))
+    return (
+        nxt.filter(F.col("w").endswith(":") & F.col("next_w").isNotNull())
+        .select(
+            F.col("doc").cast("bigint").alias("doc_id"),
+            F.regexp_replace(F.col("w"), ":$", "").alias("field"),
+            F.col("next_w").alias("value"),
+            (F.col("next_x") - F.col("x")).cast("bigint").alias("gap_px"),
+        )
+    )
