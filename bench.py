@@ -219,6 +219,9 @@ HEADLINE = [
     "deskew_estimate",
     "ocr_confusions",
     "kv_from_boxes",
+    "doc_date_infer",
+    "link_contexts",
+    "freshness_lag",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -11424,3 +11424,203 @@ def q_kv_from_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("next_x") - F.col("x")).cast("bigint").alias("gap_px"),
         )
     )
+
+
+_DOC_DATE_SYNTH = (
+    "'published 2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR)"
+    " || '-1' || CAST(doc_id % 9 AS VARCHAR)"
+    " || ' updated 2026-0' || CAST(doc_id % 9 + 1 AS VARCHAR)"
+    " || '-1' || CAST(doc_id % 9 AS VARCHAR)"
+    " || CASE WHEN doc_id % 3 = 0"
+    "         THEN ' ref 1999-12-31' ELSE '' END || ' ' "
+)
+
+
+@query(
+    "doc_date_infer",
+    f"""
+    WITH synth AS (
+      SELECT doc_id, {_DOC_DATE_SYNTH} || text AS t FROM documents),
+    dates AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(t,
+               '([0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}})', 1)) AS d
+      FROM synth),
+    votes AS (
+      SELECT doc_id, d, COUNT(*) AS c FROM dates GROUP BY doc_id, d),
+    best AS (
+      SELECT doc_id, d, c,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+               ORDER BY c DESC, d DESC) AS rk,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct,
+             SUM(c) OVER (PARTITION BY doc_id) AS n_dates
+      FROM votes)
+    SELECT doc_id, d AS inferred_date,
+           CAST(c AS BIGINT) AS votes,
+           CAST(n_dates AS BIGINT) AS n_dates,
+           CAST(n_distinct AS BIGINT) AS n_distinct
+    FROM best WHERE rk = 1
+    """,
+)
+def q_doc_date_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Publish-date inference: extract every ISO date mentioned in the
+    page, vote, and take the most-repeated (ties to the most recent) —
+    the standard heuristic when pages carry a published AND an updated
+    stamp plus stray archival dates. Synthetic pages repeat the true
+    date twice and a third of them add a decoy. One regexp explode +
+    (doc, date) agg + one argmax window."""
+    k = F.col("doc_id")
+    synth = _cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.expr(_DOC_DATE_SYNTH.replace("VARCHAR", "STRING")),
+                 F.col("text")).alias("t"),
+    )
+    dates = synth.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(
+            F.col("t"), F.lit(r"([0-9]{4}-[0-9]{2}-[0-9]{2})"),
+            F.lit(1))).alias("d"),
+    )
+    votes = dates.groupBy("doc_id", "d").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.desc("d"))
+    wd = Window.partitionBy("doc_id")
+    return (
+        votes
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n_distinct", F.count(F.lit(1)).over(wd))
+        .withColumn("n_dates", F.sum("c").over(wd))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id", F.col("d").alias("inferred_date"),
+            F.col("c").cast("bigint").alias("votes"),
+            F.col("n_dates").cast("bigint").alias("n_dates"),
+            F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        )
+    )
+
+
+@query(
+    "link_contexts",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             'intro words see http://h' || CAST(doc_id % 7 AS VARCHAR)
+             || '.example/p' || CAST(doc_id AS VARCHAR)
+             || ' for details and also https://h'
+             || CAST(doc_id % 5 AS VARCHAR)
+             || '.example/q trailing words here' AS t
+      FROM documents),
+    hits AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(t,
+               '(?:^|\\s)((?:\\S+\\s){0,2})(https?://\\S+)((?:\\s\\S+){0,2})',
+               0)) AS ctx
+      FROM synth)
+    SELECT doc_id,
+           regexp_extract(ctx,
+             '(https?://\\S+)', 1) AS url,
+           trim(regexp_extract(ctx,
+             '(?:^|\\s)((?:\\S+\\s){0,2})https?://', 1)) AS before_ctx,
+           trim(regexp_extract(ctx,
+             'https?://\\S+((?:\\s\\S+){0,2})', 1)) AS after_ctx
+    FROM hits
+    """,
+)
+def q_link_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL mentions with ±2 words of surrounding context — the
+    plain-text analog of anchor text (link-context relevance signals
+    for ranking and for labeling what a crawl frontier URL is about).
+    One regexp_extract_all explode + three in-row group extracts; no
+    shuffle."""
+    k = F.col("doc_id")
+    synth = _cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("intro words see http://h"), (k % 7).cast("string"),
+            F.lit(".example/p"), k.cast("string"),
+            F.lit(" for details and also https://h"),
+            (k % 5).cast("string"),
+            F.lit(".example/q trailing words here"),
+        ).alias("t"),
+    )
+    hits = synth.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(
+            F.col("t"),
+            F.lit(r"(?:^|\s)((?:\S+\s){0,2})(https?://\S+)((?:\s\S+){0,2})"),
+            F.lit(0))).alias("ctx"),
+    )
+    return hits.select(
+        "doc_id",
+        F.regexp_extract(F.col("ctx"), r"(https?://\S+)", 1).alias("url"),
+        F.trim(F.regexp_extract(
+            F.col("ctx"), r"(?:^|\s)((?:\S+\s){0,2})https?://", 1))
+        .alias("before_ctx"),
+        F.trim(F.regexp_extract(
+            F.col("ctx"), r"https?://\S+((?:\s\S+){0,2})", 1))
+        .alias("after_ctx"),
+    )
+
+
+@query(
+    "freshness_lag",
+    """
+    WITH sm AS (
+      SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+             'p' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(doc_id % 28 + 1 AS BIGINT) AS lastmod_day
+      FROM documents),
+    cr AS (
+      SELECT 'p' || CAST(doc_id AS VARCHAR) AS url,
+             CAST(doc_id % 28 + 1 + (doc_id % 5) * 3 AS BIGINT)
+                 AS crawl_day
+      FROM documents WHERE doc_id % 2 = 0),
+    j AS (
+      SELECT sm.host, cr.crawl_day - sm.lastmod_day AS lag_days
+      FROM sm JOIN cr ON cr.url = sm.url),
+    hist AS (
+      SELECT host, lag_days, COUNT(*) AS c FROM j GROUP BY host, lag_days),
+    r AS (
+      SELECT host, lag_days, c,
+             SUM(c) OVER (PARTITION BY host ORDER BY lag_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(c) OVER (PARTITION BY host) AS n
+      FROM hist)
+    SELECT host,
+           CAST(MAX(n) AS BIGINT) AS n_crawled,
+           CAST(MIN(CASE WHEN cum * 2 >= n THEN lag_days END) AS BIGINT)
+               AS p50_lag_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_lag_days
+    FROM r GROUP BY host
+    """,
+)
+def q_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-freshness report: per host the median and max lag between a
+    page's sitemap lastmod and its actual crawl day (only crawled pages
+    count) — the recrawl-scheduler input that turns sitemap freshness
+    signals into budget. One url-keyed join + the value-histogram
+    median rule."""
+    k = F.col("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    sm = docs.select(
+        F.concat(F.lit("h"), (k % 7).cast("string")).alias("host"),
+        F.concat(F.lit("p"), k.cast("string")).alias("url"),
+        (k % 28 + 1).cast("bigint").alias("lastmod_day"),
+    )
+    cr = docs.filter(k % 2 == 0).select(
+        F.concat(F.lit("p"), k.cast("string")).alias("url"),
+        (k % 28 + 1 + (k % 5) * 3).cast("bigint").alias("crawl_day"),
+    )
+    j = sm.join(cr, "url").select(
+        "host", (F.col("crawl_day") - F.col("lastmod_day")).alias("lag"))
+    hist = j.groupBy("host", "lag").agg(F.count(F.lit(1)).alias("c"))
+    wc = (Window.partitionBy("host").orderBy("lag")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    r = (hist.withColumn("cum", F.sum("c").over(wc))
+         .withColumn("n", F.sum("c").over(Window.partitionBy("host"))))
+    return r.groupBy("host").agg(
+        F.max("n").cast("bigint").alias("n_crawled"),
+        F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("lag")))
+        .cast("bigint").alias("p50_lag_days"),
+        F.max("lag").cast("bigint").alias("max_lag_days"),
+    )
