@@ -222,6 +222,7 @@ HEADLINE = [
     "doc_date_infer",
     "link_contexts",
     "freshness_lag",
+    "verhoeff_check",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -11624,3 +11624,50 @@ def q_freshness_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("p50_lag_days"),
         F.max("lag").cast("bigint").alias("max_lag_days"),
     )
+
+
+def _verhoeff_oracle() -> str:
+    from ocr_spark.functions.extractors import VERHOEFF_D, VERHOEFF_P
+
+    def ll(rows):
+        return ("[" + ", ".join(
+            "[" + ", ".join(str(v) for v in r) + "]" for r in rows) + "]")
+
+    # the number is always 12 digits, so the group fold unrolls exactly
+    # (DuckDB's list_reduce cannot carry an accumulator of a different
+    # type than the list elements)
+    c = "0"
+    for i in range(12):
+        dg = f"CAST(substr(reverse(num), {i + 1}, 1) AS INTEGER)"
+        c = f"{ll(VERHOEFF_D)}[({c}) + 1][{ll(VERHOEFF_P)}[{i % 8} + 1][{dg} + 1] + 1]"
+    return f"""
+    WITH synth AS (
+      SELECT doc_id,
+             lpad(CAST((doc_id * 987654321 + 111111111111)
+                       % 1000000000000 AS VARCHAR), 12, '0') AS num
+      FROM documents)
+    SELECT doc_id, num,
+           CAST(CASE WHEN ({c}) = 0 THEN 1 ELSE 0 END AS INTEGER) AS valid
+    FROM synth
+    """
+
+
+@query("verhoeff_check", _verhoeff_oracle())
+def q_verhoeff_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Verhoeff checksum validation of synthetic 12-digit ids —
+    the production implementation of the check the reference stubs to
+    `return True` (aadhaar.py:170-172). Catches the single-digit errors
+    and adjacent transpositions OCR actually produces, which format
+    rules cannot. One in-row digit fold over literal group tables; no
+    shuffle. See functions/extractors.verhoeff_valid."""
+    from ocr_spark.functions.extractors import verhoeff_valid
+
+    synth = _cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("lpad(CAST((doc_id * 987654321 + 111111111111)"
+               " % 1000000000000 AS STRING), 12, '0')").alias("num"),
+    )
+    return synth.select(
+        "doc_id", "num",
+        verhoeff_valid(F.col("num")).cast("int").alias("valid"),
+    )
