@@ -223,6 +223,8 @@ HEADLINE = [
     "link_contexts",
     "freshness_lag",
     "verhoeff_check",
+    "luhn_pii",
+    "locale_numbers",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -11671,3 +11671,157 @@ def q_verhoeff_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "num",
         verhoeff_valid(F.col("num")).cast("int").alias("valid"),
     )
+
+
+@query(
+    "luhn_pii",
+    """
+    WITH synth AS (
+      SELECT source, doc_id,
+             text || CASE WHEN doc_id % 3 = 0
+                     THEN ' card 4111111111111111 ok'
+                     WHEN doc_id % 3 = 1
+                     THEN ' ref 4111111111111112 no'
+                     ELSE ' none' END AS t
+      FROM documents),
+    hits AS (
+      SELECT source, doc_id,
+             unnest(regexp_extract_all(t, '[0-9]{16}', 0)) AS num
+      FROM synth),
+    checked AS (
+      SELECT source, num,
+             CASE WHEN list_sum(
+               [CASE WHEN i % 2 = 0 THEN
+                  CASE WHEN 2 * CAST(substr(reverse(num), i, 1) AS INTEGER) > 9
+                       THEN 2 * CAST(substr(reverse(num), i, 1) AS INTEGER) - 9
+                       ELSE 2 * CAST(substr(reverse(num), i, 1) AS INTEGER) END
+                ELSE CAST(substr(reverse(num), i, 1) AS INTEGER) END
+                for i in generate_series(1, 16)]) % 10 = 0
+             THEN 1 ELSE 0 END AS valid
+      FROM hits)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(valid) AS BIGINT) AS n_luhn_valid,
+           CAST(SUM(valid) * 10000 // COUNT(*) AS BIGINT) AS valid_bp
+    FROM checked GROUP BY source
+    """,
+)
+def q_luhn_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Card-number PII exposure with Luhn validation: 16-digit
+    candidates per source, and how many pass the Luhn mod-10 check —
+    the filter that separates real card numbers from order ids and
+    random digit runs, cutting false redactions (a naive 16-digit scrub
+    destroys legitimate identifiers 10x more often). Spark's native
+    luhn_check runs in codegen; the oracle unrolls the double-every-
+    second-digit sum. One regexp explode + source agg."""
+    k = F.col("doc_id")
+    synth = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(k % 3 == 0, F.lit(" card 4111111111111111 ok"))
+            .when(k % 3 == 1, F.lit(" ref 4111111111111112 no"))
+            .otherwise(F.lit(" none")),
+        ).alias("t"),
+    )
+    hits = synth.select(
+        "source",
+        F.explode(F.regexp_extract_all(
+            F.col("t"), F.lit("[0-9]{16}"), F.lit(0))).alias("num"),
+    )
+    return (
+        hits.select("source",
+                    F.expr("CAST(luhn_check(num) AS INT)").alias("valid"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum("valid").cast("bigint").alias("n_luhn_valid"),
+            F.expr("CAST(SUM(valid) * 10000 div COUNT(*) AS BIGINT)")
+            .alias("valid_bp"),
+        )
+    )
+
+
+@query(
+    "locale_numbers",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0
+                  THEN '1.' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || ',5' || CAST(doc_id % 10 AS VARCHAR)
+                  WHEN doc_id % 4 = 1
+                  THEN '1,' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '.5' || CAST(doc_id % 10 AS VARCHAR)
+                  WHEN doc_id % 4 = 2
+                  THEN CAST(doc_id % 90 + 10 AS VARCHAR) || '.'
+                       || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+                  ELSE '1,' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+             END AS raw
+      FROM documents),
+    parsed AS (
+      SELECT doc_id, raw,
+             CASE
+               WHEN regexp_matches(raw, '^[0-9.]+,[0-9]{2}$') THEN
+                 CAST(replace(regexp_replace(raw, ',[0-9]*$', ''),
+                              '.', '') AS BIGINT) * 100
+                 + CAST(regexp_extract(raw, ',([0-9]{2})$', 1) AS BIGINT)
+               WHEN regexp_matches(raw, '^[0-9,]+\\.[0-9]{2}$') THEN
+                 CAST(replace(regexp_replace(raw, '\\.[0-9]*$', ''),
+                              ',', '') AS BIGINT) * 100
+                 + CAST(regexp_extract(raw, '\\.([0-9]{2})$', 1) AS BIGINT)
+             END AS cents,
+             CAST(regexp_matches(raw, '^[0-9]+,[0-9]{3}$') AS INTEGER)
+                 AS ambiguous
+      FROM synth)
+    SELECT doc_id, raw,
+           CAST(cents AS BIGINT) AS cents,
+           ambiguous
+    FROM parsed
+    """,
+)
+def q_locale_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Locale-aware numeric parsing: European 1.234,56 and US 1,234.56
+    both resolve to exact cents (the LAST separator with exactly two
+    trailing digits is decimal; the other strips as grouping);
+    comma+3-digits forms (1,234) flag ambiguous and parse NULL rather
+    than guessing — the silent 1000x corruption in naive float casts of
+    scraped prices. Pure regexp/CASE projection."""
+    k = F.col("doc_id")
+    synth = _cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 4 = 0"
+            " THEN '1.' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')"
+            " || ',5' || CAST(doc_id % 10 AS STRING)"
+            " WHEN doc_id % 4 = 1"
+            " THEN '1,' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')"
+            " || '.5' || CAST(doc_id % 10 AS STRING)"
+            " WHEN doc_id % 4 = 2"
+            " THEN CAST(doc_id % 90 + 10 AS STRING) || '.'"
+            " || lpad(CAST(doc_id % 100 AS STRING), 2, '0')"
+            " ELSE '1,' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')"
+            " END").alias("raw"),
+    )
+    eu = F.col("raw").rlike(r"^[0-9.]+,[0-9]{2}$")
+    us = F.col("raw").rlike(r"^[0-9,]+\.[0-9]{2}$")
+    cents = (
+        F.when(eu,
+               F.regexp_replace(
+                   F.regexp_replace(F.col("raw"), r",[0-9]*$", ""),
+                   r"\.", "").cast("bigint") * 100
+               + F.regexp_extract(F.col("raw"), r",([0-9]{2})$", 1)
+               .cast("bigint"))
+        .when(us,
+              F.regexp_replace(
+                  F.regexp_replace(F.col("raw"), r"\.[0-9]*$", ""),
+                  ",", "").cast("bigint") * 100
+              + F.regexp_extract(F.col("raw"), r"\.([0-9]{2})$", 1)
+              .cast("bigint"))
+    )
+    return synth.select(
+        "doc_id", "raw",
+        cents.cast("bigint").alias("cents"),
+        F.col("raw").rlike(r"^[0-9]+,[0-9]{3}$").cast("int")
+        .alias("ambiguous"),
+    )
