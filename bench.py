@@ -225,6 +225,8 @@ HEADLINE = [
     "verhoeff_check",
     "luhn_pii",
     "locale_numbers",
+    "length_moments",
+    "canonical_content_mismatch",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

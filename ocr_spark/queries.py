@@ -11825,3 +11825,144 @@ def q_locale_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("raw").rlike(r"^[0-9]+,[0-9]{3}$").cast("int")
         .alias("ambiguous"),
     )
+
+
+@query(
+    "length_moments",
+    """
+    WITH w AS (
+      SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+    s AS (
+      SELECT source,
+             COUNT(*) AS n,
+             SUM(x) AS s1,
+             SUM(CAST(x AS HUGEINT) * x) AS s2,
+             SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+             SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
+      FROM w GROUP BY source),
+    m AS (
+      SELECT source, n, s1,
+             n * s2 - CAST(s1 AS HUGEINT) * s1 AS m2n,
+             CAST(n AS HUGEINT) * n * s3
+               - 3 * n * CAST(s1 AS HUGEINT) * s2
+               + 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS m3n,
+             CAST(n AS HUGEINT) * n * n * s4
+               - 4 * CAST(n AS HUGEINT) * n * s1 * s3
+               + 6 * n * CAST(s1 AS HUGEINT) * s1 * s2
+               - 3 * CAST(s1 AS HUGEINT) * s1 * s1 * s1 AS m4n
+      FROM s)
+    SELECT source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(s1 AS BIGINT) AS sum_chars,
+           CAST(FLOOR(1000000.0 * CAST(m3n AS DOUBLE)
+             / POW(CAST(m2n AS DOUBLE), 1.5)) AS BIGINT) AS skew_micro,
+           CAST(FLOOR(1000000.0 * (CAST(m4n AS DOUBLE))
+             / (CAST(m2n AS DOUBLE) * CAST(m2n AS DOUBLE)))
+             AS BIGINT) AS kurt_micro
+    FROM m WHERE m2n > 0
+    """,
+)
+def q_length_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source skewness and kurtosis of document length via exact
+    integer power sums (the single-pass central-moment identities
+    n·Σx²−(Σx)², n²Σx³−3nΣxΣx²+2(Σx)³, n³Σx⁴−4n²ΣxΣx³+6n(Σx)²Σx²−3(Σx)⁴
+    in DECIMAL(38)) with one final double division each, spelled
+    identically cross-engine — the distribution-shape drift detector
+    beyond mean/variance (a fat right tail = concatenation bugs, a
+    left-skew = truncation). One source agg, map-side partials."""
+    w = _t(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("bigint").alias("x"))
+    xd = F.col("x").cast("decimal(38,0)")
+    s = w.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(xd * F.col("x")).alias("s2"),
+        F.sum(xd * F.col("x") * F.col("x")).alias("s3"),
+        F.sum(xd * F.col("x") * F.col("x") * F.col("x")).alias("s4"),
+    )
+    m = s.select(
+        "source", "n", "s1",
+        F.expr("n * s2 - CAST(s1 AS DECIMAL(38,0)) * s1").alias("m2n"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * n * s3"
+               " - 3 * n * CAST(s1 AS DECIMAL(38,0)) * s2"
+               " + 2 * CAST(s1 AS DECIMAL(38,0)) * s1 * s1").alias("m3n"),
+        F.expr("CAST(n AS DECIMAL(38,0)) * n * n * s4"
+               " - 4 * CAST(n AS DECIMAL(38,0)) * n * s1 * s3"
+               " + 6 * n * CAST(s1 AS DECIMAL(38,0)) * s1 * s2"
+               " - 3 * CAST(s1 AS DECIMAL(38,0)) * s1 * s1 * s1")
+        .alias("m4n"),
+    )
+    return m.filter(F.col("m2n") > 0).select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("s1").cast("bigint").alias("sum_chars"),
+        F.expr("CAST(FLOOR(1000000.0D * CAST(m3n AS DOUBLE)"
+               " / POW(CAST(m2n AS DOUBLE), 1.5D))"
+               " AS BIGINT)").alias("skew_micro"),
+        F.expr("CAST(FLOOR(1000000.0D * (CAST(m4n AS DOUBLE))"
+               " / (CAST(m2n AS DOUBLE) * CAST(m2n AS DOUBLE)))"
+               " AS BIGINT)").alias("kurt_micro"),
+    )
+
+
+@query(
+    "canonical_content_mismatch",
+    """
+    WITH pages AS (
+      SELECT doc_id,
+             'http://h' || CAST((doc_id // 2) % 9 AS VARCHAR) || '/p'
+                 || CAST(doc_id // 2 AS VARCHAR) AS canon,
+             CASE WHEN doc_id % 10 = 9 THEN 'CLOAKED ' ELSE '' END
+                 || 'content ' || CAST(doc_id // 2 AS VARCHAR) AS body
+      FROM documents),
+    grp AS (
+      SELECT canon,
+             COUNT(*) AS n_urls,
+             COUNT(DISTINCT body) AS n_bodies
+      FROM pages GROUP BY canon)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_canonical_groups,
+           CAST(SUM(CASE WHEN n_urls > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_multi_url,
+           CAST(SUM(CASE WHEN n_urls > 1 AND n_bodies > 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatched,
+           CAST(SUM(CASE WHEN n_urls > 1 AND n_bodies > 1
+                    THEN 1 ELSE 0 END) * 10000
+                // GREATEST(SUM(CASE WHEN n_urls > 1 THEN 1 ELSE 0 END), 1)
+                AS BIGINT) AS mismatch_bp
+    FROM grp
+    """,
+)
+def q_canonical_content_mismatch(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Canonical-URL vs content agreement audit: among canonical groups
+    holding multiple raw URLs, how many serve DIFFERENT bodies — the
+    cloaking / personalization / session-state detector that decides
+    whether URL-level dedup is safe for a host (if the tracking-param
+    variant serves different content, collapsing on canonical URL loses
+    data). One canon-keyed agg counting distinct bodies; at corpus
+    scale the body would be digested first (same contract as
+    dup_rates)."""
+    k = F.col("doc_id")
+    g = (k / 2).cast("bigint")
+    pages = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("http://h"), (g % 9).cast("string"), F.lit("/p"),
+                 g.cast("string")).alias("canon"),
+        F.concat(
+            F.when(k % 10 == 9, F.lit("CLOAKED ")).otherwise(F.lit("")),
+            F.lit("content "), g.cast("string")).alias("body"),
+    )
+    grp = pages.groupBy("canon").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct(F.sha2(F.col("body"), 256)).alias("n_bodies"),
+    )
+    return grp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_canonical_groups"),
+        F.sum(F.when(F.col("n_urls") > 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_multi_url"),
+        F.sum(F.when((F.col("n_urls") > 1) & (F.col("n_bodies") > 1), 1)
+              .otherwise(0)).cast("bigint").alias("n_mismatched"),
+        F.expr("CAST(SUM(CASE WHEN n_urls > 1 AND n_bodies > 1 THEN 1"
+               " ELSE 0 END) * 10000 div GREATEST(SUM(CASE WHEN n_urls"
+               " > 1 THEN 1 ELSE 0 END), 1) AS BIGINT)")
+        .alias("mismatch_bp"),
+    )

@@ -1,0 +1,42 @@
+"""Edge-case tests for the round-3y operator batch: exact length
+moments and canonical-vs-content agreement."""
+
+from __future__ import annotations
+
+import __spark_entry__ as E
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_length_moments_match_numpy(spark):
+    import duckdb
+    import numpy as np
+
+    rows = {r["source"]: r.asDict() for r in
+            E.queries()["length_moments"](spark, SF).collect()}
+    data = duckdb.sql(
+        f"SELECT source, n_chars FROM '{SF}/documents.parquet'").fetchall()
+    by_src = {}
+    for s, x in data:
+        by_src.setdefault(s, []).append(float(x))
+    import math
+
+    for s, xs in by_src.items():
+        if s not in rows:
+            continue
+        a = np.array(xs)
+        m2 = ((a - a.mean()) ** 2).mean()
+        m3 = ((a - a.mean()) ** 3).mean()
+        m4 = ((a - a.mean()) ** 4).mean()
+        skew = m3 / m2 ** 1.5
+        kurt = m4 / m2 ** 2
+        assert abs(rows[s]["skew_micro"] - math.floor(1e6 * skew)) <= 2
+        assert abs(rows[s]["kurt_micro"] - math.floor(1e6 * kurt)) <= 2
+
+
+def test_canonical_content_mismatch_accounting(spark):
+    r = E.queries()["canonical_content_mismatch"](spark, SF).collect()[0]
+    assert r["n_mismatched"] <= r["n_multi_url"] <= r["n_canonical_groups"]
+    # fixture plants cloaked bodies on doc_id % 10 == 9 -> mismatches exist
+    assert r["n_mismatched"] > 0
+    assert 0 < r["mismatch_bp"] <= 10000
