@@ -227,6 +227,7 @@ HEADLINE = [
     "locale_numbers",
     "length_moments",
     "canonical_content_mismatch",
+    "delete_audit",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

@@ -11966,3 +11966,71 @@ def q_canonical_content_mismatch(spark: SparkSession,
                " > 1 THEN 1 ELSE 0 END), 1) AS BIGINT)")
         .alias("mismatch_bp"),
     )
+
+
+@query(
+    "delete_audit",
+    """
+    WITH tomb AS (
+      SELECT doc_id FROM documents WHERE doc_id % 13 = 0),
+    retained AS (
+      SELECT d.doc_id, d.text FROM documents d
+      WHERE d.doc_id NOT IN (SELECT doc_id FROM tomb)),
+    chunks AS (  -- rebuilt surface: derives from retained only
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM retained),
+    stale_postings AS (  -- stale surface: still derives from ALL docs
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w
+      FROM documents),
+    audit AS (
+      SELECT 'chunks' AS surface,
+             COUNT(*) AS n_rows,
+             SUM(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                 AS n_leaked
+      FROM chunks c LEFT JOIN tomb t ON t.doc_id = c.doc_id
+      UNION ALL
+      SELECT 'stale_postings',
+             COUNT(*),
+             SUM(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+      FROM stale_postings p LEFT JOIN tomb t ON t.doc_id = p.doc_id)
+    SELECT surface,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_leaked AS BIGINT) AS n_leaked,
+           CAST(n_leaked * 10000 // n_rows AS BIGINT) AS leak_bp
+    FROM audit
+    """,
+)
+def q_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit: join every derived
+    surface back to the tombstone list and count rows that still
+    reference deleted documents. The fixture plants a correctly rebuilt
+    surface (chunks — zero leaks) AND a stale one (postings built from
+    the pre-delete corpus) that the audit must flag — deletion
+    verification is only trustworthy if it can fail. The tombstone side
+    broadcasts (deletion lists are dim-sized); each surface costs one
+    scan + broadcast join, and at 100 TB this is the nightly compliance
+    job shape."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tomb = docs.filter(F.col("doc_id") % 13 == 0).select("doc_id")
+    retained = docs.join(F.broadcast(tomb), "doc_id", "left_anti")
+    words = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+    tmark = tomb.select(F.col("doc_id").alias("t_id"), F.lit(1).alias("t"))
+
+    def audit(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.join(F.broadcast(tmark),
+                    df["doc_id"] == F.col("t_id"), "left")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(F.coalesce(F.col("t"), F.lit(0))).cast("bigint")
+                .alias("n_leaked"),
+            )
+            .select(F.lit(name).alias("surface"), "n_rows", "n_leaked",
+                    F.expr("CAST(n_leaked * 10000 div n_rows AS BIGINT)")
+                    .alias("leak_bp"))
+        )
+
+    return audit(words(retained), "chunks").unionByName(
+        audit(words(docs), "stale_postings"))

@@ -40,3 +40,13 @@ def test_canonical_content_mismatch_accounting(spark):
     # fixture plants cloaked bodies on doc_id % 10 == 9 -> mismatches exist
     assert r["n_mismatched"] > 0
     assert 0 < r["mismatch_bp"] <= 10000
+
+
+def test_delete_audit_clean_surface_zero_stale_flagged(spark):
+    rows = {r["surface"]: r.asDict() for r in
+            E.queries()["delete_audit"](spark, SF).collect()}
+    assert rows["chunks"]["n_leaked"] == 0
+    assert rows["chunks"]["leak_bp"] == 0
+    # the stale surface MUST be caught — the audit can fail
+    assert rows["stale_postings"]["n_leaked"] > 0
+    assert rows["stale_postings"]["n_rows"] > rows["chunks"]["n_rows"]
