@@ -228,6 +228,7 @@ HEADLINE = [
     "length_moments",
     "canonical_content_mismatch",
     "delete_audit",
+    "agg_delta_merge",
     "jsonld_extract",
     "mime_sniff",
     "sitemap_parse",

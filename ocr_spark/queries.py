@@ -12034,3 +12034,88 @@ def q_delete_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return audit(words(retained), "chunks").unionByName(
         audit(words(docs), "stale_postings"))
+
+
+@query(
+    "agg_delta_merge",
+    """
+    WITH old AS (
+      SELECT source, COUNT(*) AS n, SUM(n_chars) AS s,
+             MIN(n_chars) AS mn, MAX(n_chars) AS mx
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY source),
+    delta AS (
+      SELECT source, COUNT(*) AS n, SUM(n_chars) AS s,
+             MIN(n_chars) AS mn, MAX(n_chars) AS mx
+      FROM documents WHERE doc_id % 2 = 1 GROUP BY source),
+    merged AS (
+      SELECT COALESCE(o.source, d.source) AS source,
+             COALESCE(o.n, 0) + COALESCE(d.n, 0) AS n,
+             COALESCE(o.s, 0) + COALESCE(d.s, 0) AS s,
+             LEAST(COALESCE(o.mn, d.mn), COALESCE(d.mn, o.mn)) AS mn,
+             GREATEST(COALESCE(o.mx, d.mx), COALESCE(d.mx, o.mx)) AS mx
+      FROM old o FULL OUTER JOIN delta d ON d.source = o.source),
+    full_agg AS (
+      SELECT source, COUNT(*) AS n, SUM(n_chars) AS s,
+             MIN(n_chars) AS mn, MAX(n_chars) AS mx
+      FROM documents GROUP BY source)
+    SELECT m.source,
+           CAST(m.n AS BIGINT) AS n_docs,
+           CAST(m.s AS BIGINT) AS sum_chars,
+           CAST(m.mn AS BIGINT) AS min_chars,
+           CAST(m.mx AS BIGINT) AS max_chars,
+           CAST(m.n = f.n AND m.s = f.s AND m.mn = f.mn AND m.mx = f.mx
+                AS INTEGER) AS matches_full
+    FROM merged m JOIN full_agg f ON f.source = m.source
+    """,
+)
+def q_agg_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: merge yesterday's per-source
+    rollup with today's delta rollup (count/sum add, min/max combine)
+    and PROVE the merge equals a full recompute — the algebra that lets
+    a 100 TB nightly rollup touch only the new partition. Only
+    decomposable aggregates merge this way (count/sum/min/max here;
+    means derive from sums; medians/distincts need sketches — see
+    hll_distinct_events); the matches_full column is the audit."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("bigint").alias("x"))
+
+    def roll(df):
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"),
+            F.min("x").alias("mn"), F.max("x").alias("mx"))
+
+    old = roll(docs.filter(F.col("doc_id") % 2 == 0)).alias("o")
+    delta = roll(docs.filter(F.col("doc_id") % 2 == 1)).alias("d")
+    merged = (
+        old.join(delta, F.col("o.source") == F.col("d.source"),
+                 "full_outer")
+        .select(
+            F.coalesce("o.source", "d.source").alias("source"),
+            (F.coalesce("o.n", F.lit(0))
+             + F.coalesce("d.n", F.lit(0))).alias("n"),
+            (F.coalesce("o.s", F.lit(0))
+             + F.coalesce("d.s", F.lit(0))).alias("s"),
+            F.least(F.coalesce("o.mn", F.col("d.mn")),
+                    F.coalesce("d.mn", F.col("o.mn"))).alias("mn"),
+            F.greatest(F.coalesce("o.mx", F.col("d.mx")),
+                       F.coalesce("d.mx", F.col("o.mx"))).alias("mx"),
+        )
+    )
+    full = roll(docs).select(
+        F.col("source").alias("f_source"),
+        F.col("n").alias("fn"), F.col("s").alias("fs"),
+        F.col("mn").alias("fmn"), F.col("mx").alias("fmx"))
+    return (
+        merged.join(full, merged["source"] == full["f_source"])
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.col("s").cast("bigint").alias("sum_chars"),
+            F.col("mn").cast("bigint").alias("min_chars"),
+            F.col("mx").cast("bigint").alias("max_chars"),
+            ((F.col("n") == F.col("fn")) & (F.col("s") == F.col("fs"))
+             & (F.col("mn") == F.col("fmn"))
+             & (F.col("mx") == F.col("fmx"))).cast("int")
+            .alias("matches_full"),
+        )
+    )

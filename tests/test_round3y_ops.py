@@ -50,3 +50,10 @@ def test_delete_audit_clean_surface_zero_stale_flagged(spark):
     # the stale surface MUST be caught — the audit can fail
     assert rows["stale_postings"]["n_leaked"] > 0
     assert rows["stale_postings"]["n_rows"] > rows["chunks"]["n_rows"]
+
+
+def test_agg_delta_merge_always_matches_full(spark):
+    rows = E.queries()["agg_delta_merge"](spark, SF).collect()
+    assert rows
+    assert all(r["matches_full"] == 1 for r in rows)
+    assert all(r["min_chars"] <= r["max_chars"] for r in rows)
