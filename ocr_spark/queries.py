@@ -12119,3 +12119,116 @@ def q_agg_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("matches_full"),
         )
     )
+
+
+@query(
+    "metric_correlation",
+    """
+    WITH m AS (
+      SELECT source,
+             CAST(n_chars AS BIGINT) AS x,
+             CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                 AS y
+      FROM documents WHERE length(trim(text)) > 0),
+    s AS (
+      SELECT source, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM m GROUP BY source)
+    SELECT source, CAST(n AS BIGINT) AS n_docs,
+           CAST(FLOOR(10000.0 * CAST(n * sxy - CAST(sx AS HUGEINT) * sy
+                                     AS DOUBLE)
+             / SQRT(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    * CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+             AS BIGINT) AS corr_bp
+    FROM s
+    WHERE n * sxx - CAST(sx AS HUGEINT) * sx > 0
+      AND n * syy - CAST(sy AS HUGEINT) * sy > 0
+    """,
+)
+def q_metric_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer Pearson correlation (basis points) between document
+    length and word count per source: all five power sums are exact
+    DECIMAL(38) integers (order-free under any partitioning), and the
+    only float op is the single final quotient, spelled identically
+    cross-engine — the generic two-metric correlation primitive
+    (quality-vs-length, depth-vs-spam, any drift pair). One source agg
+    with map-side partials."""
+    m = _t(spark, sf_dir, "documents").filter(
+        F.length(F.trim(F.col("text"))) > 0
+    ).select(
+        "source",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("bigint")
+        .alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    s = m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
+        F.sum(yd * F.col("y")).alias("syy"),
+    )
+    num = "n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"
+    dx = "n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"
+    dy = "n * syy - CAST(sy AS DECIMAL(38,0)) * sy"
+    return (
+        s.filter(F.expr(f"({dx}) > 0 AND ({dy}) > 0"))
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_docs"),
+            F.expr(
+                f"CAST(FLOOR(10000.0D * CAST(({num}) AS DOUBLE)"
+                f" / SQRT(CAST(({dx}) AS DOUBLE)"
+                f" * CAST(({dy}) AS DOUBLE))) AS BIGINT)")
+            .alias("corr_bp"),
+        )
+    )
+
+
+def _lang_acc_oracle() -> str:
+    return f"""
+    WITH lid AS ({_lang_id_oracle()}),
+    agg AS (
+      SELECT labeled_lang,
+             COUNT(*) AS n,
+             SUM(CASE WHEN predicted_lang = labeled_lang
+                 THEN 1 ELSE 0 END) AS n_correct,
+             SUM(CASE WHEN predicted_lang = 'unknown'
+                 THEN 1 ELSE 0 END) AS n_unknown
+      FROM lid GROUP BY labeled_lang)
+    SELECT labeled_lang,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(n_correct AS BIGINT) AS n_correct,
+           CAST(n_unknown AS BIGINT) AS n_unknown,
+           CAST(n_correct * 10000 // n AS BIGINT) AS acc_bp
+    FROM agg
+    """
+
+
+@query("lang_id_accuracy", _lang_acc_oracle())
+def q_lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class accuracy rollup of the marker-word language identifier
+    against the corpus labels (plus the unknown-rate): the eval that
+    decides whether the cheap lang-ID is good enough to route documents
+    or a real classifier is needed per class. Composes the lang_id
+    projection with one labeled-class agg."""
+    lid = QUERIES["lang_id"](spark, sf_dir)
+    return (
+        lid.groupBy("labeled_lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("predicted_lang") == F.col("labeled_lang"),
+                         1).otherwise(0)).cast("bigint")
+            .alias("n_correct"),
+            F.sum(F.when(F.col("predicted_lang") == "unknown", 1)
+                  .otherwise(0)).cast("bigint").alias("n_unknown"),
+            F.expr("CAST(SUM(CASE WHEN predicted_lang = labeled_lang"
+                   " THEN 1 ELSE 0 END) * 10000 div COUNT(*) AS BIGINT)")
+            .alias("acc_bp"),
+        )
+    )

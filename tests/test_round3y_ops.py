@@ -57,3 +57,45 @@ def test_agg_delta_merge_always_matches_full(spark):
     assert rows
     assert all(r["matches_full"] == 1 for r in rows)
     assert all(r["min_chars"] <= r["max_chars"] for r in rows)
+
+
+def test_metric_correlation_length_vs_words_strongly_positive(spark):
+    rows = E.queries()["metric_correlation"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        # chars and word count are near-linearly related in any corpus
+        assert 8000 <= r["corr_bp"] <= 10000
+
+
+def test_metric_correlation_matches_numpy(spark):
+    import duckdb
+    import math
+    import numpy as np
+
+    rows = {r["source"]: r["corr_bp"] for r in
+            E.queries()["metric_correlation"](spark, SF).collect()}
+    data = duckdb.sql(f"""
+      SELECT source, n_chars,
+             len(string_split_regex(trim(text), '\\s+'))
+      FROM '{SF}/documents.parquet' WHERE length(trim(text)) > 0
+    """).fetchall()
+    by = {}
+    for s, x, y in data:
+        by.setdefault(s, []).append((float(x), float(y)))
+    for s, xy in by.items():
+        if s not in rows or len(xy) < 3:
+            continue
+        a = np.array(xy)
+        r = np.corrcoef(a[:, 0], a[:, 1])[0, 1]
+        assert abs(rows[s] - math.floor(10000 * r)) <= 2
+
+
+def test_lang_id_accuracy_rollup_consistency(spark):
+    rows = {r["labeled_lang"]: r.asDict() for r in
+            E.queries()["lang_id_accuracy"](spark, SF).collect()}
+    assert set(rows) == {"en", "de", "fr", "es", "zh"}
+    for r in rows.values():
+        assert 0 <= r["n_correct"] <= r["n_docs"]
+        assert r["acc_bp"] == r["n_correct"] * 10000 // r["n_docs"]
+    # zh has no marker list -> can never be predicted correctly
+    assert rows["zh"]["n_correct"] == 0
