@@ -42,7 +42,7 @@ HEADLINE = list(_REGISTRY)
 # convergence loops with checkpoint-per-round), so the build must sit
 # inside the timed window.
 ITERATIVE = {"dedup_components", "kcore", "dsir_select",
-             "power_iteration", "axis_share"}
+             "power_iteration", "axis_share", "seed_distance"}
 
 
 def _force(df) -> int:

@@ -23,8 +23,9 @@ Extraction rules (deterministic, documented):
   where a kerning adjustment <= -180 thousandths appears between them
   (the standard word-gap heuristic);
 - runs join with single spaces in stream order;
-- string escapes ``\\(``, ``\\)``, ``\\\\`` unescape (octal escapes and
-  hex strings <...> are rejected to NULL — observable, never silent).
+- string escapes ``\\(``, ``\\)``, ``\\\\`` unescape (octal escapes of
+  any length 1-3 and hex strings <...> — whether before ``Tj`` or inside
+  a ``TJ`` array — are rejected to NULL: observable, never silent).
 
 Everything is codegen'd regexp/HOF projection: no shuffle, no Python.
 """
@@ -59,9 +60,18 @@ def pdf_text_extract(df: DataFrame, id_col: str, pdf_col: str) -> DataFrame:
     text position return NULL text with rejected=1 (the OCR-path
     hand-off marker)."""
     pdf = F.col(pdf_col)
+    # Reject-to-NULL guard (the OCR-path hand-off): a hex string <...>
+    # in show position — before a Tj OR anywhere inside a [...] TJ array
+    # — or ANY octal escape \d, \dd, \ddd inside a literal string. All
+    # three forms are legal PDF this extractor does not decode; passing
+    # them through would silently drop/mangle text, so they must mark
+    # the row rejected instead (round-3 advice: a <hex> inside a TJ
+    # array previously slipped past and parsed as kern numbers).
     rejected = (
-        pdf.rlike(r"(?s)BT.*<[0-9A-Fa-f]+>\s*Tj")
-        | pdf.rlike(r"(?s)\((?:[^()\\]|\\.)*\\[0-7]{3}")
+        pdf.rlike(r"(?s)BT.*<[0-9A-Fa-f\s]*>\s*Tj")
+        | pdf.rlike(
+            r"(?s)BT.*\[(?:[^\]\\]|\\.)*<[0-9A-Fa-f\s]*>(?:[^\]\\]|\\.)*\]\s*TJ")
+        | pdf.rlike(r"(?s)\((?:[^()\\]|\\.)*\\[0-7]")
     ).cast("int")
     blocks = F.regexp_extract_all(pdf, F.lit(_BT_RE), F.lit(1))
     shows = F.flatten(F.transform(

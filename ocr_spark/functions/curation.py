@@ -3707,16 +3707,24 @@ def politeness_schedule(
     driver-side loop, no per-row Python, exact BIGINT micros. Scale
     shape: a single host-keyed Exchange feeds both windows and the
     final per-host agg; hosts are independent, so AQE splits skewed
-    hosts' window partitions only if a host truly dominates."""
+    hosts' window partitions only if a host truly dominates.
+
+    The closed form is only valid for a CONSTANT per-host delay, so the
+    effective d is MAX(delay) over the host (the conservative choice a
+    politeness policy wants: the strictest crawl-delay ever seen for the
+    host wins) — per-row delays that vary within a host are collapsed
+    rather than silently producing a wrong schedule (round-3 advice)."""
     w_ord = Window.partitionBy("h").orderBy("arr", "ord")
     w_run = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_host = Window.partitionBy("h")
     rows = (
         df.select(
             F.col(host_col).alias("h"),
             F.col(arrival_micros_col).cast("bigint").alias("arr"),
             F.col(order_col).alias("ord"),
-            F.col(delay_micros_col).cast("bigint").alias("d"),
+            F.col(delay_micros_col).cast("bigint").alias("d0"),
         )
+        .withColumn("d", F.max("d0").over(w_host))
         .withColumn("seq", (F.row_number().over(w_ord) - 1).cast("bigint"))
         .withColumn("adj", F.col("arr") - F.col("seq") * F.col("d"))
         .withColumn("sched",
@@ -3890,11 +3898,18 @@ def feed_parse(df: DataFrame, host_col: str, xml_col: str) -> DataFrame:
     ).otherwise(
         F.regexp_extract(b, r"(?is)<\s*link\s*>\s*([^<\s][^<]*?)\s*<", 1)
     )
+    # regexp_extract returns '' (never NULL) on no match, so the Atom
+    # published→updated fallback needs an explicit nullif before the
+    # coalesce (round-3 advice: the bare coalesce branch was dead and
+    # <updated>-only entries came back with published='').
     published = F.when(
         F.col("kind") == "atom",
         F.coalesce(
-            F.regexp_extract(b, r"(?is)<\s*published\s*>\s*([^<]*?)\s*<", 1),
-            F.lit("")),
+            F.nullif(
+                F.regexp_extract(
+                    b, r"(?is)<\s*published\s*>\s*([^<]*?)\s*<", 1),
+                F.lit("")),
+            F.regexp_extract(b, r"(?is)<\s*updated\s*>\s*([^<]*?)\s*<", 1)),
     ).otherwise(
         F.regexp_extract(b, r"(?is)<\s*pubdate\s*>\s*([^<]*?)\s*<", 1))
     return exploded.select(

@@ -444,24 +444,29 @@ def seed_distance(
     Scale shape: per round one src-keyed join of the frontier table onto
     edges + one node-keyed MIN agg with map-side partials. Each round's
     distance frame feeds TWO consumers (the propagation join and the
-    union), so it persists per round — the same discipline as hits()'s
-    in-flow normalizer rationale: unpersisted, the branched lineage
-    doubles the prefix per round.
+    union), so each round persists its frame, and the PRIOR round's
+    frame unpersists as soon as the new one is materialized (the
+    power_iteration/kcore discipline — without the release, cached
+    frames accumulate linearly with rounds; round-3 advice).
     """
     dist = seeds.select(
         F.col("node"), F.lit(0).cast("bigint").alias("dist"))
     for _ in range(rounds):
-        dist = dist.persist()
+        cur = dist.persist()
         prop = (
-            edges.join(dist, edges["src"] == dist["node"])
+            edges.join(cur, edges["src"] == cur["node"])
             .select(F.col("dst").alias("node"),
                     (F.col("dist") + 1).alias("dist"))
         )
         dist = (
-            dist.unionByName(prop)
+            cur.unionByName(prop)
             .groupBy("node")
             .agg(F.min("dist").cast("bigint").alias("dist"))
+            # materialize the round: cur computes once, feeds both
+            # consumers from cache, and can be released immediately
+            .localCheckpoint(eager=True)
         )
+        cur.unpersist()
     return dist
 
 

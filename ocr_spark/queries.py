@@ -17,6 +17,7 @@ compare holds):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -8460,7 +8461,8 @@ def q_axis_share(spark: SparkSession, sf_dir: str) -> DataFrame:
              (user_id % 5 + 1) * 1000000 AS d
       FROM events),
     s AS (
-      SELECT h, arr, d,
+      SELECT h, arr,
+             MAX(d) OVER (PARTITION BY h) AS d,
              ROW_NUMBER() OVER (PARTITION BY h ORDER BY arr, ord) - 1 AS seq
       FROM f),
     r AS (
@@ -8734,7 +8736,8 @@ def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                || '</published></entry>'
                || '<entry><title>B' || CAST(doc_id AS VARCHAR)
                || '</title><link href="http://b/' || CAST(doc_id AS VARCHAR)
-               || '"/></entry></feed>'
+               || '"/><updated>2026-02-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+               || '</updated></entry></feed>'
              WHEN doc_id % 3 = 1 THEN
                '<rss version="2.0"><channel>'
                || '<item><title>R' || CAST(doc_id AS VARCHAR)
@@ -8775,8 +8778,10 @@ def q_source_lang_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                '(?is)<\\s*link\\s*>\\s*([^<\\s][^<]*?)\\s*<', 1)
            END AS link,
            CASE WHEN kind = 'atom' THEN
-             COALESCE(regexp_extract(block,
-               '(?is)<\\s*published\\s*>\\s*([^<]*?)\\s*<', 1), '')
+             COALESCE(NULLIF(regexp_extract(block,
+               '(?is)<\\s*published\\s*>\\s*([^<]*?)\\s*<', 1), ''),
+               regexp_extract(block,
+                 '(?is)<\\s*updated\\s*>\\s*([^<]*?)\\s*<', 1))
            ELSE
              regexp_extract(block,
                '(?is)<\\s*pubdate\\s*>\\s*([^<]*?)\\s*<', 1)
@@ -8803,7 +8808,8 @@ def q_feed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit('"/><published>2026-01-0'), (k % 9 + 1).cast("string"),
             F.lit("</published></entry><entry><title>B"), ks,
             F.lit('</title><link href="http://b/'), ks,
-            F.lit('"/></entry></feed>')))
+            F.lit('"/><updated>2026-02-0'), (k % 9 + 1).cast("string"),
+            F.lit("</updated></entry></feed>")))
         .when(k % 3 == 1, F.concat(
             F.lit('<rss version="2.0"><channel><item><title>R'), ks,
             F.lit("</title><link> http://r/"), ks,
@@ -10878,14 +10884,18 @@ def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PDF_SYNTH_SQL = (
-    "CASE WHEN doc_id % 4 = 0 THEN"
+    "CASE WHEN doc_id % 6 = 0 THEN"
     " 'stream BT /F1 12 Tf 72 700 Td (Doc ' || CAST(doc_id AS VARCHAR)"
     " || ') Tj 0 -14 Td (body line) Tj ET endstream'"
-    " WHEN doc_id % 4 = 1 THEN"
+    " WHEN doc_id % 6 = 1 THEN"
     " 'stream BT [(Sp)(lit)-250(doc ' || CAST(doc_id AS VARCHAR)"
     " || ')-50(x)] TJ ET BT (tail \\(esc\\)) Tj ET'"
-    " WHEN doc_id % 4 = 2 THEN"
+    " WHEN doc_id % 6 = 2 THEN"
     " 'stream BT <4865> Tj ET'"
+    " WHEN doc_id % 6 = 3 THEN"
+    " 'stream BT [(He)<6c6c6f>-250(x)] TJ ET'"
+    " WHEN doc_id % 6 = 4 THEN"
+    " 'stream BT (oct \\065three) Tj ET'"
     " ELSE '%PDF no text operators ' || CAST(doc_id AS VARCHAR) END"
 )
 
@@ -10907,9 +10917,12 @@ def _pdf_oracle() -> str:
       SELECT doc_id, {_PDF_SYNTH_SQL} AS pdf FROM documents),
     marked AS (
       SELECT doc_id, pdf,
-             CAST(regexp_matches(pdf, '(?s)BT.*<[0-9A-Fa-f]+>\\s*Tj')
+             CAST(regexp_matches(pdf, '(?s)BT.*<[0-9A-Fa-f\\s]*>\\s*Tj')
                   OR regexp_matches(pdf,
-                     '(?s)\\((?:[^()\\\\]|\\\\.)*\\\\[0-7]{{3}}')
+                     '(?s)BT.*\\[(?:[^\\]\\\\]|\\\\.)*<[0-9A-Fa-f\\s]*>'
+                     || '(?:[^\\]\\\\]|\\\\.)*\\]\\s*TJ')
+                  OR regexp_matches(pdf,
+                     '(?s)\\((?:[^()\\\\]|\\\\.)*\\\\[0-7]')
                   AS INTEGER) AS rejected,
              regexp_extract_all(pdf, '{bt}', 1) AS blocks
       FROM synth),
@@ -10951,9 +10964,10 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.extraction.pdf_text import pdf_text_extract
 
     # Spark SQL string literals process backslash escapes (DuckDB's do
-    # not), so the escaped parens need doubling on this side only.
+    # not), so backslash sequences need doubling on this side only.
     spark_synth = (_PDF_SYNTH_SQL.replace("VARCHAR", "STRING")
-                   .replace("\\(", "\\\\(").replace("\\)", "\\\\)"))
+                   .replace("\\(", "\\\\(").replace("\\)", "\\\\)")
+                   .replace("\\0", "\\\\0"))
     synth = _cpu(spark, sf_dir, "documents").select(
         "doc_id",
         F.expr(spark_synth).alias("pdf"),
@@ -12231,4 +12245,55 @@ def q_lang_id_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
                    " THEN 1 ELSE 0 END) * 10000 div COUNT(*) AS BIGINT)")
             .alias("acc_bp"),
         )
+    )
+
+
+_GOLDEN_JSONL = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "tests", "fixtures", "golden.jsonl")
+
+
+@query(
+    "golden_pipeline",
+    f"""
+    SELECT url, text_sha256, doc_type, decision
+    FROM read_json_auto('{_GOLDEN_JSONL}')
+    """,
+)
+def q_golden_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule gate as a driver-visible row: run the FULL
+    extraction pipeline (DOM strip + OCR decode + span merge + classify +
+    extract + score + decide) over the 300-page golden corpus and return
+    per-url (sha256 of NFC-normalized extracted text, doc_type, decision);
+    the DuckDB oracle reads the checked-in goldens
+    (tests/fixtures/golden.jsonl), so a value-hash green here IS
+    byte-identity per url against the reference extractor's outputs —
+    previously pytest-only evidence (round-3 verdict item 7).
+
+    Ignores sf_dir by design: the goldens pin one exact corpus
+    (fixtures/corpus.write_corpus(n=300), deterministic)."""
+    import importlib
+
+    from ocr_spark.functions.curation import _nfc
+    from ocr_spark.pipeline import run_pipeline
+
+    corpus = importlib.import_module("ocr_spark.fixtures.corpus")
+    d = "/tmp/ocr_spark_golden_corpus_300"
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        os.makedirs(d, exist_ok=True)
+        corpus.write_corpus(d, 300)
+        with open(marker, "w") as f:
+            f.write("ok")
+    out = run_pipeline(
+        spark,
+        pages_path=os.path.join(d, "pages.parquet"),
+        payloads_path=os.path.join(d, "payloads.parquet"),
+    )
+    return out.select(
+        "url",
+        F.sha2(F.encode(_nfc(F.col("extracted_text")), "UTF-8"), 256)
+        .alias("text_sha256"),
+        "doc_type",
+        "decision",
     )

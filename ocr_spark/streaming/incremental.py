@@ -242,3 +242,148 @@ def stream_neardup_admission(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+EVENT_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+
+
+def event_rollup(df: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Decomposable per-(window, event_type) rollup — the state unit the
+    incremental merge maintains. count/sum/min/max only: exactly the
+    algebra that merges associatively (queries.agg_delta_merge proves
+    the merge == full recompute at the query level)."""
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        df.groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(cents).cast("bigint").alias("value_cents"),
+            F.min(cents).cast("bigint").alias("min_cents"),
+            F.max(cents).cast("bigint").alias("max_cents"),
+        )
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "event_type", "n_events", "value_cents",
+            "min_cents", "max_cents",
+        )
+    )
+
+
+def merge_rollup(old: DataFrame, delta: DataFrame) -> DataFrame:
+    """Merge two rollup states: counts/sums add, min/max combine — the
+    incremental-aggregate algebra from queries.agg_delta_merge, reused
+    by the streaming surface so a nightly 100 TB rollup touches only the
+    new micro-batch."""
+    o, d = old.alias("o"), delta.alias("d")
+    on = (F.col("o.window_start").eqNullSafe(F.col("d.window_start"))
+          & F.col("o.event_type").eqNullSafe(F.col("d.event_type")))
+    return o.join(d, on, "full_outer").select(
+        F.coalesce("o.window_start", "d.window_start").alias("window_start"),
+        F.coalesce("o.event_type", "d.event_type").alias("event_type"),
+        (F.coalesce("o.n_events", F.lit(0))
+         + F.coalesce("d.n_events", F.lit(0))).cast("bigint")
+        .alias("n_events"),
+        (F.coalesce("o.value_cents", F.lit(0))
+         + F.coalesce("d.value_cents", F.lit(0))).cast("bigint")
+        .alias("value_cents"),
+        F.least(F.coalesce("o.min_cents", F.col("d.min_cents")),
+                F.coalesce("d.min_cents", F.col("o.min_cents")))
+        .cast("bigint").alias("min_cents"),
+        F.greatest(F.coalesce("o.max_cents", F.col("d.max_cents")),
+                   F.coalesce("d.max_cents", F.col("o.max_cents")))
+        .cast("bigint").alias("max_cents"),
+    )
+
+
+def read_rollup_state(spark: SparkSession, state_dir: str) -> DataFrame | None:
+    """Current committed rollup state, or None before the first commit."""
+    ptr = os.path.join(state_dir, "current")
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr) as f:
+        import json
+
+        meta = json.load(f)
+    return spark.read.parquet(os.path.join(state_dir, meta["dir"]))
+
+
+def stream_merged_rollup(
+    spark: SparkSession,
+    input_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    schema: str = EVENT_SCHEMA,
+    window: str = "1 hour",
+    max_files_per_trigger: int = 1,
+    available_now: bool = True,
+    fail_before_flip_on_batch: int | None = None,
+) -> StreamingQuery:
+    """Streaming incremental-aggregate maintenance: each micro-batch's
+    per-window rollup MERGES into a snapshot-committed state table
+    (count/sum add, min/max combine) instead of re-aggregating history —
+    the foreachBatch promotion of queries.agg_delta_merge (round-3
+    verdict item 6). State commits are all-or-nothing: the new state
+    parquet lands first, a JSON pointer flips last by atomic rename, so
+    a kill between write and flip leaves the prior state current and the
+    replayed batch (same batch_id, same content under the checkpoint
+    lineage) merges to the identical result.
+
+    Exactly-once: the pointer records the last merged batch_id; a replay
+    of an already-flipped batch is a no-op (<=-guard), and a replay of a
+    crashed batch re-merges from the UNFLIPPED prior state — never
+    double-counts. Contract: ONE checkpoint lineage per state table (the
+    guard is monotonic per state dir, so re-pointing an existing state
+    at a fresh checkpoint — whose batch ids restart at 0 — reads as
+    replays and is ignored rather than double-merged).
+    ``fail_before_flip_on_batch`` injects the kill-between-write-and-flip
+    for tests (the test_resume model).
+
+    Scale shape: per batch one window-keyed partial agg over the batch
+    plus one key-keyed full-outer join against state that is
+    window-bounded (old windows stop appearing in deltas; production
+    would expire them on watermark like dropDuplicates state)."""
+    import json
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(input_dir)
+    )
+    os.makedirs(state_dir, exist_ok=True)
+    ptr = os.path.join(state_dir, "current")
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        last = None
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                last = json.load(f)
+        if last is not None and batch_id <= last["batch_id"]:
+            return  # pure replay of an already-committed batch
+        delta = event_rollup(batch_df, window)
+        if last is not None:
+            old = spark.read.parquet(os.path.join(state_dir, last["dir"]))
+            merged = merge_rollup(old, delta)
+        else:
+            merged = delta
+        rel = f"state-{batch_id:06d}"
+        merged.write.mode("overwrite").parquet(os.path.join(state_dir, rel))
+        if fail_before_flip_on_batch is not None and \
+                batch_id == fail_before_flip_on_batch:
+            raise RuntimeError(f"injected kill before flip, batch {batch_id}")
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batch_id, "dir": rel}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, ptr)  # the atomic commit point
+
+    writer = stream.writeStream.foreachBatch(_process).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

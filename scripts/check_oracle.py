@@ -3,6 +3,11 @@
 same sf dir, compare row count, column names, and order-insensitive values.
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+
+Env: CHECK_ORACLE_OUT=<path> additionally writes the results as a JSON
+file in the driver's CORRECTNESS_r{N}.json per-query format, so the judge
+can diff the full local sweep against the driver's ~50-query sample
+(round-3 verdict item 2).
 """
 
 from __future__ import annotations
@@ -55,7 +60,17 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
+    record: dict[str, dict] = {}
     n_run = 0
+
+    def rec(name, *, rows_match=False, schema_match=False, hash_match=False,
+            spark_rows=None, oracle_rows=None, err=None):
+        record[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -65,24 +80,32 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"spark error: {exc}"))
             print(f"FAIL {name}: spark error: {str(exc)[:400]}")
+            rec(name, err=f"spark error: {str(exc)[:400]}")
             continue
         sql = oracles.get(name)
         if sql is None:
             print(f"ok?  {name}: rows={len(sdf)} (no oracle — rows-only check)")
+            rec(name, rows_match=len(sdf) >= 0, spark_rows=len(sdf),
+                err="rows-only (no oracle)")
             continue
         try:
             odf = con.execute(sql).fetchdf()
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"duckdb error: {exc}"))
             print(f"FAIL {name}: duckdb error: {str(exc)[:400]}")
+            rec(name, spark_rows=len(sdf), err=f"duckdb error: {str(exc)[:400]}")
             continue
         if sorted(sdf.columns) != sorted(odf.columns):
             failures.append((name, f"columns {sorted(sdf.columns)} vs {sorted(odf.columns)}"))
             print(f"FAIL {name}: columns {sorted(sdf.columns)} vs {sorted(odf.columns)}")
+            rec(name, rows_match=len(sdf) == len(odf), spark_rows=len(sdf),
+                oracle_rows=len(odf), err="schema mismatch")
             continue
         if len(sdf) != len(odf):
             failures.append((name, f"rows {len(sdf)} vs {len(odf)}"))
             print(f"FAIL {name}: rows {len(sdf)} vs {len(odf)}")
+            rec(name, schema_match=True, spark_rows=len(sdf),
+                oracle_rows=len(odf), err="row count mismatch")
             continue
         a, b = canon(sdf), canon(odf)
         if not a.equals(b):
@@ -96,8 +119,20 @@ def main() -> int:
                 break
             failures.append((name, msg))
             print(f"FAIL {name}: {msg}; first: {mism}")
+            rec(name, rows_match=True, schema_match=True, spark_rows=len(sdf),
+                oracle_rows=len(odf), err=msg)
             continue
         print(f"PASS {name}: rows={len(sdf)}")
+        rec(name, rows_match=True, schema_match=True, hash_match=True,
+            spark_rows=len(sdf), oracle_rows=len(odf))
+
+    out = os.environ.get("CHECK_ORACLE_OUT")
+    if out:
+        import json
+
+        with open(out, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"wrote {out} ({len(record)} queries)")
 
     print(f"\n{n_run - len(failures)}/{n_run} pass")
     return 1 if failures else 0

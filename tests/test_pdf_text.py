@@ -40,6 +40,20 @@ def test_pdf_octal_escape_rejects(spark):
     assert r["rejected"] == 1
 
 
+def test_pdf_hex_inside_tj_array_rejects(spark):
+    # round-3 advice: [<hex>] TJ slipped past the Tj-only guard and its
+    # hex digits parsed as kern numbers — silently dropped text
+    r = _extract(spark, "BT [(He)<6c6c6f>-250(x)] TJ ET")
+    assert r["rejected"] == 1 and r["text"] is None
+
+
+def test_pdf_short_octal_escapes_reject(spark):
+    # 1-2 digit octal escapes are legal PDF too (\5, \53)
+    for s in (r"BT (a\5b) Tj ET", r"BT (a\53b) Tj ET"):
+        r = _extract(spark, s)
+        assert r["rejected"] == 1, s
+
+
 def test_pdf_no_text_ops_is_empty_not_null(spark):
     r = _extract(spark, "%PDF-1.4 nothing here")
     assert r["text"] == "" and r["n_blocks"] == 0

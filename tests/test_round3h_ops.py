@@ -56,6 +56,17 @@ def test_politeness_burst_linearizes(spark):
     assert r["total_wait_micros"] == 7 + 14 + 21
 
 
+def test_politeness_varying_delay_uses_host_max(spark):
+    # per-row delays that vary within a host collapse to MAX(d): the
+    # strictest crawl-delay ever seen for the host wins (the closed-form
+    # recurrence is only valid for a constant d — round-3 advice)
+    rows = [("h", 5, 0, 3), ("h", 5, 1, 7), ("h", 5, 2, 7), ("h", 5, 3, 3)]
+    df = spark.createDataFrame(rows, ["host", "arr", "ord", "d"])
+    r = politeness_schedule(df, "host", "arr", "ord", "d").collect()[0]
+    assert r["finish_micros"] == 5 + 3 * 7
+    assert r["total_wait_micros"] == 7 + 14 + 21
+
+
 def test_politeness_hosts_independent(spark):
     rows = [("a", 0, 0, 10), ("a", 1, 1, 10), ("b", 0, 0, 10)]
     df = spark.createDataFrame(rows, ["host", "arr", "ord", "d"])
