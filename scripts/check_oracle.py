@@ -7,16 +7,48 @@ Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 Env: CHECK_ORACLE_OUT=<path> additionally writes the results as a JSON
 file in the driver's CORRECTNESS_r{N}.json per-query format, so the judge
 can diff the full local sweep against the driver's ~50-query sample
-(round-3 verdict item 2).
+(round-3 verdict item 2). CHECK_ORACLE_TIMEOUT=<secs> bounds each engine
+call (SIGALRM; Spark jobs are cancelled on expiry) so large-scale sweeps
+record 'timeout' for oracle-side-quadratic queries instead of hanging —
+used by the sf1-equivalent sweep (round-3 verdict item 8).
 """
 
 from __future__ import annotations
 
 import os
+import signal
 import sys
 
 import duckdb
 import pandas as pd
+
+
+class _Timeout(Exception):
+    pass
+
+
+def _with_timeout(secs: int | None, fn, on_timeout=None):
+    """Run fn() under SIGALRM; on expiry run on_timeout() and raise _Timeout."""
+    if not secs:
+        return fn()
+
+    def _handler(signum, frame):
+        raise _Timeout()
+
+    old = signal.signal(signal.SIGALRM, _handler)
+    signal.alarm(secs)
+    try:
+        return fn()
+    except _Timeout:
+        if on_timeout:
+            try:
+                on_timeout()
+            except Exception:  # noqa: BLE001
+                pass
+        raise
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -59,6 +91,7 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
     qs, oracles = E.queries(), E.oracle_sql()
+    timeout_s = int(os.environ.get("CHECK_ORACLE_TIMEOUT", "0")) or None
     failures = []
     record: dict[str, dict] = {}
     n_run = 0
@@ -76,7 +109,14 @@ def main() -> int:
             continue
         n_run += 1
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf = _with_timeout(
+                timeout_s, lambda: fn(spark, sf_dir).toPandas(),
+                on_timeout=spark.sparkContext.cancelAllJobs)
+        except _Timeout:
+            failures.append((name, "spark timeout"))
+            print(f"FAIL {name}: spark timeout ({timeout_s}s)")
+            rec(name, err=f"spark timeout ({timeout_s}s)")
+            continue
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"spark error: {exc}"))
             print(f"FAIL {name}: spark error: {str(exc)[:400]}")
@@ -89,7 +129,14 @@ def main() -> int:
                 err="rows-only (no oracle)")
             continue
         try:
-            odf = con.execute(sql).fetchdf()
+            odf = _with_timeout(timeout_s, lambda: con.execute(sql).fetchdf(),
+                                on_timeout=con.interrupt)
+        except _Timeout:
+            failures.append((name, "duckdb timeout"))
+            print(f"FAIL {name}: duckdb (oracle-side) timeout ({timeout_s}s)")
+            rec(name, spark_rows=len(sdf),
+                err=f"duckdb (oracle-side) timeout ({timeout_s}s)")
+            continue
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"duckdb error: {exc}"))
             print(f"FAIL {name}: duckdb error: {str(exc)[:400]}")
