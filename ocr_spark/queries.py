@@ -12159,6 +12159,61 @@ def q_agg_delta_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_event_rollup",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents,
+           CAST(MIN(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS min_cents,
+           CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS max_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL StreamingQuery, value-checked against the batch oracle: the
+    events table is split into 4 files, read with readStream +
+    maxFilesPerTrigger=1 under an availableNow trigger, and each
+    micro-batch's window rollup MERGES into the snapshot-committed state
+    table (streaming/incremental.stream_merged_rollup — count/sum add,
+    min/max combine, atomic pointer flip). The returned frame is the
+    final committed state after >=4 merges, which must equal the one-shot
+    batch aggregation because the rollup algebra is associative — turning
+    the streaming surface's evidence from pytest-only into a driver-green
+    value-oracle row. Result is materialized before the scratch dirs are
+    removed (the state parquet does not outlive the call)."""
+    import shutil
+    import tempfile
+
+    from ocr_spark.streaming.incremental import (
+        read_rollup_state,
+        stream_merged_rollup,
+    )
+
+    base = tempfile.mkdtemp(prefix="ocr_spark_stream_rollup_")
+    try:
+        input_dir = os.path.join(base, "in")
+        (_t(spark, sf_dir, "events")
+         .repartition(4, "event_id")
+         .write.parquet(input_dir))
+        q = stream_merged_rollup(
+            spark, input_dir,
+            state_dir=os.path.join(base, "state"),
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+        q.awaitTermination()
+        state = read_rollup_state(spark, os.path.join(base, "state"))
+        return spark.createDataFrame(state.collect(), state.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
     "metric_correlation",
     """
     WITH m AS (
