@@ -297,3 +297,57 @@ def ocr_vote(df: DataFrame, id_col: str,
         F.array_join(F.transform(picked, lambda s: s["w"]), " ")
         .alias("merged"),
     )
+
+
+# a literal-string value after a given Info key: /Key (value)
+def _info_field(pdf: Column, key: str) -> Column:
+    pat = r"/" + key + r"\s*\((?:[^()\\]|\\.)*\)"
+    raw = F.regexp_extract(pdf, r"(?s)" + pat, 0)
+    val = F.regexp_extract(raw, r"(?s)\(((?:[^()\\]|\\.)*)\)", 1)
+    return F.when(raw != "", _unescape(val))
+
+
+def pdf_info_metadata(df: DataFrame, id_col: str, pdf_col: str) -> DataFrame:
+    """Parse the PDF document-information dictionary (``<< /Title (..)
+    /Author (..) /Producer (..) /CreationDate (D:YYYYMMDDHHMMSS..) >>``)
+    into typed columns — the metadata sidecar of the born-digital fast
+    path (pdf_text_extract handles the text layer, this the Info dict a
+    crawl pipeline indexes for dating/attribution). Literal-string
+    escapes unescape exactly as in the text layer; the PDF date accepts
+    the spec's prefix truncation (``D:YYYY`` minimum) with missing parts
+    defaulting to 01-01 00:00:00, and any trailing timezone suffix is
+    ignored (dates stay as-authored, not shifted). Missing fields are
+    NULL, not ''; a payload with no Info dict returns has_info = 0.
+
+    Returns (id, has_info, title, author, producer, created).
+
+    Scale shape: pure codegen'd regexp projection — zero shuffle, zero
+    Python; at 10^12 docs this is scan-bound and pairs with the same
+    mime_sniff routing as pdf_text_extract."""
+    pdf = F.col(pdf_col)
+    has_info = F.regexp_extract(pdf, r"(?s)<<(.*?)>>", 0) != ""
+    d = F.regexp_extract(
+        pdf,
+        r"/CreationDate\s*\(D:([0-9]{4})([0-9]{2})?([0-9]{2})?"
+        r"([0-9]{2})?([0-9]{2})?([0-9]{2})?",
+        0)
+    def g(i: int, dflt: str) -> Column:
+        v = F.regexp_extract(
+            d,
+            r"D:([0-9]{4})([0-9]{2})?([0-9]{2})?"
+            r"([0-9]{2})?([0-9]{2})?([0-9]{2})?",
+            i)
+        return F.when(v != "", v).otherwise(F.lit(dflt))
+    created = F.when(
+        d != "",
+        F.concat(g(1, ""), F.lit("-"), g(2, "01"), F.lit("-"), g(3, "01"),
+                 F.lit(" "), g(4, "00"), F.lit(":"), g(5, "00"),
+                 F.lit(":"), g(6, "00")))
+    return df.select(
+        F.col(id_col),
+        has_info.cast("int").alias("has_info"),
+        _info_field(pdf, "Title").alias("title"),
+        _info_field(pdf, "Author").alias("author"),
+        _info_field(pdf, "Producer").alias("producer"),
+        created.alias("created"),
+    )

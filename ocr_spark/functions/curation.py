@@ -4043,3 +4043,108 @@ def best_span(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.size(words).cast("bigint").alias("n_words"),
         folded["best"].alias("best_score"),
     )
+
+
+def paragraph_dedup(
+    df: DataFrame, id_col: str, text_col: str,
+) -> DataFrame:
+    """C4-style corpus-wide paragraph deduplication KEEPING the first
+    occurrence (Raffel et al., C4: "we removed all but one of any
+    three-sentence span occurring more than once"): for every paragraph
+    (newline-delimited), exactly one copy survives corpus-wide — the one
+    at the smallest (doc, position) — and later copies are dropped. The
+    complement of line_dedup, which removes *every* occurrence of a
+    cross-document repeated line: line_dedup kills boilerplate outright,
+    paragraph_dedup preserves one canonical copy of quoted/syndicated
+    prose so the corpus keeps the content without over-counting it.
+
+    Returns (doc, n_paras, n_dropped, clean_text) for every input doc;
+    blank paragraphs are structural and always survive.
+
+    Scale shape: the first-occurrence winner is min(struct(doc, pos)) per
+    md5(paragraph) — a map-side-combinable MIN over a fixed 32-byte key,
+    so the wide exchange ships hashes + two ints, never paragraph text,
+    and hot syndicated paragraphs are plain skew-splittable keys. The
+    winner join is keyed on the same hash; rebuild is one doc-keyed
+    shuffle whose array_sort makes output order partition-invariant.
+    At 10^12 docs nothing here is quadratic: one hash-keyed agg, one
+    hash-keyed join, one doc-keyed agg."""
+    base = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("text"))
+    paras = base.select(
+        "doc", F.posexplode(F.split("text", "\n")).alias("pos", "para"))
+    norm = F.lower(F.trim(F.col("para")))
+    ph = paras.withColumn("h", F.when(norm != "", F.md5(norm)))
+    winners = (
+        ph.filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.min(F.struct("doc", "pos")).alias("w"))
+        .select("h", F.col("w.doc").alias("wdoc"), F.col("w.pos").alias("wpos"))
+    )
+    kept = (
+        ph.join(winners, "h", "left")
+        .filter(
+            F.col("h").isNull()
+            | ((F.col("doc") == F.col("wdoc")) & (F.col("pos") == F.col("wpos")))
+        )
+        .select("doc", "pos", "para")
+    )
+    rebuilt = kept.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("clean_text"),
+    )
+    return (
+        base.select(
+            "doc",
+            F.size(F.split("text", "\n")).cast("bigint").alias("n_paras"))
+        .join(rebuilt, "doc", "left")
+        .select(
+            "doc",
+            "n_paras",
+            (F.col("n_paras") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint").alias("n_dropped"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
+def soft_dedup_weights(
+    df: DataFrame, id_col: str, text_col: str,
+) -> DataFrame:
+    """SoftDeDup sampling weights (He et al. 2024, "SoftDedup: an
+    Efficient Data Reweighting Method for Speeding Up Language Model
+    Pre-training"): instead of dropping duplicates, every document gets
+    a sampling weight inversely proportional to how many near-identical
+    copies the corpus holds — weight_micro = floor(1e6 / cluster_size)
+    over exact-content clusters (md5 of normalized text). Duplicated
+    content still contributes exactly one document's worth of expected
+    gradient mass, but no single copy (possibly the best-formatted one)
+    is lost. Also emits the corpus' effective size under the weighting.
+
+    Returns (doc, cluster_size, weight_micro) — integer micro-weights so
+    the cross-engine comparison is exact, no float fuzz.
+
+    Scale shape: one count per md5 key (map-side combinable, 32-byte
+    shuffle rows) and one hash-keyed join back; the weight is a row-local
+    projection. The join ships (hash, count), never text."""
+    base = df.select(
+        F.col(id_col).alias("doc"),
+        F.md5(F.lower(F.trim(F.col(text_col)))).alias("h"),
+    )
+    sizes = base.groupBy("h").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        base.join(sizes, "h")
+        .select(
+            "doc",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            # `div` is exact integer division (DuckDB twin uses `//`) —
+            # float `/` + cast would truncate here but ROUND in DuckDB.
+            F.expr("1000000L div cluster_size")
+            .cast("bigint").alias("weight_micro"),
+        )
+    )

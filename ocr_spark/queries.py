@@ -12375,3 +12375,147 @@ def q_golden_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_type",
         "decision",
     )
+
+
+# ===========================================================================
+# Round-4 additions: keep-first paragraph dedup, SoftDeDup reweighting,
+# PDF Info-dict metadata.
+# ===========================================================================
+
+@query(
+    "paragraph_dedup",
+    f"""
+    WITH ml AS ({_MULTILINE_SQL}),
+    lx AS (SELECT doc_id AS doc, string_split(text, chr(10)) AS ps FROM ml),
+    paras AS (
+      SELECT doc, u.pos AS pos, u.para AS para
+      FROM (SELECT doc,
+                   unnest(list_transform(generate_series(1, len(ps)),
+                                         i -> {{'pos': i, 'para': ps[i]}})) AS u
+            FROM lx)),
+    n AS (SELECT doc, pos, para,
+                 CASE WHEN lower(trim(para)) = '' THEN NULL
+                      ELSE md5(lower(trim(para))) END AS h
+          FROM paras),
+    win AS (SELECT h, MIN({{'doc': doc, 'pos': pos}}) AS w FROM n
+            WHERE h IS NOT NULL GROUP BY h),
+    kept AS (
+      SELECT n.doc, n.pos, n.para
+      FROM n LEFT JOIN win USING (h)
+      WHERE n.h IS NULL OR (n.doc = w.doc AND n.pos = w.pos)),
+    reb AS (SELECT doc, COUNT(*) AS n_kept,
+                   string_agg(para, chr(10) ORDER BY pos) AS clean_text
+            FROM kept GROUP BY doc)
+    SELECT l.doc, CAST(len(l.ps) AS BIGINT) AS n_paras,
+           CAST(len(l.ps) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_dropped,
+           COALESCE(r.clean_text, '') AS clean_text
+    FROM lx l LEFT JOIN reb r USING (doc)
+    """,
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide paragraph dedup KEEPING the first occurrence
+    (min (doc, pos) per normalized-paragraph hash) over the multi-line
+    web-page corpus — the complement of line_dedup's drop-every-copy:
+    exactly one copy of each repeated header/footer/syndicated paragraph
+    survives, at its earliest corpus position. See
+    functions/curation.paragraph_dedup for the scale shape."""
+    from ocr_spark.functions.curation import paragraph_dedup
+
+    return paragraph_dedup(_multiline_docs(spark, sf_dir), "doc_id", "text")
+
+
+@query(
+    "soft_dedup_weights",
+    """
+    WITH h AS (
+      SELECT doc_id AS doc, md5(lower(trim(text))) AS h FROM documents),
+    sz AS (SELECT h, COUNT(*) AS cluster_size FROM h GROUP BY h)
+    SELECT doc, CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(1000000 // cluster_size AS BIGINT) AS weight_micro
+    FROM h JOIN sz USING (h)
+    """,
+)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup reweighting over the documents table: every doc gets
+    weight_micro = 1e6 // exact-content-cluster size, so duplicated
+    content contributes one document's expected mass without dropping
+    any copy. See functions/curation.soft_dedup_weights."""
+    from ocr_spark.functions.curation import soft_dedup_weights
+
+    return soft_dedup_weights(
+        _cpu(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_PDF_INFO_SYNTH_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN"
+    " '%PDF-1.4 << /Title (Report ' || CAST(doc_id AS VARCHAR)"
+    " || ') /Author (Crawler Bot) /Producer (ocrspark 1.0)"
+    " /CreationDate (D:20240115093045) >>'"
+    " WHEN doc_id % 5 = 1 THEN"
+    " '%PDF-1.4 << /Title (Esc \\(draft\\) ' || CAST(doc_id AS VARCHAR)"
+    " || ') /CreationDate (D:20231201) >>'"
+    " WHEN doc_id % 5 = 2 THEN"
+    " '%PDF-1.4 << /Author (Anon) /CreationDate (D:2022) >>'"
+    " WHEN doc_id % 5 = 3 THEN"
+    " '%PDF-1.4 << /Title (T' || CAST(doc_id AS VARCHAR)"
+    " || ') /CreationDate (D:20240301120000+05''30'') >>'"
+    " ELSE '%PDF-1.4 no info dict' END"
+)
+
+
+def _pdf_info_oracle() -> str:
+    lit = r"\(((?:[^()\\]|\\.)*)\)"
+    unesc = (
+        "regexp_replace(regexp_replace(regexp_replace("
+        "{X}, '\\\\\\(', '(', 'g'), '\\\\\\)', ')', 'g'),"
+        " '\\\\\\\\', '\\\\', 'g')"
+    )
+    def field(key: str) -> str:
+        raw = f"regexp_extract(pdf, '(?s)/{key}\\s*{lit}', 1)"
+        full = f"regexp_extract(pdf, '(?s)/{key}\\s*\\((?:[^()\\\\]|\\\\.)*\\)', 0)"
+        u = unesc.format(X=raw)
+        return f"CASE WHEN {full} != '' THEN {u} END"
+    dpat = (
+        "D:([0-9]{4})([0-9]{2})?([0-9]{2})?"
+        "([0-9]{2})?([0-9]{2})?([0-9]{2})?"
+    )
+    def g(i: int, dflt: str) -> str:
+        return (f"CASE WHEN regexp_extract(d, '{dpat}', {i}) != ''"
+                f" THEN regexp_extract(d, '{dpat}', {i})"
+                f" ELSE '{dflt}' END")
+    return f"""
+    WITH synth AS (
+      SELECT doc_id, {_PDF_INFO_SYNTH_SQL} AS pdf FROM documents),
+    dd AS (
+      SELECT doc_id, pdf,
+             regexp_extract(pdf,
+               '/CreationDate\\s*\\({dpat}', 0) AS d
+      FROM synth)
+    SELECT doc_id,
+           CAST(regexp_extract(pdf, '(?s)<<(.*?)>>', 0) != '' AS INTEGER)
+             AS has_info,
+           {field("Title")} AS title,
+           {field("Author")} AS author,
+           {field("Producer")} AS producer,
+           CASE WHEN d != '' THEN
+             {g(1, "")} || '-' || {g(2, "01")} || '-' || {g(3, "01")}
+             || ' ' || {g(4, "00")} || ':' || {g(5, "00")}
+             || ':' || {g(6, "00")}
+           END AS created
+    FROM dd
+    """
+
+
+@query("pdf_info_metadata", _pdf_info_oracle())
+def q_pdf_info_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF Info-dictionary metadata parse over synthetic Info dicts
+    (full dict, escaped-paren title, authorless, timezone-suffixed date,
+    prefix-truncated dates per the PDF spec, and a no-Info family).
+    See extraction/pdf_text.pdf_info_metadata."""
+    from ocr_spark.extraction.pdf_text import pdf_info_metadata
+
+    spark_synth = (_PDF_INFO_SYNTH_SQL.replace("VARCHAR", "STRING")
+                   .replace("\\(", "\\\\(").replace("\\)", "\\\\)"))
+    synth = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(spark_synth).alias("pdf"))
+    return pdf_info_metadata(synth, "doc_id", "pdf")
