@@ -284,9 +284,14 @@ def run_and_commit(
     result = run_pipeline(spark, pages_path=None, pages_df=pages, payloads_path=payloads_path)
     result = result.withColumn("part_key", part_key(F.col("url"), out_table.n_buckets))
     n_before = len(out_table.committed_partitions())
-    out_table.commit(result, metrics={"elapsed_sec": time.time() - t0})
+    docs_before = sum(a["doc_count"] for a in out_table.audit_rows())
+    audit = out_table.commit(result, metrics={"elapsed_sec": time.time() - t0})
     return {
         "elapsed_sec": time.time() - t0,
         "partitions_before": n_before,
         "partitions_after": len(out_table.committed_partitions()),
+        # docs committed BY THIS RUN (0 on an idempotent no-op resume) —
+        # audit[-1].run_id belongs to the last run that wrote rows, which
+        # is a PRIOR run when this one had nothing left to do.
+        "docs_committed": sum(a["doc_count"] for a in audit) - docs_before,
     }

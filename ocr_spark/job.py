@@ -52,9 +52,7 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot_id": table.current_snapshot()["snapshot_id"],
         "total_docs_committed": docs,
         "docs_per_sec_this_run": round(
-            sum(a["doc_count"] for a in audit
-                if a["run_id"] == audit[-1]["run_id"]) / max(metrics["elapsed_sec"], 1e-9), 1)
-        if audit else 0.0,
+            metrics["docs_committed"] / max(metrics["elapsed_sec"], 1e-9), 1),
     }))
     return 0
 
