@@ -4148,3 +4148,131 @@ def soft_dedup_weights(
             .cast("bigint").alias("weight_micro"),
         )
     )
+
+
+def ccnet_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    bin_micro: int = 1000,
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): score every document with the corpus-trained bigram-LM
+    self-perplexity (:func:`ngram_lm_score`), then split each language's
+    score distribution into head / middle / tail terciles — CCNet keeps
+    head+middle for LM training and drops (or down-samples) the tail.
+
+    Bucketing is VALUE-threshold based, not rank based: the per-language
+    cut points are the smallest score bins whose cumulative count reaches
+    1/3 and 2/3 of the language's scored documents, and every doc compares
+    its own bin against those thresholds. Equal scores therefore land in
+    the same bucket under any engine and any partitioning (a rank-based
+    NTILE would split ties arbitrarily and break the value oracle).
+
+    Returns (doc, lang, score_micro, bucket): ``score_micro`` is exact
+    integer micro-nats per bigram term (``(-sum_logp_micro) div n_terms``,
+    bigint — lower is more fluent); docs with no bigram (empty / 1-word)
+    carry NULL score and NULL bucket, CCNet's drop set.
+
+    Scale shape: the per-doc score is one integer division over
+    :func:`ngram_lm_score`'s output; cut points come from a BOUNDED
+    histogram — scores quantize to ``bin_micro``-wide bins, so the
+    cumulative window runs over a (lang x bins) frame of thousands of rows
+    regardless of corpus size, never a per-language sort of the corpus;
+    the (lang, cut1, cut2) frame (≤ n_langs rows) broadcasts back onto the
+    doc frame. At 10^12 docs the only data-sized exchanges are the ones
+    ngram_lm_score already makes (gram-keyed partial counts)."""
+    lm = ngram_lm_score(df, id_col, text_col)
+    langs = df.select(F.col(id_col).alias("doc"), F.col(lang_col).alias("lang"))
+    scored = lm.join(langs, "doc").select(
+        "doc",
+        "lang",
+        "n_terms",
+        F.when(
+            F.col("n_terms") > 0,
+            F.expr("(-sum_logp_micro) div n_terms"),
+        ).cast("bigint").alias("score_micro"),
+    )
+    binned = scored.where(F.col("n_terms") > 0).select(
+        "lang", F.expr(f"score_micro div {bin_micro}").alias("bin")
+    )
+    hist = binned.groupBy("lang", "bin").agg(F.count(F.lit(1)).alias("cnt"))
+    cum_w = (
+        Window.partitionBy("lang").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = hist.groupBy("lang").agg(F.sum("cnt").alias("n"))
+    cum = hist.withColumn("cum", F.sum("cnt").over(cum_w)).join(
+        F.broadcast(tot), "lang"
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("n"), F.col("bin"))).alias("cut1"),
+        F.min(F.when(F.col("cum") * 3 >= 2 * F.col("n"), F.col("bin"))).alias("cut2"),
+    )
+    doc_bin = F.expr(f"score_micro div {bin_micro}")
+    return scored.join(F.broadcast(cuts), "lang", "left").select(
+        "doc",
+        "lang",
+        "score_micro",
+        F.when(F.col("score_micro").isNull(), F.lit(None).cast("string"))
+        .when(doc_bin <= F.col("cut1"), F.lit("head"))
+        .when(doc_bin <= F.col("cut2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+def declared_lang_mismatch(
+    df: DataFrame,
+    id_col: str,
+    html_col: str,
+    lang_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Declared-vs-detected language audit: parse the ``<html lang="...">``
+    attribute (case-insensitive tag/attribute, whitespace around ``=``,
+    BCP-47 region subtags like ``en-US`` reduced to their base), compare
+    the base subtag against the pipeline's language label, and roll up the
+    mismatch rate per ``group_col`` (source / host). Pages that declare a
+    language they are not written in are a classic crawl-quality signal —
+    template baked-in ``lang="en"`` on translated sites — and CC-style
+    curation gates on the DETECTED language, using this rate to audit the
+    declared attribute's trustworthiness per host.
+
+    Returns (group, n_docs, n_declared, n_mismatch, mismatch_bp) where
+    mismatch_bp is exact integer basis points over the DECLARED subset
+    (NULL when nothing declares).
+
+    Scale shape: one zero-shuffle regexp projection inside the scan stage
+    plus one group-keyed hash agg with map-side partials; html never
+    leaves the scan."""
+    declared = F.lower(
+        F.regexp_extract(F.col(html_col), r'(?i)<html[^>]*\slang\s*=\s*"([^"]*)"', 1)
+    )
+    base = F.regexp_extract(declared, r"^[a-z]+", 0)
+    rows = df.select(
+        F.col(group_col).alias("grp"),
+        declared.alias("declared"),
+        base.alias("declared_base"),
+        F.lower(F.col(lang_col)).alias("lang"),
+    )
+    agg = rows.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("declared") != "").cast("bigint")).alias("n_declared"),
+        F.sum(
+            ((F.col("declared") != "") & (F.col("declared_base") != F.col("lang")))
+            .cast("bigint")
+        ).alias("n_mismatch"),
+    )
+    return agg.select(
+        "grp",
+        F.col("n_docs").cast("bigint"),
+        F.col("n_declared").cast("bigint"),
+        F.col("n_mismatch").cast("bigint"),
+        F.when(
+            F.col("n_declared") > 0,
+            F.expr("n_mismatch * 10000 div n_declared"),
+        ).cast("bigint").alias("mismatch_bp"),
+    )

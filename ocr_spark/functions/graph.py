@@ -533,3 +533,59 @@ def personalized_pagerank(
             )
         )
     return ranks.select("node", "rank")
+
+
+def link_spam_score(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    min_links: int = 20,
+    max_diversity_bp: int = 2000,
+) -> DataFrame:
+    """Outlink-spam signal per source host (link-farm detector): a host
+    that emits many links over very few distinct targets (low outlink
+    diversity — doorway pages hammering one money site) or that sits in a
+    reciprocal-link arrangement (A links B, B links A — link exchanges)
+    is flagged. The standard webgraph-side complement to content-side
+    quality gates in crawl curation.
+
+    Returns one row per source host: (src, n_links, n_targets,
+    diversity_bp, n_reciprocal, spam_flag) where diversity_bp is exact
+    integer basis points of distinct-targets over links, n_reciprocal is
+    the number of this host's link partners that link straight back, and
+    spam_flag fires on (n_links >= min_links AND diversity_bp <=
+    max_diversity_bp) OR n_reciprocal >= 1.
+
+    Scale shape: one src-keyed hash agg with map-side partials over the
+    edge list (counts only — no payload), then reciprocity on the DISTINCT
+    host-pair frame: webgraph-of-hosts sized, orders of magnitude below
+    the raw link count, self-joined on the reversed pair key. Nothing is
+    quadratic in links; the pair self-join is keyed, never cross."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    per = e.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("dst").alias("n_targets"),
+    )
+    pairs = e.where(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    rev = pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = pairs.join(rev, ["src", "dst"]).groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_reciprocal")
+    )
+    diversity = F.expr("n_targets * 10000 div n_links")
+    return (
+        per.join(recip, "src", "left")
+        .select(
+            "src",
+            F.col("n_links").cast("bigint"),
+            F.col("n_targets").cast("bigint"),
+            diversity.cast("bigint").alias("diversity_bp"),
+            F.coalesce("n_reciprocal", F.lit(0)).cast("bigint").alias("n_reciprocal"),
+            (
+                (
+                    (F.col("n_links") >= min_links)
+                    & (diversity <= max_diversity_bp)
+                )
+                | (F.coalesce("n_reciprocal", F.lit(0)) >= 1)
+            ).cast("int").alias("spam_flag"),
+        )
+    )

@@ -12519,3 +12519,157 @@ def q_pdf_info_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     synth = _cpu(spark, sf_dir, "documents").select(
         "doc_id", F.expr(spark_synth).alias("pdf"))
     return pdf_info_metadata(synth, "doc_id", "pdf")
+
+
+# ===========================================================================
+# Round-4 curation batch: CCNet perplexity buckets, declared-lang audit,
+# outlink-spam scoring.
+# ===========================================================================
+
+def _ccnet_oracle() -> str:
+    lm = _lm_oracle()
+    return f"""
+    WITH lm AS ({lm}),
+    scored AS (
+      SELECT lm.doc, d.lang, lm.n_terms,
+             CASE WHEN lm.n_terms > 0 THEN
+               CAST((-lm.sum_logp_micro) // lm.n_terms AS BIGINT)
+             END AS score_micro
+      FROM lm JOIN documents d ON d.doc_id = lm.doc),
+    binned AS (
+      SELECT lang, score_micro // 1000 AS bin FROM scored WHERE n_terms > 0),
+    hist AS (SELECT lang, bin, COUNT(*) AS cnt FROM binned GROUP BY 1, 2),
+    tot AS (SELECT lang, SUM(cnt) AS n FROM hist GROUP BY 1),
+    cum AS (
+      SELECT lang, bin,
+             SUM(cnt) OVER (PARTITION BY lang ORDER BY bin) AS cum
+      FROM hist),
+    cuts AS (
+      SELECT c.lang,
+             MIN(CASE WHEN c.cum * 3 >= t.n THEN c.bin END) AS cut1,
+             MIN(CASE WHEN c.cum * 3 >= 2 * t.n THEN c.bin END) AS cut2
+      FROM cum c JOIN tot t USING (lang) GROUP BY c.lang)
+    SELECT s.doc, s.lang, s.score_micro,
+           CASE WHEN s.score_micro IS NULL THEN NULL
+                WHEN s.score_micro // 1000 <= cuts.cut1 THEN 'head'
+                WHEN s.score_micro // 1000 <= cuts.cut2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s LEFT JOIN cuts USING (lang)
+    """
+
+
+@query("ccnet_buckets", _ccnet_oracle())
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity terciles per language with
+    value-threshold (tie-stable) bucket assignment over the bigram-LM
+    micro-nat score. See functions/curation.ccnet_buckets."""
+    from ocr_spark.functions.curation import ccnet_buckets
+
+    return ccnet_buckets(_cpu(spark, sf_dir, "documents"), "doc_id", "text", "lang")
+
+
+_LANG_ATTR_HTML_SQL = """
+    CASE doc_id % 5
+      WHEN 0 THEN '<html lang="en"><body>'
+      WHEN 1 THEN '<html lang="' || lang || '-US"><body>'
+      WHEN 2 THEN '<HTML LANG="' || upper(lang) || '"><body>'
+      WHEN 3 THEN '<html><body>'
+      ELSE '<html  lang = "' || lang || '"><body>'
+    END
+"""
+
+
+@query(
+    "html_lang_mismatch",
+    f"""
+    WITH u AS (
+      SELECT source, lang, {_LANG_ATTR_HTML_SQL} AS html FROM documents),
+    rows_ AS (
+      SELECT source AS grp, lower(lang) AS lang,
+             lower(regexp_extract(html,
+               '(?i)<html[^>]*\\slang\\s*=\\s*"([^"]*)"', 1)) AS declared
+      FROM u),
+    agg AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(declared != '' AS INT)) AS BIGINT) AS n_declared,
+             CAST(SUM(CAST(declared != ''
+               AND regexp_extract(declared, '^[a-z]+', 0) != lang AS INT))
+               AS BIGINT) AS n_mismatch
+      FROM rows_ GROUP BY grp)
+    SELECT grp, n_docs, n_declared, n_mismatch,
+           CASE WHEN n_declared > 0 THEN
+             CAST(n_mismatch * 10000 // n_declared AS BIGINT)
+           END AS mismatch_bp
+    FROM agg
+    """,
+)
+def q_html_lang_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared <html lang> vs labeled language audit per source over
+    deterministic synthetic attributes: template-pinned lang="en"
+    (mismatch wherever the page isn't English), matching region subtags
+    (en-US), case variants (LANG="DE"), undeclared pages, and
+    whitespace-padded attributes. See
+    functions/curation.declared_lang_mismatch."""
+    from ocr_spark.functions.curation import declared_lang_mismatch
+
+    docs = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.expr(_LANG_ATTR_HTML_SQL).alias("html")
+    )
+    return declared_lang_mismatch(docs, "doc_id", "html", "lang", "source")
+
+
+_SPAM_EDGE_SQL = """
+    CASE
+      WHEN doc_id % 40 < 4 THEN [
+        'farm' || CAST(doc_id % 40 AS VARCHAR), 'farm' || CAST(doc_id % 40 AS VARCHAR),
+        'farm' || CAST(doc_id % 40 AS VARCHAR), 'farm' || CAST(doc_id % 40 AS VARCHAR),
+        'farm' || CAST(doc_id % 40 AS VARCHAR), 'farm' || CAST(doc_id % 40 AS VARCHAR)]
+      WHEN doc_id % 40 = 4 THEN ['h5', 't' || CAST(doc_id % 97 AS VARCHAR)]
+      WHEN doc_id % 40 = 5 THEN ['h4', 't' || CAST(doc_id % 97 AS VARCHAR)]
+      ELSE ['t' || CAST(doc_id % 97 AS VARCHAR),
+            't' || CAST((doc_id + 13) % 97 AS VARCHAR), 'hub']
+    END
+"""
+
+
+@query(
+    "link_spam_score",
+    f"""
+    WITH e AS (
+      SELECT 'h' || CAST(doc_id % 40 AS VARCHAR) AS src,
+             unnest({_SPAM_EDGE_SQL}) AS dst
+      FROM documents),
+    per AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS n_links,
+             CAST(COUNT(DISTINCT dst) AS BIGINT) AS n_targets
+      FROM e GROUP BY src),
+    pairs AS (SELECT DISTINCT src, dst FROM e WHERE src != dst),
+    recip AS (
+      SELECT a.src, CAST(COUNT(*) AS BIGINT) AS n_reciprocal
+      FROM pairs a JOIN pairs b ON a.src = b.dst AND a.dst = b.src
+      GROUP BY a.src)
+    SELECT p.src, p.n_links, p.n_targets,
+           CAST(p.n_targets * 10000 // p.n_links AS BIGINT) AS diversity_bp,
+           CAST(COALESCE(r.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+           CAST((p.n_links >= 20 AND p.n_targets * 10000 // p.n_links <= 2000)
+                OR COALESCE(r.n_reciprocal, 0) >= 1 AS INT) AS spam_flag
+    FROM per p LEFT JOIN recip r USING (src)
+    """,
+)
+def q_link_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlink-spam scoring over a deterministic synthetic host graph:
+    four link farms (6 identical outlinks per page), one reciprocal pair
+    (h4 <-> h5), and diverse normal hosts. See
+    functions/graph.link_spam_score."""
+    from ocr_spark.functions.graph import link_spam_score
+
+    spark_edges = (
+        _SPAM_EDGE_SQL.replace("VARCHAR", "STRING")
+        .replace("[", "array(").replace("]", ")")
+    )
+    edges = _cpu(spark, sf_dir, "documents").select(
+        F.concat(F.lit("h"), (F.col("doc_id") % 40).cast("string")).alias("src"),
+        F.explode(F.expr(spark_edges)).alias("dst"),
+    )
+    return link_spam_score(edges, "src", "dst")
