@@ -754,3 +754,136 @@ def jl_distortion(df: DataFrame, id_col: str, vec_col: str,
                    " AS BIGINT)").alias("ratio_bp"),
         )
     )
+
+
+def _tdiv_sql(x: str, s: str) -> str:
+    """Truncate-toward-zero integer division as SQL text — Spark ``div``
+    truncates but DuckDB ``//`` floors, so negative operands need the
+    explicit sign/abs form to agree across engines."""
+    return f"(CASE WHEN {x} >= 0 THEN ({x}) div ({s}) ELSE -((-({x})) div ({s})) END)"
+
+
+def gram_moments(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Augmented normal-equations moment matrix — the distributed half of
+    closed-form linear-model training (ridge / linear probe) over an
+    embedding column: quantize each vector to int64 fixed point
+    (round(x * 2^scale_bits)), append the label as component d+1 on the
+    same scale, and aggregate the exact upper-triangle second moments
+    SUM(q_i * q_j) over the corpus. Rows (i, j, s_q) for 1 <= i <= j <=
+    d+1 carry X^T X (i,j <= d), X^T y (j = d+1), and y^T y (i = j = d+1)
+    in one frame; the d+1-square solve happens wherever the result lands
+    (driver, notebook) — the data-sized work is all here.
+
+    Scale shape: the pair products build IN-ROW (nested index-aware
+    transforms over the augmented array — no self-join, no posexplode
+    cross), then one (i, j)-keyed hash agg whose map-side partials reduce
+    every partition to <= (d+1)(d+2)/2 rows; the shuffle ships
+    #partitions x 2145 longs for d=64, never vectors. Exactness: all
+    products/sums are int64; overflow headroom is ~1e6 vectors at d=64 /
+    |x| <= 1 — past that, lift the SUM to DECIMAL(38) (the
+    length_moments pattern) or shrink scale_bits."""
+    scale = 1 << scale_bits
+    aug = F.expr(
+        f"concat(transform({vec_col}, x -> cast(round(cast(x as double)"
+        f" * {scale}) as bigint)), array(cast({label_col} as bigint) * {scale}))"
+    )
+    pairs = (
+        df.select(aug.alias("aug"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(aug, (qi, i) -> "
+                    "transform(slice(aug, i + 1, size(aug) - i), (qj, j) -> "
+                    "struct(i + 1 AS i, i + j + 1 AS j, qi * qj AS p))))"
+                )
+            ).alias("t")
+        )
+        .select("t.i", "t.j", "t.p")
+    )
+    return pairs.groupBy("i", "j").agg(F.sum("p").alias("s_q")).select(
+        F.col("i").cast("bigint"),
+        F.col("j").cast("bigint"),
+        F.col("s_q").cast("bigint"),
+    )
+
+
+def pca_power_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    iters: int = 8,
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Per-vector projection onto the corpus's leading principal direction
+    (embedding whitening / outlier axis), computed by deterministic
+    INTEGER power iteration so any engine reproduces it bit-for-bit: the
+    d x d fixed-point gram matrix aggregates distributed (same in-row
+    pair build as :func:`gram_moments`), collects to the driver (d^2 =
+    4096 longs for d=64 — the sanctioned small-side collect, exactly the
+    IVF-centroid pattern), and ``iters`` rounds of v <- tdiv(G'v,
+    max|G'v| >> scale_bits) run in exact int64 arithmetic from the fixed
+    all-ones start; the resulting direction folds back as a literal array
+    and the projection is one zero-shuffle in-row dot product.
+
+    tdiv is truncate-toward-zero division (sign/abs form) because Spark
+    ``div`` truncates while DuckDB ``//`` floors on negatives. G' = G >>
+    scale_bits keeps every intermediate under int64 at <= ~1e6 vectors
+    (d=64); the DuckDB twin unrolls the same ``iters`` steps as CTEs over
+    the mirrored gram frame.
+
+    Returns (id, proj_micro): proj = tdiv(dot(q, v), 2^scale_bits),
+    exact int64 micro-units."""
+    scale = 1 << scale_bits
+    q_arr = F.expr(
+        f"transform({vec_col}, x -> cast(round(cast(x as double) * {scale}) as bigint))"
+    )
+    pairs = (
+        df.select(q_arr.alias("q"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(q, (qi, i) -> "
+                    "transform(slice(q, i + 1, size(q) - i), (qj, j) -> "
+                    "struct(i + 1 AS i, i + j + 1 AS j, qi * qj AS p))))"
+                )
+            ).alias("t")
+        )
+        .select("t.i", "t.j", "t.p")
+    )
+    gram_rows = pairs.groupBy("i", "j").agg(F.sum("p").alias("s")).collect()
+
+    d = 0
+    for r in gram_rows:
+        d = max(d, r["j"])
+    g = [[0] * d for _ in range(d)]
+
+    def _tdiv(a: int, b: int) -> int:
+        return (abs(a) // b) * (1 if a >= 0 else -1)
+
+    for r in gram_rows:
+        v = _tdiv(int(r["s"]), scale)
+        g[r["i"] - 1][r["j"] - 1] = v
+        g[r["j"] - 1][r["i"] - 1] = v
+
+    vec = [scale] * d
+    for _ in range(iters):
+        w = [sum(g[i][j] * vec[j] for j in range(d)) for i in range(d)]
+        mx = max((abs(x) for x in w), default=0)
+        s = max(mx // scale, 1)
+        vec = [_tdiv(x, s) for x in w]
+
+    v_lit = "array(" + ", ".join(f"{x}L" for x in vec) + ")"
+    return df.select(
+        F.col(id_col).cast("bigint").alias("id"),
+        F.expr(_tdiv_sql(
+            f"aggregate(zip_with(transform({vec_col}, x -> cast(round(cast(x as double)"
+            f" * {scale}) as bigint)), {v_lit}, (a, b) -> a * b), 0L, (acc, t) -> acc + t)",
+            str(scale),
+        )).cast("bigint").alias("proj_micro"),
+    )

@@ -12673,3 +12673,90 @@ def q_link_spam_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr(spark_edges)).alias("dst"),
     )
     return link_spam_score(edges, "src", "dst")
+
+
+def _tdiv_duck(x: str, s: str) -> str:
+    """Truncate-toward-zero div in DuckDB SQL (``//`` floors on negatives)."""
+    return f"(CASE WHEN {x} >= 0 THEN ({x}) // ({s}) ELSE -((-({x})) // ({s})) END)"
+
+
+_GRAM_SCALE = 1 << 20
+
+
+@query(
+    "gram_moments",
+    f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_append(
+               list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE) * {_GRAM_SCALE}) AS BIGINT)),
+               CAST(label AS BIGINT) * {_GRAM_SCALE}) AS aug
+      FROM embeddings),
+    e AS (
+      SELECT vec_id, unnest(aug) AS q,
+             unnest(range(1, len(aug) + 1)) AS i
+      FROM v)
+    SELECT CAST(a.i AS BIGINT) AS i, CAST(b.i AS BIGINT) AS j,
+           CAST(SUM(a.q * b.q) AS BIGINT) AS s_q
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2
+    """,
+)
+def q_gram_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented normal-equations moments (X^T X, X^T y, y^T y in one
+    upper-triangle frame) over the embeddings table — the distributed
+    half of closed-form linear-probe training. See
+    functions/similarity.gram_moments."""
+    return similarity.gram_moments(
+        _cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding", "label"
+    )
+
+
+def _pca_oracle(iters: int = 8, scale: int = _GRAM_SCALE) -> str:
+    td = _tdiv_duck
+    parts = [f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS q
+      FROM embeddings),
+    e AS (
+      SELECT vec_id, unnest(q) AS q,
+             unnest(range(1, len(q) + 1)) AS i
+      FROM v),
+    gu AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS s
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2),
+    g AS (
+      SELECT i, j, {td('s', scale)} AS s FROM gu
+      UNION ALL
+      SELECT j AS i, i AS j, {td('s', scale)} AS s FROM gu WHERE i != j),
+    v0 AS (SELECT DISTINCT i, CAST({scale} AS BIGINT) AS x FROM g)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+    w{t} AS (
+      SELECT g.i, SUM(g.s * p.x) AS wx
+      FROM g JOIN v{t - 1} p ON g.j = p.i GROUP BY g.i),
+    s{t} AS (SELECT GREATEST(MAX(abs(wx)) // {scale}, 1) AS s FROM w{t}),
+    v{t} AS (
+      SELECT w.i, {td('w.wx', 'st.s')} AS x FROM w{t} w, s{t} st)""")
+    parts.append(f"""
+    SELECT e.vec_id AS id,
+           CAST({td('SUM(e.q * vf.x)', scale)} AS BIGINT) AS proj_micro
+    FROM e JOIN v{iters} vf ON e.i = vf.i
+    GROUP BY e.vec_id""")
+    return "".join(parts)
+
+
+@query("pca_power_projection", _pca_oracle())
+def q_pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading-principal-direction projection per embedding via exact
+    integer power iteration (8 fixed steps, truncate-toward-zero
+    normalization); the DuckDB twin unrolls the identical steps as CTEs
+    over the mirrored gram frame. See
+    functions/similarity.pca_power_projection."""
+    return similarity.pca_power_projection(
+        _cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding"
+    )
