@@ -12760,3 +12760,210 @@ def q_pca_power_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pca_power_projection(
         _cpu(spark, sf_dir, "embeddings"), "vec_id", "embedding"
     )
+
+
+@query(
+    "sole_return_supplier",
+    """
+    WITH cand AS (
+      SELECT l1.l_orderkey, l1.l_suppkey
+      FROM lineitem l1
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE l1.l_returnflag = 'R' AND o.o_orderstatus = 'F'
+        AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey != l1.l_suppkey)
+        AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey != l1.l_suppkey
+            AND l3.l_returnflag = 'R')),
+    agg AS (
+      SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      FROM cand c
+      JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_nationkey < 10
+      GROUP BY s.s_suppkey, s.s_name)
+    SELECT s_suppkey, s_name, numwait
+    FROM agg ORDER BY numwait DESC, s_name ASC LIMIT 20
+    """,
+)
+def q_sole_return_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog — the hardest classic relational shape: suppliers
+    who were the SOLE returning supplier in multi-supplier finalized
+    orders. One correlated EXISTS (LeftSemi with a compound non-equi
+    condition) and one correlated NOT EXISTS (LeftAnti, same condition
+    plus the returnflag predicate) against the same fact table, then two
+    broadcast dim joins and a top-20 with a total tie-break.
+
+    Scale shape: both the semi and the anti join key on l_orderkey, so
+    all three lineitem passes co-partition on the same exchange (AQE
+    reuses it); supplier/nation broadcast; the returnflag filters reach
+    the parquet scans (PushedFilters). No correlated per-row subquery
+    execution — Catalyst rewrites both as joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(
+            _t(spark, sf_dir, "orders")
+            .where(F.col("o_orderstatus") == "F")
+            .select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+        )
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2"))
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3"))
+    cand = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("ok2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "leftsemi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("ok3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "leftanti",
+        )
+    )
+    sup = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                _t(spark, sf_dir, "nation").where(F.col("n_nationkey") < 10)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    agg = (
+        cand.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+    return agg.orderBy(F.desc("numwait"), F.asc("s_name")).limit(20)
+
+
+@query(
+    "dominant_share_suppliers",
+    """
+    WITH sp AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2),
+    pt AS (SELECT l_partkey, SUM(qty) AS total FROM sp GROUP BY 1),
+    dom AS (
+      SELECT sp.l_suppkey,
+             CAST(COUNT(*) AS BIGINT) AS n_dominant_parts,
+             CAST(MAX(sp.qty * 10000 // pt.total) AS BIGINT) AS max_share_bp
+      FROM sp JOIN pt USING (l_partkey)
+      WHERE sp.qty * 2 > pt.total
+      GROUP BY sp.l_suppkey)
+    SELECT s.s_suppkey, s.s_name, d.n_dominant_parts, d.max_share_bp
+    FROM dom d JOIN supplier s ON s.s_suppkey = d.l_suppkey
+    """,
+)
+def q_dominant_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog (nested-aggregate semi shape, no partsupp table in
+    this schema): suppliers who shipped >50% of some part's total volume
+    inside a one-year window — the two-level aggregate (per-(part,supp)
+    then per-part) joined back on the part key, reduced per supplier, and
+    resolved against the broadcast supplier dim.
+
+    Scale shape: both aggregates share the l_partkey-dominated exchange;
+    the date window reaches the parquet scan; the join back to pt is
+    part-keyed (pt is the smaller post-agg frame, broadcastable under
+    AQE); shares are exact integer bp."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+    )
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    pt = sp.groupBy("l_partkey").agg(F.sum("qty").alias("total"))
+    dom = (
+        sp.join(pt, "l_partkey")
+        .where(F.col("qty") * 2 > F.col("total"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dominant_parts"),
+            F.max(F.expr("qty * 10000 div total")).cast("bigint")
+            .alias("max_share_bp"),
+        )
+    )
+    return dom.join(
+        F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select("s_suppkey", "s_name", "n_dominant_parts", "max_share_bp")
+
+
+@query(
+    "streaming_dedup_events",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           event_type, user_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS value_cents
+    FROM events
+    """,
+)
+def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL stateful StreamingQuery value-checked against the batch
+    oracle: the events table is duplicated (two full copies written as
+    separate parquet files), streamed with maxFilesPerTrigger=1 under an
+    availableNow trigger through dropDuplicates("event_id") — Spark's
+    built-in cross-micro-batch stateful dedup — into a parquet append
+    sink. The second copy arrives in LATER micro-batches than the first,
+    so the state store (not intra-batch dedup) must suppress it; the
+    committed sink must equal SELECT-one-copy exactly. Duplicate rows are
+    bit-identical, so which copy survives is value-irrelevant and the
+    oracle is strict.
+
+    Scale shape: state is keyed on event_id and shards across the
+    shuffle like any keyed agg; production would add a watermark on ts
+    to bound state (dropDuplicatesWithinWatermark) — unbounded here only
+    because availableNow runs to completion."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="ocr_spark_stream_dedup_")
+    try:
+        ev = _t(spark, sf_dir, "events")
+        in_dir = os.path.join(base, "in")
+        ev.repartition(2, "event_id").write.parquet(in_dir)
+        ev.repartition(2, "event_id").write.mode("append").parquet(in_dir)
+        out_dir = os.path.join(base, "out")
+        q = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+            .dropDuplicates(["event_id"])
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        res = spark.read.parquet(out_dir).select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+            "event_type",
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+        )
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
