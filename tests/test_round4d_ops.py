@@ -98,3 +98,29 @@ class TestStreamingDedupEvents:
         out = QUERIES["streaming_dedup_events"](spark, str(tmp_path)).collect()
         assert len(out) == 50
         assert len({r["event_id"] for r in out}) == 50
+
+
+class TestPlanShapes:
+    """The docstring claims about these plans are load-bearing — pin them."""
+
+    def test_sole_return_supplier_semi_anti_and_pushdown(self, spark):
+        df = QUERIES["sole_return_supplier"](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "LeftSemi" in plan
+        assert "LeftAnti" in plan
+        scan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        assert "EqualTo(l_returnflag,R)" in scan  # predicate reached the scan
+
+    def test_dominant_share_two_level_agg_shares_exchange(self, spark):
+        df = QUERIES["dominant_share_suppliers"](
+            spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the supplier dim must come in broadcast, never shuffled
+        assert "BroadcastHashJoin" in plan
+        # the date window reaches the parquet scan
+        scan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        assert "GreaterThanOrEqual(l_shipdate" in scan
