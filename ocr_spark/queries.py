@@ -12967,3 +12967,200 @@ def q_streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(res.collect(), res.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "hll_merge_daily",
+    f"""
+    WITH src AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS scope,
+             CAST(user_id AS VARCHAR) AS v
+      FROM events),
+    h AS (
+      SELECT scope,
+             ('0x' || substr(md5(v), 1, 8))::BIGINT AS h
+      FROM src),
+    p AS (SELECT scope, h // 16777216 AS j, h % 16777216 AS rest FROM h),
+    r AS (SELECT scope, j, CASE WHEN rest = 0 THEN 25
+                                ELSE 25 - length(bin(rest)) END AS rho
+          FROM p),
+    day_regs AS (SELECT scope, j, MAX(rho) AS mj FROM r GROUP BY 1, 2),
+    merged AS (SELECT 'ALL' AS scope, j, MAX(mj) AS mj
+               FROM day_regs GROUP BY j),
+    regs AS (SELECT * FROM day_regs UNION ALL SELECT * FROM merged),
+    scopes AS (SELECT DISTINCT scope FROM regs),
+    frame AS (
+      SELECT s.scope, g.j FROM scopes s
+      CROSS JOIN (SELECT unnest(generate_series(0, 255)) AS j) g),
+    filled AS (
+      SELECT f.scope, COALESCE(regs.mj, 0) AS mj
+      FROM frame f LEFT JOIN regs ON f.scope = regs.scope AND f.j = regs.j),
+    s AS (SELECT scope,
+                 CAST(SUM(CAST(1 AS BIGINT) << (32 - mj)) AS BIGINT)
+                     AS sum_scaled,
+                 CAST(SUM(CAST(mj = 0 AS INT)) AS BIGINT) AS n_zero
+          FROM filled GROUP BY scope),
+    ex AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS scope,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY 1
+      UNION ALL
+      SELECT 'ALL', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events),
+    est AS (
+      SELECT scope, sum_scaled, n_zero,
+             CAST({_HLL_ALPHA_MM} AS DOUBLE)
+               / (CAST(sum_scaled AS DOUBLE) / CAST(4294967296 AS DOUBLE))
+                 AS raw,
+             CAST(256 AS DOUBLE) * ln(CAST(256 AS DOUBLE)
+               / CAST(n_zero AS DOUBLE)) AS linear
+      FROM s)
+    SELECT e.scope, e.sum_scaled, e.n_zero,
+           ROUND(CASE WHEN e.n_zero > 0 AND e.raw < 640.0
+                      THEN e.linear ELSE e.raw END, 2) AS est_distinct,
+           ex.exact_distinct
+    FROM est e JOIN ex USING (scope)
+    """,
+)
+def q_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch incremental distinct: per-day HLL register frames
+    over user_id, with the ALL row computed ONLY by MAX-merging the
+    per-day registers (never re-reading events) — the snapshot-
+    incremental uniques pattern. See functions/curation.hll_merged_daily."""
+    from ocr_spark.functions.curation import hll_merged_daily
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.col("user_id").cast("string").alias("uid"),
+    )
+    return hll_merged_daily(ev, "uid", "day", b=8)
+
+
+_REVALIDATION_SYNTH_SQL = """
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 3600 ELSE NULL END AS max_age_sec,
+           CAST(doc_id % 7200 AS BIGINT) AS age_sec,
+           CASE WHEN doc_id % 4 = 1
+                THEN '"etag-' || CAST(doc_id AS VARCHAR) || '"' END AS etag,
+           CASE WHEN doc_id % 4 = 2 THEN '2026-01-01 00:00:00' END
+               AS last_modified
+    FROM documents
+"""
+
+
+@query(
+    "revalidation_plan",
+    f"""
+    WITH u AS ({_REVALIDATION_SYNTH_SQL})
+    SELECT doc_id,
+           CAST(max_age_sec IS NOT NULL
+                AND age_sec < max_age_sec AS INT) AS fresh,
+           CASE
+             WHEN max_age_sec IS NOT NULL AND age_sec < max_age_sec
+               THEN 'skip'
+             WHEN etag IS NOT NULL THEN 'revalidate_etag'
+             WHEN last_modified IS NOT NULL THEN 'revalidate_ims'
+             ELSE 'fetch'
+           END AS action
+    FROM u
+    """,
+)
+def q_revalidation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP recrawl revalidation planning (RFC 9111 order: freshness
+    beats validators; ETag beats Last-Modified): per url decide
+    skip / revalidate_etag / revalidate_ims / fetch from synthetic
+    cached-response metadata. A zero-shuffle projection — at crawl scale
+    this is the gate that turns a 10^12-url frontier into the small
+    fraction that actually refetches."""
+    u = _cpu(spark, sf_dir, "documents").select("doc_id").selectExpr(
+        "doc_id",
+        "CASE WHEN doc_id % 3 = 0 THEN 3600 END AS max_age_sec",
+        "CAST(doc_id % 7200 AS BIGINT) AS age_sec",
+        "CASE WHEN doc_id % 4 = 1 THEN concat('\"etag-', CAST(doc_id AS STRING),"
+        " '\"') END AS etag",
+        "CASE WHEN doc_id % 4 = 2 THEN '2026-01-01 00:00:00' END AS last_modified",
+    )
+    fresh = F.col("max_age_sec").isNotNull() & (
+        F.col("age_sec") < F.col("max_age_sec"))
+    return u.select(
+        "doc_id",
+        fresh.cast("int").alias("fresh"),
+        F.when(fresh, F.lit("skip"))
+        .when(F.col("etag").isNotNull(), F.lit("revalidate_etag"))
+        .when(F.col("last_modified").isNotNull(), F.lit("revalidate_ims"))
+        .otherwise(F.lit("fetch"))
+        .alias("action"),
+    )
+
+
+# Cyrillic/Greek -> Latin confusables (the high-frequency spoof set)
+_CONFUSABLE_FROM = "аеорсхукіѕАЕОРСХКВМНТοαν"
+_CONFUSABLE_TO = "aeopcxykisAEOPCXKBMHToav"
+
+
+@query(
+    "homoglyph_fold",
+    f"""
+    WITH u AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN text || ' pаypаl account'
+               WHEN 1 THEN text || ' сrуpto wallet'
+               ELSE text
+             END AS text
+      FROM documents),
+    toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w != '') AS words
+      FROM u),
+    flagged AS (
+      SELECT doc_id, len(words) AS n_tokens,
+             len(list_filter(words, w ->
+               regexp_matches(w, '[A-Za-z]')
+               AND regexp_matches(w, '[{_CONFUSABLE_FROM}]')))
+                 AS n_spoofed
+      FROM toks)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_spoofed AS BIGINT) AS n_spoofed,
+           CASE WHEN n_tokens > 0
+                THEN CAST(n_spoofed * 10000 // n_tokens AS BIGINT) END
+               AS spoof_bp
+    FROM flagged
+    """,
+)
+def q_homoglyph_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-script homoglyph (confusable) spoof detection — the webspam
+    trick of hiding 'paypal' as 'pаypаl' with Cyrillic а:
+    a token is spoofed when it mixes ASCII letters with characters from
+    the high-frequency Cyrillic/Greek confusable set. Planted spoofs per
+    doc_id class; counts and exact bp rate per doc. Folding the
+    confusables to Latin (F.translate — zero-shuffle codegen) is the
+    remediation the detector gates; the detector itself is one in-row
+    HOF filter, no Python, no shuffle."""
+    docs = _cpu(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat("text", F.lit(" pаypаl account")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat("text", F.lit(" сrуpto wallet")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    words = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda w: w != "")
+    spoofed = F.filter(
+        words,
+        lambda w: w.rlike("[A-Za-z]") & w.rlike(f"[{_CONFUSABLE_FROM}]"),
+    )
+    n_tok = F.size(words)
+    n_sp = F.size(spoofed)
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_sp.cast("bigint").alias("n_spoofed"),
+        F.when(n_tok > 0, F.expr(
+            f"size(filter(filter(split(trim(text), '\\\\s+'), w -> w != ''),"
+            f" w -> w rlike '[A-Za-z]' and w rlike '[{_CONFUSABLE_FROM}]'))"
+            f" * 10000 div size(filter(split(trim(text), '\\\\s+'), w -> w != ''))"
+        )).cast("bigint").alias("spoof_bp"),
+    )
