@@ -13164,3 +13164,155 @@ def q_homoglyph_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" * 10000 div size(filter(split(trim(text), '\\\\s+'), w -> w != ''))"
         )).cast("bigint").alias("spoof_bp"),
     )
+
+
+_LINE_DIFF_SYNTH = """
+      SELECT doc_id % 97 AS url, doc_id,
+             CASE WHEN v = 1 THEN
+               ['head-' || CAST(doc_id % 97 AS VARCHAR), 'alpha', 'beta', 'gamma']
+             WHEN doc_id % 3 = 0 THEN
+               ['head-' || CAST(doc_id % 97 AS VARCHAR), 'alpha', 'beta', 'gamma']
+             WHEN doc_id % 3 = 1 THEN
+               ['head-' || CAST(doc_id % 97 AS VARCHAR), 'ALPHA2', 'beta', 'gamma']
+             ELSE
+               ['head-' || CAST(doc_id % 97 AS VARCHAR), 'alpha', 'beta', 'delta', 'extra']
+             END AS lines,
+             v
+      FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS v)
+      WHERE doc_id % 97 = doc_id
+"""
+
+
+@query(
+    "recrawl_line_diff",
+    f"""
+    WITH pages AS ({_LINE_DIFF_SYNTH}),
+    lines_ AS (SELECT url, v, unnest(lines) AS line FROM pages),
+    counted AS (
+      SELECT url, line,
+             SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS c1,
+             SUM(CASE WHEN v = 2 THEN 1 ELSE 0 END) AS c2
+      FROM lines_ GROUP BY url, line),
+    per_url AS (
+      SELECT url,
+             CAST(SUM(c1) AS BIGINT) AS n_v1_lines,
+             CAST(SUM(CASE WHEN c2 > c1 THEN c2 - c1 ELSE 0 END) AS BIGINT)
+                 AS n_added,
+             CAST(SUM(CASE WHEN c1 > c2 THEN c1 - c2 ELSE 0 END) AS BIGINT)
+                 AS n_removed
+      FROM counted GROUP BY url)
+    SELECT url, n_v1_lines, n_added, n_removed,
+           CAST((n_added + n_removed) * 10000
+                // GREATEST(n_v1_lines, 1) AS BIGINT) AS churn_bp
+    FROM per_url
+    """,
+)
+def q_recrawl_line_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level content churn between two crawl snapshots of the same
+    url (the signal behind delta storage and recrawl scheduling): a
+    line-multiset diff — per (url, line) conditional counts across
+    versions, added = positive deltas, removed = negative — over
+    deterministic synthetic two-version pages (identical / one line
+    replaced / one removed + two appended).
+
+    Scale shape: one (url, line-hash)-keyed agg with map-side partials
+    (lines would ship as md5 digests at corpus scale) and one url-keyed
+    rollup; no cross-version join — the version tag folds into the
+    conditional aggregate, so a 10^12-page recrawl diff is two exchanges
+    of digest-sized rows."""
+    docs = _cpu(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") % 97 == F.col("doc_id"))
+    spark_lines = """
+      CASE WHEN v = 1 OR doc_id % 3 = 0 THEN
+        array(concat('head-', cast(doc_id % 97 as string)), 'alpha', 'beta', 'gamma')
+      WHEN doc_id % 3 = 1 THEN
+        array(concat('head-', cast(doc_id % 97 as string)), 'ALPHA2', 'beta', 'gamma')
+      ELSE
+        array(concat('head-', cast(doc_id % 97 as string)), 'alpha', 'beta', 'delta', 'extra')
+      END
+    """
+    pages = docs.crossJoin(
+        F.broadcast(spark.range(1, 3).select(F.col("id").alias("v")))
+    ).select(
+        (F.col("doc_id") % 97).alias("url"), "v",
+        F.explode(F.expr(spark_lines)).alias("line"),
+    )
+    counted = pages.groupBy("url", "line").agg(
+        F.sum((F.col("v") == 1).cast("bigint")).alias("c1"),
+        F.sum((F.col("v") == 2).cast("bigint")).alias("c2"),
+    )
+    per_url = counted.groupBy("url").agg(
+        F.sum("c1").cast("bigint").alias("n_v1_lines"),
+        F.sum(F.greatest(F.col("c2") - F.col("c1"), F.lit(0)))
+        .cast("bigint").alias("n_added"),
+        F.sum(F.greatest(F.col("c1") - F.col("c2"), F.lit(0)))
+        .cast("bigint").alias("n_removed"),
+    )
+    return per_url.select(
+        "url", "n_v1_lines", "n_added", "n_removed",
+        F.expr("(n_added + n_removed) * 10000 div greatest(n_v1_lines, 1)")
+        .cast("bigint").alias("churn_bp"),
+    )
+
+
+_BIDI_CHARS = "".join(chr(c) for c in range(0x202A, 0x202F)) + "".join(
+    chr(c) for c in (0x2066, 0x2067, 0x2068, 0x2069))
+_ZW_CHARS = "​‌‍﻿"
+
+
+def _invisible_synth(engine: str) -> str:
+    cat = "||" if engine == "duck" else "||"
+    bidi_pair = chr(0x202E) + "live" + chr(0x202C)
+    zw_word = "wa" + chr(0x200B) + "tch " + chr(0xFEFF)
+    return f"""
+      CASE doc_id % 5
+        WHEN 0 THEN text {cat} ' {bidi_pair}'
+        WHEN 1 THEN text {cat} ' {zw_word}'
+        ELSE text
+      END
+    """
+
+
+@query(
+    "invisible_chars_audit",
+    f"""
+    WITH u AS (
+      SELECT doc_id, {_invisible_synth("duck")} AS text FROM documents)
+    SELECT doc_id,
+           CAST(length(text)
+                - length(regexp_replace(text, '[{_BIDI_CHARS}]', '', 'g'))
+               AS BIGINT) AS n_bidi,
+           CAST(length(text)
+                - length(regexp_replace(text, '[{_ZW_CHARS}]', '', 'g'))
+               AS BIGINT) AS n_zero_width,
+           CAST(length(regexp_replace(text,
+               '[{_BIDI_CHARS}{_ZW_CHARS}]', '', 'g')) AS BIGINT)
+               AS clean_len,
+           CAST(regexp_matches(text, '[{_BIDI_CHARS}{_ZW_CHARS}]') AS INT)
+               AS flagged
+    FROM u
+    """,
+)
+def q_invisible_chars_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invisible-character poisoning audit (Trojan-Source-style bidi
+    controls U+202A-202E / U+2066-2069 and zero-width chars
+    U+200B-D / U+FEFF): per doc, counts of each class, the sanitized
+    length, and the gate flag — the defense a training corpus runs
+    before tokenization, where invisible characters silently split or
+    reorder tokens. Planted per doc_id class (an RLO..PDF pair, a
+    zero-width-split word + BOM). One zero-shuffle regexp projection."""
+    docs = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_invisible_synth("spark")).alias("text"))
+    bidi = f"[{_BIDI_CHARS}]"
+    zw = f"[{_ZW_CHARS}]"
+    both = f"[{_BIDI_CHARS}{_ZW_CHARS}]"
+    return docs.select(
+        "doc_id",
+        (F.length("text") - F.length(F.regexp_replace("text", bidi, "")))
+        .cast("bigint").alias("n_bidi"),
+        (F.length("text") - F.length(F.regexp_replace("text", zw, "")))
+        .cast("bigint").alias("n_zero_width"),
+        F.length(F.regexp_replace("text", both, ""))
+        .cast("bigint").alias("clean_len"),
+        F.col("text").rlike(both).cast("int").alias("flagged"),
+    )
