@@ -13316,3 +13316,422 @@ def q_invisible_chars_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("clean_len"),
         F.col("text").rlike(both).cast("int").alias("flagged"),
     )
+
+
+# ===========================================================================
+# TPC-H analog shapes, batch 2 (SURVEY.md §2.3-§2.6 relational coverage):
+# the remaining distinct optimizer shapes — outer-join re-aggregation (Q13),
+# conditional-sum ratio (Q14), scalar-max subquery (Q15), correlated-avg
+# threshold (Q17), disjunctive multi-column pushdown (Q19), scalar-avg +
+# anti-join (Q22), HAVING-vs-global-total (Q11), per-group argmin (Q2).
+# All money carried as exact integer cents / cent-basis-points so the
+# value hash is bit-stable across engines.
+# ===========================================================================
+
+@query(
+    "customer_order_counts",
+    """
+    WITH oc AS (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority NOT LIKE '1-%'
+      GROUP BY c.c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM oc GROUP BY c_count
+    """,
+)
+def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: distribution of per-customer order counts with
+    the priority filter inside the LEFT JOIN's ON clause (so zero-order
+    customers survive into the c_count=0 bucket — a filter in WHERE
+    would silently drop them). Two-level aggregation: the first shuffles
+    on c_custkey, the second on the tiny c_count domain (≤ a few dozen
+    distinct values), so the re-agg is nearly free. The shape that
+    catches engines that rewrite outer joins to inner under ON-clause
+    predicates."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority")
+    joined = c.join(
+        o,
+        (c["c_custkey"] == o["o_custkey"])
+        & (~F.col("o_orderpriority").startswith("1-")),
+        "left")
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("bigint").alias("c_count"))
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist"))
+
+
+@query(
+    "promo_revenue_share",
+    """
+    WITH r AS (
+      SELECT strftime(l.l_shipdate, '%Y-%m') AS ship_month,
+             p.p_type,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (10000 - CAST(ROUND(l.l_discount * 10000) AS BIGINT))
+               AS rev
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey)
+    SELECT ship_month,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                AS BIGINT) AS promo_centbp,
+           CAST(SUM(rev) AS BIGINT) AS total_centbp,
+           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                * 10000 // SUM(rev) AS BIGINT) AS promo_share_bp
+    FROM r GROUP BY ship_month
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: monthly share of revenue from PROMO-type parts —
+    the conditional-aggregation ratio shape. part projects to two columns
+    and broadcasts; lineitem never shuffles before the month agg. The
+    ratio is integer basis points via exact int64 division (both engines
+    truncate non-negative division identically), so the hash compare
+    holds without float tolerance."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.date_format(F.col("l_shipdate").cast("timestamp"), "yyyy-MM")
+        .alias("ship_month"),
+        "l_partkey",
+        (_cents("l_extendedprice")
+         * (F.lit(10000) - F.round(F.col("l_discount") * 10000)
+            .cast("bigint"))).alias("rev"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(F.col("p_type") == "PROMO", F.col("rev")).otherwise(0)
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("ship_month")
+        .agg(
+            F.sum(promo).cast("bigint").alias("promo_centbp"),
+            F.sum("rev").cast("bigint").alias("total_centbp"),
+        )
+        .select(
+            "ship_month", "promo_centbp", "total_centbp",
+            F.expr("promo_centbp * 10000 div total_centbp")
+            .cast("bigint").alias("promo_share_bp"),
+        )
+    )
+
+
+@query(
+    "top_revenue_suppliers",
+    """
+    WITH r AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+                  AS BIGINT) AS total_rev_centbp
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_rev_centbp
+    FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev_centbp = (SELECT MAX(total_rev_centbp) FROM r)
+    """,
+)
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog: supplier(s) with the maximum revenue in a
+    quarter — the scalar-MAX-subquery shape, with TPC-H's tie semantics
+    (ALL maximal suppliers returned, not an arbitrary LIMIT 1). The
+    shipdate range reaches the scan as PushedFilters; the per-supplier
+    agg shuffles once; the scalar max is a 1-row broadcast crossJoin
+    (never a window funneling every supplier through one partition);
+    supplier names broadcast. The per-supplier aggregate is
+    localCheckpoint-ed because the crossJoin references it twice and
+    Spark does not reuse the exchange across the two subtrees (verified:
+    0 ReusedExchange, 2 lineitem scans without it) — at 100 TB the
+    materialized frame is |suppliers| rows while the saved rescan is the
+    whole fact table."""
+    rev = (_cents("l_extendedprice")
+           * (F.lit(10000) - F.round(F.col("l_discount") * 10000)
+              .cast("bigint")))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("timestamp")
+         >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate").cast("timestamp")
+           < F.lit("1997-04-01").cast("timestamp")))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(rev).cast("bigint").alias("total_rev_centbp")
+    ).localCheckpoint()
+    top = per_supp.agg(
+        F.max("total_rev_centbp").alias("max_rev"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev_centbp") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_centbp")
+    )
+
+
+@query(
+    "small_qty_revenue",
+    """
+    WITH pq AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+               AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey),
+    sel AS (
+      SELECT p_partkey FROM part
+      WHERE p_brand = 'Brand#12' AND p_size <= 10)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COALESCE(SUM(
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)), 0)
+             AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN sel ON sel.p_partkey = l.l_partkey
+    JOIN pq  ON pq.l_partkey = l.l_partkey
+    WHERE CAST(ROUND(l.l_quantity) AS BIGINT) * 5 * pq.cnt < pq.sum_qty
+    """,
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: revenue from lines whose quantity is below 20%
+    of that part's average — the correlated-AVG-subquery shape,
+    decorrelated into one per-part aggregate joined back to the fact.
+    The avg threshold is compared in exact integers (qty·5·cnt <
+    sum_qty ⇔ qty < 0.2·avg) so no float division enters the hash. The
+    brand/size dim filter broadcasts; the per-part agg is the only
+    shuffle; at 100 TB the join back is partkey-keyed on both sides so
+    AQE can plan it as a co-partitioned SMJ."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round("l_quantity").cast("bigint").alias("qty"),
+        _cents("l_extendedprice").alias("price_cents"),
+    )
+    pq = li.groupBy("l_partkey").agg(
+        F.sum("qty").cast("bigint").alias("sum_qty"),
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    sel = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#12") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    joined = (
+        li.join(F.broadcast(sel), li["l_partkey"] == sel["p_partkey"])
+        .join(pq.withColumnRenamed("l_partkey", "pq_partkey"),
+              F.col("l_partkey") == F.col("pq_partkey"))
+        .filter(F.col("qty") * 5 * F.col("cnt") < F.col("sum_qty"))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.coalesce(F.sum("price_cents"), F.lit(0)).cast("bigint")
+        .alias("revenue_cents"))
+
+
+@query(
+    "disjunct_filter_revenue",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COALESCE(SUM(
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+             * (10000 - CAST(ROUND(l.l_discount * 10000) AS BIGINT))), 0)
+             AS BIGINT) AS revenue_centbp
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q_disjunct_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: revenue under an OR-of-ANDs predicate mixing
+    part and lineitem columns — the disjunctive-pushdown shape. Catalyst
+    derives the implied per-side residuals (p_brand IN (...) AND p_size
+    <= 15 on the part side, l_quantity BETWEEN 1 AND 30 on the fact
+    side) and pushes them below the join, so the scan prunes before the
+    broadcast probe even though no single conjunct spans one table."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").alias("qty"),
+        (_cents("l_extendedprice")
+         * (F.lit(10000) - F.round(F.col("l_discount") * 10000)
+            .cast("bigint"))).alias("rev"),
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+         & F.col("qty").between(1, 11))
+        | ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 10)
+           & F.col("qty").between(10, 20))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 15)
+           & F.col("qty").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(cond)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.coalesce(F.sum("rev"), F.lit(0)).cast("bigint")
+            .alias("revenue_centbp"))
+    )
+
+
+@query(
+    "idle_rich_customers",
+    """
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acct_cents
+      FROM customer),
+    pos AS (
+      SELECT CAST(SUM(acct_cents) AS BIGINT) AS sum_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_pos
+      FROM c WHERE acct_cents > 0)
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(c.acct_cents) AS BIGINT) AS total_acctbal_cents
+    FROM c, pos
+    WHERE c.acct_cents * pos.n_pos > pos.sum_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority LIKE '1-%')
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: customers with above-average positive balance
+    and no URGENT (priority 1-) orders, rolled up by market segment —
+    scalar-AVG subquery + anti-join. (The testdata generator gives every
+    customer at least one order, so the literal Q22 'no orders at all'
+    branch is vacuous here; anti-joining on the urgent subset keeps the
+    same plan shape with a non-empty result.) The average is compared
+    multiplicatively in exact cents (acct·n > sum ⇔ acct > avg) so no
+    float division. The 1-row global aggregate broadcasts via crossJoin;
+    the anti-join shuffles only custkeys (orders projects to two columns
+    and filters to the urgent subset before the exchange)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        _cents("c_acctbal").alias("acct_cents"))
+    pos = c.filter(F.col("acct_cents") > 0).agg(
+        F.sum("acct_cents").cast("bigint").alias("sum_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pos"))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority").filter(
+        F.col("o_orderpriority").startswith("1-")).select("o_custkey")
+    rich = (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("acct_cents") * F.col("n_pos") > F.col("sum_cents"))
+    )
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("acct_cents").cast("bigint").alias("total_acctbal_cents"))
+
+
+@query(
+    "part_value_share",
+    """
+    WITH pv AS (
+      SELECT l_partkey AS p_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                      * CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT)
+               AS value_cents
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(value_cents) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_parts FROM pv)
+    SELECT pv.p_partkey, pv.value_cents,
+           CAST(pv.value_cents * 100000 // tot.total AS BIGINT)
+             AS share_cbp
+    FROM pv, tot
+    WHERE pv.value_cents * tot.n_parts * 2 > 3 * tot.total
+    """,
+)
+def q_part_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog: parts holding more than 1.5x the mean per-part
+    inventory value — the HAVING-vs-global-total shape. (Q11's fixed
+    0.01% threshold is scale-dependent — vacuous once the part count
+    passes 1/frac — so the cut is expressed relative to the mean, which
+    selects a stable tail at every sf; the generator's per-part value
+    spread tops out near 1.9x the mean, so 1.5x cuts the top ~1%.)
+    Per-part value aggregates once
+    on partkey; the grand total is a second 1-row aggregate broadcast
+    back (crossJoin), so the predicate costs one extra reduce, never a
+    re-scan. The compare is exact int64 (value·n > 2·total ⇔ value >
+    2·mean); share reported in integer centi-basis-points."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"),
+        (_cents("l_extendedprice")
+         * F.round("l_quantity").cast("bigint")).alias("val"),
+    )
+    pv = li.groupBy("p_partkey").agg(
+        F.sum("val").cast("bigint").alias("value_cents"))
+    tot = pv.agg(
+        F.sum("value_cents").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * F.col("n_parts") * 2
+                > 3 * F.col("total"))
+        .select(
+            "p_partkey", "value_cents",
+            F.expr("value_cents * 100000 div total").cast("bigint")
+            .alias("share_cbp"))
+    )
+
+
+@query(
+    "min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(MIN(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS cost_cents
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    sel AS (
+      SELECT p_partkey FROM part
+      WHERE p_type = 'STANDARD' AND p_size <= 5),
+    ranked AS (
+      SELECT ps.l_partkey AS p_partkey, ps.l_suppkey, ps.cost_cents,
+             ROW_NUMBER() OVER (PARTITION BY ps.l_partkey
+                                ORDER BY ps.cost_cents ASC,
+                                         ps.l_suppkey ASC) AS rn
+      FROM ps JOIN sel ON sel.p_partkey = ps.l_partkey)
+    SELECT r.p_partkey, s.s_name, n.n_name, r.cost_cents
+    FROM ranked r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE r.rn = 1
+    """,
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog: for each STANDARD small part, the supplier
+    offering the lowest observed price — the per-group-argmin shape.
+    The Spark side uses a struct-MIN aggregate (min over
+    (cost, suppkey) tuples — map-side partials, no per-group sort, no
+    window) rather than the oracle's ROW_NUMBER; the two are equivalent
+    because struct ordering is lexicographic on (cost_cents, suppkey)
+    and the tie-break is total. Dim filters broadcast; the only wide
+    exchange is the (partkey, suppkey) aggregate."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        _cents("l_extendedprice").alias("price_cents"))
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("price_cents").cast("bigint").alias("cost_cents"))
+    sel = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 5)
+    ).select("p_partkey")
+    best = (
+        ps.join(F.broadcast(sel), ps["l_partkey"] == sel["p_partkey"])
+        .groupBy("l_partkey")
+        .agg(F.min(F.struct(
+            F.col("cost_cents"), F.col("l_suppkey"))).alias("m"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("m.l_suppkey").alias("l_suppkey"),
+            F.col("m.cost_cents").alias("cost_cents"))
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .select("p_partkey", "s_name", "n_name", "cost_cents")
+    )
