@@ -13735,3 +13735,309 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .select("p_partkey", "s_name", "n_name", "cost_cents")
     )
+
+
+# ===========================================================================
+# TPC-H analog shapes, batch 3 (Q3, Q6, Q8, Q9, Q12, Q16 analogs) —
+# together with batches 1-2 and the originals (Q1 pricing_summary, Q5
+# region_revenue) this covers all 22 TPC-H logical shapes. Money stays
+# integer cents / cent-basis-points throughout.
+# ===========================================================================
+
+@query(
+    "urgent_unshipped_topk",
+    """
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(ROUND(l.l_discount * 10000) AS BIGINT)))
+                AS BIGINT) AS revenue_centbp,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue_centbp DESC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q_urgent_unshipped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: top-10 highest-value orders taken before a cutoff
+    but (partly) unshipped after it, for one market segment. Both date
+    predicates and the segment filter reach their scans as PushedFilters;
+    customer projects to one column and broadcasts; the only wide
+    exchange is lineitem⋈orders on orderkey. The global top-10 is a
+    TakeOrderedAndProject (per-partition heaps + driver merge), never a
+    total sort."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("timestamp")
+        < F.lit("1998-06-01").cast("timestamp")).select(
+        "o_orderkey", "o_custkey",
+        F.date_format(F.col("o_orderdate").cast("timestamp"), "yyyy-MM-dd")
+        .alias("order_date"),
+        "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("timestamp")
+        > F.lit("1998-06-01").cast("timestamp")).select(
+        "l_orderkey",
+        (_cents("l_extendedprice")
+         * (F.lit(10000) - F.round(F.col("l_discount") * 10000)
+            .cast("bigint"))).alias("rev"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy("l_orderkey", "order_date", "o_orderpriority")
+        .agg(F.sum("rev").cast("bigint").alias("revenue_centbp"))
+        .select("l_orderkey", "revenue_centbp", "order_date",
+                "o_orderpriority")
+        .orderBy(F.desc("revenue_centbp"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                    * CAST(ROUND(l_discount * 10000) AS BIGINT))
+                AS BIGINT) AS forecast_revenue_centbp,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+      AND CAST(ROUND(l_discount * 10000) AS BIGINT) BETWEEN 200 AND 400
+      AND l_quantity < 24
+    """,
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: revenue gained by eliminating small discounts —
+    the pure scan-aggregate shape (no join at all). The date and
+    quantity predicates reach the parquet scan; the discount range is
+    compared in exact integer basis points (0.02 is not representable in
+    binary floating point, so a float BETWEEN would be engine-dependent
+    at the boundaries). One map-side partial + 1-row reduce; at 100 TB
+    this is I/O-bound by construction, the query that measures pure scan
+    throughput."""
+    disc_bp = F.round(F.col("l_discount") * 10000).cast("bigint")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("timestamp")
+         >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate").cast("timestamp")
+           < F.lit("1998-01-01").cast("timestamp"))
+        & disc_bp.between(200, 400)
+        & (F.col("l_quantity") < 24))
+    return li.agg(
+        F.sum(_cents("l_extendedprice") * disc_bp).cast("bigint")
+        .alias("forecast_revenue_centbp"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+
+
+@query(
+    "nation_market_share",
+    """
+    WITH vol AS (
+      SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+             ns.n_name AS supp_nation,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (10000 - CAST(ROUND(l.l_discount * 10000) AS BIGINT))
+               AS rev
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = nc.n_regionkey
+                   AND r.r_name = 'ASIA'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey)
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE 0 END)
+                AS BIGINT) AS nation_centbp,
+           CAST(SUM(rev) AS BIGINT) AS total_centbp,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE 0 END)
+                * 10000 // SUM(rev) AS BIGINT) AS share_bp
+    FROM vol GROUP BY o_year
+    """,
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: one supplier nation's share of revenue delivered
+    into one region's customers, by order year — the deepest join tree
+    in the suite (lineitem ⋈ orders shuffle, then customer, plus THREE
+    broadcast dims: nation×2 and region, with the region filter applied
+    inside the customer-side dim before the fact join). The share is a
+    conditional-sum ratio in truncated integer basis points."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        (_cents("l_extendedprice")
+         * (F.lit(10000) - F.round(F.col("l_discount") * 10000)
+            .cast("bigint"))).alias("rev"))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.year(F.col("o_orderdate").cast("timestamp")).cast("bigint")
+        .alias("o_year"))
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # region-filtered customer dim: customers whose nation is in ASIA
+    c = (_t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+         .join(F.broadcast(
+             n.join(r, n["n_regionkey"] == r["r_regionkey"])
+             .select(F.col("n_nationkey").alias("cn_key"))),
+             F.col("c_nationkey") == F.col("cn_key"))
+         .select("c_custkey"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = n.select(F.col("n_nationkey").alias("sn_key"),
+                  F.col("n_name").alias("supp_nation"))
+    vol = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c.hint("broadcast"), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), s["s_nationkey"] == F.col("sn_key"))
+    )
+    target = F.when(F.col("supp_nation") == "NATION_2",
+                    F.col("rev")).otherwise(0)
+    return (
+        vol.groupBy("o_year")
+        .agg(F.sum(target).cast("bigint").alias("nation_centbp"),
+             F.sum("rev").cast("bigint").alias("total_centbp"))
+        .select("o_year", "nation_centbp", "total_centbp",
+                F.expr("nation_centbp * 10000 div total_centbp")
+                .cast("bigint").alias("share_bp"))
+    )
+
+
+@query(
+    "part_profit_by_nation",
+    """
+    SELECT ns.n_name, 
+           CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (10000 - CAST(ROUND(l.l_discount * 10000) AS BIGINT))
+                    - CAST(ROUND(l.l_quantity) AS BIGINT)
+                      * CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+                      * 10000) AS BIGINT) AS profit_centbp,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY ns.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+    """,
+)
+def q_part_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog: profit (discounted revenue minus retail cost of
+    goods) on widget-family parts, by supplier nation and order year.
+    The p_name LIKE filter prunes the part dim before it broadcasts, so
+    the fact⋈part join also prunes lineitem early; supplier and nation
+    broadcast; the one big shuffle is lineitem⋈orders. Profit is exact
+    signed centbp (cost scaled ×10000 to the revenue unit) — negative
+    rows are meaningful and kept."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        F.round("l_quantity").cast("bigint").alias("qty"),
+        (_cents("l_extendedprice")
+         * (F.lit(10000) - F.round(F.col("l_discount") * 10000)
+            .cast("bigint"))).alias("rev"))
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%widget%")).select(
+        "p_partkey", _cents("p_retailprice").alias("retail_cents"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.year(F.col("o_orderdate").cast("timestamp")).cast("bigint")
+        .alias("o_year"))
+    profit = (F.col("rev")
+              - F.col("qty") * F.col("retail_cents") * F.lit(10000))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("n_name", "o_year")
+        .agg(F.sum(profit).cast("bigint").alias("profit_centbp"),
+             F.count(F.lit(1)).cast("bigint").alias("n_items"))
+        .select("n_name", "o_year", "profit_centbp", "n_items")
+    )
+
+
+@query(
+    "priority_by_linestatus",
+    """
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog: urgent-vs-other line counts per line status for
+    one ship year — the conditional-count pivot shape. The date window
+    reaches the lineitem scan; orders projects to (orderkey, priority)
+    before the one shuffle join; the final group-by key domain is 2
+    values so the re-agg is free."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("timestamp")
+         >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate").cast("timestamp")
+           < F.lit("1998-01-01").cast("timestamp"))).select(
+        "l_orderkey", "l_linestatus")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("bigint")
+            .alias("low_line_count"))
+    )
+
+
+@query(
+    "supplier_variety",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size <= 10 AND p.p_brand <> 'Brand#12'
+      AND l.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier
+           WHERE CAST(ROUND(s_acctbal * 100) AS BIGINT) < 200000)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog: how many distinct suppliers serve each
+    (brand, type, size) group, excluding a denylist of suppliers — the
+    COUNT(DISTINCT) + NOT-IN shape. The denylist (low-balance suppliers
+    standing in for Q16's complaint list) is a broadcast anti-join on a
+    non-null key, so NOT IN never degenerates to a nested loop; the
+    distinct-count is a two-phase aggregate (dedup on
+    (group, suppkey) partials, then count) — Spark plans exactly that
+    from the declarative form."""
+    deny = _t(spark, sf_dir, "supplier").filter(
+        _cents("s_acctbal") < 200000).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_brand") != "Brand#12")
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(F.broadcast(deny),
+                li["l_suppkey"] == deny["s_suppkey"], "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint")
+             .alias("supplier_cnt"))
+    )
