@@ -4357,3 +4357,92 @@ def hll_merged_daily(
         F.round(est, 2).alias("est_distinct"),
         F.col("exact_distinct").cast("bigint"),
     )
+
+
+def html_lists(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """HTML list extraction — per-page ``<ul>``/``<ol>``/``<li>`` stats
+    plus the first item's leading text, the structural sibling of
+    ``html_tables``/``html_headings``.
+
+    Item text is the run of characters from the ``<li>`` tag up to the
+    next markup (the regexp path's documented simplification — an item
+    that OPENS with inline markup contributes an empty text; full inner
+    flattening belongs to the stage-A DOM parser). Empty first items
+    surface as NULL so downstream don't mistake markup-first lists for
+    empty ones.
+
+    Pure codegen'd regexp projection: zero shuffle, fuses into the scan,
+    ``html`` pruned in-stage."""
+    html = F.col(html_col)
+    items = F.regexp_extract_all(
+        html, F.lit(r"(?is)<li[^>]*>\s*([^<]*)"), F.lit(1))
+    first = F.trim(F.regexp_extract(html, r"(?is)<li[^>]*>\s*([^<]*)", 1))
+    return df.select(
+        F.col(id_col).alias("doc"),
+        F.size(F.regexp_extract_all(
+            html, F.lit(r"(?is)<ul[^>]*>"), F.lit(0)))
+        .cast("bigint").alias("n_ul"),
+        F.size(F.regexp_extract_all(
+            html, F.lit(r"(?is)<ol[^>]*>"), F.lit(0)))
+        .cast("bigint").alias("n_ol"),
+        F.size(items).cast("bigint").alias("n_items"),
+        F.nullif(first, F.lit("")).alias("first_item"),
+        F.aggregate(
+            items, F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.length(F.trim(x)))
+        .alias("sum_item_chars"),
+    )
+
+
+def meta_refresh(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """``<meta http-equiv="refresh">`` parsing — the client-side redirect
+    channel invisible to HTTP-level redirect resolution (``resolve_urls``
+    / ``redirect_resolve`` handle 3xx chains; spam and parked domains
+    hide behind meta refresh instead). Emits the declared delay seconds
+    and the target URL; a refresh with no ``url=`` clause (pure reload)
+    yields a delay with NULL target.
+
+    Attribute order handled both ways via the shared paired-attr
+    extractor; zero shuffle."""
+    html = F.col(html_col)
+    content = _paired_attr(html, "meta", "http-equiv", "refresh", "content")
+    delay = F.regexp_extract(content, r"^\s*([0-9]+)", 1)
+    target = F.regexp_extract(content, r"(?i)url\s*=\s*([^\"'\s;]+)", 1)
+    return df.select(
+        F.col(id_col).alias("doc"),
+        (content != "").cast("int").alias("has_refresh"),
+        F.nullif(delay, F.lit("")).cast("bigint").alias("refresh_delay_s"),
+        F.nullif(target, F.lit("")).alias("refresh_target"),
+    )
+
+
+def srcset_best(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
+    """Responsive-image ``srcset`` resolution — pick the highest-width
+    candidate per page, the variant a multimodal corpus builder should
+    fetch. Parses width descriptors (``url 800w``); density descriptors
+    (``2x``) carry no absolute size and are ignored, so a page whose
+    srcset is density-only (or absent) emits no row.
+
+    Shape: the per-page candidate fan-out is bounded by the page's own
+    srcset length; the argmax is a struct-MAX aggregate keyed on the doc
+    id (map-side partials, no per-group sort, no window)."""
+    html = F.col(html_col)
+    ss = F.regexp_extract(html, r'(?i)srcset\s*=\s*"([^"]*)"', 1)
+    pat = r"([^\s,]+)\s+([0-9]+)w"
+    ex = df.select(
+        F.col(id_col).alias("doc"),
+        F.regexp_extract_all(ss, F.lit(pat), F.lit(2)).alias("ws"),
+        F.posexplode(F.regexp_extract_all(ss, F.lit(pat), F.lit(1)))
+        .alias("i", "url"),
+    )
+    cand = ex.select(
+        "doc", "url",
+        F.col("ws")[F.col("i")].cast("bigint").alias("w"))
+    return (
+        cand.groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+             F.max(F.struct(F.col("w"), F.col("url"))).alias("m"))
+        .select("doc", "n_candidates",
+                F.col("m.url").alias("best_url"),
+                F.col("m.w").alias("best_width"))
+    )

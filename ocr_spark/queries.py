@@ -14041,3 +14041,255 @@ def q_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_suppkey").cast("bigint")
              .alias("supplier_cnt"))
     )
+
+
+# ===========================================================================
+# Web-page extraction surface, round-4 batch: list structure, meta-refresh
+# redirects, responsive-image srcset resolution, truncation detection.
+# ===========================================================================
+
+_LISTS_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '<ul><li>alpha ' || CAST(doc_id % 3 AS VARCHAR) || '</li><li>beta</li></ul><ol><li>one</li></ol>'
+             WHEN 1 THEN '<UL class="nav"><LI> spaced item </LI></UL>'
+             WHEN 2 THEN 'no lists here ' || CAST(doc_id AS VARCHAR)
+             ELSE '<ol start="3"><li><b>bold</b> tail</li><li>plain ' || CAST(doc_id % 2 AS VARCHAR) || '</li></ol>'
+           END AS html
+    FROM documents
+"""
+
+
+def _lists_html_spark() -> Column:
+    k = F.col("doc_id")
+    m = k % 4
+    return (
+        F.when(m == 0, F.concat(
+            F.lit("<ul><li>alpha "), (k % 3).cast("string"),
+            F.lit("</li><li>beta</li></ul><ol><li>one</li></ol>")))
+        .when(m == 1, F.lit('<UL class="nav"><LI> spaced item </LI></UL>'))
+        .when(m == 2, F.concat(F.lit("no lists here "), k.cast("string")))
+        .otherwise(F.concat(
+            F.lit('<ol start="3"><li><b>bold</b> tail</li><li>plain '),
+            (k % 2).cast("string"), F.lit("</li></ol>")))
+    )
+
+
+@query(
+    "html_lists",
+    f"""
+    WITH u AS ({_LISTS_HTML_SQL})
+    SELECT doc,
+           CAST(len(regexp_extract_all(html, '(?is)<ul[^>]*>')) AS BIGINT)
+             AS n_ul,
+           CAST(len(regexp_extract_all(html, '(?is)<ol[^>]*>')) AS BIGINT)
+             AS n_ol,
+           CAST(len(regexp_extract_all(html, '(?is)<li[^>]*>\\s*([^<]*)', 1))
+                AS BIGINT) AS n_items,
+           nullif(trim(regexp_extract(html, '(?is)<li[^>]*>\\s*([^<]*)', 1)),
+                  '') AS first_item,
+           CAST(coalesce(list_sum(list_transform(
+             regexp_extract_all(html, '(?is)<li[^>]*>\\s*([^<]*)', 1),
+             x -> length(trim(x)))), 0) AS BIGINT) AS sum_item_chars
+    FROM u
+    """,
+)
+def q_html_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List-structure extraction over deterministic synthetic html:
+    mixed ul/ol, uppercase tags, markup-first items (empty text → NULL
+    first_item), pages with no lists. Zero-shuffle regexp projection;
+    see functions/curation.html_lists."""
+    from ocr_spark.functions.curation import html_lists
+
+    docs = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", _lists_html_spark().alias("html"))
+    return html_lists(docs, "doc_id", "html")
+
+
+_REFRESH_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '<meta http-equiv="refresh" content="5; url=https://next.com/p' || CAST(doc_id % 3 AS VARCHAR) || '">'
+             WHEN 1 THEN '<META CONTENT="0;URL=https://r.example/x" HTTP-EQUIV="Refresh">'
+             WHEN 2 THEN '<meta http-equiv="refresh" content="30">'
+             ELSE '<meta name="viewport" content="width=1">'
+           END AS html
+    FROM documents
+"""
+
+
+def _refresh_html_spark() -> Column:
+    k = F.col("doc_id")
+    m = k % 4
+    return (
+        F.when(m == 0, F.concat(
+            F.lit('<meta http-equiv="refresh" content="5; url=https://next.com/p'),
+            (k % 3).cast("string"), F.lit('">')))
+        .when(m == 1, F.lit(
+            '<META CONTENT="0;URL=https://r.example/x" HTTP-EQUIV="Refresh">'))
+        .when(m == 2, F.lit('<meta http-equiv="refresh" content="30">'))
+        .otherwise(F.lit('<meta name="viewport" content="width=1">'))
+    )
+
+
+@query(
+    "meta_refresh",
+    f"""
+    WITH u AS ({_REFRESH_HTML_SQL}),
+    c AS (
+      SELECT doc,
+             {_meta_paired_sql('meta', 'http-equiv', 'refresh', 'content')}
+               AS content
+      FROM u)
+    SELECT doc,
+           CAST(content != '' AS INT) AS has_refresh,
+           CAST(nullif(regexp_extract(content, '^\\s*([0-9]+)', 1), '')
+                AS BIGINT) AS refresh_delay_s,
+           nullif(regexp_extract(content, '(?i)url\\s*=\\s*([^"''\\s;]+)', 1),
+                  '') AS refresh_target
+    FROM c
+    """,
+)
+def q_meta_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-refresh redirect parsing over synthetic html: forward and
+    reversed attribute order, uppercase variant, delay-only refresh
+    (NULL target), and a non-refresh meta that must not match. See
+    functions/curation.meta_refresh."""
+    from ocr_spark.functions.curation import meta_refresh
+
+    docs = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", _refresh_html_spark().alias("html"))
+    return meta_refresh(docs, "doc_id", "html")
+
+
+_SRCSET_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 5
+             WHEN 0 THEN '<img srcset="https://i.com/a' || CAST(doc_id % 7 AS VARCHAR) || '.jpg 480w, https://i.com/b' || CAST(doc_id % 7 AS VARCHAR) || '.jpg 800w" src="x.jpg">'
+             WHEN 1 THEN '<img srcset="https://i.com/c' || CAST(doc_id % 3 AS VARCHAR) || '.jpg 320w">'
+             WHEN 2 THEN '<img src="plain.jpg">'
+             WHEN 3 THEN '<img srcset="https://i.com/d.jpg 1x, https://i.com/e.jpg 2x">'
+             ELSE '<IMG SRCSET="https://i.com/f' || CAST(doc_id % 2 AS VARCHAR) || '.jpg 100w, https://i.com/g' || CAST(doc_id % 2 AS VARCHAR) || '.jpg 1600w, https://i.com/h.jpg 2x">'
+           END AS html
+    FROM documents
+"""
+
+
+def _srcset_html_spark() -> Column:
+    k = F.col("doc_id")
+    m = k % 5
+    return (
+        F.when(m == 0, F.concat(
+            F.lit('<img srcset="https://i.com/a'), (k % 7).cast("string"),
+            F.lit(".jpg 480w, https://i.com/b"), (k % 7).cast("string"),
+            F.lit('.jpg 800w" src="x.jpg">')))
+        .when(m == 1, F.concat(
+            F.lit('<img srcset="https://i.com/c'), (k % 3).cast("string"),
+            F.lit('.jpg 320w">')))
+        .when(m == 2, F.lit('<img src="plain.jpg">'))
+        .when(m == 3, F.lit(
+            '<img srcset="https://i.com/d.jpg 1x, https://i.com/e.jpg 2x">'))
+        .otherwise(F.concat(
+            F.lit('<IMG SRCSET="https://i.com/f'), (k % 2).cast("string"),
+            F.lit(".jpg 100w, https://i.com/g"), (k % 2).cast("string"),
+            F.lit('.jpg 1600w, https://i.com/h.jpg 2x">')))
+    )
+
+
+@query(
+    "srcset_parse",
+    f"""
+    WITH u AS ({_SRCSET_HTML_SQL}),
+    s AS (
+      SELECT doc,
+             regexp_extract(html, '(?i)srcset\\s*=\\s*"([^"]*)"', 1) AS ss
+      FROM u),
+    cand AS (
+      SELECT doc,
+             unnest(regexp_extract_all(ss, '([^\\s,]+)\\s+([0-9]+)w', 1))
+               AS url,
+             CAST(unnest(regexp_extract_all(ss, '([^\\s,]+)\\s+([0-9]+)w', 2))
+                  AS BIGINT) AS w
+      FROM s)
+    SELECT doc,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           arg_max(url, w) AS best_url,
+           CAST(MAX(w) AS BIGINT) AS best_width
+    FROM cand GROUP BY doc
+    """,
+)
+def q_srcset_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Responsive-image srcset resolution over synthetic html: multi-
+    candidate width descriptors, single candidate, density-only (emits
+    nothing), no srcset, uppercase attribute with mixed descriptors.
+    Widths are unique within a page so the argmax is total either way;
+    the Spark side is a struct-MAX (no window). See
+    functions/curation.srcset_best."""
+    from ocr_spark.functions.curation import srcset_best
+
+    docs = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", _srcset_html_spark().alias("html"))
+    return srcset_best(docs, "doc_id", "html")
+
+
+_TRUNC_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           text || CASE doc_id % 5
+             WHEN 0 THEN ' truncated mid sent'
+             WHEN 1 THEN ' done...'
+             WHEN 2 THEN ' finished.'
+             WHEN 3 THEN ' stop!'
+             ELSE ' sent to the'
+           END AS text
+    FROM documents
+"""
+
+
+@query(
+    "truncation_detect",
+    f"""
+    WITH u AS ({_TRUNC_TEXT_SQL})
+    SELECT doc,
+           CAST(regexp_matches(text, '[.!?"'')\\]]\\s*$') AS INT)
+             AS terminal,
+           CAST(regexp_matches(text, '(\\.\\.\\.|…)\\s*$') AS INT)
+             AS ellipsis,
+           CAST(regexp_matches(text,
+             '(?i)[ ](the|a|an|and|of|to|in|with|for)\\s*$') AS INT)
+             AS dangling,
+           CAST(NOT regexp_matches(text, '[.!?"'')\\]]\\s*$')
+                OR regexp_matches(text, '(\\.\\.\\.|…)\\s*$')
+                OR regexp_matches(text,
+                  '(?i)[ ](the|a|an|and|of|to|in|with|for)\\s*$')
+                AS INT) AS truncated
+    FROM u
+    """,
+)
+def q_truncation_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation detection — the C4-adjacent gate for documents cut off
+    mid-sentence by extraction or crawling: no terminal punctuation,
+    trailing ellipsis, or a dangling function word all flag the doc.
+    Planted suffixes exercise all branches deterministically. One
+    zero-shuffle regexp projection."""
+    k = F.col("doc_id")
+    m = k % 5
+    text = F.concat(
+        F.col("text"),
+        F.when(m == 0, F.lit(" truncated mid sent"))
+        .when(m == 1, F.lit(" done..."))
+        .when(m == 2, F.lit(" finished."))
+        .when(m == 3, F.lit(" stop!"))
+        .otherwise(F.lit(" sent to the")))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        "doc_id", text.alias("text"))
+    terminal = F.col("text").rlike("[.!?\"')\\]]\\s*$")
+    ellipsis = F.col("text").rlike("(\\.\\.\\.|…)\\s*$")
+    dangling = F.col("text").rlike(
+        "(?i)[ ](the|a|an|and|of|to|in|with|for)\\s*$")
+    return docs.select(
+        F.col("doc_id").alias("doc"),
+        terminal.cast("int").alias("terminal"),
+        ellipsis.cast("int").alias("ellipsis"),
+        dangling.cast("int").alias("dangling"),
+        (~terminal | ellipsis | dangling).cast("int").alias("truncated"),
+    )
