@@ -14293,3 +14293,273 @@ def q_truncation_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         dangling.cast("int").alias("dangling"),
         (~terminal | ellipsis | dangling).cast("int").alias("truncated"),
     )
+
+
+# ===========================================================================
+# Web-page extraction surface, round-4 batch 2: pagination chain stitching,
+# obfuscated-email decoding, HTML comment stripping, AMP variant detection.
+# ===========================================================================
+
+_PAGINATION_SQL = """
+    SELECT 'https://s.com/a' || CAST(doc_id // 4 AS VARCHAR)
+             || '/p' || CAST(doc_id % 4 AS VARCHAR) AS url,
+           CASE WHEN doc_id % 4 < 3
+                THEN 'https://s.com/a' || CAST(doc_id // 4 AS VARCHAR)
+                     || '/p' || CAST(doc_id % 4 + 1 AS VARCHAR)
+                ELSE NULL END AS next_url
+    FROM documents
+"""
+
+
+@query(
+    "pagination_chains",
+    f"""
+    WITH RECURSIVE pages AS ({_PAGINATION_SQL}),
+    edges AS (
+      SELECT url, next_url FROM pages WHERE next_url IS NOT NULL),
+    chain AS (
+      SELECT url, url AS head, 0 AS depth FROM pages
+      WHERE url NOT IN (SELECT next_url FROM edges)
+      UNION ALL
+      SELECT e.next_url AS url, c.head, c.depth + 1
+      FROM edges e JOIN chain c ON e.url = c.url),
+    sizes AS (SELECT head, CAST(COUNT(*) AS BIGINT) AS chain_len
+              FROM chain GROUP BY head)
+    SELECT c.url, c.head,
+           CAST(c.url = c.head AS INT) AS is_head,
+           s.chain_len
+    FROM chain c JOIN sizes s ON s.head = c.head
+    """,
+)
+def q_pagination_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pagination-chain stitching: group rel="next"-linked pages into
+    articles (every page mapped to its chain head + the chain length) —
+    the assembly step before multi-page articles are merged into one
+    training document. Reuses the O(log L) pointer-doubling resolver on
+    the REVERSED next-edges (a page's head is the terminal of its prev
+    chain), so one pathological 10 000-page paginated site costs rounds,
+    not hops-many shuffles. The DuckDB twin is a recursive CTE walking
+    forward from the heads. Synthetic 4-page articles derived from
+    doc_id; head pages and chain membership verified value-exact."""
+    from ocr_spark.functions.graph import resolve_redirects
+
+    k = F.col("doc_id")
+    url = F.concat(F.lit("https://s.com/a"),
+                   (k / 4).cast("bigint").cast("string"),
+                   F.lit("/p"), (k % 4).cast("string"))
+    next_url = F.when(k % 4 < 3, F.concat(
+        F.lit("https://s.com/a"), (k / 4).cast("bigint").cast("string"),
+        F.lit("/p"), (k % 4 + 1).cast("string")))
+    pages = _cpu(spark, sf_dir, "documents").select(
+        url.alias("url"), next_url.alias("next_url"))
+    edges = pages.filter(F.col("next_url").isNotNull())
+    # head of each page = terminal of the REVERSED next-chain
+    rev = edges.select(F.col("next_url").alias("src"),
+                       F.col("url").alias("dst"))
+    res = resolve_redirects(rev, rounds=4)
+    chain = (
+        pages.join(res, pages["url"] == res["src"], "left")
+        .select(pages["url"],
+                F.coalesce(res["final"], pages["url"]).alias("head"))
+    )
+    sizes = chain.groupBy("head").agg(
+        F.count(F.lit(1)).cast("bigint").alias("chain_len"))
+    return (
+        chain.join(sizes, "head")
+        .select("url", "head",
+                (F.col("url") == F.col("head")).cast("int").alias("is_head"),
+                "chain_len")
+    )
+
+
+_OBFUSCATED_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 5
+             WHEN 0 THEN 'contact alice' || CAST(doc_id % 3 AS VARCHAR) || ' [at] example [dot] com for info'
+             WHEN 1 THEN 'mail bob(at)site' || CAST(doc_id % 2 AS VARCHAR) || '(dot)org today'
+             WHEN 2 THEN 'write carol AT corp DOT net please'
+             WHEN 3 THEN 'already plain dave@real.io here'
+             ELSE 'no contact info at all'
+           END AS text
+    FROM documents
+"""
+
+_AT_PAT = (r"([A-Za-z0-9._%+-]+)\s*"
+           r"(?:\[\s*at\s*\]|\(\s*at\s*\)|\s+AT\s+)\s*"
+           r"([A-Za-z0-9-]+)\s*"
+           r"(?:\[\s*dot\s*\]|\(\s*dot\s*\)|\s+DOT\s+)\s*"
+           r"([A-Za-z]{2,})")
+_PLAIN_PAT = r"([A-Za-z0-9._%+-]+@[A-Za-z0-9-]+\.[A-Za-z]{2,})"
+
+
+@query(
+    "email_deobfuscate",
+    f"""
+    WITH u AS ({_OBFUSCATED_SQL})
+    SELECT doc,
+           nullif(
+             CASE WHEN regexp_extract(text, '{_AT_PAT}', 1) != ''
+                  THEN regexp_extract(text, '{_AT_PAT}', 1) || '@'
+                       || regexp_extract(text, '{_AT_PAT}', 2) || '.'
+                       || regexp_extract(text, '{_AT_PAT}', 3)
+                  ELSE regexp_extract(text, '{_PLAIN_PAT}', 1)
+             END, '') AS email,
+           CAST(regexp_extract(text, '{_AT_PAT}', 1) != '' AS INT)
+             AS was_obfuscated
+    FROM u
+    """,
+)
+def q_email_deobfuscate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Obfuscated-email decoding — the PII-scrub complement: scrapers'
+    targets write 'alice [at] example [dot] com' precisely to evade the
+    plain-email regex, so a scrubber that misses the obfuscated forms
+    leaks the PII it was built to remove. Normalizes [at]/(at)/AT and
+    [dot]/(dot)/DOT forms to canonical addresses; plain addresses pass
+    through with was_obfuscated=0. Zero-shuffle regexp projection."""
+    k = F.col("doc_id")
+    m = k % 5
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("contact alice"), (k % 3).cast("string"),
+            F.lit(" [at] example [dot] com for info")))
+        .when(m == 1, F.concat(
+            F.lit("mail bob(at)site"), (k % 2).cast("string"),
+            F.lit("(dot)org today")))
+        .when(m == 2, F.lit("write carol AT corp DOT net please"))
+        .when(m == 3, F.lit("already plain dave@real.io here"))
+        .otherwise(F.lit("no contact info at all")))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    user = F.regexp_extract("text", _AT_PAT, 1)
+    rebuilt = F.concat(user, F.lit("@"),
+                       F.regexp_extract("text", _AT_PAT, 2), F.lit("."),
+                       F.regexp_extract("text", _AT_PAT, 3))
+    plain = F.regexp_extract("text", _PLAIN_PAT, 1)
+    return docs.select(
+        "doc",
+        F.nullif(F.when(user != "", rebuilt).otherwise(plain), F.lit(""))
+        .alias("email"),
+        (user != "").cast("int").alias("was_obfuscated"),
+    )
+
+
+_COMMENT_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '<p>keep ' || CAST(doc_id % 3 AS VARCHAR) || '</p><!-- secret note --><p>also keep</p>'
+             WHEN 1 THEN 'before<!-- multi
+line comment -->after<!-- second -->'
+             WHEN 2 THEN '<!--[if IE]><p>ie only</p><![endif]-->content'
+             ELSE 'no comments ' || CAST(doc_id AS VARCHAR)
+           END AS html
+    FROM documents
+"""
+
+
+@query(
+    "html_comment_strip",
+    f"""
+    WITH u AS ({_COMMENT_HTML_SQL})
+    SELECT doc,
+           CAST(len(regexp_extract_all(html, '(?s)<!--.*?-->')) AS BIGINT)
+             AS n_comments,
+           CAST(regexp_matches(html, '(?s)<!--\\[if\\s') AS INT)
+             AS has_conditional,
+           regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS stripped,
+           CAST(length(html)
+                - length(regexp_replace(html, '(?s)<!--.*?-->', '', 'g'))
+               AS BIGINT) AS comment_chars
+    FROM u
+    """,
+)
+def q_html_comment_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML comment stripping — comments carry tracking payloads, dead
+    markup, and IE conditional blocks that must not reach extracted
+    text; this is the pre-pass count + strip with conditional-comment
+    detection. Non-greedy dotall regexp so adjacent comments never merge
+    across the gap. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit("<p>keep "), (k % 3).cast("string"),
+            F.lit("</p><!-- secret note --><p>also keep</p>")))
+        .when(m == 1, F.lit(
+            "before<!-- multi\nline comment -->after<!-- second -->"))
+        .when(m == 2, F.lit("<!--[if IE]><p>ie only</p><![endif]-->content"))
+        .otherwise(F.concat(F.lit("no comments "), k.cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), html.alias("html"))
+    pat = r"(?s)<!--.*?-->"
+    stripped = F.regexp_replace("html", pat, "")
+    return docs.select(
+        "doc",
+        F.size(F.regexp_extract_all("html", F.lit(pat), F.lit(0)))
+        .cast("bigint").alias("n_comments"),
+        F.col("html").rlike(r"(?s)<!--\[if\s").cast("int")
+        .alias("has_conditional"),
+        stripped.alias("stripped"),
+        (F.length("html") - F.length(stripped)).cast("bigint")
+        .alias("comment_chars"),
+    )
+
+
+_AMP_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '<html><link rel="amphtml" href="https://m.site/amp/' || CAST(doc_id % 5 AS VARCHAR) || '"><body>canonical page'
+             WHEN 1 THEN '<html amp><link rel="canonical" href="https://site/p' || CAST(doc_id % 3 AS VARCHAR) || '"><body>amp page'
+             WHEN 2 THEN '<html ⚡><body>emoji amp page'
+             ELSE '<html><body>ordinary page ' || CAST(doc_id AS VARCHAR)
+           END AS html
+    FROM documents
+"""
+
+
+@query(
+    "amp_variant_detect",
+    f"""
+    WITH u AS ({_AMP_HTML_SQL})
+    SELECT doc,
+           nullif({_meta_paired_sql('link', 'rel', 'amphtml', 'href')}, '')
+             AS amp_url,
+           CAST(regexp_matches(html, '(?i)<html[^>]*(\\s(amp|⚡))([\\s>]|$)')
+                AS INT) AS is_amp_page,
+           nullif({_meta_paired_sql('link', 'rel', 'canonical', 'href')}, '')
+             AS canonical_url
+    FROM u
+    """,
+)
+def q_amp_variant_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMP variant detection — AMP mirrors are the highest-volume
+    near-duplicate family in a web crawl; a corpus that keeps both the
+    canonical and its AMP twin double-counts the content. Detects the
+    rel="amphtml" pointer on canonical pages and the <html amp>/<html ⚡>
+    marker (plus its rel="canonical" backlink) on AMP pages, the two
+    sides dedup needs to pair them. Zero-shuffle projection."""
+    from ocr_spark.functions.curation import _paired_attr
+
+    k = F.col("doc_id")
+    m = k % 4
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<html><link rel="amphtml" href="https://m.site/amp/'),
+            (k % 5).cast("string"), F.lit('"><body>canonical page')))
+        .when(m == 1, F.concat(
+            F.lit('<html amp><link rel="canonical" href="https://site/p'),
+            (k % 3).cast("string"), F.lit('"><body>amp page')))
+        .when(m == 2, F.lit("<html ⚡><body>emoji amp page"))
+        .otherwise(F.concat(
+            F.lit("<html><body>ordinary page "), k.cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), html.alias("html"))
+    h = F.col("html")
+    return docs.select(
+        "doc",
+        F.nullif(_paired_attr(h, "link", "rel", "amphtml", "href"),
+                 F.lit("")).alias("amp_url"),
+        h.rlike(r"(?i)<html[^>]*(\s(amp|⚡))([\s>]|$)").cast("int")
+        .alias("is_amp_page"),
+        F.nullif(_paired_attr(h, "link", "rel", "canonical", "href"),
+                 F.lit("")).alias("canonical_url"),
+    )
