@@ -14563,3 +14563,76 @@ def q_amp_variant_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nullif(_paired_attr(h, "link", "rel", "canonical", "href"),
                  F.lit("")).alias("canonical_url"),
     )
+
+
+@query(
+    "streaming_click_attribution",
+    """
+    WITH v AS (
+      SELECT event_id AS view_id, user_id, ts AS view_ts
+      FROM events WHERE event_type = 'view'),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'),
+    pairs AS (
+      SELECT v.user_id, v.view_id, c.click_id,
+             CAST(FLOOR(EXTRACT(EPOCH FROM c.click_ts - v.view_ts))
+                  AS BIGINT) AS gap_s
+      FROM v JOIN c ON c.user_id = v.user_id
+       AND c.click_ts >= v.view_ts
+       AND c.click_ts <= v.view_ts + INTERVAL 360 MINUTE)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(gap_s) AS BIGINT) AS sum_gap_s,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM pairs GROUP BY user_id
+    """,
+)
+def q_streaming_click_attribution(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """A REAL stream-stream watermarked INTERVAL join, value-checked
+    against the batch oracle: views and clicks are written as 2 files
+    each and read as two separate streams with maxFilesPerTrigger=1
+    under availableNow, so pairs MUST match across micro-batches through
+    the join state store (a single-batch run would prove nothing). Every
+    (view, click) pair for the same user within 6 hours appends
+    exactly-once to a parquet sink; the returned frame is the per-user
+    attribution rollup of that sink, which must equal the one-shot batch
+    interval join. Completes the stateful-streaming triad: windowed agg
+    (streaming_event_rollup), applyInPandasWithState dedup
+    (streaming_dedup_events), dual-sided join state (this).
+    Gap seconds floor toward zero in both engines (non-negative here)."""
+    import shutil
+    import tempfile
+
+    from ocr_spark.streaming.incremental import stream_interval_join
+
+    base = tempfile.mkdtemp(prefix="ocr_spark_stream_join_")
+    try:
+        ev = _t(spark, sf_dir, "events")
+        views_dir = os.path.join(base, "views")
+        clicks_dir = os.path.join(base, "clicks")
+        (ev.filter(F.col("event_type") == "view")
+         .repartition(2, "event_id").write.parquet(views_dir))
+        (ev.filter(F.col("event_type") == "click")
+         .repartition(2, "event_id").write.parquet(clicks_dir))
+        out_dir = os.path.join(base, "pairs")
+        q = stream_interval_join(
+            spark, views_dir, clicks_dir, out_dir,
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            max_gap_minutes=360, watermark="12 hours")
+        q.awaitTermination()
+        pairs = spark.read.parquet(out_dir).select(
+            "user_id",
+            F.floor((F.col("click_ts").cast("double")
+                     - F.col("view_ts").cast("double")))
+            .cast("bigint").alias("gap_s"))
+        rolled = pairs.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("gap_s").cast("bigint").alias("sum_gap_s"),
+            F.min("gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"))
+        return spark.createDataFrame(rolled.collect(), rolled.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

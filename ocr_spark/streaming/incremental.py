@@ -387,3 +387,75 @@ def stream_merged_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+EVENT_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+
+
+def stream_interval_join(
+    spark: SparkSession,
+    views_dir: str,
+    clicks_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_gap_minutes: int = 10,
+    watermark: str = "30 minutes",
+    max_files_per_trigger: int = 1,
+) -> StreamingQuery:
+    """Watermarked stream-stream INTERVAL join — the attribution operator:
+    every (view, click) pair for the same user where the click lands
+    within ``max_gap_minutes`` after the view (inclusive both ends).
+
+    This is the third stateful-streaming class the surface covers (after
+    windowed aggregation and applyInPandasWithState dedup): BOTH sides
+    buffer in the state store, and the time-range condition plus the two
+    watermarks are what let Spark evict state — a view older than
+    watermark + gap can never match a future click, so state stays
+    bounded no matter how long the streams run. Without the range
+    condition the join would be rejected (unbounded state).
+
+    Pairs append to a parquet sink exactly-once under the checkpoint;
+    ``availableNow`` + ``maxFilesPerTrigger=1`` forces multi-micro-batch
+    execution so cross-batch matches genuinely exercise the state store.
+    """
+    views = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(views_dir)
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    clicks = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(clicks_dir)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    pairs = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts")
+           <= F.col("view_ts") + F.expr(f"interval {max_gap_minutes} minutes")),
+    ).select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id",
+        "view_ts", "click_ts",
+    )
+    return (
+        pairs.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
