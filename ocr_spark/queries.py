@@ -13380,7 +13380,8 @@ def q_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
                 AS BIGINT) AS promo_centbp,
            CAST(SUM(rev) AS BIGINT) AS total_centbp,
-           CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+           CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END)
+                     AS HUGEINT)
                 * 10000 // SUM(rev) AS BIGINT) AS promo_share_bp
     FROM r GROUP BY ship_month
     """,
@@ -13389,7 +13390,9 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 analog: monthly share of revenue from PROMO-type parts —
     the conditional-aggregation ratio shape. part projects to two columns
     and broadcasts; lineitem never shuffles before the month agg. The
-    ratio is integer basis points via exact int64 division (both engines
+    ratio is integer basis points via exact 128-bit-wide division
+    (DECIMAL(38) / HUGEINT — sum(rev)·10⁴ exceeds int64 already at a
+    ~60 M-row month, caught by the 100x parity sweep; both engines
     truncate non-negative division identically), so the hash compare
     holds without float tolerance."""
     li = _t(spark, sf_dir, "lineitem").select(
@@ -13411,7 +13414,8 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "ship_month", "promo_centbp", "total_centbp",
-            F.expr("promo_centbp * 10000 div total_centbp")
+            F.expr("CAST(promo_centbp AS DECIMAL(38,0)) * 10000"
+                   " div total_centbp")
             .cast("bigint").alias("promo_share_bp"),
         )
     )
@@ -13858,7 +13862,8 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE 0 END)
                 AS BIGINT) AS nation_centbp,
            CAST(SUM(rev) AS BIGINT) AS total_centbp,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev ELSE 0 END)
+           CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN rev
+                              ELSE 0 END) AS HUGEINT)
                 * 10000 // SUM(rev) AS BIGINT) AS share_bp
     FROM vol GROUP BY o_year
     """,
@@ -13869,7 +13874,9 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the suite (lineitem ⋈ orders shuffle, then customer, plus THREE
     broadcast dims: nation×2 and region, with the region filter applied
     inside the customer-side dim before the fact join). The share is a
-    conditional-sum ratio in truncated integer basis points."""
+    conditional-sum ratio in truncated integer basis points, widened to
+    DECIMAL(38)/HUGEINT for the ·10⁴ step (int64 overflows at ~60 M-row
+    year volumes — caught by the 100x parity sweep)."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey",
         (_cents("l_extendedprice")
@@ -13904,7 +13911,8 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(target).cast("bigint").alias("nation_centbp"),
              F.sum("rev").cast("bigint").alias("total_centbp"))
         .select("o_year", "nation_centbp", "total_centbp",
-                F.expr("nation_centbp * 10000 div total_centbp")
+                F.expr("CAST(nation_centbp AS DECIMAL(38,0)) * 10000"
+                       " div total_centbp")
                 .cast("bigint").alias("share_bp"))
     )
 
