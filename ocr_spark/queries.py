@@ -14644,3 +14644,271 @@ def q_streaming_click_attribution(spark: SparkSession,
         return spark.createDataFrame(rolled.collect(), rolled.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# ===========================================================================
+# Round-4 batch: HTML→Markdown conversion, tokenizer fertility, and
+# Poisson crawl-change-rate estimation.
+# ===========================================================================
+
+_MD_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 5
+             WHEN 0 THEN '<h2>Title ' || CAST(doc_id % 7 AS VARCHAR)
+                         || '</h2><p>Intro paragraph.</p>'
+             WHEN 1 THEN '<h3>Sub</h3><ul><li>alpha</li><li>beta '
+                         || CAST(doc_id % 3 AS VARCHAR) || '</li></ul>'
+             WHEN 2 THEN '<p>see <a href="https://ex.org/p'
+                         || CAST(doc_id % 9 AS VARCHAR) || '">page '
+                         || CAST(doc_id % 9 AS VARCHAR) || '</a> now</p>'
+             WHEN 3 THEN '<pre><code>x = ' || CAST(doc_id % 4 AS VARCHAR)
+                         || CHR(10) || 'print(x)</code></pre><p>tail</p>'
+             ELSE '<blockquote>wise words '
+                  || CAST(doc_id % 6 AS VARCHAR) || '</blockquote>'
+           END AS html
+    FROM documents
+"""
+
+
+@query(
+    "html_to_markdown",
+    f"""
+    WITH u AS ({_MD_HTML_SQL}),
+    conv AS (
+      SELECT doc, html,
+        trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               html,
+               '(?s)<pre><code>(.*?)</code></pre>',
+               e'\n```\n\\\\1\n```\n', 'g'),
+               '<h2[^>]*>(.*?)</h2>', e'\n## \\\\1\n', 'g'),
+               '<h3[^>]*>(.*?)</h3>', e'\n### \\\\1\n', 'g'),
+               '<li[^>]*>(.*?)</li>', e'\n- \\\\1', 'g'),
+               '(?s)<blockquote[^>]*>(.*?)</blockquote>',
+               e'\n> \\\\1\n', 'g'),
+               '<a href="([^"]*)"[^>]*>(.*?)</a>',
+               '[\\2](\\1)', 'g'),
+               '<[^>]*>', '', 'g'),
+               e'\n{{3,}}', e'\n\n', 'g'),
+             e' \n') AS markdown
+      FROM u)
+    SELECT doc, markdown,
+           CAST(len(regexp_extract_all(html, '<h[23][^>]*>')) AS BIGINT)
+             AS n_headings,
+           CAST(len(regexp_extract_all(html, '<li[^>]*>')) AS BIGINT)
+             AS n_list_items,
+           CAST(len(regexp_extract_all(html, '<a href="')) AS BIGINT)
+             AS n_links,
+           CAST(len(regexp_extract_all(html, '<pre><code>')) AS BIGINT)
+             AS n_code_blocks
+    FROM conv
+    """,
+)
+def q_html_to_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure-preserving HTML→Markdown conversion — the modern
+    LLM-corpus extraction target (headings, lists, fenced code, quotes,
+    and links survive as lightweight markup instead of being flattened
+    to prose). Ordered regexp rewrites: fenced code FIRST (its body must
+    not be re-matched by later tag rules), then h2/h3/li/blockquote/a,
+    then a residual-tag strip and a blank-line collapse. Zero-shuffle
+    projection; at 100 TB this runs scan-local exactly like the
+    boilerplate pass (SURVEY §2.2 G-family analog, composition layer
+    over the html_lists / headings extractors)."""
+    k = F.col("doc_id")
+    m = k % 5
+    nl = "\n"
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit("<h2>Title "), (k % 7).cast("string"),
+            F.lit("</h2><p>Intro paragraph.</p>")))
+        .when(m == 1, F.concat(
+            F.lit("<h3>Sub</h3><ul><li>alpha</li><li>beta "),
+            (k % 3).cast("string"), F.lit("</li></ul>")))
+        .when(m == 2, F.concat(
+            F.lit('<p>see <a href="https://ex.org/p'),
+            (k % 9).cast("string"), F.lit('">page '),
+            (k % 9).cast("string"), F.lit("</a> now</p>")))
+        .when(m == 3, F.concat(
+            F.lit("<pre><code>x = "), (k % 4).cast("string"),
+            F.lit(nl + "print(x)</code></pre><p>tail</p>")))
+        .otherwise(F.concat(
+            F.lit("<blockquote>wise words "), (k % 6).cast("string"),
+            F.lit("</blockquote>"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), html.alias("html"))
+    return docs.withColumn("markdown_raw", _md_chain(F.col("html"))).select(
+        "doc",
+        F.expr("trim(BOTH ' \n' FROM markdown_raw)").alias("markdown"),
+        F.size(F.regexp_extract_all("html", F.lit(r"<h[23][^>]*>"), F.lit(0)))
+        .cast("bigint").alias("n_headings"),
+        F.size(F.regexp_extract_all("html", F.lit(r"<li[^>]*>"), F.lit(0)))
+        .cast("bigint").alias("n_list_items"),
+        F.size(F.regexp_extract_all("html", F.lit('<a href="'), F.lit(0)))
+        .cast("bigint").alias("n_links"),
+        F.size(F.regexp_extract_all("html", F.lit("<pre><code>"), F.lit(0)))
+        .cast("bigint").alias("n_code_blocks"),
+    )
+
+
+def _md_chain(html: Column) -> Column:
+    """The ordered HTML→Markdown rewrite chain (shared by the query body
+    so the synth column is rewritten exactly once)."""
+    nl = "\n"
+    md = html
+    for pat, rep in [
+        (r"(?s)<pre><code>(.*?)</code></pre>",
+         nl + "```" + nl + "$1" + nl + "```" + nl),
+        (r"<h2[^>]*>(.*?)</h2>", nl + "## $1" + nl),
+        (r"<h3[^>]*>(.*?)</h3>", nl + "### $1" + nl),
+        (r"<li[^>]*>(.*?)</li>", nl + "- $1"),
+        (r"(?s)<blockquote[^>]*>(.*?)</blockquote>", nl + "> $1" + nl),
+        (r'<a href="([^"]*)"[^>]*>(.*?)</a>', "[$2]($1)"),
+        (r"<[^>]*>", ""),
+        ("\n{3,}", nl + nl),
+    ]:
+        md = F.regexp_replace(md, pat, rep)
+    return md
+
+
+@query(
+    "tokenizer_fertility",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '[^ \t\n]+'))) AS BIGINT)
+             AS n_words,
+           CAST(SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+')))
+                + SUM(length(regexp_replace(text, '[A-Za-z0-9_ \t\n]', '',
+                                            'g'))) AS BIGINT) AS n_tokens,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+           CAST((SUM(len(regexp_extract_all(text, '[A-Za-z0-9_]+')))
+                 + SUM(length(regexp_replace(text, '[A-Za-z0-9_ \t\n]', '',
+                                             'g')))) * 10000
+                // GREATEST(SUM(len(regexp_extract_all(text, '[^ \t\n]+'))),
+                            1) AS BIGINT) AS fertility_bp,
+           CAST(SUM(octet_length(encode(text))) * 10000
+                // GREATEST(SUM(len(regexp_extract_all(text,
+                                                       '[A-Za-z0-9_]+')))
+                            + SUM(length(regexp_replace(
+                                  text, '[A-Za-z0-9_ \t\n]', '', 'g'))), 1)
+               AS BIGINT) AS bytes_per_token_bp
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language — tokens-per-word and
+    bytes-per-token in exact basis points, the eval that decides whether
+    a vocabulary under-serves a language (high fertility = more tokens
+    per word = higher serving cost; the metric behind multilingual vocab
+    sizing). Token model = the suite's BPE-ish pre-tokenization: ASCII
+    word-char runs count one token each, every other non-space char is
+    its own (byte-fallback) token — so non-Latin scripts naturally show
+    the fertility penalty a Latin-centric vocab imposes. All counts are
+    exact integers; one lang-keyed partial agg, no shuffle of text."""
+    t = F.col("text")
+    word_runs = F.size(F.regexp_extract_all("text", F.lit("[A-Za-z0-9_]+"),
+                                            F.lit(0)))
+    punct = F.length(F.regexp_replace(t, "[A-Za-z0-9_ \t\n]", ""))
+    words = F.size(F.regexp_extract_all("text", F.lit("[^ \t\n]+"),
+                                        F.lit(0)))
+    per = _cpu(spark, sf_dir, "documents").select(
+        "lang", words.alias("w"), (word_runs + punct).alias("tok"),
+        F.octet_length(t).alias("b"))
+    return (
+        per.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+             F.sum("w").cast("bigint").alias("n_words"),
+             F.sum("tok").cast("bigint").alias("n_tokens"),
+             F.sum("b").cast("bigint").alias("n_bytes"))
+        .select("lang", "n_docs", "n_words", "n_tokens", "n_bytes",
+                F.expr("n_tokens * 10000 div GREATEST(n_words, 1)")
+                .cast("bigint").alias("fertility_bp"),
+                F.expr("n_bytes * 10000 div GREATEST(n_tokens, 1)")
+                .cast("bigint").alias("bytes_per_token_bp"))
+    )
+
+
+_CAPTURE_HISTORY_SQL = """
+    SELECT d.doc_id AS url_id,
+           u.k AS k,
+           (d.doc_id * 7 + u.k // (1 + d.doc_id % 3)) AS digest
+    FROM documents d,
+         LATERAL (SELECT unnest(generate_series(
+                    0, CAST(2 + d.doc_id % 4 AS BIGINT))) AS k) u
+"""
+
+
+@query(
+    "crawl_change_rate",
+    f"""
+    WITH caps AS ({_CAPTURE_HISTORY_SQL}),
+    flags AS (
+      SELECT url_id, k,
+             CASE WHEN digest != LAG(digest) OVER w THEN 1 ELSE 0 END
+               AS changed,
+             CASE WHEN LAG(digest) OVER w IS NULL THEN 0 ELSE 1 END
+               AS is_interval
+      FROM caps
+      WINDOW w AS (PARTITION BY url_id ORDER BY k)),
+    est AS (
+      SELECT url_id,
+             CAST(SUM(is_interval) AS BIGINT) AS n_intervals,
+             CAST(SUM(changed) AS BIGINT) AS n_changes
+      FROM flags GROUP BY url_id)
+    SELECT url_id, n_intervals, n_changes,
+           CAST(ROUND(-LN((n_intervals - n_changes + 0.5)
+                          / (n_intervals + 0.5)) * 1000000) AS BIGINT)
+             AS lambda_micro,
+           CASE
+             WHEN ROUND(-LN((n_intervals - n_changes + 0.5)
+                            / (n_intervals + 0.5)) * 1000000) >= 600000
+               THEN 'fast'
+             WHEN ROUND(-LN((n_intervals - n_changes + 0.5)
+                            / (n_intervals + 0.5)) * 1000000) >= 250000
+               THEN 'medium'
+             ELSE 'slow'
+           END AS revisit_tier
+    FROM est
+    """,
+)
+def q_crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson change-rate estimation per url from recrawl history — the
+    Cho & Garcia-Molina estimator r̂ = -ln((n - X + 0.5)/(n + 0.5)) over
+    n revisit intervals of which X observed a content-digest change (the
+    +0.5 terms are the bias correction that keeps the estimate finite
+    when every revisit changed). Drives revisit scheduling: 'fast' hosts
+    get recrawled often, 'slow' ones archived. Capture histories are the
+    deterministic synthetic (url changes every 1+url%3 fetches); the
+    real input is the CDX capture table (cdx_index). One url-keyed
+    window then a url-keyed agg — the window's shuffle partitioning is
+    reused by the agg, so one Exchange total; ln is the only float op,
+    applied once per url to a ratio of exact integers and rounded to
+    micro-units, the suite's cross-engine-stable pattern."""
+    d = _cpu(spark, sf_dir, "documents").select("doc_id")
+    caps = d.select(
+        F.col("doc_id").alias("url_id"),
+        F.explode(F.sequence(F.lit(0), (F.lit(2) + F.col("doc_id") % 4)
+                             .cast("bigint"))).alias("k"),
+    ).select(
+        "url_id", "k",
+        (F.col("url_id") * 7
+         + F.expr("k div (1 + url_id % 3)")).alias("digest"))
+    w = Window.partitionBy("url_id").orderBy("k")
+    prev = F.lag("digest").over(w)
+    flags = caps.select(
+        "url_id",
+        F.when(prev.isNull(), 0).otherwise(1).alias("is_interval"),
+        F.when(F.col("digest") != prev, 1).otherwise(0).alias("changed"))
+    est = flags.groupBy("url_id").agg(
+        F.sum("is_interval").cast("bigint").alias("n_intervals"),
+        F.sum("changed").cast("bigint").alias("n_changes"))
+    lam = F.round(
+        -F.log((F.col("n_intervals") - F.col("n_changes") + 0.5)
+               / (F.col("n_intervals") + 0.5)) * 1000000)
+    return est.select(
+        "url_id", "n_intervals", "n_changes",
+        lam.cast("bigint").alias("lambda_micro"),
+        F.when(lam >= 600000, "fast")
+        .when(lam >= 250000, "medium")
+        .otherwise("slow").alias("revisit_tier"))
