@@ -81,7 +81,11 @@ def main() -> int:
 
     from ocr_spark.session import get_spark
 
-    spark = get_spark(app_name="check_oracle", cores=8, shuffle_partitions=16)
+    # 8 cores leaves headroom for the DuckDB side at the default sf0.01;
+    # large-scale sweeps (sf1-equivalent+) override via CHECK_ORACLE_CORES.
+    cores = int(os.environ.get("CHECK_ORACLE_CORES", "8"))
+    spark = get_spark(app_name="check_oracle", cores=cores,
+                      shuffle_partitions=2 * cores)
     spark.sparkContext.setLogLevel("ERROR")
 
     con = duckdb.connect()
