@@ -73,6 +73,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), ignore_index=True)
 
 
+def _dump(path: str, record: dict) -> None:
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(record, f, indent=1)
+    os.replace(tmp, path)
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -107,6 +116,10 @@ def main() -> int:
             "hash_match": hash_match, "spark_rows": spark_rows,
             "oracle_rows": oracle_rows, "err": err,
         }
+        # incremental receipt: long large-scale sweeps survive a kill
+        out = os.environ.get("CHECK_ORACLE_OUT")
+        if out:
+            _dump(out, record)
 
     for name, fn in qs.items():
         if only and name not in only:
@@ -179,10 +192,7 @@ def main() -> int:
 
     out = os.environ.get("CHECK_ORACLE_OUT")
     if out:
-        import json
-
-        with open(out, "w") as f:
-            json.dump(record, f, indent=1)
+        _dump(out, record)
         print(f"wrote {out} ({len(record)} queries)")
 
     print(f"\n{n_run - len(failures)}/{n_run} pass")
