@@ -8,15 +8,15 @@ Env: CHECK_ORACLE_OUT=<path> additionally writes the results as a JSON
 file in the driver's CORRECTNESS_r{N}.json per-query format, so the judge
 can diff the full local sweep against the driver's ~50-query sample
 (round-3 verdict item 2). CHECK_ORACLE_TIMEOUT=<secs> bounds each engine
-call (SIGALRM; Spark jobs are cancelled on expiry) so large-scale sweeps
-record 'timeout' for oracle-side-quadratic queries instead of hanging —
-used by the sf1-equivalent sweep (round-3 verdict item 8).
+call (worker thread + cross-thread cancel; see _with_timeout) so
+large-scale sweeps record 'timeout' for oracle-side-quadratic queries
+instead of hanging — used by the sf1-equivalent sweep (round-3 verdict
+item 8). CHECK_ORACLE_CORES=<n> sizes the Spark session for such sweeps.
 """
 
 from __future__ import annotations
 
 import os
-import signal
 import sys
 
 import duckdb
@@ -28,27 +28,44 @@ class _Timeout(Exception):
 
 
 def _with_timeout(secs: int | None, fn, on_timeout=None):
-    """Run fn() under SIGALRM; on expiry run on_timeout() and raise _Timeout."""
+    """Run fn() in a worker thread, bounded to ``secs`` wall seconds.
+
+    Thread-based rather than SIGALRM-based: a Python signal handler only
+    runs between bytecodes in the MAIN thread, so an alarm can never
+    preempt a long-running C++ call (duckdb ``execute`` holds the main
+    thread for the whole query; a multi-hour oracle at sf1-equivalent
+    scale would ignore the alarm entirely). With the engine call in a
+    worker thread the main thread stays schedulable and fires the
+    engine's own cross-thread cancellation (``Connection.interrupt`` /
+    ``cancelAllJobs``) at the deadline; the cancelled call then returns
+    promptly and the worker exits.
+    """
     if not secs:
         return fn()
+    import threading
 
-    def _handler(signum, frame):
-        raise _Timeout()
+    result: dict = {}
 
-    old = signal.signal(signal.SIGALRM, _handler)
-    signal.alarm(secs)
-    try:
-        return fn()
-    except _Timeout:
+    def work():
+        try:
+            result["v"] = fn()
+        except Exception as exc:  # noqa: BLE001
+            result["e"] = exc
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(secs)
+    if t.is_alive():
         if on_timeout:
             try:
                 on_timeout()
             except Exception:  # noqa: BLE001
                 pass
-        raise
-    finally:
-        signal.alarm(0)
-        signal.signal(signal.SIGALRM, old)
+        t.join(30)  # give the cancelled call a moment to unwind
+        raise _Timeout()
+    if "e" in result:
+        raise result["e"]
+    return result["v"]
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
