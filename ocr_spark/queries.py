@@ -14912,3 +14912,277 @@ def q_crawl_change_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lam >= 600000, "fast")
         .when(lam >= 250000, "medium")
         .otherwise("slow").alias("revisit_tier"))
+
+
+_PAYWALL_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 5
+             WHEN 0 THEN '<script type="application/ld+json">{"isAccessibleForFree": false}</script><p>Article intro '
+                         || CAST(doc_id % 7 AS VARCHAR)
+                         || '</p><div class="paywall">Subscribe to continue reading</div>'
+             WHEN 1 THEN '<p>free article body ' || CAST(doc_id % 9 AS VARCHAR) || '</p>'
+             WHEN 2 THEN '<div class="subscribe-wall">Already a subscriber? Log in</div><p>teaser '
+                         || CAST(doc_id % 4 AS VARCHAR) || '</p>'
+             WHEN 3 THEN '<script type="application/ld+json">{"isAccessibleForFree": true}</script><p>open news '
+                         || CAST(doc_id % 6 AS VARCHAR) || '</p>'
+             ELSE '<p>Sign up for our newsletter</p><p>content '
+                  || CAST(doc_id AS VARCHAR) || '</p>'
+           END AS html
+    FROM documents
+"""
+
+
+@query(
+    "paywall_detect",
+    f"""
+    WITH u AS ({_PAYWALL_HTML_SQL})
+    SELECT doc,
+           CAST(regexp_matches(html,
+                '"isAccessibleForFree"\\s*:\\s*false') AS INT)
+             AS jsonld_not_free,
+           CAST(regexp_matches(html,
+                'class="[^"]*(paywall|subscribe-wall|meteredContent)')
+               AS INT) AS wall_class,
+           CAST(regexp_matches(html,
+                '(Subscribe to continue|Already a subscriber)') AS INT)
+             AS cta_phrase,
+           CAST(CASE WHEN regexp_matches(html,
+                  '"isAccessibleForFree"\\s*:\\s*false')
+                 OR regexp_matches(html,
+                  'class="[^"]*(paywall|subscribe-wall|meteredContent)')
+                 OR regexp_matches(html,
+                  '(Subscribe to continue|Already a subscriber)')
+                THEN 1 ELSE 0 END AS INT) AS paywalled
+    FROM u
+    """,
+)
+def q_paywall_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paywall / login-wall detection — paywalled teasers are truncated,
+    low-value training text that inflates dedup clusters (every teaser of
+    one article is near-identical), so corpus curation gates them out.
+    Three independent signals: the schema.org JSON-LD
+    ``isAccessibleForFree: false`` declaration (the spec-compliant
+    channel), wall-container CSS classes, and call-to-action phrases;
+    a newsletter CTA (the common false-positive) trips none of them.
+    Zero-shuffle projection over the page scan."""
+    k = F.col("doc_id")
+    m = k % 5
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"isAccessibleForFree": false}</script><p>Article intro '),
+            (k % 7).cast("string"),
+            F.lit('</p><div class="paywall">Subscribe to continue reading'
+                  '</div>')))
+        .when(m == 1, F.concat(
+            F.lit("<p>free article body "), (k % 9).cast("string"),
+            F.lit("</p>")))
+        .when(m == 2, F.concat(
+            F.lit('<div class="subscribe-wall">Already a subscriber? Log in'
+                  '</div><p>teaser '), (k % 4).cast("string"),
+            F.lit("</p>")))
+        .when(m == 3, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"isAccessibleForFree": true}</script><p>open news '),
+            (k % 6).cast("string"), F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit("<p>Sign up for our newsletter</p><p>content "),
+            k.cast("string"), F.lit("</p>"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), html.alias("html"))
+    not_free = F.col("html").rlike(r'"isAccessibleForFree"\s*:\s*false')
+    wall = F.col("html").rlike(
+        'class="[^"]*(paywall|subscribe-wall|meteredContent)')
+    cta = F.col("html").rlike("(Subscribe to continue|Already a subscriber)")
+    return docs.select(
+        "doc",
+        not_free.cast("int").alias("jsonld_not_free"),
+        wall.cast("int").alias("wall_class"),
+        cta.cast("int").alias("cta_phrase"),
+        (not_free | wall | cta).cast("int").alias("paywalled"))
+
+
+_CODE_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'def f(x):' || CHR(10) || '    return x + '
+                         || CAST(doc_id % 5 AS VARCHAR) || CHR(10)
+                         || CHR(10) || 'class A:' || CHR(10) || '    pass'
+             WHEN 1 THEN 'The quick brown fox jumps over the lazy dog '
+                         || CAST(doc_id % 8 AS VARCHAR)
+                         || '. It was a bright cold day in April.'
+             WHEN 2 THEN 'function add(a, b) { return a + b; }' || CHR(10)
+                         || 'const x = add(1, ' || CAST(doc_id % 3 AS VARCHAR)
+                         || ');'
+             ELSE 'Mixed prose where x = 1 denotes assignment, case '
+                  || CAST(doc_id % 6 AS VARCHAR) || '.'
+           END AS text
+    FROM documents
+"""
+
+
+@query(
+    "code_detect",
+    f"""
+    WITH u AS ({_CODE_TEXT_SQL})
+    SELECT doc,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(regexp_replace(text, '[^{{}}();=<>\\[\\]]', '', 'g'))
+               AS BIGINT) AS symbol_chars,
+           CAST(length(regexp_replace(text, '[^{{}}();=<>\\[\\]]', '', 'g'))
+                * 10000 // GREATEST(length(text), 1) AS BIGINT)
+             AS symbol_bp,
+           CAST(len(regexp_extract_all(text,
+                '\\b(def|function|class|import|return|const|var)\\b'))
+               AS BIGINT) AS kw_hits,
+           CAST(len(regexp_extract_all(text, '(?m)^(    |\\t)')) AS BIGINT)
+             AS indented_lines,
+           CAST(CASE WHEN length(regexp_replace(text, '[^{{}}();=<>\\[\\]]',
+                                                '', 'g'))
+                      * 10000 // GREATEST(length(text), 1) >= 300
+                      AND len(regexp_extract_all(text,
+                        '\\b(def|function|class|import|return|const|var)\\b'))
+                          >= 2
+                THEN 1 ELSE 0 END AS INT) AS is_code
+    FROM u
+    """,
+)
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-content detection — routing documents into code vs prose
+    corpora (and keeping stray code out of a prose LM mix) needs a
+    deterministic gate long before a learned classifier exists. Exact
+    signals: code-symbol density in basis points (braces, parens,
+    operators via a single char-class strip — the translate-style
+    zero-regex-backtracking pattern), reserved-word hits, and indented
+    lines; the gate needs BOTH density and keywords so symbol-heavy
+    prose (case 3) stays prose. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    nl = "\n"
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("def f(x):" + nl + "    return x + "),
+            (k % 5).cast("string"),
+            F.lit(nl + nl + "class A:" + nl + "    pass")))
+        .when(m == 1, F.concat(
+            F.lit("The quick brown fox jumps over the lazy dog "),
+            (k % 8).cast("string"),
+            F.lit(". It was a bright cold day in April.")))
+        .when(m == 2, F.concat(
+            F.lit("function add(a, b) { return a + b; }" + nl
+                  + "const x = add(1, "), (k % 3).cast("string"),
+            F.lit(");")))
+        .otherwise(F.concat(
+            F.lit("Mixed prose where x = 1 denotes assignment, case "),
+            (k % 6).cast("string"), F.lit("."))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    sym = F.length(F.regexp_replace("text", r"[^{}();=<>\[\]]", ""))
+    kw = F.size(F.regexp_extract_all(
+        "text", F.lit(r"\b(def|function|class|import|return|const|var)\b"),
+        F.lit(0)))
+    n = F.length("text")
+    sym_bp = F.expr(
+        "length(regexp_replace(text, '[^{}();=<>\\\\[\\\\]]', '')) * 10000"
+        " div GREATEST(length(text), 1)")
+    return docs.select(
+        "doc",
+        n.cast("bigint").alias("n_chars"),
+        sym.cast("bigint").alias("symbol_chars"),
+        sym_bp.cast("bigint").alias("symbol_bp"),
+        kw.cast("bigint").alias("kw_hits"),
+        F.size(F.regexp_extract_all("text", F.lit(r"(?m)^(    |\t)"),
+                                    F.lit(0)))
+        .cast("bigint").alias("indented_lines"),
+        ((sym_bp >= 300) & (kw >= 2)).cast("int").alias("is_code"))
+
+
+_CITED_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'Fact one.[1] Fact two.[2] More on this topic.[1] '
+                         || 'Tail ' || CAST(doc_id % 5 AS VARCHAR)
+                         || CHR(10) || 'References' || CHR(10)
+                         || '[1] Source A' || CHR(10) || '[2] Source B'
+             WHEN 1 THEN 'Plain paragraph without citations '
+                         || CAST(doc_id % 7 AS VARCHAR) || '.'
+             WHEN 2 THEN 'Claim.[12] Another claim.[3] And a third.[12] '
+                         || CAST(doc_id % 3 AS VARCHAR) || CHR(10)
+                         || 'Bibliography' || CHR(10) || '[3] Paper X'
+             ELSE 'Text mentioning a [TODO] placeholder '
+                  || CAST(doc_id % 9 AS VARCHAR) || '.'
+           END AS text
+    FROM documents
+"""
+
+
+@query(
+    "citation_density",
+    f"""
+    WITH u AS ({_CITED_TEXT_SQL}),
+    split AS (
+      SELECT doc, text,
+             regexp_replace(text, '(?s)(?m)^(References|Bibliography)$.*',
+                            '') AS body,
+             CAST(regexp_matches(text,
+                  '(?m)^(References|Bibliography)$') AS INT) AS has_refs
+      FROM u)
+    SELECT doc, has_refs,
+           CAST(len(regexp_extract_all(body, '\\[[0-9]{{1,3}}\\]'))
+               AS BIGINT) AS n_citations,
+           CAST(len(list_distinct(regexp_extract_all(body,
+                '\\[[0-9]{{1,3}}\\]'))) AS BIGINT) AS n_distinct_refs,
+           CAST(len(regexp_extract_all(body, '\\[[0-9]{{1,3}}\\]')) * 1000
+                // GREATEST(len(regexp_extract_all(body, '[^ \t\n]+')), 1)
+               AS BIGINT) AS citations_per_kword
+    FROM split
+    """,
+)
+def q_citation_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wiki-style citation-density scoring — bracketed numeric markers per
+    1000 body words plus a References/Bibliography section flag, a strong
+    referenced-quality prior for encyclopedic corpus curation (the signal
+    behind "cited text is high quality" heuristics). The reference
+    section is cut BEFORE counting so its own [n] labels don't inflate
+    the density; non-numeric brackets ([TODO]) never count. Zero-shuffle
+    projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    nl = "\n"
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("Fact one.[1] Fact two.[2] More on this topic.[1] Tail "),
+            (k % 5).cast("string"),
+            F.lit(nl + "References" + nl + "[1] Source A" + nl
+                  + "[2] Source B")))
+        .when(m == 1, F.concat(
+            F.lit("Plain paragraph without citations "),
+            (k % 7).cast("string"), F.lit(".")))
+        .when(m == 2, F.concat(
+            F.lit("Claim.[12] Another claim.[3] And a third.[12] "),
+            (k % 3).cast("string"),
+            F.lit(nl + "Bibliography" + nl + "[3] Paper X")))
+        .otherwise(F.concat(
+            F.lit("Text mentioning a [TODO] placeholder "),
+            (k % 9).cast("string"), F.lit("."))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    body = F.regexp_replace(
+        "text", r"(?s)(?m)^(References|Bibliography)$.*", "")
+    cite_pat = r"\[[0-9]{1,3}\]"
+    cites = F.regexp_extract_all(body, F.lit(cite_pat), F.lit(0))
+    words = F.size(F.regexp_extract_all(body, F.lit("[^ \t\n]+"), F.lit(0)))
+    return docs.select(
+        "doc",
+        F.col("text").rlike(r"(?m)^(References|Bibliography)$")
+        .cast("int").alias("has_refs"),
+        F.size(cites).cast("bigint").alias("n_citations"),
+        F.size(F.array_distinct(cites)).cast("bigint")
+        .alias("n_distinct_refs"),
+        F.expr("CAST(size(regexp_extract_all(regexp_replace(text,"
+               " '(?s)(?m)^(References|Bibliography)$.*', ''),"
+               " '\\\\[[0-9]{1,3}\\\\]', 0)) * 1000 AS BIGINT)"
+               " div GREATEST(size(regexp_extract_all(regexp_replace(text,"
+               " '(?s)(?m)^(References|Bibliography)$.*', ''),"
+               " '[^ \\t\\n]+', 0)), 1)")
+        .cast("bigint").alias("citations_per_kword"))
