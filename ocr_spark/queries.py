@@ -15186,3 +15186,328 @@ def q_citation_density(spark: SparkSession, sf_dir: str) -> DataFrame:
                " '(?s)(?m)^(References|Bibliography)$.*', ''),"
                " '[^ \\t\\n]+', 0)), 1)")
         .cast("bigint").alias("citations_per_kword"))
+
+
+_LICENSE_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 6
+             WHEN 0 THEN '<a rel="license" href="https://creativecommons.org/licenses/by/4.0/">CC BY 4.0</a><p>article '
+                         || CAST(doc_id % 5 AS VARCHAR) || '</p>'
+             WHEN 1 THEN '<a rel="license" href="https://creativecommons.org/licenses/by-nc-nd/3.0/">some rights reserved</a>'
+             WHEN 2 THEN '<p>Copyright 2024 Example Corp. All rights reserved.</p>'
+             WHEN 3 THEN '// SPDX-License-Identifier: MIT' || CHR(10)
+                         || 'code body ' || CAST(doc_id % 7 AS VARCHAR)
+             WHEN 4 THEN '<p>Dedicated to the public domain.</p><a rel="license" href="https://creativecommons.org/publicdomain/zero/1.0/">CC0</a>'
+             ELSE '<p>no license info ' || CAST(doc_id AS VARCHAR) || '</p>'
+           END AS html
+    FROM documents
+"""
+
+
+@query(
+    "license_detect",
+    f"""
+    WITH u AS ({_LICENSE_HTML_SQL}),
+    ext AS (
+      SELECT doc,
+             nullif(regexp_extract(html,
+               'creativecommons\\.org/(licenses|publicdomain)/([a-z-]+)/',
+               2), '') AS cc_variant,
+             nullif(regexp_extract(html,
+               'SPDX-License-Identifier: ([A-Za-z0-9.-]+)', 1), '')
+               AS spdx_id,
+             CAST(regexp_matches(html, 'All rights reserved') AS INT)
+               AS all_rights_reserved
+      FROM u)
+    SELECT doc, cc_variant, spdx_id, all_rights_reserved,
+           CAST(CASE WHEN cc_variant IN ('by', 'by-sa', 'zero')
+                       OR spdx_id IN ('MIT', 'Apache-2.0', 'BSD-3-Clause')
+                THEN 1 ELSE 0 END AS INT) AS redistributable
+    FROM ext
+    """,
+)
+def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License detection — training-data curation must separate
+    redistributable content (CC BY/BY-SA/CC0, permissive SPDX) from
+    all-rights-reserved and NC/ND-restricted pages BEFORE anything else
+    touches the corpus. Signals: the rel=license CC URL (machine-readable
+    channel, variant slug extracted from the path), SPDX identifiers
+    (the code-corpus channel), and the all-rights-reserved text marker.
+    Zero-shuffle projection; the variant slug — not the page — is what
+    downstream policy joins on."""
+    k = F.col("doc_id")
+    m = k % 6
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<a rel="license" href="https://creativecommons.org/'
+                  'licenses/by/4.0/">CC BY 4.0</a><p>article '),
+            (k % 5).cast("string"), F.lit("</p>")))
+        .when(m == 1, F.lit(
+            '<a rel="license" href="https://creativecommons.org/licenses/'
+            'by-nc-nd/3.0/">some rights reserved</a>'))
+        .when(m == 2, F.lit(
+            "<p>Copyright 2024 Example Corp. All rights reserved.</p>"))
+        .when(m == 3, F.concat(
+            F.lit("// SPDX-License-Identifier: MIT\ncode body "),
+            (k % 7).cast("string")))
+        .when(m == 4, F.lit(
+            '<p>Dedicated to the public domain.</p><a rel="license" '
+            'href="https://creativecommons.org/publicdomain/zero/1.0/">'
+            "CC0</a>"))
+        .otherwise(F.concat(
+            F.lit("<p>no license info "), k.cast("string"),
+            F.lit("</p>"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), html.alias("html"))
+    cc = F.nullif(F.regexp_extract(
+        "html", r"creativecommons\.org/(licenses|publicdomain)/([a-z-]+)/",
+        2), F.lit(""))
+    spdx = F.nullif(F.regexp_extract(
+        "html", r"SPDX-License-Identifier: ([A-Za-z0-9.-]+)", 1),
+        F.lit(""))
+    return docs.select(
+        "doc", cc.alias("cc_variant"), spdx.alias("spdx_id"),
+        F.col("html").rlike("All rights reserved").cast("int")
+        .alias("all_rights_reserved"),
+        # NULL-safe: a page with no license signal is NOT redistributable
+        # (isin on NULL yields NULL, which must read as 0, not unknown)
+        F.coalesce(cc.isin("by", "by-sa", "zero").cast("int"), F.lit(0))
+        .bitwiseOR(F.coalesce(
+            spdx.isin("MIT", "Apache-2.0", "BSD-3-Clause").cast("int"),
+            F.lit(0)))
+        .cast("int").alias("redistributable"))
+
+
+_IMG_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '<img src="/a' || CAST(doc_id % 5 AS VARCHAR)
+                         || '.jpg" alt="A red fox in the snow"><p>text</p>'
+                         || '<img src="/b.png" alt="Chart of results">'
+             WHEN 1 THEN '<img src="/spacer.gif" alt=""><img src="/logo.svg">'
+             WHEN 2 THEN '<p>no images here ' || CAST(doc_id AS VARCHAR)
+                         || '</p>'
+             ELSE '<img alt="Portrait of the author" src="/p'
+                  || CAST(doc_id % 3 AS VARCHAR) || '.webp">'
+           END AS html
+    FROM documents
+"""
+
+
+@query(
+    "img_alt_pairs",
+    f"""
+    WITH u AS ({_IMG_HTML_SQL}),
+    tags AS (
+      SELECT doc, unnest(regexp_extract_all(html, '<img [^>]*>')) AS tag
+      FROM u),
+    pairs AS (
+      SELECT doc,
+             nullif(regexp_extract(tag, 'src="([^"]*)"', 1), '') AS src,
+             nullif(regexp_extract(tag, 'alt="([^"]*)"', 1), '') AS alt
+      FROM tags)
+    SELECT doc, src, alt,
+           CAST(len(regexp_extract_all(alt, '[^ ]+')) AS BIGINT)
+             AS alt_words
+    FROM pairs
+    WHERE alt IS NOT NULL
+    """,
+)
+def q_img_alt_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image–alt-text pair extraction — the raw material for
+    image-caption training sets (LAION-style pairing starts exactly
+    here: every <img> with a non-empty alt becomes a candidate
+    (image-url, caption) row). Attribute order must not matter (case 3
+    puts alt before src) and empty/missing alts drop. One explode per
+    page bounded by its img count; downstream joins on src to the fetch
+    table. Per-pair caption word count feeds the alt-quality filter."""
+    k = F.col("doc_id")
+    m = k % 4
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<img src="/a'), (k % 5).cast("string"),
+            F.lit('.jpg" alt="A red fox in the snow"><p>text</p>'
+                  '<img src="/b.png" alt="Chart of results">')))
+        .when(m == 1, F.lit(
+            '<img src="/spacer.gif" alt=""><img src="/logo.svg">'))
+        .when(m == 2, F.concat(
+            F.lit("<p>no images here "), k.cast("string"), F.lit("</p>")))
+        .otherwise(F.concat(
+            F.lit('<img alt="Portrait of the author" src="/p'),
+            (k % 3).cast("string"), F.lit('.webp">'))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), html.alias("html"))
+    tags = docs.select(
+        "doc",
+        F.explode(F.regexp_extract_all(
+            "html", F.lit("<img [^>]*>"), F.lit(0))).alias("tag"))
+    pairs = tags.select(
+        "doc",
+        F.nullif(F.regexp_extract("tag", 'src="([^"]*)"', 1), F.lit(""))
+        .alias("src"),
+        F.nullif(F.regexp_extract("tag", 'alt="([^"]*)"', 1), F.lit(""))
+        .alias("alt"))
+    return pairs.filter(F.col("alt").isNotNull()).select(
+        "doc", "src", "alt",
+        F.size(F.regexp_extract_all("alt", F.lit("[^ ]+"), F.lit(0)))
+        .cast("bigint").alias("alt_words"))
+
+
+_TOX_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'What the hell is this damn thing doing '
+                         || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 1 THEN 'A perfectly pleasant paragraph about gardens '
+                         || CAST(doc_id % 7 AS VARCHAR) || '.'
+             WHEN 2 THEN 'I hate this stupid broken idiot machine, '
+                         || 'what the hell.'
+             ELSE 'Shell shellfish hello helluva hatering '
+                  || CAST(doc_id % 3 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+
+@query(
+    "toxicity_gate",
+    f"""
+    WITH u AS ({_TOX_TEXT_SQL}),
+    hits AS (
+      SELECT doc,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)\\b(damn|hell|idiot|stupid|hate)\\b')) AS BIGINT)
+               AS n_hits,
+             CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)
+               AS n_words
+      FROM u)
+    SELECT doc, n_hits, n_words,
+           CAST(n_hits * 1000 // GREATEST(n_words, 1) AS BIGINT)
+             AS hits_per_kword,
+           CAST(CASE WHEN n_hits * 1000 // GREATEST(n_words, 1) >= 300
+                THEN 1 ELSE 0 END AS INT) AS gated
+    FROM hits
+    """,
+)
+def q_toxicity_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic wordlist toxicity gate — the first-pass profanity
+    filter every corpus pipeline runs before a learned classifier
+    exists (C4 ran exactly this against a public denylist). Whole-word
+    case-insensitive matches only, so 'shell'/'hello'/'hatering' never
+    count (the substring false-positive class that naive filters hit);
+    density in hits-per-1000-words gates, not raw counts, so long
+    documents aren't penalized for one quote. Zero-shuffle projection;
+    the denylist is a stand-in — the real list broadcasts the same way."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("What the hell is this damn thing doing "),
+            (k % 5).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("A perfectly pleasant paragraph about gardens "),
+            (k % 7).cast("string"), F.lit(".")))
+        .when(m == 2, F.lit(
+            "I hate this stupid broken idiot machine, what the hell."))
+        .otherwise(F.concat(
+            F.lit("Shell shellfish hello helluva hatering "),
+            (k % 3).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    hits = F.size(F.regexp_extract_all(
+        "text", F.lit(r"(?i)\b(damn|hell|idiot|stupid|hate)\b"), F.lit(0)))
+    words = F.size(F.regexp_extract_all("text", F.lit("[^ ]+"), F.lit(0)))
+    per_kw = F.expr(
+        "size(regexp_extract_all(text,"
+        " '(?i)\\\\b(damn|hell|idiot|stupid|hate)\\\\b', 0)) * 1000"
+        " div GREATEST(size(regexp_extract_all(text, '[^ ]+', 0)), 1)")
+    return docs.select(
+        "doc", hits.cast("bigint").alias("n_hits"),
+        words.cast("bigint").alias("n_words"),
+        per_kw.cast("bigint").alias("hits_per_kword"),
+        (per_kw >= 300).cast("int").alias("gated"))
+
+
+_AD_HTML_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '<div class="content"><p>real text '
+                         || CAST(doc_id % 5 AS VARCHAR)
+                         || '</p></div><div class="ad-banner">Buy now!</div>'
+                         || '<div id="ads-footer">promo</div>'
+             WHEN 1 THEN '<iframe src="https://adserver.example/slot1">'
+                         || '</iframe><p>short ' || CAST(doc_id % 3 AS VARCHAR)
+                         || '</p>'
+             WHEN 2 THEN '<div class="article"><p>long clean article body '
+                         || CAST(doc_id % 7 AS VARCHAR) || '</p></div>'
+             ELSE '<div class="sponsored">Sponsored content</div>'
+                  || '<script src="https://ads.example/t.js"></script><p>mix '
+                  || CAST(doc_id AS VARCHAR) || '</p>'
+           END AS html
+    FROM documents
+"""
+
+
+@query(
+    "ad_density",
+    f"""
+    WITH u AS ({_AD_HTML_SQL})
+    SELECT doc,
+           CAST(len(regexp_extract_all(html,
+                '(class|id)="[^"]*(ad-|ads|advert|sponsor|promo)')) AS BIGINT)
+             AS n_ad_containers,
+           CAST(len(regexp_extract_all(html, '<iframe ')) AS BIGINT)
+             AS n_iframes,
+           CAST(len(regexp_extract_all(html,
+                '<script src="[^"]*(ads|adserver)')) AS BIGINT)
+             AS n_ad_scripts,
+           CAST(CASE WHEN len(regexp_extract_all(html,
+                  '(class|id)="[^"]*(ad-|ads|advert|sponsor|promo)'))
+                 + len(regexp_extract_all(html, '<iframe '))
+                 + len(regexp_extract_all(html,
+                  '<script src="[^"]*(ads|adserver)')) >= 2
+                THEN 1 ELSE 0 END AS INT) AS ad_heavy
+    FROM u
+    """,
+)
+def q_ad_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ad-density scoring — ad-farm pages (MFA, 'made for advertising')
+    are the highest-volume low-quality stratum of any crawl; counting ad
+    containers by class/id signature, ad iframes, and ad-network script
+    tags is the deterministic pre-filter before quality models. The
+    ad_heavy gate (≥2 independent ad signals) feeds the curation funnel
+    next to quality_gate. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<div class="content"><p>real text '),
+            (k % 5).cast("string"),
+            F.lit('</p></div><div class="ad-banner">Buy now!</div>'
+                  '<div id="ads-footer">promo</div>')))
+        .when(m == 1, F.concat(
+            F.lit('<iframe src="https://adserver.example/slot1"></iframe>'
+                  "<p>short "), (k % 3).cast("string"), F.lit("</p>")))
+        .when(m == 2, F.concat(
+            F.lit('<div class="article"><p>long clean article body '),
+            (k % 7).cast("string"), F.lit("</p></div>")))
+        .otherwise(F.concat(
+            F.lit('<div class="sponsored">Sponsored content</div>'
+                  '<script src="https://ads.example/t.js"></script><p>mix '),
+            k.cast("string"), F.lit("</p>"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), html.alias("html"))
+    containers = F.size(F.regexp_extract_all(
+        "html", F.lit('(class|id)="[^"]*(ad-|ads|advert|sponsor|promo)'),
+        F.lit(0)))
+    iframes = F.size(F.regexp_extract_all("html", F.lit("<iframe "),
+                                          F.lit(0)))
+    scripts = F.size(F.regexp_extract_all(
+        "html", F.lit('<script src="[^"]*(ads|adserver)'), F.lit(0)))
+    return docs.select(
+        "doc",
+        containers.cast("bigint").alias("n_ad_containers"),
+        iframes.cast("bigint").alias("n_iframes"),
+        scripts.cast("bigint").alias("n_ad_scripts"),
+        ((containers + iframes + scripts) >= 2).cast("int")
+        .alias("ad_heavy"))
