@@ -15511,3 +15511,542 @@ def q_ad_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         scripts.cast("bigint").alias("n_ad_scripts"),
         ((containers + iframes + scripts) >= 2).cast("int")
         .alias("ad_heavy"))
+
+
+# ===========================================================================
+# Round-4 batch: code-file quality, math-content / Q&A / transcript
+# detection, quote density, sentence segmentation moments — the content-
+# type routing layer a webtext training corpus runs between extraction
+# and the per-type quality filters.
+# ===========================================================================
+
+_CODEQ_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 5
+             WHEN 0 THEN 'def f(x):' || chr(10) || '    return x + 1'
+                         || chr(10) || '# step ' || CAST(doc_id % 7 AS VARCHAR)
+                         || chr(10) || 'print(f(2))'
+             WHEN 1 THEN '# DO NOT EDIT - generated by protoc' || chr(10)
+                         || 'def g():' || chr(10) || '    pass' || chr(10)
+                         || '# v' || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 2 THEN 'short line ' || CAST(doc_id % 5 AS VARCHAR)
+                         || chr(10) || repeat('aaaa; ', 30)
+             WHEN 3 THEN 'payload = "' || repeat('QUJD', 16) || '"'
+                         || chr(10) || 'rest = ' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE 'This module documents the parser behavior in plain '
+                  || 'prose. ' || CAST(doc_id % 5 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_CODEQ_SQL = (
+    "WITH u AS (" + _CODEQ_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             CAST(list_max(list_transform(string_split(text, chr(10)),
+                  l -> length(l))) AS BIGINT) AS max_line_len,
+             CAST(len(list_filter(string_split(text, chr(10)),
+                  l -> length(l) > 120)) AS BIGINT) AS n_long_lines,
+             CAST(CASE WHEN regexp_matches(text,
+                  '(?i)(do not edit|@generated|auto-generated)')
+                THEN 1 ELSE 0 END AS INT) AS autogen,
+             CAST(CASE WHEN regexp_matches(text, '[A-Za-z0-9+/=]{60,}')
+                THEN 1 ELSE 0 END AS INT) AS has_b64_blob
+      FROM u)
+    SELECT doc, n_lines, max_line_len, n_long_lines, autogen, has_b64_blob,
+           CAST(CASE WHEN autogen = 0 AND has_b64_blob = 0
+                      AND max_line_len <= 120
+                THEN 1 ELSE 0 END AS INT) AS keep
+    FROM m
+    """
+)
+
+
+@query("code_quality", _CODEQ_SQL)
+def q_code_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-file quality filter — the per-file gates The-Stack-style code
+    corpora apply after license screening: max/long-line stats catch
+    minified or data-dump files, 'DO NOT EDIT'/@generated markers catch
+    autogenerated output (near-zero training value, massive volume), and
+    60+-char base64 runs catch embedded binary blobs. All signals are
+    in-row array/regex projections over the line split — zero shuffle,
+    the shape that survives a 10^12-file corpus."""
+    k = F.col("doc_id")
+    m = k % 5
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("def f(x):\n    return x + 1\n# step "),
+            (k % 7).cast("string"), F.lit("\nprint(f(2))")))
+        .when(m == 1, F.concat(
+            F.lit("# DO NOT EDIT - generated by protoc\ndef g():\n"
+                  "    pass\n# v"), (k % 3).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("short line "), (k % 5).cast("string"), F.lit("\n"),
+            F.repeat(F.lit("aaaa; "), 30)))
+        .when(m == 3, F.concat(
+            F.lit('payload = "'), F.repeat(F.lit("QUJD"), 16),
+            F.lit('"\nrest = '), (k % 3).cast("string")))
+        .otherwise(F.concat(
+            F.lit("This module documents the parser behavior in plain "
+                  "prose. "), (k % 5).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    lines = F.split("text", "\n")
+    base = docs.select(
+        "doc",
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.array_max(F.transform(lines, lambda l: F.length(l)))
+        .cast("bigint").alias("max_line_len"),
+        F.size(F.filter(lines, lambda l: F.length(l) > 120))
+        .cast("bigint").alias("n_long_lines"),
+        F.col("text").rlike("(?i)(do not edit|@generated|auto-generated)")
+        .cast("int").alias("autogen"),
+        F.col("text").rlike("[A-Za-z0-9+/=]{60,}")
+        .cast("int").alias("has_b64_blob"))
+    return base.select(
+        "doc", "n_lines", "max_line_len", "n_long_lines", "autogen",
+        "has_b64_blob",
+        ((F.col("autogen") == 0) & (F.col("has_b64_blob") == 0)
+         & (F.col("max_line_len") <= 120)).cast("int").alias("keep"))
+
+
+_MATH_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'We have $x^2 + y^2 = z^2$ and \\frac{a}{b} with '
+                         || '\\sum_{i=1}^{n} i of order '
+                         || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 1 THEN 'E = m c^2 and 2 + 2 = 4 and 10 / 5 = 2 case '
+                         || CAST(doc_id % 7 AS VARCHAR)
+             WHEN 2 THEN 'The cost is $5 and the budget is $10 for '
+                         || 'supplies batch ' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE 'Theorem: let n be an integer. Proof: n times n is n^2. '
+                  || 'QED ' || CAST(doc_id % 5 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_MATH_SQL = (
+    "WITH u AS (" + _MATH_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(len(regexp_extract_all(text,
+                  '\\$[^$]*(\\^|_|\\\\)[^$]*\\$')) AS BIGINT)
+               AS n_inline_math,
+             CAST(len(regexp_extract_all(text,
+                  '\\\\(frac|sum|int|sqrt|begin|alpha|beta)')) AS BIGINT)
+               AS n_latex_cmds,
+             CAST(len(regexp_extract_all(text,
+                  '[0-9A-Za-z] = [0-9A-Za-z]')) AS BIGINT) AS n_equations,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)\\b(theorem|lemma|proof|corollary|equation|integer)\\b'
+                  )) AS BIGINT) AS n_math_words
+      FROM u)
+    SELECT doc, n_inline_math, n_latex_cmds, n_equations, n_math_words,
+           CAST(CASE WHEN n_inline_math + n_latex_cmds >= 1
+                      OR n_equations >= 2 OR n_math_words >= 2
+                THEN 1 ELSE 0 END AS INT) AS is_math
+    FROM m
+    """
+)
+
+
+@query("math_detect", _MATH_SQL)
+def q_math_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-content detection — the OpenWebMath/ProofPile routing signal:
+    LaTeX inline spans ($...$ that actually contain an operator, so '$5
+    and $10' price prose never counts — the classic false positive),
+    LaTeX commands, spaced equations, and theorem-prose keywords. Pages
+    that gate here route to a math-preserving extractor instead of the
+    default boilerplate strip (which destroys equations). Zero-shuffle
+    projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("We have $x^2 + y^2 = z^2$ and \\frac{a}{b} with "
+                  "\\sum_{i=1}^{n} i of order "), (k % 5).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("E = m c^2 and 2 + 2 = 4 and 10 / 5 = 2 case "),
+            (k % 7).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("The cost is $5 and the budget is $10 for supplies "
+                  "batch "), (k % 3).cast("string")))
+        .otherwise(F.concat(
+            F.lit("Theorem: let n be an integer. Proof: n times n is "
+                  "n^2. QED "), (k % 5).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    inline = F.size(F.regexp_extract_all(
+        "text", F.lit(r"\$[^$]*(\^|_|\\)[^$]*\$"), F.lit(0)))
+    cmds = F.size(F.regexp_extract_all(
+        "text", F.lit(r"\\(frac|sum|int|sqrt|begin|alpha|beta)"), F.lit(0)))
+    eqs = F.size(F.regexp_extract_all(
+        "text", F.lit("[0-9A-Za-z] = [0-9A-Za-z]"), F.lit(0)))
+    words = F.size(F.regexp_extract_all(
+        "text",
+        F.lit(r"(?i)\b(theorem|lemma|proof|corollary|equation|integer)\b"),
+        F.lit(0)))
+    base = docs.select(
+        "doc", inline.cast("bigint").alias("n_inline_math"),
+        cmds.cast("bigint").alias("n_latex_cmds"),
+        eqs.cast("bigint").alias("n_equations"),
+        words.cast("bigint").alias("n_math_words"))
+    return base.select(
+        "doc", "n_inline_math", "n_latex_cmds", "n_equations",
+        "n_math_words",
+        ((F.col("n_inline_math") + F.col("n_latex_cmds") >= 1)
+         | (F.col("n_equations") >= 2) | (F.col("n_math_words") >= 2))
+        .cast("int").alias("is_math"))
+
+
+_QA_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'Q: How do I reset my password?' || chr(10)
+                         || 'A: Click the reset link.' || chr(10)
+                         || 'Q: Where is order '
+                         || CAST(doc_id % 5 AS VARCHAR) || '?' || chr(10)
+                         || 'A: Check the tracking page.'
+             WHEN 1 THEN '<script type="application/ld+json">'
+                         || '{"@type": "FAQPage"}</script><p>Help center '
+                         || CAST(doc_id % 3 AS VARCHAR) || '</p>'
+             WHEN 2 THEN 'Could it be better? Perhaps. We walked home '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             ELSE 'Interviewer: What inspired you?' || chr(10)
+                  || 'Guest: The mountains.' || chr(10)
+                  || 'Interviewer: Why now?' || chr(10)
+                  || 'Guest: Because ' || CAST(doc_id % 3 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_QA_SQL = (
+    "WITH u AS (" + _QA_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(len(regexp_extract_all(text, '(?m)^Q: ')) AS BIGINT)
+               AS n_q_markers,
+             CAST(len(regexp_extract_all(text, '(?m)^A: ')) AS BIGINT)
+               AS n_a_markers,
+             CAST(len(list_filter(string_split(text, chr(10)),
+                  l -> l LIKE '%?')) AS BIGINT) AS n_question_lines,
+             CAST(CASE WHEN strpos(text, '"@type": "FAQPage"') > 0
+                THEN 1 ELSE 0 END AS INT) AS faq_schema
+      FROM u)
+    SELECT doc, n_q_markers, n_a_markers, n_question_lines, faq_schema,
+           CAST(LEAST(n_q_markers, n_a_markers) AS BIGINT) AS qa_pairs,
+           CAST(CASE WHEN LEAST(n_q_markers, n_a_markers) >= 1
+                      OR faq_schema = 1
+                THEN 1 ELSE 0 END AS INT) AS is_qa
+    FROM m
+    """
+)
+
+
+@query("qa_page_detect", _QA_SQL)
+def q_qa_page_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q&A page detection — FAQ and interview pages are the natural-
+    question stratum instruction-tuning corpora mine first. Signals:
+    line-anchored Q:/A: markers (paired via LEAST — an answerless
+    question list isn't Q&A), schema.org FAQPage JSON-LD, and
+    ?-terminated lines (exposed but not gating alone: one rhetorical
+    question in prose is the false-positive control). Zero-shuffle
+    projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("Q: How do I reset my password?\nA: Click the reset "
+                  "link.\nQ: Where is order "), (k % 5).cast("string"),
+            F.lit("?\nA: Check the tracking page.")))
+        .when(m == 1, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type": "FAQPage"}</script><p>Help center '),
+            (k % 3).cast("string"), F.lit("</p>")))
+        .when(m == 2, F.concat(
+            F.lit("Could it be better? Perhaps. We walked home "),
+            (k % 3).cast("string")))
+        .otherwise(F.concat(
+            F.lit("Interviewer: What inspired you?\nGuest: The "
+                  "mountains.\nInterviewer: Why now?\nGuest: Because "),
+            (k % 3).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    nq = F.size(F.regexp_extract_all("text", F.lit("(?m)^Q: "), F.lit(0)))
+    na = F.size(F.regexp_extract_all("text", F.lit("(?m)^A: "), F.lit(0)))
+    qlines = F.size(F.filter(F.split("text", "\n"),
+                             lambda l: l.endswith("?")))
+    faq = F.col("text").contains('"@type": "FAQPage"').cast("int")
+    base = docs.select(
+        "doc", nq.cast("bigint").alias("n_q_markers"),
+        na.cast("bigint").alias("n_a_markers"),
+        qlines.cast("bigint").alias("n_question_lines"),
+        faq.alias("faq_schema"))
+    return base.select(
+        "doc", "n_q_markers", "n_a_markers", "n_question_lines",
+        "faq_schema",
+        F.least("n_q_markers", "n_a_markers").cast("bigint")
+        .alias("qa_pairs"),
+        ((F.least("n_q_markers", "n_a_markers") >= 1)
+         | (F.col("faq_schema") == 1)).cast("int").alias("is_qa"))
+
+
+_TRANS_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '1' || chr(10)
+                         || '00:00:01,000 --> 00:00:04,000' || chr(10)
+                         || 'Hello there' || chr(10) || chr(10) || '2'
+                         || chr(10)
+                         || '00:00:05,000 --> 00:00:08,000' || chr(10)
+                         || 'Welcome back ' || CAST(doc_id % 9 AS VARCHAR)
+             WHEN 1 THEN 'HOST: Welcome to the show '
+                         || CAST(doc_id % 5 AS VARCHAR) || chr(10)
+                         || 'GUEST: Thanks for having me' || chr(10)
+                         || 'HOST: Here we go'
+             WHEN 2 THEN 'The meeting ran from 9:30 to 11:00 and covered '
+                         || 'budgets ' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE '0:01 intro' || chr(10) || '0:45 setup' || chr(10)
+                  || '2:30 main topic' || chr(10) || '5:10 conclusion '
+                  || CAST(doc_id % 7 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_TRANS_SQL = (
+    "WITH u AS (" + _TRANS_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(len(regexp_extract_all(text,
+                  '\\b[0-9]{1,2}:[0-9]{2}(:[0-9]{2})?\\b')) AS BIGINT)
+               AS n_timestamps,
+             CAST(len(regexp_extract_all(text, '-->')) AS BIGINT)
+               AS n_arrows,
+             CAST(len(regexp_extract_all(text,
+                  '(?m)^[A-Z][A-Za-z]*: ')) AS BIGINT) AS n_speaker_lines
+      FROM u)
+    SELECT doc, n_timestamps, n_arrows, n_speaker_lines,
+           CAST(CASE WHEN n_arrows >= 1 OR n_timestamps >= 3
+                      OR n_speaker_lines >= 2
+                THEN 1 ELSE 0 END AS INT) AS is_transcript
+    FROM m
+    """
+)
+
+
+@query("transcript_detect", _TRANS_SQL)
+def q_transcript_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript/subtitle detection — SRT cue arrows, dense
+    HH:MM(:SS) timestamps, and line-anchored SPEAKER: labels mark
+    spoken-word pages (captions, podcast transcripts, chapter lists)
+    that need a different cleaning path than article prose (cue numbers
+    and timestamps are boilerplate there, not content). Two clock
+    mentions in prose ('ran from 9:30 to 11:00') stay below the
+    3-timestamp gate — the false-positive control. Zero-shuffle
+    projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("1\n00:00:01,000 --> 00:00:04,000\nHello there\n\n2\n"
+                  "00:00:05,000 --> 00:00:08,000\nWelcome back "),
+            (k % 9).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("HOST: Welcome to the show "), (k % 5).cast("string"),
+            F.lit("\nGUEST: Thanks for having me\nHOST: Here we go")))
+        .when(m == 2, F.concat(
+            F.lit("The meeting ran from 9:30 to 11:00 and covered "
+                  "budgets "), (k % 3).cast("string")))
+        .otherwise(F.concat(
+            F.lit("0:01 intro\n0:45 setup\n2:30 main topic\n"
+                  "5:10 conclusion "), (k % 7).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    ts = F.size(F.regexp_extract_all(
+        "text", F.lit(r"\b[0-9]{1,2}:[0-9]{2}(:[0-9]{2})?\b"), F.lit(0)))
+    arrows = F.size(F.regexp_extract_all("text", F.lit("-->"), F.lit(0)))
+    speakers = F.size(F.regexp_extract_all(
+        "text", F.lit("(?m)^[A-Z][A-Za-z]*: "), F.lit(0)))
+    base = docs.select(
+        "doc", ts.cast("bigint").alias("n_timestamps"),
+        arrows.cast("bigint").alias("n_arrows"),
+        speakers.cast("bigint").alias("n_speaker_lines"))
+    return base.select(
+        "doc", "n_timestamps", "n_arrows", "n_speaker_lines",
+        ((F.col("n_arrows") >= 1) | (F.col("n_timestamps") >= 3)
+         | (F.col("n_speaker_lines") >= 2)).cast("int")
+        .alias("is_transcript"))
+
+
+_QUOTE_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '"We expect growth this quarter," said the '
+                         || 'minister. "The plan is on track," she added. '
+                         || 'Briefing ' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 1 THEN 'No quoted material appears in this plain '
+                         || 'paragraph at all ' || CAST(doc_id % 7 AS VARCHAR)
+             WHEN 2 THEN 'He wrote "alpha" then "beta" then "gamma" on '
+                         || 'the board ' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE 'The sign read "No entry beyond this point" at the '
+                  || 'gate ' || CAST(doc_id % 3 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_QUOTE_SQL = (
+    "WITH u AS (" + _QUOTE_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(len(regexp_extract_all(text, '"[^"]+"')) AS BIGINT)
+               AS n_quotes,
+             CAST(COALESCE(list_sum(list_transform(
+                  regexp_extract_all(text, '"[^"]+"'),
+                  s -> length(s))), 0) AS BIGINT) AS quoted_chars,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)\\b(said|says|asked|added|according to)\\b'))
+                  AS BIGINT) AS n_attrib,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM u)
+    SELECT doc, n_quotes, quoted_chars, n_attrib,
+           CAST(quoted_chars * 10000 // GREATEST(n_chars, 1) AS BIGINT)
+             AS quoted_bp,
+           CAST(CASE WHEN n_quotes >= 2 AND n_attrib >= 1
+                THEN 1 ELSE 0 END AS INT) AS has_dialog
+    FROM m
+    """
+)
+
+
+@query("quote_density", _QUOTE_SQL)
+def q_quote_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quote-density scoring — attributed quotation ('...,' said X) is a
+    strong journalism/reportage signal, and quoted-mass basis points
+    separate dialog-heavy fiction and interviews from expository prose
+    for corpus mixing. The has_dialog gate needs BOTH repeated quotes
+    and an attribution verb, so a single quoted sign ('The sign read
+    "..."') never counts as dialog. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit('"We expect growth this quarter," said the minister. '
+                  '"The plan is on track," she added. Briefing '),
+            (k % 5).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("No quoted material appears in this plain paragraph "
+                  "at all "), (k % 7).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit('He wrote "alpha" then "beta" then "gamma" on the '
+                  "board "), (k % 3).cast("string")))
+        .otherwise(F.concat(
+            F.lit('The sign read "No entry beyond this point" at the '
+                  "gate "), (k % 3).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    spans = F.regexp_extract_all("text", F.lit('"[^"]+"'), F.lit(0))
+    base = docs.select(
+        "doc",
+        F.size(spans).cast("bigint").alias("n_quotes"),
+        F.aggregate(spans, F.lit(0).cast("bigint"),
+                    lambda a, s: a + F.length(s))
+        .cast("bigint").alias("quoted_chars"),
+        F.size(F.regexp_extract_all(
+            "text",
+            F.lit(r"(?i)\b(said|says|asked|added|according to)\b"),
+            F.lit(0))).cast("bigint").alias("n_attrib"),
+        F.length("text").cast("bigint").alias("n_chars"))
+    return base.select(
+        "doc", "n_quotes", "quoted_chars", "n_attrib",
+        F.expr("quoted_chars * 10000 div GREATEST(n_chars, 1)")
+        .cast("bigint").alias("quoted_bp"),
+        ((F.col("n_quotes") >= 2) & (F.col("n_attrib") >= 1))
+        .cast("int").alias("has_dialog"))
+
+
+_SENT_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 3
+             WHEN 0 THEN 'The sky was clear. We walked to the lake '
+                         || CAST(doc_id % 5 AS VARCHAR)
+                         || '. It was a fine day! Was it not? Indeed.'
+             WHEN 1 THEN 'this is a run on line with no punctuation at '
+                         || 'all ' || CAST(doc_id % 7 AS VARCHAR)
+             ELSE 'Yes. No. Maybe. Stop '
+                  || CAST(doc_id % 3 AS VARCHAR) || '.'
+           END AS text
+    FROM documents
+"""
+
+_SENT_SQL = (
+    "WITH u AS (" + _SENT_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(len(regexp_extract_all(text, '[^.!?]+[.!?]+'))
+                  AS BIGINT) AS n_sentences,
+             CAST(len(regexp_extract_all(text, '[^ ]+')) AS BIGINT)
+               AS n_words,
+             CAST(COALESCE(list_sum(list_transform(
+                  regexp_extract_all(text, '[^.!?]+[.!?]+'),
+                  s -> length(s))), 0) AS BIGINT) AS sent_chars,
+             CAST(CASE WHEN regexp_matches(text, '[.!?]$')
+                THEN 1 ELSE 0 END AS INT) AS ends_terminated
+      FROM u)
+    SELECT doc, n_sentences, n_words, ends_terminated,
+           CAST(n_words * 100 // GREATEST(n_sentences, 1) AS BIGINT)
+             AS words_per_sent_x100,
+           CAST(sent_chars // GREATEST(n_sentences, 1) AS BIGINT)
+             AS avg_sent_chars
+    FROM m
+    """
+)
+
+
+@query("sentence_stats", _SENT_SQL)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation moments — terminated-sentence count, words
+    per sentence (x100 fixed point), average sentence chars, and the
+    ends-terminated flag. These are the distributional inputs quality
+    models key on: run-on unterminated text scores 0 sentences (the C4
+    'terminal punctuation' rule), choppy navigation text shows tiny
+    sentence lengths. Terminated spans only, so a trailing fragment
+    never inflates the count. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 3
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("The sky was clear. We walked to the lake "),
+            (k % 5).cast("string"),
+            F.lit(". It was a fine day! Was it not? Indeed.")))
+        .when(m == 1, F.concat(
+            F.lit("this is a run on line with no punctuation at all "),
+            (k % 7).cast("string")))
+        .otherwise(F.concat(
+            F.lit("Yes. No. Maybe. Stop "), (k % 3).cast("string"),
+            F.lit("."))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    sents = F.regexp_extract_all("text", F.lit("[^.!?]+[.!?]+"), F.lit(0))
+    base = docs.select(
+        "doc",
+        F.size(sents).cast("bigint").alias("n_sentences"),
+        F.size(F.regexp_extract_all("text", F.lit("[^ ]+"), F.lit(0)))
+        .cast("bigint").alias("n_words"),
+        F.aggregate(sents, F.lit(0).cast("bigint"),
+                    lambda a, s: a + F.length(s))
+        .cast("bigint").alias("sent_chars"),
+        F.col("text").rlike("[.!?]$").cast("int").alias("ends_terminated"))
+    return base.select(
+        "doc", "n_sentences", "n_words", "ends_terminated",
+        F.expr("n_words * 100 div GREATEST(n_sentences, 1)")
+        .cast("bigint").alias("words_per_sent_x100"),
+        F.expr("sent_chars div GREATEST(n_sentences, 1)")
+        .cast("bigint").alias("avg_sent_chars"))
