@@ -16050,3 +16050,519 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("words_per_sent_x100"),
         F.expr("sent_chars div GREATEST(n_sentences, 1)")
         .cast("bigint").alias("avg_sent_chars"))
+
+
+_BYLINE_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'By Jane Smith' || chr(10)
+                         || 'Markets rallied strongly today in early '
+                         || 'trading ' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 1 THEN 'LONDON (Reuters) - Markets rose on Tuesday '
+                         || 'session ' || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 2 THEN 'Updated analysis of quarterly results without '
+                         || 'attribution ' || CAST(doc_id % 7 AS VARCHAR)
+             ELSE 'By Arun Patel | Staff Writer' || chr(10)
+                  || 'The council approved the plan '
+                  || CAST(doc_id % 3 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_BYLINE_SQL = (
+    "WITH u AS (" + _BYLINE_TEXT_SQL + ")"
+    """
+    SELECT doc,
+           nullif(regexp_extract(text,
+               '(?m)^By ([A-Z][a-z]+ [A-Z][a-z]+)', 1), '') AS byline,
+           nullif(regexp_extract(text,
+               '^([A-Z]{2,}[A-Z ]*) \\(', 1), '') AS dateline_city,
+           nullif(regexp_extract(text,
+               '^[A-Z]{2,}[A-Z ]* \\(([A-Za-z ]+)\\) -', 1), '') AS agency,
+           CAST(CASE WHEN nullif(regexp_extract(text,
+                    '(?m)^By ([A-Z][a-z]+ [A-Z][a-z]+)', 1), '')
+                    IS NOT NULL
+                  OR nullif(regexp_extract(text,
+                    '^[A-Z]{2,}[A-Z ]* \\(([A-Za-z ]+)\\) -', 1), '')
+                    IS NOT NULL
+                THEN 1 ELSE 0 END AS INT) AS has_attribution
+    FROM u
+    """
+)
+
+
+@query("byline_extract", _BYLINE_SQL)
+def q_byline_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """News byline / dateline extraction — 'By First Last' author lines
+    and 'CITY (Agency) -' wire datelines are the provenance metadata a
+    news-corpus pipeline carries per article (source weighting, per-
+    author dedup of syndicated copy). Line-anchored so a mid-sentence
+    'By' never extracts; missing fields are NULL, never ''. Zero-shuffle
+    projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("By Jane Smith\nMarkets rallied strongly today in "
+                  "early trading "), (k % 5).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("LONDON (Reuters) - Markets rose on Tuesday session "),
+            (k % 3).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("Updated analysis of quarterly results without "
+                  "attribution "), (k % 7).cast("string")))
+        .otherwise(F.concat(
+            F.lit("By Arun Patel | Staff Writer\nThe council approved "
+                  "the plan "), (k % 3).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    byline = F.nullif(F.regexp_extract(
+        "text", r"(?m)^By ([A-Z][a-z]+ [A-Z][a-z]+)", 1), F.lit(""))
+    city = F.nullif(F.regexp_extract(
+        "text", r"^([A-Z]{2,}[A-Z ]*) \(", 1), F.lit(""))
+    agency = F.nullif(F.regexp_extract(
+        "text", r"^[A-Z]{2,}[A-Z ]* \(([A-Za-z ]+)\) -", 1), F.lit(""))
+    return docs.select(
+        "doc", byline.alias("byline"), city.alias("dateline_city"),
+        agency.alias("agency"),
+        (byline.isNotNull() | agency.isNotNull()).cast("int")
+        .alias("has_attribution"))
+
+
+_COMMSEC_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'Article body here.' || chr(10) || '42 Comments'
+                         || chr(10) || 'Leave a Reply' || chr(10)
+                         || 'Your email address will not be published '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 1 THEN 'Great post! Reply' || chr(10)
+                         || 'Thanks for sharing! Reply' || chr(10)
+                         || 'posted by reader '
+                         || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 2 THEN 'The committee reviewed the findings in detail '
+                         || CAST(doc_id % 7 AS VARCHAR)
+             ELSE 'Comments are closed.' || chr(10)
+                  || 'Related posts follow '
+                  || CAST(doc_id % 3 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_COMMSEC_SQL = (
+    "WITH u AS (" + _COMMSEC_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)([0-9]+ comments?|leave a reply|comments are '
+                  || 'closed|your email address will not be published)'
+                  )) AS BIGINT) AS n_comment_markers,
+             CAST(len(regexp_extract_all(text, '\\bReply\\b'))
+                  AS BIGINT) AS n_reply_markers
+      FROM u)
+    SELECT doc, n_comment_markers, n_reply_markers,
+           CAST(CASE WHEN n_comment_markers >= 1 OR n_reply_markers >= 2
+                THEN 1 ELSE 0 END AS INT) AS has_comment_section
+    FROM m
+    """
+)
+
+
+@query("comment_section_detect", _COMMSEC_SQL)
+def q_comment_section_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comment-section detection — user comments trailing an article are
+    a separate register (low-quality, repetitive, PII-bearing) that
+    extraction should cut at the '42 Comments' / 'Leave a Reply'
+    boundary. Platform chrome phrases count once each; repeated bare
+    'Reply' buttons need >=2 hits so one quoted 'Reply' in prose never
+    flags. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("Article body here.\n42 Comments\nLeave a Reply\n"
+                  "Your email address will not be published "),
+            (k % 3).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("Great post! Reply\nThanks for sharing! Reply\n"
+                  "posted by reader "), (k % 5).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("The committee reviewed the findings in detail "),
+            (k % 7).cast("string")))
+        .otherwise(F.concat(
+            F.lit("Comments are closed.\nRelated posts follow "),
+            (k % 3).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    markers = F.size(F.regexp_extract_all(
+        "text",
+        F.lit("(?i)([0-9]+ comments?|leave a reply|comments are closed"
+              "|your email address will not be published)"), F.lit(0)))
+    replies = F.size(F.regexp_extract_all(
+        "text", F.lit(r"\bReply\b"), F.lit(0)))
+    base = docs.select(
+        "doc", markers.cast("bigint").alias("n_comment_markers"),
+        replies.cast("bigint").alias("n_reply_markers"))
+    return base.select(
+        "doc", "n_comment_markers", "n_reply_markers",
+        ((F.col("n_comment_markers") >= 1)
+         | (F.col("n_reply_markers") >= 2)).cast("int")
+        .alias("has_comment_section"))
+
+
+_PRODUCT_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'Only $19.99 now! Add to cart. SKU: AB-1234. '
+                         || 'In stock units ' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 1 THEN '<script type="application/ld+json">'
+                         || '{"@type": "Product"}</script>Deluxe widget '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 2 THEN 'The museum charges $12.50 for adult admission '
+                         || 'on weekdays ' || CAST(doc_id % 7 AS VARCHAR)
+             ELSE 'Free shipping on orders over $50.00! Buy now and '
+                  || 'save. Checkout today ' || CAST(doc_id % 3 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_PRODUCT_SQL = (
+    "WITH u AS (" + _PRODUCT_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(len(regexp_extract_all(text,
+                  '\\$[0-9]+\\.[0-9]{2}\\b')) AS BIGINT) AS n_prices,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)\\b(add to cart|buy now|checkout|free shipping|'
+                  || 'in stock)\\b')) AS BIGINT) AS n_cart_ctas,
+             CAST(CASE WHEN regexp_matches(text, 'SKU[:#]? ?[A-Z0-9-]+')
+                THEN 1 ELSE 0 END AS INT) AS has_sku,
+             CAST(CASE WHEN strpos(text, '"@type": "Product"') > 0
+                THEN 1 ELSE 0 END AS INT) AS product_schema
+      FROM u)
+    SELECT doc, n_prices, n_cart_ctas, has_sku, product_schema,
+           CAST(CASE WHEN (n_cart_ctas >= 1 AND n_prices >= 1)
+                      OR has_sku = 1 OR product_schema = 1
+                THEN 1 ELSE 0 END AS INT) AS is_product
+    FROM m
+    """
+)
+
+
+@query("product_page_detect", _PRODUCT_SQL)
+def q_product_page_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E-commerce product-page detection — catalog pages are the single
+    largest template-duplicated stratum of a crawl; price patterns plus
+    cart CTAs, SKU markers, or schema.org Product JSON-LD route them out
+    of the prose corpus (or into a product-catalog corpus). A lone price
+    in prose ('museum charges $12.50') never gates — CTAs must
+    co-occur. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("Only $19.99 now! Add to cart. SKU: AB-1234. In stock "
+                  "units "), (k % 5).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type": "Product"}</script>Deluxe widget '),
+            (k % 3).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("The museum charges $12.50 for adult admission on "
+                  "weekdays "), (k % 7).cast("string")))
+        .otherwise(F.concat(
+            F.lit("Free shipping on orders over $50.00! Buy now and "
+                  "save. Checkout today "), (k % 3).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    prices = F.size(F.regexp_extract_all(
+        "text", F.lit(r"\$[0-9]+\.[0-9]{2}\b"), F.lit(0)))
+    ctas = F.size(F.regexp_extract_all(
+        "text",
+        F.lit(r"(?i)\b(add to cart|buy now|checkout|free shipping"
+              r"|in stock)\b"), F.lit(0)))
+    sku = F.col("text").rlike("SKU[:#]? ?[A-Z0-9-]+").cast("int")
+    schema = F.col("text").contains('"@type": "Product"').cast("int")
+    base = docs.select(
+        "doc", prices.cast("bigint").alias("n_prices"),
+        ctas.cast("bigint").alias("n_cart_ctas"),
+        sku.alias("has_sku"), schema.alias("product_schema"))
+    return base.select(
+        "doc", "n_prices", "n_cart_ctas", "has_sku", "product_schema",
+        (((F.col("n_cart_ctas") >= 1) & (F.col("n_prices") >= 1))
+         | (F.col("has_sku") == 1) | (F.col("product_schema") == 1))
+        .cast("int").alias("is_product"))
+
+
+_PLACEHOLDER_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'Lorem ipsum dolor sit amet, consectetur '
+                         || 'adipiscing elit ' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 1 THEN 'This is a sample page. Replace this text with '
+                         || 'your content. Under construction '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 2 THEN 'The harvest festival drew record crowds this '
+                         || 'year ' || CAST(doc_id % 7 AS VARCHAR)
+             ELSE 'Example Domain. This domain is for use in '
+                  || 'illustrative examples in documents '
+                  || CAST(doc_id % 3 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_PLACEHOLDER_SQL = (
+    "WITH u AS (" + _PLACEHOLDER_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)(lorem ipsum|dolor sit amet|consectetur)'))
+                  AS BIGINT) AS lorem_hits,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)(under construction|replace this text|sample '
+                  || 'page|coming soon|example domain|illustrative '
+                  || 'examples)')) AS BIGINT) AS placeholder_hits
+      FROM u)
+    SELECT doc, lorem_hits, placeholder_hits,
+           CAST(CASE WHEN lorem_hits >= 1 OR placeholder_hits >= 2
+                THEN 1 ELSE 0 END AS INT) AS is_placeholder
+    FROM m
+    """
+)
+
+
+@query("placeholder_detect", _PLACEHOLDER_SQL)
+def q_placeholder_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Placeholder-page detection — lorem-ipsum filler, 'under
+    construction' stubs, and the example.com boilerplate are pure noise
+    that survives every quality heuristic based on length or
+    punctuation (they are well-formed prose). One lorem marker
+    suffices; generic phrases need two so a single 'coming soon' in a
+    real article never gates. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("Lorem ipsum dolor sit amet, consectetur adipiscing "
+                  "elit "), (k % 5).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("This is a sample page. Replace this text with your "
+                  "content. Under construction "), (k % 3).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("The harvest festival drew record crowds this year "),
+            (k % 7).cast("string")))
+        .otherwise(F.concat(
+            F.lit("Example Domain. This domain is for use in "
+                  "illustrative examples in documents "),
+            (k % 3).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    lorem = F.size(F.regexp_extract_all(
+        "text", F.lit("(?i)(lorem ipsum|dolor sit amet|consectetur)"),
+        F.lit(0)))
+    ph = F.size(F.regexp_extract_all(
+        "text",
+        F.lit("(?i)(under construction|replace this text|sample page"
+              "|coming soon|example domain|illustrative examples)"),
+        F.lit(0)))
+    base = docs.select(
+        "doc", lorem.cast("bigint").alias("lorem_hits"),
+        ph.cast("bigint").alias("placeholder_hits"))
+    return base.select(
+        "doc", "lorem_hits", "placeholder_hits",
+        ((F.col("lorem_hits") >= 1) | (F.col("placeholder_hits") >= 2))
+        .cast("int").alias("is_placeholder"))
+
+
+_STUFF_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 3
+             WHEN 0 THEN 'cheap flights cheap flights cheap flights book '
+                         || 'cheap flights today '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 1 THEN 'the quick brown fox jumps over one lazy dog '
+                         || 'near the river ' || CAST(doc_id % 5 AS VARCHAR)
+             ELSE 'widget sale widget deals widget prices best widget '
+                  || 'offers ' || CAST(doc_id % 7 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_STUFF_SQL = (
+    "WITH u AS (" + _STUFF_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST(list_max(list_transform(
+                  list_distinct(string_split(text, ' ')),
+                  d -> len(list_filter(string_split(text, ' '),
+                           w -> w = d)))) AS BIGINT) AS top_word_count
+      FROM u)
+    SELECT doc, n_words, top_word_count,
+           CAST(top_word_count * 10000 // GREATEST(n_words, 1) AS BIGINT)
+             AS top_word_share_bp,
+           CAST(CASE WHEN top_word_count * 10000 // GREATEST(n_words, 1)
+                       >= 2500 AND n_words >= 8
+                THEN 1 ELSE 0 END AS INT) AS stuffed
+    FROM m
+    """
+)
+
+
+@query("keyword_stuffing", _STUFF_SQL)
+def q_keyword_stuffing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-stuffing detection — SEO spam repeats its target phrase
+    until it dominates the token stream; the top-word share in basis
+    points is the gate (>=25% of >=8 words). Computed entirely in-row
+    with nested array lambdas (distinct -> per-candidate count -> max),
+    so no tokenize-explode shuffle: at corpus scale this is a projection,
+    and the O(words x distinct) in-row cost is bounded by the doc-length
+    cap upstream. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 3
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("cheap flights cheap flights cheap flights book cheap "
+                  "flights today "), (k % 3).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("the quick brown fox jumps over one lazy dog near the "
+                  "river "), (k % 5).cast("string")))
+        .otherwise(F.concat(
+            F.lit("widget sale widget deals widget prices best widget "
+                  "offers "), (k % 7).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    ws = F.split("text", " ")
+    base = docs.select(
+        "doc",
+        F.size(ws).cast("bigint").alias("n_words"),
+        F.array_max(F.transform(
+            F.array_distinct(ws),
+            lambda d: F.size(F.filter(ws, lambda w: w == d))))
+        .cast("bigint").alias("top_word_count"))
+    return base.select(
+        "doc", "n_words", "top_word_count",
+        F.expr("top_word_count * 10000 div GREATEST(n_words, 1)")
+        .cast("bigint").alias("top_word_share_bp"),
+        ((F.expr("top_word_count * 10000 div GREATEST(n_words, 1)")
+          >= 2500) & (F.col("n_words") >= 8)).cast("int")
+        .alias("stuffed"))
+
+
+_DUMP_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '2024-01-15 12:00:01 INFO request from 10.0.0.1 '
+                         || 'took 23ms' || chr(10)
+                         || '2024-01-15 12:00:02 INFO request from '
+                         || '192.168.1.100 took 41ms case '
+                         || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 1 THEN 'row 550e8400-e29b-41d4-a716-446655440000 and '
+                         || '6ba7b810-9dad-11d1-80b4-00c04fd430c8 and '
+                         || 'hash deadbeefcafe1234 '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 2 THEN 'A calm essay about morning walks in the park '
+                         || CAST(doc_id % 7 AS VARCHAR)
+             ELSE 'id,value' || chr(10) || '10,2031' || chr(10)
+                  || '22,4172' || chr(10) || '31,8839' || chr(10)
+                  || '44,1207 case ' || CAST(doc_id % 3 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_DUMP_SQL = (
+    "WITH u AS (" + _DUMP_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(len(regexp_extract_all(text,
+                  '\\b[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-'
+                  || '[0-9a-f]{12}\\b')) AS BIGINT) AS n_uuids,
+             CAST(len(regexp_extract_all(text,
+                  '\\b[0-9a-f]{12,}\\b')) AS BIGINT) AS n_hex_runs,
+             CAST(len(regexp_extract_all(text,
+                  '\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}'
+                  || '\\b')) AS BIGINT) AS n_ips,
+             CAST(len(regexp_extract_all(text,
+                  '\\b[0-9]{4}-[0-9]{2}-[0-9]{2} '
+                  || '[0-9]{2}:[0-9]{2}:[0-9]{2}\\b')) AS BIGINT)
+               AS n_iso_ts,
+             CAST((length(text) - length(regexp_replace(text, '[0-9]',
+                  '', 'g'))) * 10000 // GREATEST(length(text), 1)
+                  AS BIGINT) AS digit_ratio_bp
+      FROM u)
+    SELECT doc, n_uuids, n_hex_runs, n_ips, n_iso_ts, digit_ratio_bp,
+           CAST(CASE WHEN n_uuids + n_hex_runs >= 2 OR n_ips >= 2
+                      OR n_iso_ts >= 2 OR digit_ratio_bp >= 3000
+                THEN 1 ELSE 0 END AS INT) AS is_dump
+    FROM m
+    """
+)
+
+
+@query("data_dump_detect", _DUMP_SQL)
+def q_data_dump_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Machine-generated data-dump detection — server logs, CSV exports,
+    and id tables leak into crawls by the billions of pages and poison
+    LM training (models memorize UUIDs and IPs). Signals: UUIDs, long
+    hex runs (a UUID's 12-char tail also counts — overlapping signals
+    feeding one gate), dotted IPs, ISO log timestamps, and overall
+    digit-mass basis points; any two structured ids or a 30%+ digit
+    ratio gates. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("2024-01-15 12:00:01 INFO request from 10.0.0.1 took "
+                  "23ms\n2024-01-15 12:00:02 INFO request from "
+                  "192.168.1.100 took 41ms case "),
+            (k % 5).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("row 550e8400-e29b-41d4-a716-446655440000 and "
+                  "6ba7b810-9dad-11d1-80b4-00c04fd430c8 and hash "
+                  "deadbeefcafe1234 "), (k % 3).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("A calm essay about morning walks in the park "),
+            (k % 7).cast("string")))
+        .otherwise(F.concat(
+            F.lit("id,value\n10,2031\n22,4172\n31,8839\n44,1207 case "),
+            (k % 3).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    uuids = F.size(F.regexp_extract_all(
+        "text",
+        F.lit(r"\b[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}"
+              r"-[0-9a-f]{12}\b"), F.lit(0)))
+    hexr = F.size(F.regexp_extract_all(
+        "text", F.lit(r"\b[0-9a-f]{12,}\b"), F.lit(0)))
+    ips = F.size(F.regexp_extract_all(
+        "text", F.lit(r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+        F.lit(0)))
+    ts = F.size(F.regexp_extract_all(
+        "text",
+        F.lit(r"\b[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}:[0-9]{2}\b"),
+        F.lit(0)))
+    digits = F.length("text") - F.length(
+        F.regexp_replace("text", "[0-9]", ""))
+    raw = docs.select(
+        "doc", uuids.cast("bigint").alias("n_uuids"),
+        hexr.cast("bigint").alias("n_hex_runs"),
+        ips.cast("bigint").alias("n_ips"),
+        ts.cast("bigint").alias("n_iso_ts"),
+        digits.cast("bigint").alias("n_digits"),
+        F.length("text").cast("bigint").alias("n_chars"))
+    base = raw.select(
+        "doc", "n_uuids", "n_hex_runs", "n_ips", "n_iso_ts",
+        F.expr("n_digits * 10000 div GREATEST(n_chars, 1)")
+        .cast("bigint").alias("digit_ratio_bp"))
+    return base.select(
+        "doc", "n_uuids", "n_hex_runs", "n_ips", "n_iso_ts",
+        "digit_ratio_bp",
+        ((F.col("n_uuids") + F.col("n_hex_runs") >= 2)
+         | (F.col("n_ips") >= 2) | (F.col("n_iso_ts") >= 2)
+         | (F.col("digit_ratio_bp") >= 3000)).cast("int")
+        .alias("is_dump"))
