@@ -16566,3 +16566,570 @@ def q_data_dump_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
          | (F.col("n_ips") >= 2) | (F.col("n_iso_ts") >= 2)
          | (F.col("digit_ratio_bp") >= 3000)).cast("int")
         .alias("is_dump"))
+
+
+_RECIPE_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '<script type="application/ld+json">'
+                         || '{"@type": "Recipe"}</script>Best pancakes '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 1 THEN 'Ingredients:' || chr(10) || '2 cups flour'
+                         || chr(10) || '1 tsp salt' || chr(10)
+                         || '3 tbsp butter' || chr(10) || 'Instructions:'
+                         || chr(10) || '1. Mix the dry items.' || chr(10)
+                         || '2. Add butter ' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 2 THEN 'The bakery on Main Street expanded its seating '
+                         || 'area ' || CAST(doc_id % 7 AS VARCHAR)
+             ELSE 'Preheat the oven to 350 degrees. Combine 2 cups '
+                  || 'sugar with 1 cup cocoa. Bake for 30 minutes batch '
+                  || CAST(doc_id % 3 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_RECIPE_SQL = (
+    "WITH u AS (" + _RECIPE_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(CASE WHEN strpos(text, '"@type": "Recipe"') > 0
+                THEN 1 ELSE 0 END AS INT) AS recipe_schema,
+             CAST(len(regexp_extract_all(text,
+                  '(?m)^[0-9]+(/[0-9]+)? (cups?|tsp|tbsp|grams?|oz|ml) '
+                  )) AS BIGINT) AS n_quantity_lines,
+             CAST(len(regexp_extract_all(text,
+                  '\\b[0-9]+ (cups?|tsp|tbsp|grams?|oz|ml)\\b'))
+                  AS BIGINT) AS n_inline_qty,
+             CAST(len(regexp_extract_all(text, '(?m)^[0-9]+\\. '))
+                  AS BIGINT) AS n_step_lines,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)\\b(preheat|bake|simmer|whisk|knead|saute|'
+                  || 'marinate)\\b')) AS BIGINT) AS n_cook_verbs
+      FROM u)
+    SELECT doc, recipe_schema, n_quantity_lines, n_inline_qty,
+           n_step_lines, n_cook_verbs,
+           CAST(CASE WHEN recipe_schema = 1 OR n_quantity_lines >= 2
+                      OR (n_cook_verbs >= 2 AND n_inline_qty >= 1)
+                THEN 1 ELSE 0 END AS INT) AS is_recipe
+    FROM m
+    """
+)
+
+
+@query("recipe_detect", _RECIPE_SQL)
+def q_recipe_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recipe-page detection — schema.org Recipe JSON-LD, line-anchored
+    ingredient quantities ('2 cups flour'), numbered steps, and cooking
+    verbs. Recipe sites are heavily templated and syndicated, so this
+    routes them to a structured extractor (ingredients/steps) instead of
+    prose cleaning; a bakery news story never gates. Zero-shuffle
+    projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type": "Recipe"}</script>Best pancakes '),
+            (k % 3).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("Ingredients:\n2 cups flour\n1 tsp salt\n3 tbsp "
+                  "butter\nInstructions:\n1. Mix the dry items.\n"
+                  "2. Add butter "), (k % 5).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("The bakery on Main Street expanded its seating "
+                  "area "), (k % 7).cast("string")))
+        .otherwise(F.concat(
+            F.lit("Preheat the oven to 350 degrees. Combine 2 cups "
+                  "sugar with 1 cup cocoa. Bake for 30 minutes batch "),
+            (k % 3).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    schema = F.col("text").contains('"@type": "Recipe"').cast("int")
+    qty_lines = F.size(F.regexp_extract_all(
+        "text", F.lit("(?m)^[0-9]+(/[0-9]+)? (cups?|tsp|tbsp|grams?"
+                      "|oz|ml) "), F.lit(0)))
+    inline_qty = F.size(F.regexp_extract_all(
+        "text", F.lit(r"\b[0-9]+ (cups?|tsp|tbsp|grams?|oz|ml)\b"),
+        F.lit(0)))
+    steps = F.size(F.regexp_extract_all(
+        "text", F.lit(r"(?m)^[0-9]+\. "), F.lit(0)))
+    verbs = F.size(F.regexp_extract_all(
+        "text",
+        F.lit(r"(?i)\b(preheat|bake|simmer|whisk|knead|saute|marinate)\b"),
+        F.lit(0)))
+    base = docs.select(
+        "doc", schema.alias("recipe_schema"),
+        qty_lines.cast("bigint").alias("n_quantity_lines"),
+        inline_qty.cast("bigint").alias("n_inline_qty"),
+        steps.cast("bigint").alias("n_step_lines"),
+        verbs.cast("bigint").alias("n_cook_verbs"))
+    return base.select(
+        "doc", "recipe_schema", "n_quantity_lines", "n_inline_qty",
+        "n_step_lines", "n_cook_verbs",
+        ((F.col("recipe_schema") == 1) | (F.col("n_quantity_lines") >= 2)
+         | ((F.col("n_cook_verbs") >= 2) & (F.col("n_inline_qty") >= 1)))
+        .cast("int").alias("is_recipe"))
+
+
+_HOWTO_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '<script type="application/ld+json">'
+                         || '{"@type": "HowTo"}</script>Fix a flat tire '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 1 THEN 'Step 1: Unplug the router.' || chr(10)
+                         || 'Step 2: Wait ten seconds.' || chr(10)
+                         || 'Step 3: Plug it back in '
+                         || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 2 THEN '1. Open the settings menu.' || chr(10)
+                         || '2. Select privacy.' || chr(10)
+                         || '3. Toggle the switch.' || chr(10)
+                         || '4. Restart the app '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             ELSE 'The committee discussed several approaches at '
+                  || 'length ' || CAST(doc_id % 7 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_HOWTO_SQL = (
+    "WITH u AS (" + _HOWTO_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(CASE WHEN strpos(text, '"@type": "HowTo"') > 0
+                THEN 1 ELSE 0 END AS INT) AS howto_schema,
+             CAST(len(regexp_extract_all(text,
+                  '(?m)^Step [0-9]+[:.]')) AS BIGINT) AS n_step_markers,
+             CAST(len(regexp_extract_all(text,
+                  '(?m)^[0-9]+\\. [A-Z]')) AS BIGINT) AS n_numbered_steps
+      FROM u)
+    SELECT doc, howto_schema, n_step_markers, n_numbered_steps,
+           CAST(CASE WHEN howto_schema = 1 OR n_step_markers >= 2
+                      OR n_numbered_steps >= 3
+                THEN 1 ELSE 0 END AS INT) AS is_howto
+    FROM m
+    """
+)
+
+
+@query("howto_detect", _HOWTO_SQL)
+def q_howto_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How-to / procedural-content detection — 'Step N:' markers,
+    capitalized numbered-step lines, and HowTo JSON-LD mark stepwise
+    instructional pages, the highest-value stratum for instruction-
+    following data. Thresholds (2 step markers / 3 numbered steps) keep
+    a single enumerated aside in prose from gating. Zero-shuffle
+    projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type": "HowTo"}</script>Fix a flat tire '),
+            (k % 3).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("Step 1: Unplug the router.\nStep 2: Wait ten "
+                  "seconds.\nStep 3: Plug it back in "),
+            (k % 5).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("1. Open the settings menu.\n2. Select privacy.\n"
+                  "3. Toggle the switch.\n4. Restart the app "),
+            (k % 3).cast("string")))
+        .otherwise(F.concat(
+            F.lit("The committee discussed several approaches at "
+                  "length "), (k % 7).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    schema = F.col("text").contains('"@type": "HowTo"').cast("int")
+    markers = F.size(F.regexp_extract_all(
+        "text", F.lit("(?m)^Step [0-9]+[:.]"), F.lit(0)))
+    numbered = F.size(F.regexp_extract_all(
+        "text", F.lit(r"(?m)^[0-9]+\. [A-Z]"), F.lit(0)))
+    base = docs.select(
+        "doc", schema.alias("howto_schema"),
+        markers.cast("bigint").alias("n_step_markers"),
+        numbered.cast("bigint").alias("n_numbered_steps"))
+    return base.select(
+        "doc", "howto_schema", "n_step_markers", "n_numbered_steps",
+        ((F.col("howto_schema") == 1) | (F.col("n_step_markers") >= 2)
+         | (F.col("n_numbered_steps") >= 3)).cast("int")
+        .alias("is_howto"))
+
+
+_REVIEW_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'Rated 4.5 out of 5 stars by 230 buyers. Pros: '
+                         || 'light, fast. Cons: pricey. Verified Purchase '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 1 THEN '★★★★☆ Great value for the money. Would buy '
+                         || 'again ' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 2 THEN '<script type="application/ld+json">'
+                         || '{"@type": "Review"}</script>Editor opinion '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             ELSE 'The committee rated the proposal favorably in its '
+                  || 'report ' || CAST(doc_id % 7 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_REVIEW_SQL = (
+    "WITH u AS (" + _REVIEW_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)\\b[0-9](\\.[0-9])? out of [0-9] stars?\\b'))
+                  AS BIGINT) AS n_rating_phrases,
+             CAST(len(regexp_extract_all(text, '★{2,}')) AS BIGINT)
+               AS n_star_runs,
+             CAST(CASE WHEN strpos(text, '"@type": "Review"') > 0
+                THEN 1 ELSE 0 END AS INT) AS review_schema,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)\\b(verified purchase|pros:|cons:|'
+                  || 'would buy again)')) AS BIGINT) AS n_review_markers
+      FROM u)
+    SELECT doc, n_rating_phrases, n_star_runs, review_schema,
+           n_review_markers,
+           CAST(CASE WHEN n_rating_phrases >= 1 OR n_star_runs >= 1
+                      OR review_schema = 1 OR n_review_markers >= 2
+                THEN 1 ELSE 0 END AS INT) AS is_review
+    FROM m
+    """
+)
+
+
+@query("review_page_detect", _REVIEW_SQL)
+def q_review_page_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Review-page detection — 'N out of 5 stars' phrases, star-glyph
+    runs, Review JSON-LD, and platform markers (Verified Purchase,
+    Pros:/Cons:) route opinion/review content for sentiment corpora and
+    dedup of syndicated product reviews. 'The committee rated the
+    proposal' has the verb but no rating shape — the false-positive
+    control. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("Rated 4.5 out of 5 stars by 230 buyers. Pros: "
+                  "light, fast. Cons: pricey. Verified Purchase "),
+            (k % 3).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("★★★★☆ Great value for the money. Would buy again "),
+            (k % 5).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type": "Review"}</script>Editor opinion '),
+            (k % 3).cast("string")))
+        .otherwise(F.concat(
+            F.lit("The committee rated the proposal favorably in its "
+                  "report "), (k % 7).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    ratings = F.size(F.regexp_extract_all(
+        "text", F.lit(r"(?i)\b[0-9](\.[0-9])? out of [0-9] stars?\b"),
+        F.lit(0)))
+    stars = F.size(F.regexp_extract_all("text", F.lit("★{2,}"), F.lit(0)))
+    schema = F.col("text").contains('"@type": "Review"').cast("int")
+    markers = F.size(F.regexp_extract_all(
+        "text",
+        F.lit(r"(?i)\b(verified purchase|pros:|cons:|would buy again)"),
+        F.lit(0)))
+    base = docs.select(
+        "doc", ratings.cast("bigint").alias("n_rating_phrases"),
+        stars.cast("bigint").alias("n_star_runs"),
+        schema.alias("review_schema"),
+        markers.cast("bigint").alias("n_review_markers"))
+    return base.select(
+        "doc", "n_rating_phrases", "n_star_runs", "review_schema",
+        "n_review_markers",
+        ((F.col("n_rating_phrases") >= 1) | (F.col("n_star_runs") >= 1)
+         | (F.col("review_schema") == 1)
+         | (F.col("n_review_markers") >= 2)).cast("int")
+        .alias("is_review"))
+
+
+_LEGAL_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'Terms of Service' || chr(10)
+                         || '1.1 The Company shall provide the service. '
+                         || '1.2 The User shall not resell access. '
+                         || 'Liability is limited '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 1 THEN 'Privacy Policy' || chr(10)
+                         || 'We collect the following categories of '
+                         || 'personal data. You may opt out at any time '
+                         || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 2 THEN 'This Agreement, hereinafter the Contract, '
+                         || 'shall be governed by the laws of the State. '
+                         || 'The parties hereto agree '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             ELSE 'The hiking club met at dawn for the ridge traverse '
+                  || CAST(doc_id % 7 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_LEGAL_SQL = (
+    "WITH u AS (" + _LEGAL_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)\\b(terms of service|privacy policy|end user '
+                  || 'license|acceptable use policy)\\b')) AS BIGINT)
+               AS n_legal_titles,
+             CAST(len(regexp_extract_all(text, '\\bshall\\b'))
+                  AS BIGINT) AS n_shall,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)\\b(hereinafter|hereto|herein|thereof|whereas|'
+                  || 'indemnif(y|ication))\\b')) AS BIGINT) AS n_legalese,
+             CAST(len(regexp_extract_all(text,
+                  '\\b[0-9]+\\.[0-9]+ [A-Z]')) AS BIGINT)
+               AS n_section_nums
+      FROM u)
+    SELECT doc, n_legal_titles, n_shall, n_legalese, n_section_nums,
+           CAST(CASE WHEN n_legal_titles >= 1 OR n_legalese >= 2
+                      OR (n_shall >= 2 AND n_section_nums >= 1)
+                THEN 1 ELSE 0 END AS INT) AS is_legal
+    FROM m
+    """
+)
+
+
+@query("legal_doc_detect", _LEGAL_SQL)
+def q_legal_doc_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legal-boilerplate detection — ToS/privacy-policy pages are among
+    the most duplicated documents on the web (every site carries a
+    near-identical copy), so corpus pipelines detect and collapse them
+    before dedup wastes candidate budget. Signals: canonical titles,
+    'shall' density with numbered sections, and legalese vocabulary.
+    Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("Terms of Service\n1.1 The Company shall provide the "
+                  "service. 1.2 The User shall not resell access. "
+                  "Liability is limited "), (k % 3).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("Privacy Policy\nWe collect the following categories "
+                  "of personal data. You may opt out at any time "),
+            (k % 5).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("This Agreement, hereinafter the Contract, shall be "
+                  "governed by the laws of the State. The parties "
+                  "hereto agree "), (k % 3).cast("string")))
+        .otherwise(F.concat(
+            F.lit("The hiking club met at dawn for the ridge traverse "),
+            (k % 7).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    titles = F.size(F.regexp_extract_all(
+        "text",
+        F.lit(r"(?i)\b(terms of service|privacy policy|end user license"
+              r"|acceptable use policy)\b"), F.lit(0)))
+    shall = F.size(F.regexp_extract_all(
+        "text", F.lit(r"\bshall\b"), F.lit(0)))
+    legalese = F.size(F.regexp_extract_all(
+        "text",
+        F.lit(r"(?i)\b(hereinafter|hereto|herein|thereof|whereas"
+              r"|indemnif(y|ication))\b"), F.lit(0)))
+    sections = F.size(F.regexp_extract_all(
+        "text", F.lit(r"\b[0-9]+\.[0-9]+ [A-Z]"), F.lit(0)))
+    base = docs.select(
+        "doc", titles.cast("bigint").alias("n_legal_titles"),
+        shall.cast("bigint").alias("n_shall"),
+        legalese.cast("bigint").alias("n_legalese"),
+        sections.cast("bigint").alias("n_section_nums"))
+    return base.select(
+        "doc", "n_legal_titles", "n_shall", "n_legalese",
+        "n_section_nums",
+        ((F.col("n_legal_titles") >= 1) | (F.col("n_legalese") >= 2)
+         | ((F.col("n_shall") >= 2) & (F.col("n_section_nums") >= 1)))
+        .cast("int").alias("is_legal"))
+
+
+_DIRLIST_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'Index of /pub/files' || chr(10)
+                         || 'Name Last modified Size' || chr(10)
+                         || 'report.pdf 2024-01-05 10:22 1.2M' || chr(10)
+                         || 'data.csv 2024-01-06 11:03 480K' || chr(10)
+                         || 'Parent Directory batch '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 1 THEN 'drwxr-xr-x 2 root root 4096 Jan 5 10:22 logs'
+                         || chr(10)
+                         || '-rw-r--r-- 1 root root 1048576 Jan 6 11:03 '
+                         || 'dump.bin case ' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 2 THEN 'The archive of letters was donated to the '
+                         || 'library ' || CAST(doc_id % 7 AS VARCHAR)
+             ELSE 'README.txt 2024-02-01 09:15 2K' || chr(10)
+                  || 'CHANGELOG.md 2024-02-02 14:40 11K' || chr(10)
+                  || 'setup.sh 2024-02-03 16:05 1K list '
+                  || CAST(doc_id % 3 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_DIRLIST_SQL = (
+    "WITH u AS (" + _DIRLIST_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(CASE WHEN regexp_matches(text, '(?m)^Index of /')
+                THEN 1 ELSE 0 END AS INT) AS has_index_header,
+             CAST(len(regexp_extract_all(text,
+                  '(?m)^[A-Za-z0-9_.-]+\\.[a-z]{1,4} [0-9]{4}-[0-9]{2}-'
+                  || '[0-9]{2} [0-9]{2}:[0-9]{2} [0-9.]+[KMG]?'))
+                  AS BIGINT) AS n_file_rows,
+             CAST(len(regexp_extract_all(text, '(?m)^[d-][rwx-]{9} '))
+                  AS BIGINT) AS n_perm_strings
+      FROM u)
+    SELECT doc, has_index_header, n_file_rows, n_perm_strings,
+           CAST(CASE WHEN has_index_header = 1 OR n_file_rows >= 2
+                      OR n_perm_strings >= 2
+                THEN 1 ELSE 0 END AS INT) AS is_listing
+    FROM m
+    """
+)
+
+
+@query("directory_listing_detect", _DIRLIST_SQL)
+def q_directory_listing_detect(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Auto-index directory-listing detection — Apache/nginx 'Index of'
+    pages and ls -l dumps are pure crawl noise that inflates host page
+    counts and poisons dedup shingles with filename tables. Signals:
+    the Index-of header, filename + date + size rows, and unix
+    permission strings. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("Index of /pub/files\nName Last modified Size\n"
+                  "report.pdf 2024-01-05 10:22 1.2M\n"
+                  "data.csv 2024-01-06 11:03 480K\n"
+                  "Parent Directory batch "), (k % 3).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("drwxr-xr-x 2 root root 4096 Jan 5 10:22 logs\n"
+                  "-rw-r--r-- 1 root root 1048576 Jan 6 11:03 "
+                  "dump.bin case "), (k % 5).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("The archive of letters was donated to the library "),
+            (k % 7).cast("string")))
+        .otherwise(F.concat(
+            F.lit("README.txt 2024-02-01 09:15 2K\n"
+                  "CHANGELOG.md 2024-02-02 14:40 11K\n"
+                  "setup.sh 2024-02-03 16:05 1K list "),
+            (k % 3).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    header = F.col("text").rlike("(?m)^Index of /").cast("int")
+    frows = F.size(F.regexp_extract_all(
+        "text",
+        F.lit(r"(?m)^[A-Za-z0-9_.-]+\.[a-z]{1,4} [0-9]{4}-[0-9]{2}"
+              r"-[0-9]{2} [0-9]{2}:[0-9]{2} [0-9.]+[KMG]?"), F.lit(0)))
+    perms = F.size(F.regexp_extract_all(
+        "text", F.lit("(?m)^[d-][rwx-]{9} "), F.lit(0)))
+    base = docs.select(
+        "doc", header.alias("has_index_header"),
+        frows.cast("bigint").alias("n_file_rows"),
+        perms.cast("bigint").alias("n_perm_strings"))
+    return base.select(
+        "doc", "has_index_header", "n_file_rows", "n_perm_strings",
+        ((F.col("has_index_header") == 1) | (F.col("n_file_rows") >= 2)
+         | (F.col("n_perm_strings") >= 2)).cast("int")
+        .alias("is_listing"))
+
+
+_FORUM_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'Posted by alice on 2024-01-05' || chr(10)
+                         || 'Has anyone tried the new firmware?'
+                         || chr(10) || 'Posted by bob on 2024-01-05'
+                         || chr(10) || 'Yes, works fine for me.'
+                         || chr(10) || 'Posted by alice on 2024-01-06'
+                         || chr(10) || 'Thanks! batch '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 1 THEN 'Posted by solo_user on 2024-03-01' || chr(10)
+                         || 'First! case ' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 2 THEN 'The observatory posted new images of the '
+                         || 'nebula ' || CAST(doc_id % 7 AS VARCHAR)
+             ELSE 'Re: Upgrade question' || chr(10)
+                  || 'Posted by carol on 2024-02-02' || chr(10)
+                  || 'Quoting earlier: it depends.' || chr(10)
+                  || 'Posted by dave on 2024-02-03' || chr(10)
+                  || 'Agreed entirely ' || CAST(doc_id % 3 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_FORUM_SQL = (
+    "WITH u AS (" + _FORUM_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(len(regexp_extract_all(text,
+                  '(?m)^Posted by [a-z_]+ on [0-9]{4}-[0-9]{2}-[0-9]{2}'
+                  )) AS BIGINT) AS n_posts,
+             CAST(len(list_distinct(regexp_extract_all(text,
+                  '(?m)^Posted by ([a-z_]+) on [0-9]{4}-[0-9]{2}-'
+                  || '[0-9]{2}', 1))) AS BIGINT) AS n_authors,
+             CAST(CASE WHEN regexp_matches(text, '(?m)^Re: ')
+                THEN 1 ELSE 0 END AS INT) AS has_re_subject
+      FROM u)
+    SELECT doc, n_posts, n_authors, has_re_subject,
+           CAST(CASE WHEN n_posts >= 2 THEN 1 ELSE 0 END AS INT)
+             AS is_thread
+    FROM m
+    """
+)
+
+
+@query("forum_thread_parse", _FORUM_SQL)
+def q_forum_thread_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forum-thread structure parsing — post boundaries ('Posted by X on
+    DATE'), distinct author count (via group extraction, in-row
+    distinct), and Re: subject markers. Threads with >=2 posts are the
+    conversational stratum dialogue corpora mine; a single-post page is
+    not a thread, and 'The observatory posted ...' prose never counts
+    (line-anchored marker). Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("Posted by alice on 2024-01-05\nHas anyone tried the "
+                  "new firmware?\nPosted by bob on 2024-01-05\nYes, "
+                  "works fine for me.\nPosted by alice on 2024-01-06\n"
+                  "Thanks! batch "), (k % 3).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("Posted by solo_user on 2024-03-01\nFirst! case "),
+            (k % 5).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("The observatory posted new images of the nebula "),
+            (k % 7).cast("string")))
+        .otherwise(F.concat(
+            F.lit("Re: Upgrade question\nPosted by carol on 2024-02-02"
+                  "\nQuoting earlier: it depends.\nPosted by dave on "
+                  "2024-02-03\nAgreed entirely "),
+            (k % 3).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    post_pat = "(?m)^Posted by ([a-z_]+) on [0-9]{4}-[0-9]{2}-[0-9]{2}"
+    posts = F.size(F.regexp_extract_all("text", F.lit(post_pat), F.lit(0)))
+    authors = F.size(F.array_distinct(
+        F.regexp_extract_all("text", F.lit(post_pat), F.lit(1))))
+    re_subj = F.col("text").rlike("(?m)^Re: ").cast("int")
+    base = docs.select(
+        "doc", posts.cast("bigint").alias("n_posts"),
+        authors.cast("bigint").alias("n_authors"),
+        re_subj.alias("has_re_subject"))
+    return base.select(
+        "doc", "n_posts", "n_authors", "has_re_subject",
+        (F.col("n_posts") >= 2).cast("int").alias("is_thread"))
