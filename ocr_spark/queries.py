@@ -17133,3 +17133,302 @@ def q_forum_thread_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc", "n_posts", "n_authors", "has_re_subject",
         (F.col("n_posts") >= 2).cast("int").alias("is_thread"))
+
+
+_JSONL_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '{"title": "Post ' || CAST(doc_id % 5 AS VARCHAR)
+                         || '", "views": ' || CAST(doc_id % 100 AS VARCHAR)
+                         || ', "tags": ["a", "b"]}'
+             WHEN 1 THEN '{"title": "Broken'
+             WHEN 2 THEN '{"views": 7}'
+             ELSE '{"title": "X", "views": "many"}'
+           END AS raw
+    FROM documents
+"""
+
+_JSONL_SQL = (
+    "WITH u AS (" + _JSONL_TEXT_SQL + ")"
+    """
+    SELECT doc,
+           CASE WHEN json_valid(raw)
+                THEN json_extract_string(raw, '$.title') END AS title,
+           CAST(CASE WHEN json_valid(raw)
+                      AND json_type(raw, '$.views')
+                          IN ('UBIGINT', 'BIGINT')
+                THEN json_extract_string(raw, '$.views') END AS BIGINT)
+             AS views,
+           CAST(CASE WHEN json_valid(raw)
+                THEN json_array_length(raw, '$.tags') END AS BIGINT)
+             AS n_tags,
+           CAST(CASE WHEN NOT json_valid(raw) THEN 1
+                     WHEN json_type(raw, '$.views') IS NOT NULL
+                      AND json_type(raw, '$.views')
+                          NOT IN ('UBIGINT', 'BIGINT')
+                     THEN 1 ELSE 0 END AS INT) AS is_corrupt
+    FROM u
+    """
+)
+
+
+@query("jsonl_ingest", _JSONL_SQL)
+def q_jsonl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion with corrupt-record routing — the schema-on-read
+    front door for API dumps and event exports. Spark's PERMISSIVE
+    ``from_json`` with ``columnNameOfCorruptRecord`` extracts every
+    coercible field AND flags the record when the JSON is malformed or
+    a field fails coercion ('views': "many" keeps title='X' but routes
+    to the corrupt lane for re-ingest — never silently dropped, never
+    a failed job). Missing fields are NULL without flagging. The oracle
+    twin reproduces the exact PERMISSIVE semantics via json_valid +
+    json_type. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    raw = (
+        F.when(m == 0, F.concat(
+            F.lit('{"title": "Post '), (k % 5).cast("string"),
+            F.lit('", "views": '), (k % 100).cast("string"),
+            F.lit(', "tags": ["a", "b"]}')))
+        .when(m == 1, F.lit('{"title": "Broken'))
+        .when(m == 2, F.lit('{"views": 7}'))
+        .otherwise(F.lit('{"title": "X", "views": "many"}')))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), raw.alias("raw"))
+    parsed = F.from_json(
+        "raw",
+        "title string, views bigint, tags array<string>, _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"})
+    return docs.select("doc", parsed.alias("p")).select(
+        "doc",
+        F.col("p.title").alias("title"),
+        F.col("p.views").alias("views"),
+        F.size("p.tags").cast("bigint").alias("n_tags"),
+        F.col("p._corrupt").isNotNull().cast("int").alias("is_corrupt"))
+
+
+@query(
+    "ewma_anomaly",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    s AS (
+      SELECT event_type, list(cnt ORDER BY day) AS l
+      FROM daily GROUP BY event_type),
+    f AS (
+      SELECT event_type,
+             CAST(len(l) AS BIGINT) AS n_days,
+             CAST(l[len(l)] AS BIGINT) AS last_count,
+             CAST(list_reduce(l[1:len(l)-1],
+                  (a, x) -> (3 * a + x) // 4) AS BIGINT)
+               AS baseline_ewma
+      FROM s WHERE len(l) >= 2)
+    SELECT event_type, n_days, last_count, baseline_ewma,
+           CAST(abs(last_count - baseline_ewma) * 10000
+                // GREATEST(baseline_ewma, 1) AS BIGINT) AS anomaly_bp,
+           CAST(CASE WHEN abs(last_count - baseline_ewma) * 10000
+                       // GREATEST(baseline_ewma, 1) >= 5000
+                THEN 1 ELSE 0 END AS INT) AS is_anomalous
+    FROM f
+    """,
+)
+def q_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA last-day anomaly per event type — the classic ops-monitoring
+    fold: exponentially-weighted moving average (alpha = 1/4, exact
+    integer arithmetic: acc = (3*acc + x) div 4, floor at every step so
+    both engines agree bit-for-bit) over the daily-count series
+    EXCLUDING the last day, then the last day's deviation in basis
+    points against that baseline. The per-series fold runs in-row over
+    a collected array — correct because a daily series is tiny (one
+    element per day) even when the underlying events are 10^12; the
+    heavy lifting is the (event_type, day) partial-aggregated count,
+    one shuffle keyed by a low-cardinality composite."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "cnt"))),
+            lambda s: s["cnt"]).alias("l"))
+    series = series.filter(F.size("l") >= 2)
+    baseline = F.aggregate(
+        F.slice("l", F.lit(2), F.size("l") - 2),
+        F.element_at("l", 1).cast("bigint"),
+        lambda a, x: F.floor((a * 3 + x) / 4).cast("bigint"))
+    base = series.select(
+        "event_type",
+        F.size("l").cast("bigint").alias("n_days"),
+        F.element_at("l", -1).cast("bigint").alias("last_count"),
+        baseline.cast("bigint").alias("baseline_ewma"))
+    return base.select(
+        "event_type", "n_days", "last_count", "baseline_ewma",
+        F.expr("abs(last_count - baseline_ewma) * 10000"
+               " div GREATEST(baseline_ewma, 1)")
+        .cast("bigint").alias("anomaly_bp"),
+        (F.expr("abs(last_count - baseline_ewma) * 10000"
+                " div GREATEST(baseline_ewma, 1)") >= 5000)
+        .cast("int").alias("is_anomalous"))
+
+
+_BENFORD_EXP = [(1, 3010), (2, 1761), (3, 1249), (4, 969), (5, 792),
+                (6, 669), (7, 580), (8, 512), (9, 458)]
+
+
+@query(
+    "benford_audit",
+    """
+    WITH c AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+      WHERE CAST(ROUND(o_totalprice * 100) AS BIGINT) > 0),
+    counts AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM c GROUP BY digit),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts),
+    exp AS (
+      SELECT * FROM (VALUES (1, 3010), (2, 1761), (3, 1249), (4, 969),
+                            (5, 792), (6, 669), (7, 580), (8, 512),
+                            (9, 458)) AS t(digit, exp_bp))
+    SELECT counts.digit, counts.n,
+           CAST(counts.n * 10000 // tot.total AS BIGINT) AS obs_bp,
+           CAST(exp.exp_bp AS BIGINT) AS exp_bp,
+           CAST((counts.n * 10000 // tot.total - exp.exp_bp)
+                * (counts.n * 10000 // tot.total - exp.exp_bp)
+                // exp.exp_bp AS BIGINT) AS chi2_contrib
+    FROM counts CROSS JOIN tot JOIN exp ON counts.digit = exp.digit
+    """,
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the standard
+    synthetic-data / fraud screen: naturally-occurring amounts follow
+    log10(1+1/d) first-digit frequencies, and fabricated or
+    machine-generated numbers don't. Per-digit observed share in exact
+    basis points against the fixed expected table (which sums to
+    exactly 10000 bp), with an integer chi-square contribution per
+    digit. One 9-group aggregate + a 1-row broadcast total — the
+    scalar-denominator pattern; expected digits are a 9-row broadcast
+    dim."""
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    counts = (
+        orders.select(cents.alias("cents"))
+        .filter(F.col("cents") > 0)
+        .select(F.substring(F.col("cents").cast("string"), 1, 1)
+                .cast("int").alias("digit"))
+        .groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n")))
+    total = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    exp = spark.createDataFrame(_BENFORD_EXP, ["digit", "exp_bp"])
+    joined = (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(exp), "digit"))
+    return joined.select(
+        "digit", "n",
+        F.expr("n * 10000 div total").cast("bigint").alias("obs_bp"),
+        F.col("exp_bp").cast("bigint").alias("exp_bp"),
+        F.expr("(n * 10000 div total - exp_bp)"
+               " * (n * 10000 div total - exp_bp) div exp_bp")
+        .cast("bigint").alias("chi2_contrib"))
+
+
+_FORM_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '<form action="/login" method="post">'
+                         || '<input type="text" name="user">'
+                         || '<input type="password" name="pw"></form> '
+                         || 'page ' || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 1 THEN '<form action="/search">'
+                         || '<input type="search" name="q"></form> '
+                         || 'results ' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 2 THEN 'An article about coastal erosion and dunes '
+                         || CAST(doc_id % 7 AS VARCHAR)
+             ELSE '<form action="/subscribe">'
+                  || '<input type="email" name="e"></form>'
+                  || '<form action="/vote"><input type="radio"></form> '
+                  || 'footer ' || CAST(doc_id % 3 AS VARCHAR)
+           END AS html
+    FROM documents
+"""
+
+_FORM_SQL = (
+    "WITH u AS (" + _FORM_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(len(regexp_extract_all(html, '<form')) AS BIGINT)
+               AS n_forms,
+             CAST(len(regexp_extract_all(html, '<input')) AS BIGINT)
+               AS n_inputs,
+             CAST(CASE WHEN strpos(html, 'type="password"') > 0
+                THEN 1 ELSE 0 END AS INT) AS has_password,
+             CAST(CASE WHEN strpos(html, 'type="search"') > 0
+                THEN 1 ELSE 0 END AS INT) AS has_search,
+             CAST(CASE WHEN strpos(html, 'type="email"') > 0
+                THEN 1 ELSE 0 END AS INT) AS has_email
+      FROM u)
+    SELECT doc, n_forms, n_inputs, has_password, has_search, has_email,
+           CASE WHEN has_password = 1 THEN 'login'
+                WHEN has_search = 1 THEN 'search'
+                WHEN has_email = 1 THEN 'subscribe'
+                WHEN n_forms > 0 THEN 'other' END AS form_type,
+           CAST(CASE WHEN n_forms >= 1 THEN 1 ELSE 0 END AS INT)
+             AS is_form_page
+    FROM m
+    """
+)
+
+
+@query("html_form_detect", _FORM_SQL)
+def q_html_form_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML form detection and typing — login walls, search results, and
+    subscribe pages are interaction chrome, not content; a crawl
+    pipeline tags them (login pages especially: near-zero text, massive
+    template duplication) before quality scoring wastes signal on them.
+    Priority typing: password > search > email > other. Zero-shuffle
+    projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    html = (
+        F.when(m == 0, F.concat(
+            F.lit('<form action="/login" method="post">'
+                  '<input type="text" name="user">'
+                  '<input type="password" name="pw"></form> page '),
+            (k % 3).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit('<form action="/search">'
+                  '<input type="search" name="q"></form> results '),
+            (k % 5).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("An article about coastal erosion and dunes "),
+            (k % 7).cast("string")))
+        .otherwise(F.concat(
+            F.lit('<form action="/subscribe">'
+                  '<input type="email" name="e"></form>'
+                  '<form action="/vote"><input type="radio"></form> '
+                  "footer "), (k % 3).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), html.alias("html"))
+    base = docs.select(
+        "doc",
+        F.size(F.regexp_extract_all("html", F.lit("<form"), F.lit(0)))
+        .cast("bigint").alias("n_forms"),
+        F.size(F.regexp_extract_all("html", F.lit("<input"), F.lit(0)))
+        .cast("bigint").alias("n_inputs"),
+        F.col("html").contains('type="password"').cast("int")
+        .alias("has_password"),
+        F.col("html").contains('type="search"').cast("int")
+        .alias("has_search"),
+        F.col("html").contains('type="email"').cast("int")
+        .alias("has_email"))
+    return base.select(
+        "doc", "n_forms", "n_inputs", "has_password", "has_search",
+        "has_email",
+        F.when(F.col("has_password") == 1, F.lit("login"))
+        .when(F.col("has_search") == 1, F.lit("search"))
+        .when(F.col("has_email") == 1, F.lit("subscribe"))
+        .when(F.col("n_forms") > 0, F.lit("other"))
+        .alias("form_type"),
+        (F.col("n_forms") >= 1).cast("int").alias("is_form_page"))
