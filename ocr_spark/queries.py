@@ -17432,3 +17432,243 @@ def q_html_form_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("n_forms") > 0, F.lit("other"))
         .alias("form_type"),
         (F.col("n_forms") >= 1).cast("int").alias("is_form_page"))
+
+
+@query(
+    "waterfill_budget",
+    """
+    WITH hosts AS (
+      SELECT 'h' || CAST(doc_id % 17 AS VARCHAR) AS host,
+             CAST(3 * COUNT(*) AS BIGINT) AS cap,
+             CAST(SUM(n_chars) AS BIGINT) AS w
+      FROM documents GROUP BY doc_id % 17),
+    tot AS (
+      SELECT CAST(SUM(cap) * 6 // 10 AS BIGINT) AS budget,
+             CAST(SUM(w) AS BIGINT) AS w_tot
+      FROM hosts),
+    ordered AS (
+      SELECT host, cap, w,
+             COALESCE(SUM(cap) OVER (
+               ORDER BY cap * 1000000000000 // w, host
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS c_prev,
+             COALESCE(SUM(w) OVER (
+               ORDER BY cap * 1000000000000 // w, host
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS w_prev
+      FROM hosts),
+    flagged AS (
+      SELECT o.host, o.cap, o.w,
+             CAST(CASE WHEN o.cap * (t.w_tot - o.w_prev)
+                        <= (t.budget - o.c_prev) * o.w
+                  THEN 1 ELSE 0 END AS INT) AS saturated
+      FROM ordered o CROSS JOIN tot t),
+    sums AS (
+      SELECT CAST(COALESCE(SUM(CASE WHEN saturated = 1 THEN cap END), 0)
+                  AS BIGINT) AS c_sat,
+             CAST(COALESCE(SUM(CASE WHEN saturated = 0 THEN w END), 0)
+                  AS BIGINT) AS w_unsat
+      FROM flagged)
+    SELECT f.host, f.cap, f.w, f.saturated,
+           CAST(CASE WHEN f.saturated = 1 THEN f.cap
+                ELSE (t.budget - s.c_sat) * f.w
+                     // GREATEST(s.w_unsat, 1) END AS BIGINT) AS alloc
+    FROM flagged f CROSS JOIN tot t CROSS JOIN sums s
+    """,
+)
+def q_waterfill_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Water-filling crawl-budget allocation — distribute a fixed fetch
+    budget across hosts proportional to weight (content mass) but
+    capped at each host's capacity: the classic proportional-fairness
+    allocation, solved in closed form. Sorted ascending by cap/weight
+    (exact shared integer sort key), a host saturates iff its cap sits
+    below the running waterline — a prefix property, so one window pass
+    of exclusive prefix sums + one cross-multiplied integer test
+    decides saturation, and unsaturated hosts split the residual budget
+    pro-rata. The global window runs over one row per HOST (corpus-
+    shrunk); at 10^8 hosts the same prefix sums come from a range-
+    partitioned sort with per-partition offsets. All arithmetic exact
+    integer — no float waterline."""
+    docs = _t(spark, sf_dir, "documents")
+    hosts = docs.groupBy(
+        F.concat(F.lit("h"), (F.col("doc_id") % 17).cast("string"))
+        .alias("host")
+    ).agg(
+        (F.count(F.lit(1)) * 3).cast("bigint").alias("cap"),
+        F.sum("n_chars").cast("bigint").alias("w"))
+    tot = hosts.agg(
+        F.expr("sum(cap) * 6 div 10").cast("bigint").alias("budget"),
+        F.sum("w").cast("bigint").alias("w_tot"))
+    win = (Window.orderBy(F.expr("cap * 1000000000000 div w"), F.col("host"))
+           .rowsBetween(Window.unboundedPreceding, -1))
+    ordered = hosts.select(
+        "host", "cap", "w",
+        F.coalesce(F.sum("cap").over(win), F.lit(0)).alias("c_prev"),
+        F.coalesce(F.sum("w").over(win), F.lit(0)).alias("w_prev"))
+    flagged = ordered.crossJoin(F.broadcast(tot)).select(
+        "host", "cap", "w",
+        (F.col("cap") * (F.col("w_tot") - F.col("w_prev"))
+         <= (F.col("budget") - F.col("c_prev")) * F.col("w"))
+        .cast("int").alias("saturated"))
+    sums = flagged.agg(
+        F.coalesce(F.sum(F.when(F.col("saturated") == 1, F.col("cap"))),
+                   F.lit(0)).cast("bigint").alias("c_sat"),
+        F.coalesce(F.sum(F.when(F.col("saturated") == 0, F.col("w"))),
+                   F.lit(0)).cast("bigint").alias("w_unsat"))
+    return (flagged.crossJoin(F.broadcast(tot))
+            .crossJoin(F.broadcast(sums))
+            .select(
+                "host", "cap", "w", "saturated",
+                F.when(F.col("saturated") == 1, F.col("cap"))
+                .otherwise(F.expr(
+                    "(budget - c_sat) * w div GREATEST(w_unsat, 1)"))
+                .cast("bigint").alias("alloc")))
+
+
+@query(
+    "mad_outliers",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS priority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    r AS (
+      SELECT priority, cents,
+             ROW_NUMBER() OVER (PARTITION BY priority ORDER BY cents)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM c),
+    med AS (
+      SELECT priority, cents AS median_cents
+      FROM r WHERE rn = (n + 1) // 2),
+    d AS (
+      SELECT c.priority, c.cents,
+             abs(c.cents - m.median_cents) AS dev, m.median_cents
+      FROM c JOIN med m ON c.priority = m.priority),
+    rd AS (
+      SELECT priority, dev, median_cents,
+             ROW_NUMBER() OVER (PARTITION BY priority ORDER BY dev)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM d),
+    mad AS (
+      SELECT priority, dev AS mad_cents
+      FROM rd WHERE rn = (n + 1) // 2)
+    SELECT d.priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MAX(d.median_cents) AS BIGINT) AS median_cents,
+           CAST(MAX(mad.mad_cents) AS BIGINT) AS mad_cents,
+           CAST(COALESCE(SUM(CASE WHEN d.dev > 3 * mad.mad_cents
+                                  THEN 1 END), 0) AS BIGINT)
+             AS n_outliers,
+           CAST(COALESCE(SUM(CASE WHEN d.dev > 3 * mad.mad_cents
+                                  THEN 1 END), 0) * 10000 // COUNT(*)
+                AS BIGINT) AS outlier_bp
+    FROM d JOIN mad ON d.priority = mad.priority
+    GROUP BY d.priority
+    """,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier screen per order priority — the
+    robust alternative to z-scores (one mega-order shifts a mean and
+    stddev but not a median), run before revenue aggregates so fat-
+    finger amounts are quarantined. Low median (element (n+1) div 2 of
+    the sorted list) instead of the interpolated median keeps every
+    value an exact integer both engines agree on. Two window passes
+    partitioned by priority; at 10^12 rows the same statistic comes
+    from per-partition histogram sketches, but the exact version is the
+    correctness anchor."""
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"))
+    wp = Window.partitionBy("priority")
+    r = c.select(
+        "priority", "cents",
+        F.row_number().over(wp.orderBy("cents")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"))
+    med = r.filter(F.expr("rn = (n + 1) div 2")).select(
+        "priority", F.col("cents").alias("median_cents"))
+    d = c.join(F.broadcast(med), "priority").select(
+        "priority", "cents", "median_cents",
+        F.abs(F.col("cents") - F.col("median_cents")).alias("dev"))
+    rd = d.select(
+        "priority", "dev", "median_cents",
+        F.row_number().over(wp.orderBy("dev")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"))
+    mad = rd.filter(F.expr("rn = (n + 1) div 2")).select(
+        "priority", F.col("dev").alias("mad_cents"))
+    joined = d.join(F.broadcast(mad), "priority")
+    return joined.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.max("median_cents").cast("bigint").alias("median_cents"),
+        F.max("mad_cents").cast("bigint").alias("mad_cents"),
+        F.coalesce(F.sum(F.when(
+            F.col("dev") > 3 * F.col("mad_cents"), 1)), F.lit(0))
+        .cast("bigint").alias("n_outliers"),
+        F.expr("COALESCE(SUM(CASE WHEN dev > 3 * mad_cents THEN 1 END),"
+               " 0) * 10000 div COUNT(*)")
+        .cast("bigint").alias("outlier_bp"))
+
+
+@query(
+    "concurrency_profile",
+    """
+    WITH iv AS (
+      SELECT ts,
+             ts + INTERVAL (event_id % 7 + 1) MINUTE AS end_ts
+      FROM events),
+    pts AS (
+      SELECT CAST(ts AS DATE) AS day, ts AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT CAST(end_ts AS DATE) AS day, end_ts AS t, -1 AS d FROM iv),
+    sweep AS (
+      SELECT day, d,
+             SUM(d) OVER (PARTITION BY day ORDER BY t, d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS running
+      FROM pts)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(MAX(running) AS BIGINT) AS max_concurrent,
+           CAST(COALESCE(SUM(CASE WHEN d = 1 THEN 1 END), 0) AS BIGINT)
+             AS n_starts
+    FROM sweep GROUP BY day
+    """,
+)
+def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line concurrency profile — peak simultaneous activity per
+    day from event intervals (start ts, deterministic per-event
+    duration): +1/-1 boundary points, a running sum ordered by
+    (time, delta) — deltas of -1 sort first, so an interval ending at
+    the exact instant another starts never counts as overlap — and the
+    per-day max of the running count. The capacity-planning primitive
+    (concurrent sessions, connections, streams). Day-partitioned sweep:
+    each day's points sort independently, so the shuffle key is the
+    day, not a global order; intervals are intra-day here — at
+    production scale midnight-crossing intervals are pre-split at day
+    boundaries, the standard clip."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "ts",
+        F.expr("ts + make_interval(0, 0, 0, 0, 0, "
+               "CAST(event_id % 7 + 1 AS INT), 0)").alias("end_ts"))
+    pts = (
+        iv.select(F.to_date("ts").alias("day"), F.col("ts").alias("t"),
+                  F.lit(1).alias("d"))
+        .unionByName(
+            iv.select(F.to_date("end_ts").alias("day"),
+                      F.col("end_ts").alias("t"),
+                      F.lit(-1).alias("d"))))
+    sweep = pts.select(
+        "day", "d",
+        F.sum("d").over(
+            Window.partitionBy("day").orderBy("t", "d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("running"))
+    return sweep.groupBy(
+        F.col("day").cast("string").alias("day")
+    ).agg(
+        F.max("running").cast("bigint").alias("max_concurrent"),
+        F.coalesce(F.sum(F.when(F.col("d") == 1, 1)), F.lit(0))
+        .cast("bigint").alias("n_starts"))
