@@ -17672,3 +17672,258 @@ def q_concurrency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("running").cast("bigint").alias("max_concurrent"),
         F.coalesce(F.sum(F.when(F.col("d") == 1, 1)), F.lit(0))
         .cast("bigint").alias("n_starts"))
+
+
+@query(
+    "interval_merge",
+    """
+    WITH iv AS (
+      SELECT user_id, ts AS start_ts,
+             ts + INTERVAL (event_id % 7 + 1) MINUTE AS end_ts
+      FROM events),
+    marked AS (
+      SELECT user_id, start_ts, end_ts,
+             CASE WHEN MAX(end_ts) OVER (PARTITION BY user_id
+                    ORDER BY start_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  IS NULL
+               OR start_ts > MAX(end_ts) OVER (PARTITION BY user_id
+                    ORDER BY start_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             THEN 1 ELSE 0 END AS new_grp
+      FROM iv),
+    grp AS (
+      SELECT user_id, start_ts, end_ts,
+             SUM(new_grp) OVER (PARTITION BY user_id ORDER BY start_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM marked),
+    merged AS (
+      SELECT user_id, g,
+             MIN(start_ts) AS s, MAX(end_ts) AS e,
+             COUNT(*) AS n_in
+      FROM grp GROUP BY user_id, g)
+    SELECT user_id,
+           CAST(SUM(n_in) AS BIGINT) AS n_raw,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(SUM((epoch_us(e) - epoch_us(s)) // 1000000) AS BIGINT)
+             AS covered_sec,
+           CAST(MAX((epoch_us(e) - epoch_us(s)) // 1000000) AS BIGINT)
+             AS longest_run_sec
+    FROM merged GROUP BY user_id
+    """,
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union per user — merge overlapping/touching activity
+    intervals into maximal runs (the islands-and-gaps problem): a new
+    island starts when an interval's start exceeds the running MAX of
+    all previous ends (not just the immediately previous end — an
+    umbrella interval can outlast several successors), islands are
+    numbered by a running sum of the flags, and per-user coverage is
+    the sum of island lengths — the dwell-time/uptime statistic naive
+    sum-of-durations double-counts. Touching intervals ([a,b) then
+    [b,c)) merge: coverage is a union. Two user-partitioned window
+    passes, shuffle keyed by user only."""
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id", F.col("ts").alias("start_ts"),
+        F.expr("ts + make_interval(0, 0, 0, 0, 0, "
+               "CAST(event_id % 7 + 1 AS INT), 0)").alias("end_ts"))
+    prev = (Window.partitionBy("user_id").orderBy("start_ts")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    marked = iv.select(
+        "user_id", "start_ts", "end_ts",
+        (F.max("end_ts").over(prev).isNull()
+         | (F.col("start_ts") > F.max("end_ts").over(prev)))
+        .cast("int").alias("new_grp"))
+    run = (Window.partitionBy("user_id").orderBy("start_ts")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    grp = marked.select(
+        "user_id", "start_ts", "end_ts",
+        F.sum("new_grp").over(run).alias("g"))
+    merged = grp.groupBy("user_id", "g").agg(
+        F.min("start_ts").alias("s"), F.max("end_ts").alias("e"),
+        F.count(F.lit(1)).alias("n_in"))
+    return merged.groupBy("user_id").agg(
+        F.sum("n_in").cast("bigint").alias("n_raw"),
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        F.sum(F.expr("timestampdiff(MICROSECOND, s, e) div 1000000"))
+        .cast("bigint").alias("covered_sec"),
+        F.max(F.expr("timestampdiff(MICROSECOND, s, e) div 1000000"))
+        .cast("bigint").alias("longest_run_sec"))
+
+
+@query(
+    "ab_experiment_chi2",
+    """
+    WITH assign AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant,
+             CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END AS converted
+      FROM events),
+    cells AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN variant = 'A' AND converted = 1
+                               THEN 1 END), 0) AS BIGINT) AS a,
+        CAST(COALESCE(SUM(CASE WHEN variant = 'A' AND converted = 0
+                               THEN 1 END), 0) AS BIGINT) AS b,
+        CAST(COALESCE(SUM(CASE WHEN variant = 'B' AND converted = 1
+                               THEN 1 END), 0) AS BIGINT) AS c,
+        CAST(COALESCE(SUM(CASE WHEN variant = 'B' AND converted = 0
+                               THEN 1 END), 0) AS BIGINT) AS d
+      FROM assign)
+    SELECT a, b, c, d,
+           CAST(a + b + c + d AS BIGINT) AS n,
+           CAST(a * 10000 // GREATEST(a + b, 1) AS BIGINT)
+             AS rate_a_bp,
+           CAST(c * 10000 // GREATEST(c + d, 1) AS BIGINT)
+             AS rate_b_bp,
+           CAST(CAST(a + b + c + d AS HUGEINT)
+                * (a * d - b * c) * (a * d - b * c) * 10000
+                // GREATEST(CAST(a + b AS HUGEINT) * (c + d) * (a + c)
+                            * (b + d), 1) AS BIGINT) AS chi2_x10000,
+           CAST(CASE WHEN CAST(a + b + c + d AS HUGEINT)
+                  * (a * d - b * c) * (a * d - b * c) * 10000
+                  // GREATEST(CAST(a + b AS HUGEINT) * (c + d) * (a + c)
+                              * (b + d), 1) >= 38415
+                THEN 1 ELSE 0 END AS INT) AS significant
+    FROM cells
+    """,
+)
+def q_ab_experiment_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout with an exact-integer chi-square — variant
+    by user-hash parity, conversion by a deterministic event property,
+    the 2x2 contingency chi2 = n(ad-bc)^2 / (row and column margins) in
+    x10000 fixed point. The cross terms overflow int64 at sf0.1
+    ((ad-bc)^2 alone reaches ~10^18), so both engines compute in 128
+    bits (HUGEINT / DECIMAL(38,0)) — the same widening discipline as
+    the share-ratio operators. Significance at the 3.8415 (p=0.05,
+    1 df) threshold. One scan, one 4-cell conditional aggregate —
+    map-side partials do all the work."""
+    ev = _t(spark, sf_dir, "events")
+    assign = ev.select(
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise("B")
+        .alias("variant"),
+        (F.col("event_id") % 7 == 0).cast("int").alias("converted"))
+    cells = assign.agg(
+        F.coalesce(F.sum(F.when((F.col("variant") == "A")
+                                & (F.col("converted") == 1), 1)),
+                   F.lit(0)).cast("bigint").alias("a"),
+        F.coalesce(F.sum(F.when((F.col("variant") == "A")
+                                & (F.col("converted") == 0), 1)),
+                   F.lit(0)).cast("bigint").alias("b"),
+        F.coalesce(F.sum(F.when((F.col("variant") == "B")
+                                & (F.col("converted") == 1), 1)),
+                   F.lit(0)).cast("bigint").alias("c"),
+        F.coalesce(F.sum(F.when((F.col("variant") == "B")
+                                & (F.col("converted") == 0), 1)),
+                   F.lit(0)).cast("bigint").alias("d"))
+    chi2 = (
+        "CAST(a + b + c + d AS DECIMAL(38,0))"
+        " * (a * d - b * c) * (a * d - b * c) * 10000"
+        " div GREATEST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c)"
+        " * (b + d), 1)")
+    return cells.select(
+        "a", "b", "c", "d",
+        F.expr("a + b + c + d").cast("bigint").alias("n"),
+        F.expr("a * 10000 div GREATEST(a + b, 1)").cast("bigint")
+        .alias("rate_a_bp"),
+        F.expr("c * 10000 div GREATEST(c + d, 1)").cast("bigint")
+        .alias("rate_b_bp"),
+        F.expr(chi2).cast("bigint").alias("chi2_x10000"),
+        (F.expr(chi2) >= 38415).cast("int").alias("significant"))
+
+
+_ACRO_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'The Central Processing Unit (CPU) runs the '
+                         || 'show case ' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 1 THEN 'We signed the Free Trade Agreement (FTA) '
+                         || 'today round ' || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 2 THEN 'The Big Announcement (NASA) surprised '
+                         || 'everyone ' || CAST(doc_id % 7 AS VARCHAR)
+             ELSE 'No parenthetical definitions appear here at all '
+                  || CAST(doc_id % 3 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_ACRO_PAT = "((?:[A-Z][a-z]+ ){1,5})\\(([A-Z]{2,6})\\)"
+
+_ACRO_SQL = (
+    "WITH u AS (" + _ACRO_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             nullif(trim(regexp_extract(text,
+                 '((?:[A-Z][a-z]+ ){1,5})\\(([A-Z]{2,6})\\)', 1)), '')
+               AS phrase,
+             nullif(regexp_extract(text,
+                 '((?:[A-Z][a-z]+ ){1,5})\\(([A-Z]{2,6})\\)', 2), '')
+               AS acronym
+      FROM u),
+    v AS (
+      SELECT doc, phrase, acronym,
+             CASE WHEN acronym IS NOT NULL THEN
+               array_to_string(list_transform(
+                 (string_split(phrase, ' '))
+                   [GREATEST(len(string_split(phrase, ' '))
+                             - length(acronym) + 1, 1)
+                    : len(string_split(phrase, ' '))],
+                 w -> substr(w, 1, 1)), '')
+             END AS initials
+      FROM m)
+    SELECT doc, phrase, acronym, initials,
+           CAST(CASE WHEN initials = acronym THEN 1 ELSE 0 END AS INT)
+             AS is_valid
+    FROM v
+    """
+)
+
+
+@query("acronym_defs", _ACRO_SQL)
+def q_acronym_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acronym-definition mining — 'Expanded Phrase (ACRO)' patterns
+    are the classic glossary seed for domain corpora, but the raw
+    pattern over-captures ('The Big Announcement (NASA)'), so the
+    initials of the LAST len(acronym) captured words must equal the
+    acronym for the pair to validate. Candidate extraction is one
+    regex; validation is in-row array slicing + initials concat —
+    identical list arithmetic in both engines. No-definition documents
+    yield NULLs, never ''. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("The Central Processing Unit (CPU) runs the show "
+                  "case "), (k % 5).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("We signed the Free Trade Agreement (FTA) today "
+                  "round "), (k % 3).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("The Big Announcement (NASA) surprised everyone "),
+            (k % 7).cast("string")))
+        .otherwise(F.concat(
+            F.lit("No parenthetical definitions appear here at all "),
+            (k % 3).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    phrase = F.nullif(F.trim(F.regexp_extract("text", _ACRO_PAT, 1)),
+                      F.lit(""))
+    acro = F.nullif(F.regexp_extract("text", _ACRO_PAT, 2), F.lit(""))
+    m2 = docs.select("doc", phrase.alias("phrase"),
+                     acro.alias("acronym"))
+    words = F.split("phrase", " ")
+    initials = F.when(
+        F.col("acronym").isNotNull(),
+        F.concat_ws("", F.transform(
+            F.slice(words,
+                    F.greatest(F.size(words) - F.length("acronym") + 1,
+                               F.lit(1)),
+                    F.length("acronym")),
+            lambda w: F.substring(w, 1, 1))))
+    v = m2.select("doc", "phrase", "acronym",
+                  initials.alias("initials"))
+    return v.select(
+        "doc", "phrase", "acronym", "initials",
+        F.when(F.col("initials") == F.col("acronym"), 1).otherwise(0)
+        .cast("int").alias("is_valid"))
