@@ -17927,3 +17927,104 @@ def q_acronym_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc", "phrase", "acronym", "initials",
         F.when(F.col("initials") == F.col("acronym"), 1).otherwise(0)
         .cast("int").alias("is_valid"))
+
+
+@query(
+    "broken_links",
+    """
+    WITH links AS (
+      SELECT doc_id AS doc, doc_id * 2 AS tgt FROM documents
+      UNION ALL
+      SELECT doc_id AS doc, doc_id * 2 + 1 AS tgt FROM documents),
+    joined AS (
+      SELECT l.doc, l.tgt, d.doc_id AS hit
+      FROM links l LEFT JOIN documents d ON l.tgt = d.doc_id)
+    SELECT doc,
+           CAST(COUNT(*) AS BIGINT) AS n_links,
+           CAST(COALESCE(SUM(CASE WHEN hit IS NULL THEN 1 END), 0)
+                AS BIGINT) AS n_broken,
+           CAST(COALESCE(SUM(CASE WHEN hit IS NULL THEN 1 END), 0)
+                * 10000 // COUNT(*) AS BIGINT) AS broken_bp
+    FROM joined GROUP BY doc
+    """,
+)
+def q_broken_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-link audit — each document's outgoing link targets LEFT-
+    joined against the fetched-page index; targets with no match are
+    broken, reported as a per-page count and basis-point ratio (a
+    link-rot quality signal, and the freshness probe recrawl
+    schedulers consume). The join is id-keyed against the full corpus
+    index — at production scale this is the hash(url)-bucketed join
+    the pipeline's payload join already demonstrates, never a
+    broadcast (the index side is corpus-sized). Deterministic link
+    synthesis: doc k links to 2k and 2k+1, so the upper half of the id
+    space is dead by construction."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    links = docs.select(
+        k.alias("doc"),
+        F.explode(F.array((k * 2).cast("bigint"),
+                          (k * 2 + 1).cast("bigint"))).alias("tgt"))
+    index = docs.select(F.col("doc_id").alias("tgt"),
+                        F.lit(1).alias("hit"))
+    joined = links.join(index, "tgt", "left")
+    return joined.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_links"),
+        F.coalesce(F.sum(F.when(F.col("hit").isNull(), 1)), F.lit(0))
+        .cast("bigint").alias("n_broken"),
+        F.expr("COALESCE(SUM(CASE WHEN hit IS NULL THEN 1 END), 0)"
+               " * 10000 div COUNT(*)")
+        .cast("bigint").alias("broken_bp"))
+
+
+@query(
+    "latency_percentiles",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v_us
+      FROM events),
+    r AS (
+      SELECT event_type, v_us,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_us)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM v)
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MAX(CASE WHEN rn = (n * 50 + 99) // 100 THEN v_us END)
+                AS BIGINT) AS p50_us,
+           CAST(MAX(CASE WHEN rn = (n * 95 + 99) // 100 THEN v_us END)
+                AS BIGINT) AS p95_us,
+           CAST(MAX(CASE WHEN rn = (n * 99 + 99) // 100 THEN v_us END)
+                AS BIGINT) AS p99_us
+    FROM r GROUP BY event_type
+    """,
+)
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact nearest-rank percentiles (p50/p95/p99) per event type over
+    micro-unit integer values — the SLO readout. Nearest-rank
+    (ceil(q*n), computed as (n*q+99) div 100 in integers) instead of
+    interpolation keeps every reported value an actual observed sample
+    and makes both engines agree exactly; interpolated percentiles are
+    engine-dependent floats. One window pass partitioned by type + one
+    conditional aggregate; at 10^12 events the same statistic comes
+    from mergeable histogram sketches with these exact values as the
+    correctness anchor (same discipline as mad_outliers)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v_us"))
+    wp = Window.partitionBy("event_type")
+    r = v.select(
+        "event_type", "v_us",
+        F.row_number().over(wp.orderBy("v_us")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"))
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(F.when(F.expr("rn = (n * 50 + 99) div 100"),
+                     F.col("v_us"))).cast("bigint").alias("p50_us"),
+        F.max(F.when(F.expr("rn = (n * 95 + 99) div 100"),
+                     F.col("v_us"))).cast("bigint").alias("p95_us"),
+        F.max(F.when(F.expr("rn = (n * 99 + 99) div 100"),
+                     F.col("v_us"))).cast("bigint").alias("p99_us"))
