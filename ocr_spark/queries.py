@@ -18028,3 +18028,120 @@ def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("v_us"))).cast("bigint").alias("p95_us"),
         F.max(F.when(F.expr("rn = (n * 99 + 99) div 100"),
                      F.col("v_us"))).cast("bigint").alias("p99_us"))
+
+
+_GEO_BOUNDS = [0, 300000000, 700000000, 1200000000, 1800000000,
+               2500000000, 3300000000, 4000000000, 4294967296]
+_GEO_BUCKET = 268435456  # 2^28
+
+
+@query(
+    "ip_geo_lookup",
+    """
+    WITH ip AS (
+      SELECT (event_id * 2654435761) % 4294967296 AS ip FROM events),
+    r AS (
+      SELECT * FROM (VALUES
+        ('C0', 0, 299999999), ('C1', 300000000, 699999999),
+        ('C2', 700000000, 1199999999), ('C3', 1200000000, 1799999999),
+        ('C4', 1800000000, 2499999999), ('C5', 2500000000, 3299999999),
+        ('C6', 3300000000, 3999999999), ('C7', 4000000000, 4294967295))
+        AS t(cc, lo, hi))
+    SELECT r.cc,
+           CAST(COUNT(*) AS BIGINT) AS n_ips,
+           CAST(MIN(ip.ip) AS BIGINT) AS min_ip,
+           CAST(MAX(ip.ip) AS BIGINT) AS max_ip
+    FROM ip JOIN r ON ip.ip BETWEEN r.lo AND r.hi
+    GROUP BY r.cc
+    """,
+)
+def q_ip_geo_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoIP range lookup as a BUCKETIZED range join — the non-equi
+    'point BETWEEN lo AND hi' join that naive plans turn into a
+    nested-loop scan. Each range is exploded to the fixed-width (2^28)
+    buckets it covers, the probe side equi-joins on bucket(ip), and a
+    residual BETWEEN filter finishes — so the join is a broadcast hash
+    join on an integer key, and per-bucket fan-out is bounded by how
+    many ranges cross a bucket (GeoIP: a few), never by table size.
+    The oracle twin runs the plain BETWEEN join; results must be
+    identical. IPs are a deterministic Knuth multiplicative hash of
+    event ids."""
+    ev = _t(spark, sf_dir, "events")
+    ips = ev.select(
+        ((F.col("event_id") * 2654435761) % 4294967296)
+        .cast("bigint").alias("ip"))
+    ranges = spark.createDataFrame(
+        [(f"C{i}", _GEO_BOUNDS[i], _GEO_BOUNDS[i + 1] - 1)
+         for i in range(8)], ["cc", "lo", "hi"])
+    exploded = ranges.select(
+        "cc", "lo", "hi",
+        F.explode(F.sequence(
+            (F.col("lo") / _GEO_BUCKET).cast("bigint"),
+            (F.col("hi") / _GEO_BUCKET).cast("bigint"))).alias("bucket"))
+    probe = ips.withColumn(
+        "bucket", (F.col("ip") / _GEO_BUCKET).cast("bigint"))
+    joined = probe.join(F.broadcast(exploded), "bucket").filter(
+        (F.col("ip") >= F.col("lo")) & (F.col("ip") <= F.col("hi")))
+    return joined.groupBy("cc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ips"),
+        F.min("ip").cast("bigint").alias("min_ip"),
+        F.max("ip").cast("bigint").alias("max_ip"))
+
+
+@query(
+    "audience_overlap",
+    """
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events),
+    totals AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM ut GROUP BY event_type),
+    pairs AS (
+      SELECT x.event_type AS t1, y.event_type AS t2,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM ut x JOIN ut y
+        ON x.user_id = y.user_id AND x.event_type < y.event_type
+      GROUP BY x.event_type, y.event_type)
+    SELECT p.t1, p.t2, p.inter,
+           a.n_users AS n1, b.n_users AS n2,
+           CAST(p.inter * 10000
+                // (a.n_users + b.n_users - p.inter) AS BIGINT)
+             AS jaccard_bp
+    FROM pairs p
+    JOIN totals a ON p.t1 = a.event_type
+    JOIN totals b ON p.t2 = b.event_type
+    """,
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event-type segments — exact pairwise
+    Jaccard of user sets, the segmentation-health readout. Spark-first
+    shape: one user-keyed distinct, then each user's sorted type array
+    emits its pairs IN-ROW (index-aware transform + slice — a user
+    touches at most |types| segments, so fan-out is combinations of a
+    tiny set), then a pair-keyed count; the user-side self-join the SQL
+    twin runs would be a second full shuffle of the fact table. Segment
+    totals broadcast back onto the pair counts."""
+    ev = _t(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    totals = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    arrs = ut.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types"))
+    pairs = arrs.select(F.explode(F.flatten(F.transform(
+        "types",
+        lambda x, i: F.transform(
+            F.slice(F.col("types"), i + 2,
+                    F.size(F.col("types"))),
+            lambda y: F.struct(x.alias("t1"), y.alias("t2")))))
+    ).alias("p")).select("p.t1", "p.t2")
+    inter = pairs.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("inter"))
+    a = totals.select(F.col("event_type").alias("t1"),
+                      F.col("n_users").alias("n1"))
+    b = totals.select(F.col("event_type").alias("t2"),
+                      F.col("n_users").alias("n2"))
+    joined = inter.join(F.broadcast(a), "t1").join(F.broadcast(b), "t2")
+    return joined.select(
+        "t1", "t2", "inter", "n1", "n2",
+        F.expr("inter * 10000 div (n1 + n2 - inter)")
+        .cast("bigint").alias("jaccard_bp"))
