@@ -18145,3 +18145,139 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t1", "t2", "inter", "n1", "n2",
         F.expr("inter * 10000 div (n1 + n2 - inter)")
         .cast("bigint").alias("jaccard_bp"))
+
+
+_ANC_SQL = """
+      SELECT c AS c0,
+             CASE WHEN c > 0 THEN (c - 1) // 3 END AS c1
+      FROM cat
+"""
+
+
+@query(
+    "category_rollup",
+    """
+    WITH cat AS (
+      SELECT doc_id % 40 AS c, CAST(COUNT(*) AS BIGINT) AS own_cnt
+      FROM documents GROUP BY doc_id % 40),
+    chain AS (
+      SELECT c, own_cnt,
+             list_filter([
+               c,
+               CASE WHEN c > 0 THEN (c - 1) // 3 END,
+               CASE WHEN c > 3 THEN ((c - 1) // 3 - 1) // 3 END,
+               CASE WHEN c > 12 THEN (((c - 1) // 3 - 1) // 3 - 1) // 3
+                    END,
+               CASE WHEN c > 39 THEN 0 END
+             ], x -> x IS NOT NULL) AS ancestors
+      FROM cat),
+    exploded AS (
+      SELECT unnest(ancestors) AS category, own_cnt,
+             len(ancestors) - 1 AS depth_of_leaf, c
+      FROM chain)
+    SELECT e.category,
+           CAST(MAX(CASE WHEN e.c = e.category THEN e.own_cnt END)
+                AS BIGINT) AS own_cnt,
+           CAST(SUM(e.own_cnt) AS BIGINT) AS subtree_cnt,
+           CAST(MAX(CASE WHEN e.c = e.category
+                    THEN e.depth_of_leaf END) AS BIGINT) AS depth
+    FROM exploded e GROUP BY e.category
+    """,
+)
+def q_category_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtree rollup — documents hang off a ternary
+    category tree (parent(c) = (c-1) div 3, root 0), and every
+    category reports its OWN count plus the sum over its whole subtree.
+    Spark-first shape: each category materializes its ancestor PATH
+    in-row (fixed-depth unrolled closed form — depth is log3 of the
+    category space, 4 levels here), explodes it, and one ancestor-keyed
+    aggregate produces every subtree sum simultaneously — no recursion,
+    no per-level join round trips, fan-out bounded by tree depth. The
+    standard scale pattern for category/taxonomy rollups (a recursive
+    CTE is the row-at-a-time equivalent)."""
+    docs = _t(spark, sf_dir, "documents")
+    cat = docs.groupBy((F.col("doc_id") % 40).alias("c")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("own_cnt"))
+    chain = cat.select(
+        "c", "own_cnt",
+        F.filter(F.array(
+            F.col("c"),
+            F.when(F.col("c") > 0, F.expr("(c - 1) div 3")),
+            F.when(F.col("c") > 3, F.expr("((c - 1) div 3 - 1) div 3")),
+            F.when(F.col("c") > 12,
+                   F.expr("(((c - 1) div 3 - 1) div 3 - 1) div 3")),
+            F.when(F.col("c") > 39, F.lit(0)),
+        ), lambda x: x.isNotNull()).alias("ancestors"))
+    exploded = chain.select(
+        F.explode("ancestors").alias("category"), "own_cnt",
+        (F.size("ancestors") - 1).alias("depth_of_leaf"), "c")
+    return exploded.groupBy("category").agg(
+        F.max(F.when(F.col("c") == F.col("category"),
+                     F.col("own_cnt"))).cast("bigint").alias("own_cnt"),
+        F.sum("own_cnt").cast("bigint").alias("subtree_cnt"),
+        F.max(F.when(F.col("c") == F.col("category"),
+                     F.col("depth_of_leaf"))).cast("bigint")
+        .alias("depth"))
+
+
+@query(
+    "rendezvous_assign",
+    """
+    WITH d AS (SELECT doc_id FROM documents),
+    a5 AS (
+      SELECT doc_id,
+             (SELECT n FROM (
+                SELECT unnest(range(0, 5)) AS n) nn
+              ORDER BY ((doc_id * 2654435761) % 1000000007 + 1) * (n * 69069 + 12345) % 1000000007
+                       DESC, n LIMIT 1) AS node5
+      FROM d),
+    a6 AS (
+      SELECT doc_id,
+             (SELECT n FROM (
+                SELECT unnest(range(0, 6)) AS n) nn
+              ORDER BY ((doc_id * 2654435761) % 1000000007 + 1) * (n * 69069 + 12345) % 1000000007
+                       DESC, n LIMIT 1) AS node6
+      FROM d),
+    j AS (
+      SELECT a5.doc_id, a5.node5, a6.node6
+      FROM a5 JOIN a6 ON a5.doc_id = a6.doc_id)
+    SELECT node6 AS node,
+           CAST(COALESCE(SUM(CASE WHEN node5 = node6 THEN 1 END), 0)
+                AS BIGINT) AS n_stayed,
+           CAST(COALESCE(SUM(CASE WHEN node5 <> node6 THEN 1 END), 0)
+                AS BIGINT) AS n_moved_in,
+           CAST(COUNT(*) AS BIGINT) AS n_assigned
+    FROM j GROUP BY node6
+    """,
+)
+def q_rendezvous_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment — every doc
+    scores each node with a shared deterministic hash and goes to the
+    argmax; adding a node moves ONLY the docs the new node now wins
+    (the minimal-disruption property that makes consistent assignment
+    the standard for shard routing and cache placement — modulo
+    hashing would reshuffle nearly everything). Computed in-row: the
+    per-doc score list over the node set is a transform + struct-MAX
+    argmax, no join against a node table; the 5-node and 6-node
+    assignments come from the same projection and one groupBy reports
+    stayed/moved-in per node. The oracle twin computes the argmax via
+    correlated ORDER BY ... LIMIT 1."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+
+    def argmax(n_nodes: int):
+        return F.expr(
+            "array_max(transform(sequence(0, {m}), n -> "
+            "struct(((doc_id * 2654435761) % 1000000007 + 1) * (n * 69069 + 12345) % 1000000007"
+            " AS score, -n AS neg))).neg * -1".format(m=n_nodes - 1))
+
+    assigned = docs.select(
+        "doc_id",
+        argmax(5).cast("bigint").alias("node5"),
+        argmax(6).cast("bigint").alias("node6"))
+    return assigned.groupBy(F.col("node6").alias("node")).agg(
+        F.coalesce(F.sum(F.when(F.col("node5") == F.col("node6"), 1)),
+                   F.lit(0)).cast("bigint").alias("n_stayed"),
+        F.coalesce(F.sum(F.when(F.col("node5") != F.col("node6"), 1)),
+                   F.lit(0)).cast("bigint").alias("n_moved_in"),
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"))
