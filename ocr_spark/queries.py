@@ -18281,3 +18281,137 @@ def q_rendezvous_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(F.col("node5") != F.col("node6"), 1)),
                    F.lit(0)).cast("bigint").alias("n_moved_in"),
         F.count(F.lit(1)).cast("bigint").alias("n_assigned"))
+
+
+@query(
+    "source_cover",
+    """
+    WITH sh AS (
+      SELECT DISTINCT source, doc_id % 50 AS host FROM documents),
+    c1 AS (SELECT source, COUNT(*) AS cnt FROM sh GROUP BY source),
+    p1 AS (SELECT source, cnt FROM c1
+           ORDER BY cnt DESC, source LIMIT 1),
+    cov1 AS (SELECT DISTINCT sh.host FROM sh JOIN p1 USING (source)),
+    rem1 AS (SELECT sh.* FROM sh
+             WHERE sh.host NOT IN (SELECT host FROM cov1)),
+    c2 AS (SELECT source, COUNT(*) AS cnt FROM rem1 GROUP BY source),
+    p2 AS (SELECT source, cnt FROM c2
+           ORDER BY cnt DESC, source LIMIT 1),
+    cov2 AS (SELECT DISTINCT rem1.host FROM rem1 JOIN p2 USING (source)),
+    rem2 AS (SELECT rem1.* FROM rem1
+             WHERE rem1.host NOT IN (SELECT host FROM cov2)),
+    c3 AS (SELECT source, COUNT(*) AS cnt FROM rem2 GROUP BY source),
+    p3 AS (SELECT source, cnt FROM c3
+           ORDER BY cnt DESC, source LIMIT 1)
+    SELECT * FROM (
+      SELECT 1 AS round, source, CAST(cnt AS BIGINT) AS new_hosts
+      FROM p1
+      UNION ALL
+      SELECT 2 AS round, source, CAST(cnt AS BIGINT) FROM p2
+      UNION ALL
+      SELECT 3 AS round, source, CAST(cnt AS BIGINT) FROM p3) t
+    """,
+)
+def q_source_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy set cover for source selection — pick the 3 sources that
+    together cover the most hosts, the classic data-acquisition
+    question ('which feeds buy the most coverage?'). Each round picks
+    the source covering the most NOT-yet-covered hosts (the greedy
+    (1-1/e) approximation), fully declaratively: the per-round argmax
+    is a row_number-1 filter over source counts (a tiny window — one
+    row per SOURCE), the covered set propagates by anti-join, and no
+    round ever collects to the driver. Three unrolled rounds; a k-round
+    version is the same block in a loop with checkpoint-per-round like
+    dedup_components."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "source", (F.col("doc_id") % 50).alias("host")).distinct()
+
+    def pick(remaining: DataFrame):
+        cnt = remaining.groupBy("source").agg(
+            F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(F.col("cnt").desc(), F.col("source"))
+        return (cnt.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1).drop("rn"))
+
+    p1 = pick(sh)
+    cov1 = sh.join(F.broadcast(p1.select("source")), "source").select(
+        "host").distinct()
+    rem1 = sh.join(F.broadcast(cov1), "host", "left_anti")
+    p2 = pick(rem1)
+    cov2 = rem1.join(F.broadcast(p2.select("source")), "source").select(
+        "host").distinct()
+    rem2 = rem1.join(F.broadcast(cov2), "host", "left_anti")
+    p3 = pick(rem2)
+    rounds = []
+    for i, p in enumerate((p1, p2, p3), start=1):
+        rounds.append(p.select(
+            F.lit(i).alias("round"), "source",
+            F.col("cnt").cast("bigint").alias("new_hosts")))
+    out = rounds[0]
+    for r in rounds[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+_TITLE_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'Breaking News Markets Rally Today'
+             WHEN 1 THEN 'markets rally today breaking news'
+             WHEN 2 THEN 'Local Team Wins The Cup '
+                         || CAST(doc_id % 5 AS VARCHAR)
+             ELSE 'The Cup Wins Local Team '
+                  || CAST(doc_id % 5 AS VARCHAR)
+           END AS title
+    FROM documents
+"""
+
+_TITLE_SQL = (
+    "WITH u AS (" + _TITLE_TEXT_SQL + "),"
+    """
+    s AS (
+      SELECT doc,
+             array_to_string(list_sort(list_filter(
+               string_split(lower(title), ' '),
+               w -> w NOT IN ('the', 'a', 'an'))), ' ') AS sig
+      FROM u)
+    SELECT sig,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc) AS BIGINT) AS keeper,
+           CAST(MAX(doc) AS BIGINT) AS max_doc
+    FROM s GROUP BY sig HAVING COUNT(*) >= 2
+    """
+)
+
+
+@query("title_signature_dedup", _TITLE_SQL)
+def q_title_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-token title signatures — the canopy dedup news pipelines
+    run before anything expensive: lowercase, drop articles, sort the
+    tokens, and group. Reordered syndicated headlines ('Breaking News
+    Markets Rally Today' vs 'markets rally today breaking news')
+    collapse to one signature; clusters of >=2 report size and the
+    min-id keeper. One exact groupBy on the signature — the O(n)
+    pre-filter that spares MinHash the easy 90%. Zero-shuffle
+    projection + one signature-keyed agg."""
+    k = F.col("doc_id")
+    m = k % 4
+    title = (
+        F.when(m == 0, F.lit("Breaking News Markets Rally Today"))
+        .when(m == 1, F.lit("markets rally today breaking news"))
+        .when(m == 2, F.concat(
+            F.lit("Local Team Wins The Cup "), (k % 5).cast("string")))
+        .otherwise(F.concat(
+            F.lit("The Cup Wins Local Team "), (k % 5).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), title.alias("title"))
+    sig = F.array_join(F.array_sort(F.filter(
+        F.split(F.lower("title"), " "),
+        lambda w: ~w.isin("the", "a", "an"))), " ")
+    s = docs.select("doc", sig.alias("sig"))
+    return (s.groupBy("sig")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.min("doc").cast("bigint").alias("keeper"),
+                 F.max("doc").cast("bigint").alias("max_doc"))
+            .filter(F.col("n_docs") >= 2))
