@@ -18415,3 +18415,217 @@ def q_title_signature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min("doc").cast("bigint").alias("keeper"),
                  F.max("doc").cast("bigint").alias("max_doc"))
             .filter(F.col("n_docs") >= 2))
+
+
+@query(
+    "multiclass_prf",
+    """
+    WITH lab AS (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'x' WHEN 1 THEN 'y'
+             ELSE 'z' END AS truth,
+             CASE WHEN doc_id % 7 = 0 THEN
+               CASE doc_id % 3 WHEN 0 THEN 'y' WHEN 1 THEN 'z'
+               ELSE 'x' END
+             ELSE CASE doc_id % 3 WHEN 0 THEN 'x' WHEN 1 THEN 'y'
+                  ELSE 'z' END END AS pred
+      FROM documents),
+    conf AS (
+      SELECT truth, pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lab GROUP BY truth, pred),
+    cls AS (SELECT unnest(['x', 'y', 'z']) AS cls),
+    m AS (
+      SELECT cls.cls,
+             CAST(COALESCE(SUM(CASE WHEN conf.truth = cls.cls
+                    AND conf.pred = cls.cls THEN conf.n END), 0)
+                  AS BIGINT) AS tp,
+             CAST(COALESCE(SUM(CASE WHEN conf.pred = cls.cls
+                    AND conf.truth <> cls.cls THEN conf.n END), 0)
+                  AS BIGINT) AS fp,
+             CAST(COALESCE(SUM(CASE WHEN conf.truth = cls.cls
+                    AND conf.pred <> cls.cls THEN conf.n END), 0)
+                  AS BIGINT) AS fn
+      FROM cls CROSS JOIN conf GROUP BY cls.cls),
+    pr AS (
+      SELECT cls, tp, fp, fn,
+             CAST(tp * 10000 // GREATEST(tp + fp, 1) AS BIGINT)
+               AS precision_bp,
+             CAST(tp * 10000 // GREATEST(tp + fn, 1) AS BIGINT)
+               AS recall_bp
+      FROM m)
+    SELECT cls, tp, fp, fn, precision_bp, recall_bp,
+           CAST(2 * precision_bp * recall_bp
+                // GREATEST(precision_bp + recall_bp, 1) AS BIGINT)
+             AS f1_bp
+    FROM pr
+    """,
+)
+def q_multiclass_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 in exact basis points — the
+    classifier-eval readout every routing model (language, content
+    type, quality tier) reports. The deterministic labeler pair plants
+    a rotating confusion (every 7th doc mispredicts to the next class)
+    so tp/fp/fn are all exercised. Confusion matrix first (a 9-row
+    aggregate — the only scan), then per-class conditional sums over
+    the TINY matrix crossed with the class dim, never a second pass
+    over the data; F1 is the integer harmonic of the bp values."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    truth = (F.when(k % 3 == 0, "x").when(k % 3 == 1, "y")
+             .otherwise("z"))
+    rotated = (F.when(k % 3 == 0, "y").when(k % 3 == 1, "z")
+               .otherwise("x"))
+    lab = docs.select(
+        truth.alias("truth"),
+        F.when(k % 7 == 0, rotated).otherwise(truth).alias("pred"))
+    conf = lab.groupBy("truth", "pred").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    cls = spark.createDataFrame([("x",), ("y",), ("z",)], ["cls"])
+    m = (F.broadcast(cls).crossJoin(conf)
+         .groupBy("cls")
+         .agg(
+             F.coalesce(F.sum(F.when(
+                 (F.col("truth") == F.col("cls"))
+                 & (F.col("pred") == F.col("cls")), F.col("n"))),
+                 F.lit(0)).cast("bigint").alias("tp"),
+             F.coalesce(F.sum(F.when(
+                 (F.col("pred") == F.col("cls"))
+                 & (F.col("truth") != F.col("cls")), F.col("n"))),
+                 F.lit(0)).cast("bigint").alias("fp"),
+             F.coalesce(F.sum(F.when(
+                 (F.col("truth") == F.col("cls"))
+                 & (F.col("pred") != F.col("cls")), F.col("n"))),
+                 F.lit(0)).cast("bigint").alias("fn")))
+    pr = m.select(
+        "cls", "tp", "fp", "fn",
+        F.expr("tp * 10000 div GREATEST(tp + fp, 1)").cast("bigint")
+        .alias("precision_bp"),
+        F.expr("tp * 10000 div GREATEST(tp + fn, 1)").cast("bigint")
+        .alias("recall_bp"))
+    return pr.select(
+        "cls", "tp", "fp", "fn", "precision_bp", "recall_bp",
+        F.expr("2 * precision_bp * recall_bp"
+               " div GREATEST(precision_bp + recall_bp, 1)")
+        .cast("bigint").alias("f1_bp"))
+
+
+@query(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    w AS (
+      SELECT event_type, day, cnt,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS i,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS prefix,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             SUM(cnt) OVER (PARTITION BY event_type) AS total
+      FROM daily),
+    s AS (
+      SELECT event_type, day, i, n, total,
+             abs(prefix * n - i * total) AS abs_s
+      FROM w WHERE i < n),
+    best AS (
+      SELECT event_type,
+             max({'a': abs_s, 'negi': -i,
+                  'd': CAST(day AS VARCHAR)}) AS b,
+             CAST(MAX(n) AS BIGINT) AS n_days,
+             CAST(MAX(total) AS BIGINT) AS total
+      FROM s GROUP BY event_type)
+    SELECT event_type, n_days, total,
+           CAST(b.negi * -1 AS BIGINT) AS cp_index,
+           b.d AS cp_day,
+           CAST(b.a AS BIGINT) AS peak_scaled
+    FROM best
+    """,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type — where did the daily rate
+    shift? The scaled CUSUM S'_i = prefix_i * n - i * total (the
+    classic sum-minus-mean curve multiplied through by n, so every
+    value stays an exact integer — no fractional mean) peaks at the
+    most likely changepoint; the argmax (first index on ties, via
+    struct-MAX with negated index) is reported with its day and peak.
+    Window prefix sums partitioned by type over the tiny daily grain;
+    the heavy count is the same (type, day) partial aggregate the
+    anomaly fold uses."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    wp = Window.partitionBy("event_type")
+    wo = wp.orderBy("day")
+    w = daily.select(
+        "event_type", "day", "cnt",
+        F.row_number().over(wo).alias("i"),
+        F.sum("cnt").over(
+            wo.rowsBetween(Window.unboundedPreceding,
+                           Window.currentRow)).alias("prefix"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("cnt").over(wp).alias("total"))
+    s = w.filter(F.col("i") < F.col("n")).select(
+        "event_type", "n", "total",
+        F.abs(F.col("prefix") * F.col("n")
+              - F.col("i") * F.col("total")).alias("abs_s"),
+        F.col("i"), F.col("day"))
+    best = s.groupBy("event_type").agg(
+        F.max(F.struct(
+            F.col("abs_s").alias("a"),
+            (-F.col("i")).alias("negi"),
+            F.col("day").cast("string").alias("d"))).alias("b"),
+        F.max("n").cast("bigint").alias("n_days"),
+        F.max("total").cast("bigint").alias("total"))
+    return best.select(
+        "event_type", "n_days", "total",
+        (F.col("b.negi") * -1).cast("bigint").alias("cp_index"),
+        F.col("b.d").alias("cp_day"),
+        F.col("b.a").cast("bigint").alias("peak_scaled"))
+
+
+@query(
+    "dow_seasonality",
+    """
+    WITH e AS (
+      SELECT isodow(ts) AS dow, CAST(ts AS DATE) AS day FROM events),
+    per_dow AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      FROM e GROUP BY dow),
+    tot AS (
+      SELECT CAST(SUM(n_events) AS BIGINT) AS total_events,
+             CAST(SUM(n_days) AS BIGINT) AS total_days
+      FROM per_dow)
+    SELECT p.dow, p.n_events, p.n_days,
+           CAST(p.n_events * t.total_days * 10000
+                // GREATEST(p.n_days * t.total_events, 1) AS BIGINT)
+             AS index_bp
+    FROM per_dow p CROSS JOIN tot t
+    """,
+)
+def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index — each weekday's events-per-day
+    rate against the overall rate, in exact basis points (10000 =
+    average day). The recrawl scheduler and anomaly thresholds both
+    consume this: a Saturday at 60% of baseline is normal, a Tuesday
+    at 60% is an incident. ISO weekday numbering (1 = Monday) aligned
+    across engines (Spark weekday()+1 == DuckDB isodow()). One 7-group
+    aggregate + a 1-row broadcast total."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        (F.expr("weekday(ts)") + 1).cast("bigint").alias("dow"),
+        F.to_date("ts").alias("day"))
+    per_dow = e.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("day").cast("bigint").alias("n_days"))
+    tot = per_dow.agg(
+        F.sum("n_events").cast("bigint").alias("total_events"),
+        F.sum("n_days").cast("bigint").alias("total_days"))
+    return per_dow.crossJoin(F.broadcast(tot)).select(
+        "dow", "n_events", "n_days",
+        F.expr("n_events * total_days * 10000"
+               " div GREATEST(n_days * total_events, 1)")
+        .cast("bigint").alias("index_bp"))
