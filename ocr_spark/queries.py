@@ -18629,3 +18629,134 @@ def q_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("n_events * total_days * 10000"
                " div GREATEST(n_days * total_events, 1)")
         .cast("bigint").alias("index_bp"))
+
+
+@query(
+    "time_weighted_avg",
+    """
+    WITH v AS (
+      SELECT user_id, ts, event_id,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v_us
+      FROM events),
+    stepped AS (
+      SELECT user_id, v_us,
+             CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) ) - epoch_us(ts) AS BIGINT)
+               AS dt_us
+      FROM v),
+    agg AS (
+      SELECT user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(COALESCE(SUM(CAST(v_us AS HUGEINT) * dt_us), 0)
+                  AS HUGEINT) AS wsum,
+             CAST(COALESCE(SUM(dt_us), 0) AS BIGINT) AS span_us
+      FROM stepped GROUP BY user_id)
+    SELECT user_id, n_samples, span_us,
+           CAST(wsum // GREATEST(span_us, 1) AS BIGINT) AS twa_us
+    FROM agg
+    """,
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-function time-weighted average per user — each sample's
+    value HOLDS until the next sample, so the mean must weight by
+    holding time (the utilization/gauge semantics every metrics system
+    implements; a plain AVG over-counts bursts of samples). LEAD gives
+    each sample its holding interval in exact microseconds; the
+    weighted sum runs in 128 bits (value_us x dt_us reaches ~10^17 per
+    row — the established HUGEINT/DECIMAL(38,0) widening) and the
+    final division floors once. One user-partitioned window + one
+    aggregate; deterministic tie order via (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "user_id", "ts", "event_id",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v_us"))
+    stepped = v.select(
+        "user_id", "v_us",
+        F.expr("timestampdiff(MICROSECOND, ts, "
+               "LEAD(ts) OVER (PARTITION BY user_id"
+               " ORDER BY ts, event_id))").cast("bigint").alias("dt_us"))
+    agg = stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.coalesce(
+            F.sum(F.expr("CAST(v_us AS DECIMAL(38,0)) * dt_us")),
+            F.lit(0)).alias("wsum"),
+        F.coalesce(F.sum("dt_us"), F.lit(0)).cast("bigint")
+        .alias("span_us"))
+    return agg.select(
+        "user_id", "n_samples", "span_us",
+        F.expr("wsum div GREATEST(span_us, 1)").cast("bigint")
+        .alias("twa_us"))
+
+
+@query(
+    "rank_correlation",
+    """
+    WITH nm AS (
+      SELECT c.c_nationkey AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey),
+    pairs AS (
+      SELECT x.revenue_cents AS r1, y.revenue_cents AS r2,
+             x.n_orders AS c1, y.n_orders AS c2
+      FROM nm x JOIN nm y ON x.nation < y.nation),
+    cls AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN (r1 - r2) * (c1 - c2) > 0
+                               THEN 1 END), 0) AS BIGINT) AS concordant,
+        CAST(COALESCE(SUM(CASE WHEN (r1 - r2) * (c1 - c2) < 0
+                               THEN 1 END), 0) AS BIGINT) AS discordant,
+        CAST(COALESCE(SUM(CASE WHEN (r1 - r2) * (c1 - c2) = 0
+                               THEN 1 END), 0) AS BIGINT) AS tied,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs)
+    SELECT concordant, discordant, tied, n_pairs,
+           CAST((concordant - discordant) * 10000
+                // GREATEST(n_pairs, 1) AS BIGINT) AS tau_bp
+    FROM cls
+    """,
+)
+def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau between two nation rankings (revenue vs order count)
+    — do two metrics order the world the same way? Computed directly
+    from metric values: a pair is concordant when the sign of the
+    revenue difference matches the sign of the count difference, so no
+    rank assignment (and no tie-breaking policy) is needed; ties count
+    in the denominator (tau-a). The pairwise cross runs over the
+    NATION-grain dim (~25 rows -> ~300 pairs), never over orders — the
+    fact-table work is one join + one group-by, the TPC-H Q5 shape."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nm = (orders.join(F.broadcast(customer.select("c_custkey",
+                                                  "c_nationkey")),
+                      orders.o_custkey == F.col("c_custkey"))
+          .groupBy(F.col("c_nationkey").alias("nation"))
+          .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                     .cast("bigint")).cast("bigint")
+               .alias("revenue_cents"),
+               F.count(F.lit(1)).cast("bigint").alias("n_orders")))
+    x = nm.select(F.col("nation").alias("na"),
+                  F.col("revenue_cents").alias("r1"),
+                  F.col("n_orders").alias("c1"))
+    y = nm.select(F.col("nation").alias("nb"),
+                  F.col("revenue_cents").alias("r2"),
+                  F.col("n_orders").alias("c2"))
+    pairs = x.join(F.broadcast(y), F.col("na") < F.col("nb"))
+    cls = pairs.agg(
+        F.coalesce(F.sum(F.when(
+            (F.col("r1") - F.col("r2")) * (F.col("c1") - F.col("c2"))
+            > 0, 1)), F.lit(0)).cast("bigint").alias("concordant"),
+        F.coalesce(F.sum(F.when(
+            (F.col("r1") - F.col("r2")) * (F.col("c1") - F.col("c2"))
+            < 0, 1)), F.lit(0)).cast("bigint").alias("discordant"),
+        F.coalesce(F.sum(F.when(
+            (F.col("r1") - F.col("r2")) * (F.col("c1") - F.col("c2"))
+            == 0, 1)), F.lit(0)).cast("bigint").alias("tied"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    return cls.select(
+        "concordant", "discordant", "tied", "n_pairs",
+        F.expr("(concordant - discordant) * 10000"
+               " div GREATEST(n_pairs, 1)").cast("bigint")
+        .alias("tau_bp"))
