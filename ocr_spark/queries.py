@@ -18760,3 +18760,130 @@ def q_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(concordant - discordant) * 10000"
                " div GREATEST(n_pairs, 1)").cast("bigint")
         .alias("tau_bp"))
+
+
+@query(
+    "weekly_autocorr",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    lagged AS (
+      SELECT event_type, cnt AS x,
+             LEAD(cnt, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS y
+      FROM daily),
+    p AS (
+      SELECT event_type, x, y FROM lagged WHERE y IS NOT NULL),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM p GROUP BY event_type HAVING COUNT(*) >= 3)
+    SELECT event_type, m,
+           CAST(m * sxy - sx * sy AS BIGINT) AS cov_num,
+           CAST(CASE WHEN (m * sxx - sx * sx) = 0
+                      OR (m * syy - sy * sy) = 0 THEN 0
+                ELSE CAST(CAST(m * sxy - sx * sy AS HUGEINT)
+                     * (m * sxy - sx * sy) * 10000
+                     // (CAST(m * sxx - sx * sx AS HUGEINT)
+                        * (m * syy - sy * sy)) AS BIGINT)
+                END AS BIGINT) AS r2_bp,
+           CAST(CASE WHEN (m * sxy - sx * sy) > 0
+                      AND (m * sxx - sx * sx) > 0
+                      AND (m * syy - sy * sy) > 0
+                      AND CAST(m * sxy - sx * sy AS HUGEINT)
+                          * (m * sxy - sx * sy) * 10000
+                          // (CAST(m * sxx - sx * sx AS HUGEINT)
+                             * (m * syy - sy * sy)) >= 2500
+                THEN 1 ELSE 0 END AS INT) AS is_weekly
+    FROM m
+    """,
+)
+def q_weekly_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly periodicity via lag-7 autocorrelation, entirely in
+    integers — the single-pass identities (m·Σxy − ΣxΣy over the
+    m overlapping day pairs, same for both variances) avoid any
+    floating mean, and r² lands in basis points through one 128-bit
+    widening (the covariance square reaches ~10^24 at sf0.1). A series
+    is flagged weekly when the lag-7 correlation is POSITIVE with
+    r² >= 0.25 — the recrawl scheduler's cue to fit day-of-week rates
+    before alarming. LEAD(7) over the tiny daily grain; the scan work
+    is the shared (type, day) partial count."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    lagged = daily.select(
+        "event_type", F.col("cnt").alias("x"),
+        F.lead("cnt", 7).over(
+            Window.partitionBy("event_type").orderBy("day")).alias("y"))
+    p = lagged.filter(F.col("y").isNotNull())
+    m = (p.groupBy("event_type")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("m"),
+              F.sum("x").cast("bigint").alias("sx"),
+              F.sum("y").cast("bigint").alias("sy"),
+              F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+              F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+              F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"))
+         .filter(F.col("m") >= 3))
+    r2 = ("CASE WHEN (m * sxx - sx * sx) = 0"
+          " OR (m * syy - sy * sy) = 0 THEN 0"
+          " ELSE CAST(CAST(m * sxy - sx * sy AS DECIMAL(38,0))"
+          " * (m * sxy - sx * sy) * 10000"
+          " div (CAST(m * sxx - sx * sx AS DECIMAL(38,0))"
+          " * (m * syy - sy * sy)) AS BIGINT) END")
+    return m.select(
+        "event_type", "m",
+        F.expr("m * sxy - sx * sy").cast("bigint").alias("cov_num"),
+        F.expr(r2).cast("bigint").alias("r2_bp"),
+        (F.expr("m * sxy - sx * sy > 0")
+         & F.expr("m * sxx - sx * sx > 0")
+         & F.expr("m * syy - sy * sy > 0")
+         & (F.expr(r2) >= 2500)).cast("int").alias("is_weekly"))
+
+
+@query(
+    "effective_sample_size",
+    """
+    WITH w AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS wt FROM documents),
+    s AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(wt) AS BIGINT) AS sw,
+             CAST(SUM(wt * wt) AS BIGINT) AS sww
+      FROM w GROUP BY lang)
+    SELECT lang, n, sw,
+           CAST(sw * sw // GREATEST(sww, 1) AS BIGINT) AS ess,
+           CAST(sw * sw // GREATEST(sww, 1) * 10000 // n AS BIGINT)
+             AS ess_ratio_bp
+    FROM s
+    """,
+)
+def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size per language — ESS = (Σw)²/Σw² tells
+    you how many EQUAL documents your length-weighted sample is worth:
+    a corpus where one mega-document carries half the weight has a
+    tiny ESS however many rows it holds. The ratio against the raw
+    count (10000 bp = perfectly balanced weights) is the skew alarm
+    for sampling and mixture stages. One aggregate with map-side
+    partials; all integer (the weight square sums stay under int64 at
+    any realistic doc-length cap)."""
+    docs = _t(spark, sf_dir, "documents")
+    s = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sw"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint")
+        .alias("sww"))
+    return s.select(
+        "lang", "n", "sw",
+        F.expr("sw * sw div GREATEST(sww, 1)").cast("bigint")
+        .alias("ess"),
+        F.expr("sw * sw div GREATEST(sww, 1) * 10000 div n")
+        .cast("bigint").alias("ess_ratio_bp"))
