@@ -18887,3 +18887,219 @@ def q_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ess"),
         F.expr("sw * sw div GREATEST(sww, 1) * 10000 div n")
         .cast("bigint").alias("ess_ratio_bp"))
+
+
+_SNIFF_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'name,age,city' || chr(10)
+                         || 'alice,30,berlin' || chr(10)
+                         || 'bob,25,paris' || chr(10) || 'carl,41,rome'
+             WHEN 1 THEN 'id' || chr(9) || 'value' || chr(10)
+                         || '1' || chr(9) || '10' || chr(10)
+                         || '2' || chr(9) || '20'
+             WHEN 2 THEN 'a|b|c' || chr(10) || '1|2|3' || chr(10)
+                         || '4|5|6'
+             ELSE 'just a plain sentence without structure '
+                  || CAST(doc_id % 3 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+
+_SNIFF_SQL = (
+    "WITH u AS (" + _SNIFF_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc, text,
+             list_min(list_transform(string_split(text, chr(10)),
+               l -> length(l) - length(replace(l, ',', '')))) AS c_mn,
+             list_max(list_transform(string_split(text, chr(10)),
+               l -> length(l) - length(replace(l, ',', '')))) AS c_mx,
+             list_min(list_transform(string_split(text, chr(10)),
+               l -> length(l) - length(replace(l, chr(9), '')))) AS t_mn,
+             list_max(list_transform(string_split(text, chr(10)),
+               l -> length(l) - length(replace(l, chr(9), '')))) AS t_mx,
+             list_min(list_transform(string_split(text, chr(10)),
+               l -> length(l) - length(replace(l, '|', '')))) AS p_mn,
+             list_max(list_transform(string_split(text, chr(10)),
+               l -> length(l) - length(replace(l, '|', '')))) AS p_mx,
+             CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_rows
+      FROM u),
+    pick AS (
+      SELECT doc, text, n_rows,
+             CASE WHEN c_mn = c_mx AND c_mn > 0 THEN 'comma'
+                  WHEN t_mn = t_mx AND t_mn > 0 THEN 'tab'
+                  WHEN p_mn = p_mx AND p_mn > 0 THEN 'pipe'
+             END AS delim,
+             CASE WHEN c_mn = c_mx AND c_mn > 0 THEN c_mn + 1
+                  WHEN t_mn = t_mx AND t_mn > 0 THEN t_mn + 1
+                  WHEN p_mn = p_mx AND p_mn > 0 THEN p_mn + 1
+             END AS n_cols
+      FROM m)
+    SELECT doc, delim, CAST(n_cols AS BIGINT) AS n_cols, n_rows,
+           CAST(CASE WHEN delim IS NOT NULL
+                  AND len(regexp_extract_all(
+                        string_split(text, chr(10))[1], '[0-9]')) = 0
+                  AND len(regexp_extract_all(text, '[0-9]')) > 0
+                THEN 1 ELSE 0 END AS INT) AS has_header
+    FROM pick
+    """
+)
+
+
+@query("delimiter_sniff", _SNIFF_SQL)
+def q_delimiter_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delimiter sniffing for embedded tabular text — a delimiter is
+    accepted when EVERY line carries the same positive count of it
+    (the consistency rule real CSV sniffers use), tried in fixed
+    comma > tab > pipe priority; header detection flags a digit-free
+    first line over digit-bearing data lines. Routes CSV/TSV payloads
+    to a columnar parser instead of the prose pipeline. All in-row
+    list arithmetic over the line split — zero shuffle."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.lit(
+            "name,age,city\nalice,30,berlin\nbob,25,paris\n"
+            "carl,41,rome"))
+        .when(m == 1, F.lit("id\tvalue\n1\t10\n2\t20"))
+        .when(m == 2, F.lit("a|b|c\n1|2|3\n4|5|6"))
+        .otherwise(F.concat(
+            F.lit("just a plain sentence without structure "),
+            (k % 3).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    lines = F.split("text", "\n")
+
+    def counts(d: str):
+        per = F.transform(
+            lines, lambda l: F.length(l)
+            - F.length(F.replace(l, F.lit(d), F.lit(""))))
+        return F.array_min(per), F.array_max(per)
+
+    c_mn, c_mx = counts(",")
+    t_mn, t_mx = counts("\t")
+    p_mn, p_mx = counts("|")
+    pick = docs.select(
+        "doc", "text",
+        F.size(lines).cast("bigint").alias("n_rows"),
+        F.when((c_mn == c_mx) & (c_mn > 0), F.lit("comma"))
+        .when((t_mn == t_mx) & (t_mn > 0), F.lit("tab"))
+        .when((p_mn == p_mx) & (p_mn > 0), F.lit("pipe"))
+        .alias("delim"),
+        F.when((c_mn == c_mx) & (c_mn > 0), c_mn + 1)
+        .when((t_mn == t_mx) & (t_mn > 0), t_mn + 1)
+        .when((p_mn == p_mx) & (p_mn > 0), p_mn + 1)
+        .cast("bigint").alias("n_cols"))
+    hdr_digits = F.size(F.regexp_extract_all(
+        F.element_at(F.split("text", "\n"), 1), F.lit("[0-9]"),
+        F.lit(0)))
+    all_digits = F.size(F.regexp_extract_all("text", F.lit("[0-9]"),
+                                             F.lit(0)))
+    return pick.select(
+        "doc", "delim", "n_cols", "n_rows",
+        (F.col("delim").isNotNull() & (hdr_digits == 0)
+         & (all_digits > 0)).cast("int").alias("has_header"))
+
+
+_UNIT_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 5
+             WHEN 0 THEN 'The trail is 5 km long segment '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 1 THEN 'A 250 cm plank case '
+                         || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 2 THEN 'The file is 3 mb in size rev '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 3 THEN 'Weight: 2 kg exactly lot '
+                         || CAST(doc_id % 7 AS VARCHAR)
+             ELSE 'No measurements mentioned here at all '
+                  || CAST(doc_id % 3 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_UNIT_PAT = "\\b([0-9]+) (km|cm|mb|kg|kb|mm|m|g)\\b"
+
+_UNIT_SQL = (
+    "WITH u AS (" + _UNIT_TEXT_SQL + "),"
+    """
+    e AS (
+      SELECT doc,
+             CAST(nullif(regexp_extract(text,
+               '\\b([0-9]+) (km|cm|mb|kg|kb|mm|m|g)\\b', 1), '')
+               AS BIGINT) AS qty,
+             nullif(regexp_extract(text,
+               '\\b([0-9]+) (km|cm|mb|kg|kb|mm|m|g)\\b', 2), '')
+               AS unit
+      FROM u)
+    SELECT doc, qty, unit,
+           CAST(CASE unit
+                WHEN 'km' THEN qty * 1000000
+                WHEN 'm' THEN qty * 1000
+                WHEN 'cm' THEN qty * 10
+                WHEN 'mm' THEN qty
+                WHEN 'kg' THEN qty * 1000
+                WHEN 'g' THEN qty
+                WHEN 'mb' THEN qty * 1048576
+                WHEN 'kb' THEN qty * 1024
+           END AS BIGINT) AS canonical,
+           CASE WHEN unit IN ('km', 'm', 'cm', 'mm') THEN 'length_mm'
+                WHEN unit IN ('kg', 'g') THEN 'mass_g'
+                WHEN unit IN ('mb', 'kb') THEN 'bytes'
+           END AS dimension
+    FROM e
+    """
+)
+
+
+@query("unit_normalize", _UNIT_SQL)
+def q_unit_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measurement-unit normalization — '<n> <unit>' mentions resolve
+    to a canonical integer base (mm / g / bytes) with their dimension
+    tag, the cleanup that makes quantities comparable across documents
+    (entity linking, fact extraction, spec dedup all consume this).
+    Longest-alternative-first regex so '5 km' never half-matches as
+    'm'; no-measurement documents yield NULLs. Zero-shuffle
+    projection."""
+    k = F.col("doc_id")
+    m = k % 5
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("The trail is 5 km long segment "),
+            (k % 3).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("A 250 cm plank case "), (k % 5).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("The file is 3 mb in size rev "),
+            (k % 3).cast("string")))
+        .when(m == 3, F.concat(
+            F.lit("Weight: 2 kg exactly lot "), (k % 7).cast("string")))
+        .otherwise(F.concat(
+            F.lit("No measurements mentioned here at all "),
+            (k % 3).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    qty = F.nullif(F.regexp_extract("text", _UNIT_PAT, 1),
+                   F.lit("")).cast("bigint")
+    unit = F.nullif(F.regexp_extract("text", _UNIT_PAT, 2), F.lit(""))
+    e = docs.select("doc", qty.alias("qty"), unit.alias("unit"))
+    canonical = (
+        F.when(F.col("unit") == "km", F.col("qty") * 1000000)
+        .when(F.col("unit") == "m", F.col("qty") * 1000)
+        .when(F.col("unit") == "cm", F.col("qty") * 10)
+        .when(F.col("unit") == "mm", F.col("qty"))
+        .when(F.col("unit") == "kg", F.col("qty") * 1000)
+        .when(F.col("unit") == "g", F.col("qty"))
+        .when(F.col("unit") == "mb", F.col("qty") * 1048576)
+        .when(F.col("unit") == "kb", F.col("qty") * 1024))
+    dim = (
+        F.when(F.col("unit").isin("km", "m", "cm", "mm"),
+               F.lit("length_mm"))
+        .when(F.col("unit").isin("kg", "g"), F.lit("mass_g"))
+        .when(F.col("unit").isin("mb", "kb"), F.lit("bytes")))
+    return e.select(
+        "doc", "qty", "unit",
+        canonical.cast("bigint").alias("canonical"),
+        dim.alias("dimension"))
