@@ -19103,3 +19103,137 @@ def q_unit_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc", "qty", "unit",
         canonical.cast("bigint").alias("canonical"),
         dim.alias("dimension"))
+
+
+@query(
+    "funnel_subsequence",
+    """
+    WITH top3 AS (
+      SELECT list(event_type ORDER BY cnt DESC, event_type) AS funnel
+      FROM (SELECT event_type, COUNT(*) AS cnt FROM events
+            GROUP BY event_type ORDER BY cnt DESC, event_type
+            LIMIT 3)),
+    seq AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS types
+      FROM events GROUP BY user_id),
+    idx AS (
+      SELECT s.user_id,
+             CAST(len(s.types) AS BIGINT) AS n_events,
+             list_transform(s.types,
+               t -> COALESCE(list_position(f.funnel, t), 0)) AS steps
+      FROM seq s CROSS JOIN top3 f),
+    m AS (
+      SELECT user_id, n_events,
+             CAST(list_reduce(list_prepend(0, steps),
+               (a, x) -> CASE WHEN x = a + 1 THEN a + 1 ELSE a END)
+               AS BIGINT) AS steps_matched
+      FROM idx)
+    SELECT user_id, n_events, steps_matched,
+           CAST(CASE WHEN steps_matched >= 3 THEN 1 ELSE 0 END AS INT)
+             AS completed
+    FROM m
+    """,
+)
+def q_funnel_subsequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subsequence funnel matching — how far does each user progress
+    through the 3-step funnel IN ORDER but with arbitrary gaps (the
+    loose-funnel semantics strict adjacent-step windows miss)? The
+    funnel itself is data-derived: the three most common event types,
+    rank-ordered (deterministic tie-break by name), broadcast as one
+    row. Each user's event-type sequence maps to funnel indices
+    in-row, and a single integer fold (advance on the next expected
+    index, sentinel-initialized) yields the matched prefix length —
+    the same exact-integer fold discipline as the EWMA baseline. One
+    user-keyed shuffle for the sequence, one tiny aggregate for the
+    funnel."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("event_type"))
+    top3 = (cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3)
+            .agg(F.array_sort(F.collect_list(
+                F.struct("rk", "event_type"))).alias("rs"))
+            .select(F.transform("rs", lambda s: s["event_type"])
+                    .alias("funnel")))
+    seq = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(
+                F.struct("ts", "event_id", "event_type"))),
+            lambda s: s["event_type"]).alias("types"))
+    idx = seq.crossJoin(F.broadcast(top3)).select(
+        "user_id",
+        F.size("types").cast("bigint").alias("n_events"),
+        F.transform(
+            "types",
+            lambda t: F.coalesce(F.array_position(F.col("funnel"), t),
+                                 F.lit(0))).alias("steps"))
+    m = idx.select(
+        "user_id", "n_events",
+        F.aggregate(
+            "steps", F.lit(0).cast("bigint"),
+            lambda a, x: F.when(x == a + 1, a + 1).otherwise(a))
+        .cast("bigint").alias("steps_matched"))
+    return m.select(
+        "user_id", "n_events", "steps_matched",
+        (F.col("steps_matched") >= 3).cast("int").alias("completed"))
+
+
+@query(
+    "largest_remainder_alloc",
+    """
+    WITH c AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY lang),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+    base AS (
+      SELECT c.lang, c.cnt,
+             CAST(1000 * c.cnt // t.total AS BIGINT) AS base,
+             CAST(1000 * c.cnt - (1000 * c.cnt // t.total) * t.total
+                  AS BIGINT) AS rem
+      FROM c CROSS JOIN t),
+    lo AS (
+      SELECT CAST(1000 - SUM(base) AS BIGINT) AS leftover FROM base),
+    rk AS (
+      SELECT lang, cnt, base, rem,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, lang) AS rk
+      FROM base)
+    SELECT rk.lang, rk.cnt, rk.base,
+           CAST(CASE WHEN rk.rk <= lo.leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS extra,
+           CAST(rk.base + CASE WHEN rk.rk <= lo.leftover THEN 1 ELSE 0
+                          END AS BIGINT) AS alloc
+    FROM rk CROSS JOIN lo
+    """,
+)
+def q_largest_remainder_alloc(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment — split exactly 1000
+    sampling slots across languages proportional to document counts:
+    integer floor shares first, then the leftover slots go to the
+    largest scaled remainders (deterministic tie-break by language).
+    The allocation that guarantees BOTH exact total and at-most-1
+    deviation from proportionality — what a mixture sampler actually
+    needs (floats drift, rounding loses slots). Group counts + a
+    1-row broadcast total + one window over the language grain."""
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    t = c.agg(F.sum("cnt").cast("bigint").alias("total"))
+    base = c.crossJoin(F.broadcast(t)).select(
+        "lang", "cnt",
+        F.expr("1000 * cnt div total").cast("bigint").alias("base"),
+        F.expr("1000 * cnt - (1000 * cnt div total) * total")
+        .cast("bigint").alias("rem"))
+    lo = base.agg((F.lit(1000) - F.sum("base")).cast("bigint")
+                  .alias("leftover"))
+    w = Window.orderBy(F.col("rem").desc(), F.col("lang"))
+    rk = base.withColumn("rk", F.row_number().over(w))
+    return rk.crossJoin(F.broadcast(lo)).select(
+        "lang", "cnt", "base",
+        (F.col("rk") <= F.col("leftover")).cast("bigint")
+        .alias("extra"),
+        (F.col("base")
+         + (F.col("rk") <= F.col("leftover")).cast("bigint"))
+        .cast("bigint").alias("alloc"))
