@@ -19108,31 +19108,41 @@ def q_unit_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "funnel_subsequence",
     """
-    WITH top3 AS (
-      SELECT list(event_type ORDER BY cnt DESC, event_type) AS funnel
-      FROM (SELECT event_type, COUNT(*) AS cnt FROM events
-            GROUP BY event_type ORDER BY cnt DESC, event_type
-            LIMIT 3)),
-    seq AS (
-      SELECT user_id,
-             list(event_type ORDER BY ts, event_id) AS types
-      FROM events GROUP BY user_id),
-    idx AS (
-      SELECT s.user_id,
-             CAST(len(s.types) AS BIGINT) AS n_events,
-             list_transform(s.types,
-               t -> COALESCE(list_position(f.funnel, t), 0)) AS steps
-      FROM seq s CROSS JOIN top3 f),
-    m AS (
-      SELECT user_id, n_events,
-             CAST(list_reduce(list_prepend(0, steps),
-               (a, x) -> CASE WHEN x = a + 1 THEN a + 1 ELSE a END)
-               AS BIGINT) AS steps_matched
-      FROM idx)
-    SELECT user_id, n_events, steps_matched,
-           CAST(CASE WHEN steps_matched >= 3 THEN 1 ELSE 0 END AS INT)
+    WITH cnts AS (
+      SELECT event_type, COUNT(*) AS cnt FROM events
+      GROUP BY event_type),
+    top3 AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, event_type) AS step
+      FROM cnts ORDER BY cnt DESC, event_type LIMIT 3),
+    base AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events),
+    ev2 AS (
+      SELECT b.user_id, b.rn, t.step FROM base b
+      JOIN top3 t ON b.event_type = t.event_type),
+    u AS (SELECT DISTINCT user_id, n_events FROM base),
+    p1 AS (SELECT user_id, MIN(rn) AS r1 FROM ev2 WHERE step = 1
+           GROUP BY user_id),
+    p2 AS (SELECT e.user_id, MIN(e.rn) AS r2 FROM ev2 e
+           JOIN p1 ON e.user_id = p1.user_id
+           WHERE e.step = 2 AND e.rn > p1.r1 GROUP BY e.user_id),
+    p3 AS (SELECT e.user_id, MIN(e.rn) AS r3 FROM ev2 e
+           JOIN p2 ON e.user_id = p2.user_id
+           WHERE e.step = 3 AND e.rn > p2.r2 GROUP BY e.user_id)
+    SELECT u.user_id, CAST(u.n_events AS BIGINT) AS n_events,
+           CAST(CASE WHEN p3.r3 IS NOT NULL THEN 3
+                     WHEN p2.r2 IS NOT NULL THEN 2
+                     WHEN p1.r1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+             AS steps_matched,
+           CAST(CASE WHEN p3.r3 IS NOT NULL THEN 1 ELSE 0 END AS INT)
              AS completed
-    FROM m
+    FROM u LEFT JOIN p1 ON u.user_id = p1.user_id
+    LEFT JOIN p2 ON u.user_id = p2.user_id
+    LEFT JOIN p3 ON u.user_id = p3.user_id
     """,
 )
 def q_funnel_subsequence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -19146,7 +19156,15 @@ def q_funnel_subsequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, sentinel-initialized) yields the matched prefix length —
     the same exact-integer fold discipline as the EWMA baseline. One
     user-keyed shuffle for the sequence, one tiny aggregate for the
-    funnel."""
+    funnel.
+
+    The oracle twin deliberately uses a pure-relational min-index
+    chain (ROW_NUMBER + three MIN-over-threshold joins) instead of
+    mirroring the fold: DuckDB's list_reduce over a lambda that
+    captures a cross-joined column returned a wrong result for one
+    user in 1500 at sf0.1 (projection-dependent), so the oracle avoids
+    list lambdas here entirely — and an independent formulation is a
+    stronger check anyway."""
     ev = _t(spark, sf_dir, "events")
     cnt = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("cnt"))
@@ -19237,3 +19255,184 @@ def q_largest_remainder_alloc(spark: SparkSession,
         (F.col("base")
          + (F.col("rk") <= F.col("leftover")).cast("bigint"))
         .cast("bigint").alias("alloc"))
+
+
+@query(
+    "capture_recapture",
+    """
+    SELECT
+      CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 END), 0)
+           AS BIGINT) AS n1,
+      CAST(COALESCE(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 END), 0)
+           AS BIGINT) AS n2,
+      CAST(COALESCE(SUM(CASE WHEN doc_id % 6 = 0 THEN 1 END), 0)
+           AS BIGINT) AS overlap,
+      CAST(COALESCE(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 END), 0)
+           * COALESCE(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 END), 0)
+           // GREATEST(COALESCE(SUM(CASE WHEN doc_id % 6 = 0
+                                    THEN 1 END), 0), 1) AS BIGINT)
+        AS lp_estimate,
+      CAST((COALESCE(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 END), 0) + 1)
+           * (COALESCE(SUM(CASE WHEN doc_id % 3 = 0 THEN 1 END), 0)
+              + 1)
+           // (COALESCE(SUM(CASE WHEN doc_id % 6 = 0 THEN 1 END), 0)
+               + 1) - 1 AS BIGINT) AS chapman_estimate,
+      CAST(COUNT(*) AS BIGINT) AS true_n
+    FROM documents
+    """,
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture population estimation — two independent crawl
+    samples (the even-id crawl and the every-third-id crawl) and their
+    overlap give the Lincoln-Petersen estimate n1·n2/m of the TOTAL
+    segment size, plus the bias-corrected Chapman variant — how crawl
+    teams answer 'how big is this host really?' without fetching it
+    all. The deterministic id-residue samples make the truth exactly
+    recoverable for verification. One conditional aggregate over one
+    scan, map-side partials only."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    cells = docs.agg(
+        F.coalesce(F.sum(F.when(k % 2 == 0, 1)), F.lit(0))
+        .cast("bigint").alias("n1"),
+        F.coalesce(F.sum(F.when(k % 3 == 0, 1)), F.lit(0))
+        .cast("bigint").alias("n2"),
+        F.coalesce(F.sum(F.when(k % 6 == 0, 1)), F.lit(0))
+        .cast("bigint").alias("overlap"),
+        F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    return cells.select(
+        "n1", "n2", "overlap",
+        F.expr("n1 * n2 div GREATEST(overlap, 1)").cast("bigint")
+        .alias("lp_estimate"),
+        F.expr("(n1 + 1) * (n2 + 1) div (overlap + 1) - 1")
+        .cast("bigint").alias("chapman_estimate"),
+        "true_n")
+
+
+@query(
+    "diff_in_diff",
+    """
+    WITH e AS (
+      SELECT CASE WHEN user_id % 2 = 0 THEN 'treat' ELSE 'control' END
+               AS grp,
+             CASE WHEN day(ts) <= 15 THEN 'pre' ELSE 'post' END
+               AS period,
+             CAST(ts AS DATE) AS day
+      FROM events),
+    cells AS (
+      SELECT grp, period,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days
+      FROM e GROUP BY grp, period),
+    r AS (
+      SELECT grp, period,
+             CAST(n_events * 10000 // GREATEST(n_days, 1) AS BIGINT)
+               AS rate_bp
+      FROM cells),
+    p AS (
+      SELECT
+        MAX(CASE WHEN grp = 'treat' AND period = 'pre'
+            THEN rate_bp END) AS tp0,
+        MAX(CASE WHEN grp = 'treat' AND period = 'post'
+            THEN rate_bp END) AS tp1,
+        MAX(CASE WHEN grp = 'control' AND period = 'pre'
+            THEN rate_bp END) AS cp0,
+        MAX(CASE WHEN grp = 'control' AND period = 'post'
+            THEN rate_bp END) AS cp1
+      FROM r)
+    SELECT CAST(tp0 AS BIGINT) AS treat_pre_bp,
+           CAST(tp1 AS BIGINT) AS treat_post_bp,
+           CAST(cp0 AS BIGINT) AS control_pre_bp,
+           CAST(cp1 AS BIGINT) AS control_post_bp,
+           CAST((tp1 - tp0) - (cp1 - cp0) AS BIGINT) AS did_bp
+    FROM p
+    """,
+)
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences readout — the treated group's pre/post
+    daily-rate change minus the control group's, the standard guard
+    against 'the metric rose after launch' claims that ignore seasonal
+    drift both groups share. Deterministic assignment (user-hash
+    parity) and calendar split (day of month); rates in exact
+    events-per-day basis points. One 4-cell conditional aggregate +
+    a 1-row pivot."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        F.when(F.col("user_id") % 2 == 0, "treat").otherwise("control")
+        .alias("grp"),
+        F.when(F.dayofmonth("ts") <= 15, "pre").otherwise("post")
+        .alias("period"),
+        F.to_date("ts").alias("day"))
+    cells = e.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("day").cast("bigint").alias("n_days"))
+    r = cells.select(
+        "grp", "period",
+        F.expr("n_events * 10000 div GREATEST(n_days, 1)")
+        .cast("bigint").alias("rate_bp"))
+    p = r.agg(
+        F.max(F.when((F.col("grp") == "treat")
+                     & (F.col("period") == "pre"),
+                     F.col("rate_bp"))).alias("tp0"),
+        F.max(F.when((F.col("grp") == "treat")
+                     & (F.col("period") == "post"),
+                     F.col("rate_bp"))).alias("tp1"),
+        F.max(F.when((F.col("grp") == "control")
+                     & (F.col("period") == "pre"),
+                     F.col("rate_bp"))).alias("cp0"),
+        F.max(F.when((F.col("grp") == "control")
+                     & (F.col("period") == "post"),
+                     F.col("rate_bp"))).alias("cp1"))
+    return p.select(
+        F.col("tp0").cast("bigint").alias("treat_pre_bp"),
+        F.col("tp1").cast("bigint").alias("treat_post_bp"),
+        F.col("cp0").cast("bigint").alias("control_pre_bp"),
+        F.col("cp1").cast("bigint").alias("control_post_bp"),
+        ((F.col("tp1") - F.col("tp0")) - (F.col("cp1") - F.col("cp0")))
+        .cast("bigint").alias("did_bp"))
+
+
+@query(
+    "peer_percentile",
+    """
+    WITH c AS (
+      SELECT o_orderkey, o_orderpriority AS priority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders),
+    r AS (
+      SELECT o_orderkey, priority, cents,
+             ROW_NUMBER() OVER (PARTITION BY priority
+               ORDER BY cents, o_orderkey) AS rk,
+             COUNT(*) OVER (PARTITION BY priority) AS n
+      FROM c)
+    SELECT o_orderkey, priority, cents,
+           CAST((rk - 1) * 10000 // GREATEST(n - 1, 1) AS BIGINT)
+             AS pct_bp
+    FROM r
+    """,
+)
+def q_peer_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentile rank among peers — every order's standing
+    within its priority class in basis points (0 = cheapest peer,
+    10000 = priciest), the per-row normalization that makes amounts
+    comparable across groups with different scales (feature
+    engineering for fraud/quality models). Deterministic dense
+    ordering via (value, key) tie-break; (rank-1)/(n-1) so both
+    endpoints are exact. One priority-partitioned window — same
+    shuffle the MAD screen already pays."""
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"))
+    wp = Window.partitionBy("priority")
+    r = c.select(
+        "o_orderkey", "priority", "cents",
+        F.row_number().over(wp.orderBy("cents", "o_orderkey"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"))
+    return r.select(
+        "o_orderkey", "priority", "cents",
+        F.expr("(rk - 1) * 10000 div GREATEST(n - 1, 1)")
+        .cast("bigint").alias("pct_bp"))
