@@ -19436,3 +19436,131 @@ def q_peer_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "priority", "cents",
         F.expr("(rk - 1) * 10000 div GREATEST(n - 1, 1)")
         .cast("bigint").alias("pct_bp"))
+
+
+@query(
+    "linear_attribution",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_id % 11 = 0 THEN 1 ELSE 0 END AS is_conv
+      FROM events),
+    g AS (
+      SELECT user_id, ts, event_id, event_type, is_conv,
+             COALESCE(SUM(is_conv) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + 1 AS grp
+      FROM e),
+    counts AS (
+      SELECT user_id, grp,
+             CAST(COALESCE(SUM(CASE WHEN is_conv = 0 THEN 1 END), 0)
+                  AS BIGINT) AS k,
+             CAST(MAX(is_conv) AS BIGINT) AS has_conv
+      FROM g GROUP BY user_id, grp),
+    credited AS (
+      SELECT g.event_type,
+             CASE WHEN c.has_conv = 1 AND g.is_conv = 0
+                  THEN 10000 // c.k
+                  WHEN c.has_conv = 1 AND g.is_conv = 1 AND c.k = 0
+                  THEN 10000
+                  ELSE 0 END AS credit
+      FROM g JOIN counts c
+        ON g.user_id = c.user_id AND g.grp = c.grp)
+    SELECT event_type,
+           CAST(SUM(credit) AS BIGINT) AS credit_bp,
+           CAST(COALESCE(SUM(CASE WHEN credit > 0 THEN 1 END), 0)
+                AS BIGINT) AS n_credited
+    FROM credited GROUP BY event_type
+    """,
+)
+def q_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution — each conversion's 10000 bp of
+    credit splits equally across the touchpoints since the PREVIOUS
+    conversion (the running-sum group trick assigns every touch to its
+    next conversion in one window pass); a conversion with no
+    preceding touches keeps its credit as 'direct'. Credit totals per
+    channel (event type) are what marketing-mix dashboards aggregate.
+    Trailing touches after the last conversion earn nothing —
+    has_conv gates them. One user-keyed window + one group-keyed
+    join, shuffles on user only. Integer division floors per-touch
+    credit, so totals under-count by at most k-1 bp per conversion —
+    deterministic in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "ts", "event_id", "event_type",
+        (F.col("event_id") % 11 == 0).cast("int").alias("is_conv"))
+    prev = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    g = e.select(
+        "user_id", "event_type", "is_conv",
+        (F.coalesce(F.sum("is_conv").over(prev), F.lit(0)) + 1)
+        .alias("grp"))
+    counts = g.groupBy("user_id", "grp").agg(
+        F.coalesce(F.sum(F.when(F.col("is_conv") == 0, 1)), F.lit(0))
+        .cast("bigint").alias("k"),
+        F.max("is_conv").cast("bigint").alias("has_conv"))
+    credited = g.join(counts, ["user_id", "grp"]).select(
+        "event_type",
+        F.when((F.col("has_conv") == 1) & (F.col("is_conv") == 0),
+               F.expr("10000 div k"))
+        .when((F.col("has_conv") == 1) & (F.col("is_conv") == 1)
+              & (F.col("k") == 0), F.lit(10000))
+        .otherwise(F.lit(0)).alias("credit"))
+    return credited.groupBy("event_type").agg(
+        F.sum("credit").cast("bigint").alias("credit_bp"),
+        F.coalesce(F.sum(F.when(F.col("credit") > 0, 1)), F.lit(0))
+        .cast("bigint").alias("n_credited"))
+
+
+@query(
+    "skyline_orders",
+    """
+    WITH c AS (
+      SELECT o_orderkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+             o_orderdate
+      FROM orders),
+    r AS (
+      SELECT o_orderkey, cents, o_orderdate,
+             MIN(o_orderdate) OVER (
+               ORDER BY cents, o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_date_so_far
+      FROM c)
+    SELECT o_orderkey, cents,
+           CAST(o_orderdate AS VARCHAR) AS order_date
+    FROM r
+    WHERE best_date_so_far IS NULL
+       OR o_orderdate < best_date_so_far
+    """,
+)
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) — the orders no other order beats
+    on BOTH price and date (cheaper AND earlier): the multi-criteria
+    shortlist query optimizers treat as hard, solved with ONE sorted
+    window pass — sort by price ascending, keep a row iff its date
+    beats the running minimum date of everything cheaper (sorted-scan
+    dominance: anything earlier in the sort is no more expensive, so
+    only the date needs checking). Equal-price ties resolve by the
+    (cents, date, key) sort: the cheapest-earliest survives and its
+    equal-price twins are dominated. The global window is the
+    documented single-partition caveat; at scale the same pass runs
+    range-partitioned by price with per-partition running minima
+    merged once."""
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint")
+        .alias("cents"),
+        "o_orderdate")
+    prev = (Window.orderBy("cents", "o_orderdate", "o_orderkey")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    r = c.select(
+        "o_orderkey", "cents", "o_orderdate",
+        F.min("o_orderdate").over(prev).alias("best_date_so_far"))
+    return r.filter(
+        F.col("best_date_so_far").isNull()
+        | (F.col("o_orderdate") < F.col("best_date_so_far"))).select(
+        "o_orderkey", "cents",
+        F.col("o_orderdate").cast("string").alias("order_date"))
