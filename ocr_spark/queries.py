@@ -19564,3 +19564,169 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("o_orderdate") < F.col("best_date_so_far"))).select(
         "o_orderkey", "cents",
         F.col("o_orderdate").cast("string").alias("order_date"))
+
+
+@query(
+    "cohens_kappa",
+    """
+    WITH lab AS (
+      SELECT CASE doc_id % 3 WHEN 0 THEN 'x' WHEN 1 THEN 'y'
+             ELSE 'z' END AS a,
+             CASE WHEN doc_id % 7 = 0 THEN
+               CASE doc_id % 3 WHEN 0 THEN 'y' WHEN 1 THEN 'z'
+               ELSE 'x' END
+             ELSE CASE doc_id % 3 WHEN 0 THEN 'x' WHEN 1 THEN 'y'
+                  ELSE 'z' END END AS b
+      FROM documents),
+    conf AS (
+      SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lab GROUP BY a, b),
+    marg AS (
+      SELECT
+        CAST(SUM(n) AS BIGINT) AS total,
+        CAST(COALESCE(SUM(CASE WHEN a = b THEN n END), 0) AS BIGINT)
+          AS agree
+      FROM conf),
+    rows_m AS (SELECT a AS cls, CAST(SUM(n) AS BIGINT) AS ra
+               FROM conf GROUP BY a),
+    cols_m AS (SELECT b AS cls, CAST(SUM(n) AS BIGINT) AS cb
+               FROM conf GROUP BY b),
+    chance AS (
+      SELECT CAST(SUM(r.ra * c.cb) AS BIGINT) AS exp_num
+      FROM rows_m r JOIN cols_m c ON r.cls = c.cls)
+    SELECT m.total, m.agree,
+           CAST(m.agree * 10000 // m.total AS BIGINT) AS po_bp,
+           CAST(ch.exp_num * 10000 // (m.total * m.total) AS BIGINT)
+             AS pe_bp,
+           CAST((m.agree * 10000 // m.total
+                 - ch.exp_num * 10000 // (m.total * m.total)) * 10000
+                // GREATEST(10000 - ch.exp_num * 10000
+                            // (m.total * m.total), 1) AS BIGINT)
+             AS kappa_bp
+    FROM marg m CROSS JOIN chance ch
+    """,
+)
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic labelers — observed
+    agreement corrected for the agreement two independent annotators
+    would reach by chance (the marginal-product expectation), the
+    standard inter-annotator metric before trusting any labeled
+    corpus. All in exact basis points: po and pe truncate identically
+    in both engines, kappa = (po-pe)/(1-pe) in a second fixed-point
+    step. One confusion-matrix scan; marginals and the chance term
+    come from the TINY matrix, never a second pass."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    a = (F.when(k % 3 == 0, "x").when(k % 3 == 1, "y").otherwise("z"))
+    rot = (F.when(k % 3 == 0, "y").when(k % 3 == 1, "z").otherwise("x"))
+    lab = docs.select(
+        a.alias("a"), F.when(k % 7 == 0, rot).otherwise(a).alias("b"))
+    conf = lab.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    marg = conf.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.coalesce(F.sum(F.when(F.col("a") == F.col("b"),
+                                F.col("n"))), F.lit(0))
+        .cast("bigint").alias("agree"))
+    rows_m = conf.groupBy(F.col("a").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("ra"))
+    cols_m = conf.groupBy(F.col("b").alias("cls")).agg(
+        F.sum("n").cast("bigint").alias("cb"))
+    chance = rows_m.join(cols_m, "cls").agg(
+        F.sum(F.col("ra") * F.col("cb")).cast("bigint")
+        .alias("exp_num"))
+    j = marg.crossJoin(F.broadcast(chance))
+    return j.select(
+        "total", "agree",
+        F.expr("agree * 10000 div total").cast("bigint").alias("po_bp"),
+        F.expr("exp_num * 10000 div (total * total)").cast("bigint")
+        .alias("pe_bp"),
+        F.expr("(agree * 10000 div total"
+               " - exp_num * 10000 div (total * total)) * 10000"
+               " div GREATEST(10000 - exp_num * 10000"
+               " div (total * total), 1)")
+        .cast("bigint").alias("kappa_bp"))
+
+
+@query(
+    "decision_stump",
+    """
+    WITH lab AS (
+      SELECT CAST(n_chars AS BIGINT) AS f,
+             CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS pos
+      FROM documents),
+    agg AS (
+      SELECT f, CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS np
+      FROM lab GROUP BY f),
+    cum AS (
+      SELECT f,
+             SUM(cnt) OVER (ORDER BY f
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS n_l,
+             SUM(np) OVER (ORDER BY f
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS p_l,
+             SUM(cnt) OVER () AS n,
+             SUM(np) OVER () AS p
+      FROM agg),
+    cand AS (
+      SELECT f AS threshold, n_l, n - n_l AS n_r,
+             2 * p_l * (n_l - p_l) * 10000 // n_l
+             + 2 * (p - p_l) * ((n - n_l) - (p - p_l)) * 10000
+               // (n - n_l) AS cost_bp
+      FROM cum WHERE n_l < n),
+    best AS (
+      SELECT min({'c': cost_bp, 't': threshold}) AS b FROM cand)
+    SELECT CAST((best.b).t AS BIGINT) AS threshold,
+           CAST((best.b).c AS BIGINT) AS gini_cost_bp,
+           CAST(c.n_l AS BIGINT) AS n_left,
+           CAST(c.n_r AS BIGINT) AS n_right
+    FROM best JOIN cand c ON c.threshold = (best.b).t
+    """,
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump training in one window pass — the best
+    single-feature threshold split (feature <= t vs > t) by weighted
+    Gini impurity, the building block of every tree ensemble. Distinct
+    feature values aggregate first (class counts per value), one
+    ordered window yields cumulative class counts at every candidate
+    threshold simultaneously, and the weighted impurity 2·p·q/n per
+    side lands in fixed-point bp (identical truncation both engines);
+    the argmin is a struct-MIN with threshold tie-break. At 10^12 rows
+    the same plan holds: the window runs over DISTINCT FEATURE VALUES
+    (histogram grain), not documents."""
+    docs = _t(spark, sf_dir, "documents")
+    lab = docs.select(
+        F.col("n_chars").cast("bigint").alias("f"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("pos"))
+    agg = lab.groupBy("f").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("bigint").alias("np"))
+    run = (Window.orderBy("f")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    full = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = agg.select(
+        "f",
+        F.sum("cnt").over(run).alias("n_l"),
+        F.sum("np").over(run).alias("p_l"),
+        F.sum("cnt").over(full).alias("n"),
+        F.sum("np").over(full).alias("p"))
+    cand = cum.filter(F.col("n_l") < F.col("n")).select(
+        F.col("f").alias("threshold"), "n_l",
+        (F.col("n") - F.col("n_l")).alias("n_r"),
+        F.expr("2 * p_l * (n_l - p_l) * 10000 div n_l"
+               " + 2 * (p - p_l) * ((n - n_l) - (p - p_l)) * 10000"
+               " div (n - n_l)").alias("cost_bp"))
+    best = cand.agg(F.min(F.struct(
+        F.col("cost_bp").alias("c"),
+        F.col("threshold").alias("t"))).alias("b"))
+    joined = cand.join(
+        F.broadcast(best),
+        cand.threshold == F.col("b.t"))
+    return joined.select(
+        F.col("b.t").cast("bigint").alias("threshold"),
+        F.col("b.c").cast("bigint").alias("gini_cost_bp"),
+        F.col("n_l").cast("bigint").alias("n_left"),
+        F.col("n_r").cast("bigint").alias("n_right"))
