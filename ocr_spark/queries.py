@@ -19730,3 +19730,147 @@ def q_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.c").cast("bigint").alias("gini_cost_bp"),
         F.col("n_l").cast("bigint").alias("n_left"),
         F.col("n_r").cast("bigint").alias("n_right"))
+
+
+_ENTCO_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 3
+             WHEN 0 THEN 'Alice met Bob in Paris while Bob visited '
+                         || 'Carol ' || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 1 THEN 'Paris and Berlin signed the accord with '
+                         || 'Alice ' || CAST(doc_id % 3 AS VARCHAR)
+             ELSE 'the quick brown fox ignored everyone '
+                  || CAST(doc_id % 7 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_ENTCO_SQL = (
+    "WITH u AS (" + _ENTCO_TEXT_SQL + "),"
+    """
+    ents AS (
+      SELECT doc, unnest(list_distinct(regexp_extract_all(text,
+               '\\b[A-Z][a-z]+\\b'))) AS e
+      FROM u),
+    pairs AS (
+      SELECT x.e AS e1, y.e AS e2
+      FROM ents x JOIN ents y ON x.doc = y.doc AND x.e < y.e)
+    SELECT e1, e2, CAST(COUNT(*) AS BIGINT) AS support
+    FROM pairs GROUP BY e1, e2 HAVING COUNT(*) >= 2
+    """
+)
+
+
+@query("entity_cooccurrence", _ENTCO_SQL)
+def q_entity_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence edges — capitalized-token entities that
+    appear in the SAME document form an edge, support-counted across
+    the corpus: the cheap knowledge-graph seed (who appears with whom)
+    entity-linking pipelines bootstrap from. Spark-first shape: each
+    doc's sorted distinct entity set emits its pairs IN-ROW (the same
+    index-aware transform+slice as audience_overlap — fan-out bounded
+    by entities-per-doc, never a corpus self-join), then one pair-keyed
+    count with a support floor. The oracle twin runs the doc-keyed
+    self-join."""
+    k = F.col("doc_id")
+    m = k % 3
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("Alice met Bob in Paris while Bob visited Carol "),
+            (k % 5).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("Paris and Berlin signed the accord with Alice "),
+            (k % 3).cast("string")))
+        .otherwise(F.concat(
+            F.lit("the quick brown fox ignored everyone "),
+            (k % 7).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    ents = F.array_sort(F.array_distinct(F.regexp_extract_all(
+        "text", F.lit(r"\b[A-Z][a-z]+\b"), F.lit(0))))
+    arr = docs.select("doc", ents.alias("ents"))
+    pairs = arr.select(F.explode(F.flatten(F.transform(
+        "ents",
+        lambda x, i: F.transform(
+            F.slice(F.col("ents"), i + 2, F.size(F.col("ents"))),
+            lambda y: F.struct(x.alias("e1"), y.alias("e2")))))
+    ).alias("p")).select("p.e1", "p.e2")
+    return (pairs.groupBy("e1", "e2")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+            .filter(F.col("support") >= 2))
+
+
+@query(
+    "survivorship_merge",
+    """
+    WITH rec AS (
+      SELECT doc_id % 50 AS entity,
+             CASE doc_id % 3 WHEN 0 THEN 'crm' WHEN 1 THEN 'web'
+             ELSE 'import' END AS source,
+             CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END
+               AS prio,
+             doc_id AS k,
+             CASE WHEN doc_id % 4 <> 0 THEN
+               'N' || CAST(doc_id % 50 AS VARCHAR) || '_'
+               || CASE doc_id % 3 WHEN 0 THEN 'crm' WHEN 1 THEN 'web'
+                  ELSE 'import' END
+             END AS name,
+             CASE WHEN doc_id % 5 <> 0 THEN
+               'e' || CAST(doc_id AS VARCHAR) || '@x'
+             END AS email,
+             doc_id % 30 AS updated_day
+      FROM documents),
+    g AS (
+      SELECT entity,
+             CAST(COUNT(*) AS BIGINT) AS n_records,
+             min(CASE WHEN name IS NOT NULL
+                 THEN {'p': prio, 'k': k, 'v': name, 's': source} END)
+               AS nb,
+             max(CASE WHEN email IS NOT NULL
+                 THEN {'d': updated_day, 'k': k, 'v': email} END)
+               AS eb
+      FROM rec GROUP BY entity)
+    SELECT CAST(entity AS BIGINT) AS entity, n_records,
+           (nb).v AS best_name, (nb).s AS best_name_src,
+           (eb).v AS newest_email
+    FROM g
+    """,
+)
+def q_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — merge an entity's records from
+    three sources under per-field rules: NAME from the highest-
+    priority source that has one (crm > web > import, struct-MIN on
+    (priority, key)), EMAIL from the most recently updated record that
+    has one (struct-MAX on (day, key)) — the master-data-management
+    merge every customer/host registry runs. Conditional struct
+    aggregates ignore records missing the field, so the winner per
+    field can come from DIFFERENT records; one entity-keyed aggregate
+    with map-side partials, no window, no self-join."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    src = (F.when(k % 3 == 0, "crm").when(k % 3 == 1, "web")
+           .otherwise("import"))
+    prio = (F.when(k % 3 == 0, 1).when(k % 3 == 1, 2).otherwise(3))
+    name = F.when(
+        k % 4 != 0,
+        F.concat(F.lit("N"), (k % 50).cast("string"), F.lit("_"), src))
+    email = F.when(
+        k % 5 != 0, F.concat(F.lit("e"), k.cast("string"), F.lit("@x")))
+    rec = docs.select(
+        (k % 50).alias("entity"), src.alias("source"),
+        prio.alias("prio"), k.alias("k"), name.alias("name"),
+        email.alias("email"), (k % 30).alias("updated_day"))
+    g = rec.groupBy("entity").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.min(F.when(F.col("name").isNotNull(), F.struct(
+            F.col("prio").alias("p"), F.col("k").alias("k"),
+            F.col("name").alias("v"), F.col("source").alias("s"))))
+        .alias("nb"),
+        F.max(F.when(F.col("email").isNotNull(), F.struct(
+            F.col("updated_day").alias("d"), F.col("k").alias("k"),
+            F.col("email").alias("v")))).alias("eb"))
+    return g.select(
+        F.col("entity").cast("bigint").alias("entity"), "n_records",
+        F.col("nb.v").alias("best_name"),
+        F.col("nb.s").alias("best_name_src"),
+        F.col("eb.v").alias("newest_email"))
