@@ -19874,3 +19874,113 @@ def q_survivorship_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb.v").alias("best_name"),
         F.col("nb.s").alias("best_name_src"),
         F.col("eb.v").alias("newest_email"))
+
+
+_PFJ_TOKENS_SQL = """
+    SELECT doc_id AS doc,
+           list_sort(list_distinct(
+             list_append(
+               list_filter(
+                 list_transform(range(0, 8),
+                   j -> 'c' || CAST(doc_id % 20 AS VARCHAR) || '_'
+                        || CAST(j AS VARCHAR)),
+                 t -> t <> 'c' || CAST(doc_id % 20 AS VARCHAR) || '_'
+                      || CAST((doc_id // 20) % 4 AS VARCHAR)),
+               'x' || CAST(doc_id % 7 AS VARCHAR)))) AS toks
+    FROM documents
+"""
+
+_PFJ_SQL = (
+    "WITH t AS (" + _PFJ_TOKENS_SQL + ")"
+    """
+    SELECT a.doc AS d1, b.doc AS d2,
+           CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT)
+             AS inter,
+           CAST(len(a.toks) + len(b.toks)
+                - len(list_intersect(a.toks, b.toks)) AS BIGINT)
+             AS union_sz,
+           CAST(len(list_intersect(a.toks, b.toks)) * 10000
+                // (len(a.toks) + len(b.toks)
+                    - len(list_intersect(a.toks, b.toks))) AS BIGINT)
+             AS jaccard_bp
+    FROM t a JOIN t b ON a.doc < b.doc
+    WHERE len(list_intersect(a.toks, b.toks)) * 10000
+          >= 6000 * (len(a.toks) + len(b.toks)
+                     - len(list_intersect(a.toks, b.toks)))
+    """
+)
+
+
+@query("prefix_filter_join", _PFJ_SQL)
+def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join via prefix filtering (the
+    PPJoin family) — every doc pair with token-set Jaccard >= 0.6,
+    with a no-false-negative GUARANTEE (unlike MinHash/LSH): two sets
+    with Jaccard >= t must share a token within each other's first
+    |s| - ceil(t|s|) + 1 tokens under a shared global order, so
+    candidate generation explodes only that prefix (rarest-first
+    ordering keeps prefix-token buckets small) and an id-keyed join
+    verifies candidates exactly. The oracle twin is the BRUTE-FORCE
+    all-pairs join — equality of outputs is precisely the
+    completeness guarantee. Shuffles: one vocab count, one
+    prefix-token-keyed pair generation, two id-keyed verify joins;
+    never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    cluster = (k % 20).cast("string")
+    dropped = F.concat(F.lit("c"), cluster, F.lit("_"),
+                       (F.expr("doc_id div 20") % 4).cast("string"))
+    toks = F.array_sort(F.array_distinct(F.array_append(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(7)),
+                lambda j: F.concat(F.lit("c"), cluster, F.lit("_"),
+                                   j.cast("string"))),
+            lambda t: t != dropped),
+        F.concat(F.lit("x"), (k % 7).cast("string")))))
+    t = docs.select(k.alias("doc"), toks.alias("toks"))
+
+    # global rarest-first token order
+    vocab = (t.select(F.explode("toks").alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).alias("freq")))
+    ranked = vocab.select(
+        "tok",
+        F.row_number().over(Window.orderBy("freq", "tok"))
+        .alias("rank"))
+    # per-doc tokens sorted by global rank; prefix len = n-ceil(.6n)+1
+    ordered = (t.select("doc", F.explode("toks").alias("tok"))
+               .join(F.broadcast(ranked), "tok")
+               .groupBy("doc")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct("rank", "tok"))),
+                   lambda s: s["tok"]).alias("otoks")))
+    pref = ordered.select(
+        "doc", "otoks",
+        F.expr("slice(otoks, 1, size(otoks)"
+               " - (6 * size(otoks) + 9) div 10 + 1)").alias("prefix"))
+    cand = (pref.select("doc", F.explode("prefix").alias("tok"))
+            .alias("a")
+            .join(pref.select(F.col("doc").alias("doc2"),
+                              F.explode("prefix").alias("tok"))
+                  .alias("b"), "tok")
+            .filter(F.col("doc") < F.col("doc2"))
+            .select(F.col("doc").alias("d1"),
+                    F.col("doc2").alias("d2")).distinct())
+    sides = t.select(F.col("doc").alias("d1"),
+                     F.col("toks").alias("ta"))
+    sides2 = t.select(F.col("doc").alias("d2"),
+                      F.col("toks").alias("tb"))
+    verified = (cand.join(sides, "d1").join(sides2, "d2")
+                .select(
+                    "d1", "d2",
+                    F.size(F.array_intersect("ta", "tb"))
+                    .cast("bigint").alias("inter"),
+                    (F.size("ta") + F.size("tb")
+                     - F.size(F.array_intersect("ta", "tb")))
+                    .cast("bigint").alias("union_sz")))
+    return (verified
+            .filter(F.col("inter") * 10000 >= 6000 * F.col("union_sz"))
+            .select("d1", "d2", "inter", "union_sz",
+                    F.expr("inter * 10000 div union_sz").cast("bigint")
+                    .alias("jaccard_bp")))
