@@ -19984,3 +19984,109 @@ def q_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("d1", "d2", "inter", "union_sz",
                     F.expr("inter * 10000 div union_sz").cast("bigint")
                     .alias("jaccard_bp")))
+
+
+@query(
+    "independence_chi2",
+    """
+    WITH o AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM documents GROUP BY lang, source),
+    rm AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS r FROM o
+           GROUP BY lang),
+    cm AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS c FROM o
+           GROUP BY source),
+    t AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
+    SELECT o.lang, o.source, o.obs,
+           CAST(rm.r * cm.c * 10000 // t.n AS BIGINT) AS exp_x10000,
+           CAST(CAST(o.obs * t.n - rm.r * cm.c AS HUGEINT)
+                * (o.obs * t.n - rm.r * cm.c) * 10000
+                // (CAST(t.n AS HUGEINT) * rm.r * cm.c) AS BIGINT)
+             AS chi2_contrib_x10000
+    FROM o JOIN rm ON o.lang = rm.lang
+    JOIN cm ON o.source = cm.source
+    CROSS JOIN t
+    """,
+)
+def q_independence_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence cells for language x source — is the
+    corpus's language mix the same across sources, or does a feed skew
+    (the sampling-bias audit run before per-source quotas are
+    trusted)? Each cell reports its observed count, expected count
+    (x10000 fixed point), and exact-integer chi-square contribution —
+    (o·n − r·c)² / (n·r·c), widened to 128 bits because the cross
+    term squares past int64 at sf1. One (lang, source) aggregate;
+    margins are tiny broadcast joins back onto the cell grid."""
+    docs = _t(spark, sf_dir, "documents")
+    o = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs"))
+    rm = o.groupBy("lang").agg(F.sum("obs").cast("bigint").alias("r"))
+    cm = o.groupBy("source").agg(
+        F.sum("obs").cast("bigint").alias("c"))
+    t = o.agg(F.sum("obs").cast("bigint").alias("n"))
+    j = (o.join(F.broadcast(rm), "lang")
+         .join(F.broadcast(cm), "source")
+         .crossJoin(F.broadcast(t)))
+    return j.select(
+        "lang", "source", "obs",
+        F.expr("r * c * 10000 div n").cast("bigint")
+        .alias("exp_x10000"),
+        F.expr("CAST(obs * n - r * c AS DECIMAL(38,0))"
+               " * (obs * n - r * c) * 10000"
+               " div (CAST(n AS DECIMAL(38,0)) * r * c)")
+        .cast("bigint").alias("chi2_contrib_x10000"))
+
+
+@query(
+    "decayed_leaderboard",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    mx AS (SELECT MAX(day) AS max_day FROM daily),
+    sc AS (
+      SELECT d.event_type,
+             CAST(SUM(d.cnt) AS BIGINT) AS raw_total,
+             CAST(SUM(d.cnt // CAST(power(2,
+                  LEAST(date_diff('day', d.day, m.max_day) // 7, 20))
+                  AS BIGINT)) AS BIGINT) AS decayed_score
+      FROM daily d CROSS JOIN mx m GROUP BY d.event_type)
+    SELECT event_type, raw_total, decayed_score,
+           CAST(ROW_NUMBER() OVER (ORDER BY raw_total DESC, event_type)
+                AS BIGINT) AS rank_raw,
+           CAST(ROW_NUMBER() OVER (ORDER BY decayed_score DESC,
+                event_type) AS BIGINT) AS rank_decayed
+    FROM sc
+    """,
+)
+def q_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed trending leaderboard — each day's count is
+    halved per week of age (integer floor division by an exact power
+    of two, so both engines agree bit-for-bit; exponent capped so the
+    power stays exactly representable), which surfaces what is rising
+    NOW over what was merely big once. Raw and decayed ranks together
+    expose the reorder — the trending-detection primitive. The decay
+    aggregates over the tiny (type, day) grain against a 1-row
+    broadcast anchor day."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    mx = daily.agg(F.max("day").alias("max_day"))
+    sc = (daily.crossJoin(F.broadcast(mx))
+          .groupBy("event_type")
+          .agg(
+              F.sum("cnt").cast("bigint").alias("raw_total"),
+              F.sum(F.expr(
+                  "cnt div CAST(power(2, LEAST("
+                  "datediff(max_day, day) div 7, 20)) AS BIGINT)"))
+              .cast("bigint").alias("decayed_score")))
+    return sc.select(
+        "event_type", "raw_total", "decayed_score",
+        F.row_number().over(
+            Window.orderBy(F.col("raw_total").desc(), "event_type"))
+        .cast("bigint").alias("rank_raw"),
+        F.row_number().over(
+            Window.orderBy(F.col("decayed_score").desc(), "event_type"))
+        .cast("bigint").alias("rank_decayed"))
