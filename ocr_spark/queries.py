@@ -20090,3 +20090,90 @@ def q_decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             Window.orderBy(F.col("decayed_score").desc(), "event_type"))
         .cast("bigint").alias("rank_decayed"))
+
+
+@query(
+    "seasonal_anomaly",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, isodow(ts) AS dow,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY CAST(ts AS DATE), isodow(ts)),
+    dowstat AS (
+      SELECT dow, CAST(SUM(cnt) AS BIGINT) AS de,
+             CAST(COUNT(*) AS BIGINT) AS dd
+      FROM daily GROUP BY dow)
+    SELECT CAST(d.day AS VARCHAR) AS day, d.dow, d.cnt,
+           CAST(s.de // s.dd AS BIGINT) AS expected,
+           CAST((d.cnt * s.dd - s.de) * 10000 // s.de AS BIGINT)
+             AS resid_bp,
+           CAST(CASE WHEN abs((d.cnt * s.dd - s.de) * 10000 // s.de)
+                       >= 5000
+                THEN 1 ELSE 0 END AS INT) AS is_anomalous
+    FROM daily d JOIN dowstat s ON d.dow = s.dow
+    """,
+)
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted daily anomaly — each day's event count
+    against the average for ITS weekday, so a quiet Saturday never
+    pages anyone and a quiet Tuesday does (the failure mode of the
+    plain EWMA threshold). The residual ratio (cnt·dd − de)/de stays
+    in exact integers by cross-multiplying instead of dividing the
+    expectation first; |residual| >= 50% flags. The weekday profile is
+    a 7-row broadcast back onto the daily grain."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"),
+        (F.expr("weekday(ts)") + 1).cast("bigint").alias("dow")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    dowstat = daily.groupBy("dow").agg(
+        F.sum("cnt").cast("bigint").alias("de"),
+        F.count(F.lit(1)).cast("bigint").alias("dd"))
+    j = daily.join(F.broadcast(dowstat), "dow")
+    return j.select(
+        F.col("day").cast("string").alias("day"), "dow", "cnt",
+        F.expr("de div dd").cast("bigint").alias("expected"),
+        F.expr("(cnt * dd - de) * 10000 div de").cast("bigint")
+        .alias("resid_bp"),
+        (F.abs(F.expr("(cnt * dd - de) * 10000 div de")) >= 5000)
+        .cast("int").alias("is_anomalous"))
+
+
+@query(
+    "rolling_wau",
+    """
+    WITH ed AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS eday, user_id FROM events),
+    grid AS (SELECT DISTINCT eday AS day FROM ed),
+    contrib AS (
+      SELECT g.day, e.user_id
+      FROM grid g JOIN ed e
+        ON e.eday <= g.day AND e.eday >= g.day - 6)
+    SELECT CAST(day AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+    FROM contrib GROUP BY day
+    """,
+)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per day — THE product-health metric,
+    and a distinct-count-in-sliding-window problem that plain window
+    frames cannot express (COUNT(DISTINCT) OVER RANGE is unsupported).
+    Spark-first shape: each (user, day) activity row fans out to the
+    <=7 report days it supports via a FIXED offset explosion — bounded
+    fan-out, no day-grid join — then one (day)-keyed distinct count.
+    The oracle twin runs the banded grid join; at 10^12 events the
+    exact distinct swaps for the HLL-register variant this repo
+    already ships (hll_merge_daily) with this query as its
+    correctness anchor."""
+    ev = _t(spark, sf_dir, "events")
+    ed = ev.select(F.to_date("ts").alias("eday"), "user_id").distinct()
+    grid = ed.select(F.col("eday").alias("day")).distinct()
+    contrib = (ed.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        "eday")
+        .select("user_id",
+                F.date_add("eday", F.col("off")).alias("day")))
+    valid = contrib.join(F.broadcast(grid), "day")
+    return valid.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("wau"))
