@@ -20177,3 +20177,208 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid = contrib.join(F.broadcast(grid), "day")
     return valid.groupBy(F.col("day").cast("string").alias("day")).agg(
         F.countDistinct("user_id").cast("bigint").alias("wau"))
+
+
+@query(
+    "syndicated_paths",
+    """
+    WITH u AS (
+      SELECT 'h' || CAST(doc_id % 17 AS VARCHAR) AS host,
+             '/p/' || CAST(doc_id % 23 AS VARCHAR) AS path
+      FROM documents)
+    SELECT path,
+           CAST(COUNT(DISTINCT host) AS BIGINT) AS n_hosts,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN COUNT(DISTINCT host) >= 3 THEN 1 ELSE 0 END
+                AS INT) AS syndicated
+    FROM u GROUP BY path HAVING COUNT(*) >= 2
+    """,
+)
+def q_syndicated_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Syndicated-path detection — the same URL path appearing on many
+    DISTINCT hosts is the signature of wire-service syndication and
+    mirror networks (same CMS template, same slug), a cheaper prefilter
+    than content dedup because it runs on the URL table alone. One
+    path-keyed aggregate with a distinct-host count; >=3 hosts flags
+    syndication."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    u = docs.select(
+        F.concat(F.lit("h"), (k % 17).cast("string")).alias("host"),
+        F.concat(F.lit("/p/"), (k % 23).cast("string")).alias("path"))
+    return (u.groupBy("path")
+            .agg(F.countDistinct("host").cast("bigint")
+                 .alias("n_hosts"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+            .filter(F.col("n_docs") >= 2)
+            .select("path", "n_hosts", "n_docs",
+                    (F.col("n_hosts") >= 3).cast("int")
+                    .alias("syndicated")))
+
+
+@query(
+    "simpsons_paradox",
+    """
+    WITH lab AS (
+      SELECT o_orderkey % 2 AS variant,
+             CASE WHEN ((o_orderkey // 2) % 10)
+                  < CASE WHEN o_orderkey % 2 = 0 THEN 8 ELSE 2 END
+             THEN 'hi' ELSE 'lo' END AS seg,
+             CASE WHEN (o_orderkey % 10)
+                  < CASE WHEN o_orderkey % 2 = 0 THEN
+                      CASE WHEN ((o_orderkey // 2) % 10) < 8
+                           THEN 8 ELSE 2 END
+                    ELSE
+                      CASE WHEN ((o_orderkey // 2) % 10) < 2
+                           THEN 9 ELSE 3 END
+                    END
+             THEN 1 ELSE 0 END AS success
+      FROM orders),
+    cells AS (
+      SELECT variant, seg,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(success), 0) AS BIGINT) AS s
+      FROM lab GROUP BY variant, seg),
+    p AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 AND seg = 'hi'
+            THEN s * 10000 // n END) AS v0_hi,
+        MAX(CASE WHEN variant = 1 AND seg = 'hi'
+            THEN s * 10000 // n END) AS v1_hi,
+        MAX(CASE WHEN variant = 0 AND seg = 'lo'
+            THEN s * 10000 // n END) AS v0_lo,
+        MAX(CASE WHEN variant = 1 AND seg = 'lo'
+            THEN s * 10000 // n END) AS v1_lo,
+        CAST(COALESCE(SUM(CASE WHEN variant = 0 THEN s END), 0)
+             * 10000 // SUM(CASE WHEN variant = 0 THEN n END)
+             AS BIGINT) AS v0_pooled,
+        CAST(COALESCE(SUM(CASE WHEN variant = 1 THEN s END), 0)
+             * 10000 // SUM(CASE WHEN variant = 1 THEN n END)
+             AS BIGINT) AS v1_pooled
+      FROM cells)
+    SELECT CAST(v0_hi AS BIGINT) AS v0_hi_bp,
+           CAST(v1_hi AS BIGINT) AS v1_hi_bp,
+           CAST(v0_lo AS BIGINT) AS v0_lo_bp,
+           CAST(v1_lo AS BIGINT) AS v1_lo_bp,
+           v0_pooled AS v0_pooled_bp, v1_pooled AS v1_pooled_bp,
+           CAST(CASE WHEN v1_hi > v0_hi AND v1_lo > v0_lo
+                      AND v1_pooled < v0_pooled
+                THEN 1 ELSE 0 END AS INT) AS reversed
+    FROM p
+    """,
+)
+def q_simpsons_paradox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox audit — a variant that wins INSIDE every
+    segment but loses pooled, because segment mix correlates with
+    assignment (variant 0 concentrates in the high-base-rate segment).
+    The construction plants exactly that: within-segment success
+    thresholds favor variant 1 (9>8, 3>2) while variant 0 gets 80%
+    'hi' mix vs 20%. Any experiment dashboard needs this check before
+    reporting pooled rates; the reversed flag is the alarm. One
+    4-cell conditional aggregate + a 1-row pivot, all exact bp."""
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    variant = (k % 2).alias("variant")
+    mix = (k / 2).cast("bigint") % 10
+    seg = F.when(
+        mix < F.when(k % 2 == 0, 8).otherwise(2), "hi").otherwise("lo")
+    thr = (F.when(k % 2 == 0,
+                  F.when(mix < 8, 8).otherwise(2))
+           .otherwise(F.when(mix < 2, 9).otherwise(3)))
+    lab = orders.select(
+        variant, seg.alias("seg"),
+        ((k % 10) < thr).cast("int").alias("success"))
+    cells = lab.groupBy("variant", "seg").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("success"), F.lit(0)).cast("bigint")
+        .alias("s"))
+    p = cells.agg(
+        F.max(F.when((F.col("variant") == 0) & (F.col("seg") == "hi"),
+                     F.expr("s * 10000 div n"))).alias("v0_hi"),
+        F.max(F.when((F.col("variant") == 1) & (F.col("seg") == "hi"),
+                     F.expr("s * 10000 div n"))).alias("v1_hi"),
+        F.max(F.when((F.col("variant") == 0) & (F.col("seg") == "lo"),
+                     F.expr("s * 10000 div n"))).alias("v0_lo"),
+        F.max(F.when((F.col("variant") == 1) & (F.col("seg") == "lo"),
+                     F.expr("s * 10000 div n"))).alias("v1_lo"),
+        F.expr("COALESCE(SUM(CASE WHEN variant = 0 THEN s END), 0)"
+               " * 10000 div SUM(CASE WHEN variant = 0 THEN n END)")
+        .cast("bigint").alias("v0_pooled"),
+        F.expr("COALESCE(SUM(CASE WHEN variant = 1 THEN s END), 0)"
+               " * 10000 div SUM(CASE WHEN variant = 1 THEN n END)")
+        .cast("bigint").alias("v1_pooled"))
+    return p.select(
+        F.col("v0_hi").cast("bigint").alias("v0_hi_bp"),
+        F.col("v1_hi").cast("bigint").alias("v1_hi_bp"),
+        F.col("v0_lo").cast("bigint").alias("v0_lo_bp"),
+        F.col("v1_lo").cast("bigint").alias("v1_lo_bp"),
+        F.col("v0_pooled").alias("v0_pooled_bp"),
+        F.col("v1_pooled").alias("v1_pooled_bp"),
+        ((F.col("v1_hi") > F.col("v0_hi"))
+         & (F.col("v1_lo") > F.col("v0_lo"))
+         & (F.col("v1_pooled") < F.col("v0_pooled"))).cast("int")
+        .alias("reversed"))
+
+
+@query(
+    "majority_impute",
+    """
+    WITH rec AS (
+      SELECT source, lang AS true_lang,
+             CASE WHEN doc_id % 11 <> 0 THEN lang END AS known
+      FROM documents),
+    modes AS (
+      SELECT source,
+             (min({'negcnt': -cnt, 'l': l})).l AS mode_lang
+      FROM (SELECT source, known AS l, COUNT(*) AS cnt FROM rec
+            WHERE known IS NOT NULL GROUP BY source, known) c
+      GROUP BY source)
+    SELECT r.source,
+           CAST(COALESCE(SUM(CASE WHEN r.known IS NULL THEN 1 END), 0)
+                AS BIGINT) AS n_missing,
+           MAX(m.mode_lang) AS mode_lang,
+           CAST(COALESCE(SUM(CASE WHEN r.known IS NULL
+                  AND m.mode_lang = r.true_lang THEN 1 END), 0)
+                AS BIGINT) AS n_correct,
+           CAST(COALESCE(SUM(CASE WHEN r.known IS NULL
+                  AND m.mode_lang = r.true_lang THEN 1 END), 0)
+                * 10000 // GREATEST(COALESCE(SUM(CASE WHEN r.known
+                  IS NULL THEN 1 END), 0), 1) AS BIGINT) AS acc_bp
+    FROM rec r JOIN modes m ON r.source = m.source
+    GROUP BY r.source
+    """,
+)
+def q_majority_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode imputation with a built-in accuracy audit — missing
+    language tags (simulated on a deterministic residue) fill with
+    each source's majority language, and because the truth is known
+    here, the query ALSO reports how often the imputation would have
+    been right — the calibration every imputation rule needs before
+    it silently rewrites a corpus. The mode is a struct-MIN on
+    (-count, lang) so ties break to the smaller language
+    deterministically; modes broadcast back onto the rows."""
+    docs = _t(spark, sf_dir, "documents")
+    rec = docs.select(
+        "source", F.col("lang").alias("true_lang"),
+        F.when(F.col("doc_id") % 11 != 0, F.col("lang")).alias("known"))
+    counts = (rec.filter(F.col("known").isNotNull())
+              .groupBy("source", F.col("known").alias("l"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    modes = counts.groupBy("source").agg(
+        F.min(F.struct((-F.col("cnt")).alias("negcnt"),
+                       F.col("l").alias("l"))).alias("mb"))
+    modes = modes.select("source", F.col("mb.l").alias("mode_lang"))
+    j = rec.join(F.broadcast(modes), "source")
+    return j.groupBy("source").agg(
+        F.coalesce(F.sum(F.when(F.col("known").isNull(), 1)), F.lit(0))
+        .cast("bigint").alias("n_missing"),
+        F.max("mode_lang").alias("mode_lang"),
+        F.coalesce(F.sum(F.when(
+            F.col("known").isNull()
+            & (F.col("mode_lang") == F.col("true_lang")), 1)),
+            F.lit(0)).cast("bigint").alias("n_correct"),
+        F.expr("COALESCE(SUM(CASE WHEN known IS NULL AND mode_lang ="
+               " true_lang THEN 1 END), 0) * 10000"
+               " div GREATEST(COALESCE(SUM(CASE WHEN known IS NULL"
+               " THEN 1 END), 0), 1)")
+        .cast("bigint").alias("acc_bp"))
