@@ -20382,3 +20382,124 @@ def q_majority_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
                " div GREATEST(COALESCE(SUM(CASE WHEN known IS NULL"
                " THEN 1 END), 0), 1)")
         .cast("bigint").alias("acc_bp"))
+
+
+@query(
+    "gains_curve",
+    """
+    WITH scored AS (
+      SELECT doc_id,
+             (doc_id * 2654435761) % 1000 AS score,
+             CASE WHEN (doc_id * 2654435761) % 1000 >= 800
+                    OR doc_id % 37 = 0
+             THEN 1 ELSE 0 END AS pos
+      FROM documents),
+    deciled AS (
+      SELECT score, pos,
+             NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+      FROM scored),
+    agg AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(pos), 0) AS BIGINT) AS n_pos
+      FROM deciled GROUP BY decile),
+    cum AS (
+      SELECT decile, n, n_pos,
+             SUM(n_pos) OVER (ORDER BY decile
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_pos,
+             SUM(n_pos) OVER () AS total_pos,
+             SUM(n) OVER () AS total
+      FROM agg)
+    SELECT decile, n, n_pos,
+           CAST(cum_pos AS BIGINT) AS cum_pos,
+           CAST(cum_pos * 10000 // GREATEST(total_pos, 1) AS BIGINT)
+             AS cum_share_bp,
+           CAST(n_pos * total * 100
+                // GREATEST(n * total_pos, 1) AS BIGINT) AS lift_x100
+    FROM cum
+    """,
+)
+def q_gains_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table by score decile — the model-eval readout next
+    to AUC: rank by score, cut into ten equal bins (deterministic
+    NTILE tie-break by id), and report each decile's positive count,
+    the cumulative share of all positives captured, and the lift over
+    base rate (x100 fixed point). The planted score-label correlation
+    (high scores mostly positive plus a noise residue) makes the
+    curve properly decreasing. One window pass over the scored rows +
+    a 10-row cumulative window."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id")
+    scored = docs.select(
+        k.alias("doc_id"),
+        ((k * 2654435761) % 1000).alias("score"),
+        ((((k * 2654435761) % 1000) >= 800) | (k % 37 == 0))
+        .cast("int").alias("pos"))
+    deciled = scored.select(
+        "score", "pos",
+        F.ntile(10).over(
+            Window.orderBy(F.col("score").desc(), F.col("doc_id")))
+        .alias("decile"))
+    agg = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.coalesce(F.sum("pos"), F.lit(0)).cast("bigint")
+        .alias("n_pos"))
+    wcum = (Window.orderBy("decile")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = agg.select(
+        "decile", "n", "n_pos",
+        F.sum("n_pos").over(wcum).alias("cum_pos"),
+        F.sum("n_pos").over(wall).alias("total_pos"),
+        F.sum("n").over(wall).alias("total"))
+    return cum.select(
+        "decile", "n", "n_pos",
+        F.col("cum_pos").cast("bigint").alias("cum_pos"),
+        F.expr("cum_pos * 10000 div GREATEST(total_pos, 1)")
+        .cast("bigint").alias("cum_share_bp"),
+        F.expr("n_pos * total * 100 div GREATEST(n * total_pos, 1)")
+        .cast("bigint").alias("lift_x100"))
+
+
+@query(
+    "longest_streak",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    anchored AS (
+      SELECT user_id, day,
+             day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+               ORDER BY day) AS INTEGER) AS anchor
+      FROM d),
+    runs AS (
+      SELECT user_id, anchor, CAST(COUNT(*) AS BIGINT) AS run_len
+      FROM anchored GROUP BY user_id, anchor)
+    SELECT user_id,
+           CAST(SUM(run_len) AS BIGINT) AS n_active_days,
+           CAST(MAX(run_len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_runs
+    FROM runs GROUP BY user_id
+    """,
+)
+def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands idiom in its purest form: subtracting the row
+    number (in days) from each active date collapses every
+    consecutive run to a single constant anchor, so one groupBy
+    yields run lengths without any self-join or fold — the retention
+    metric ('7-day streak') engagement systems compute. Distinct
+    (user, day) first, one user-partitioned window, one aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    anchored = d.select(
+        "user_id", "day",
+        F.expr("date_sub(day, CAST(ROW_NUMBER() OVER (PARTITION BY"
+               " user_id ORDER BY day) AS INT))").alias("anchor"))
+    runs = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.sum("run_len").cast("bigint").alias("n_active_days"),
+        F.max("run_len").cast("bigint").alias("longest_streak"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"))
