@@ -20503,3 +20503,277 @@ def q_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("run_len").cast("bigint").alias("n_active_days"),
         F.max("run_len").cast("bigint").alias("longest_streak"),
         F.count(F.lit(1)).cast("bigint").alias("n_runs"))
+
+
+_ALOG_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN '10.0.0.' || CAST(doc_id % 200 AS VARCHAR)
+                         || ' - - [15/Jan/2024:12:00:01 +0000] '
+                         || '"GET /index.html HTTP/1.1" 200 5120'
+             WHEN 1 THEN '192.168.1.' || CAST(doc_id % 200 AS VARCHAR)
+                         || ' - - [15/Jan/2024:12:00:02 +0000] '
+                         || '"POST /api/v1/items HTTP/1.1" 404 512'
+             WHEN 2 THEN 'garbled line without structure '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             ELSE '10.1.2.' || CAST(doc_id % 200 AS VARCHAR)
+                  || ' - - [15/Jan/2024:12:00:03 +0000] '
+                  || '"HEAD /health HTTP/1.1" 500 -'
+           END AS line
+    FROM documents
+"""
+
+_ALOG_PAT = ("^([0-9.]+) - - \\[([^\\]]+)\\] "
+             + '"([A-Z]+) ([^ ]+) HTTP/[0-9.]+" ([0-9]{3}) ([0-9-]+)')
+
+_ALOG_SQL = (
+    "WITH u AS (" + _ALOG_TEXT_SQL + ")"
+    """
+    SELECT doc,
+           nullif(regexp_extract(line,
+             '^([0-9.]+) - - \\[([^\\]]+)\\] "([A-Z]+) ([^ ]+) '
+             || 'HTTP/[0-9.]+" ([0-9]{3}) ([0-9-]+)', 1), '') AS ip,
+           nullif(regexp_extract(line,
+             '^([0-9.]+) - - \\[([^\\]]+)\\] "([A-Z]+) ([^ ]+) '
+             || 'HTTP/[0-9.]+" ([0-9]{3}) ([0-9-]+)', 3), '') AS method,
+           nullif(regexp_extract(line,
+             '^([0-9.]+) - - \\[([^\\]]+)\\] "([A-Z]+) ([^ ]+) '
+             || 'HTTP/[0-9.]+" ([0-9]{3}) ([0-9-]+)', 4), '') AS path,
+           CAST(nullif(regexp_extract(line,
+             '^([0-9.]+) - - \\[([^\\]]+)\\] "([A-Z]+) ([^ ]+) '
+             || 'HTTP/[0-9.]+" ([0-9]{3}) ([0-9-]+)', 5), '')
+             AS BIGINT) AS status,
+           TRY_CAST(nullif(regexp_extract(line,
+             '^([0-9.]+) - - \\[([^\\]]+)\\] "([A-Z]+) ([^ ]+) '
+             || 'HTTP/[0-9.]+" ([0-9]{3}) ([0-9-]+)', 6), '')
+             AS BIGINT) AS bytes,
+           CAST(CASE WHEN regexp_matches(line,
+             '^([0-9.]+) - - \\[([^\\]]+)\\] "([A-Z]+) ([^ ]+) '
+             || 'HTTP/[0-9.]+" ([0-9]{3}) ([0-9-]+)')
+             THEN 0 ELSE 1 END AS INT) AS malformed
+    FROM u
+    """
+)
+
+
+@query("apache_log_parse", _ALOG_SQL)
+def q_apache_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache/nginx access-log parsing — the combined-log regex with
+    observable failure: structured fields (ip, method, path, status,
+    bytes) extract as typed columns, a '-' byte count TRY_CASTs to
+    NULL (HEAD responses), and any line the grammar rejects lands
+    whole in the malformed lane instead of silently dropping — the
+    same never-silent contract as jsonl_ingest. Zero-shuffle
+    projection; the downstream rollups (status funnel, bot gap
+    analysis) already exist in this suite."""
+    k = F.col("doc_id")
+    m = k % 4
+    line = (
+        F.when(m == 0, F.concat(
+            F.lit("10.0.0."), (k % 200).cast("string"),
+            F.lit(' - - [15/Jan/2024:12:00:01 +0000] '
+                  '"GET /index.html HTTP/1.1" 200 5120')))
+        .when(m == 1, F.concat(
+            F.lit("192.168.1."), (k % 200).cast("string"),
+            F.lit(' - - [15/Jan/2024:12:00:02 +0000] '
+                  '"POST /api/v1/items HTTP/1.1" 404 512')))
+        .when(m == 2, F.concat(
+            F.lit("garbled line without structure "),
+            (k % 3).cast("string")))
+        .otherwise(F.concat(
+            F.lit("10.1.2."), (k % 200).cast("string"),
+            F.lit(' - - [15/Jan/2024:12:00:03 +0000] '
+                  '"HEAD /health HTTP/1.1" 500 -'))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), line.alias("line"))
+    pat = _ALOG_PAT
+
+    def grp(i: int):
+        return F.nullif(F.regexp_extract("line", pat, i), F.lit(""))
+
+    return docs.select(
+        "doc",
+        grp(1).alias("ip"),
+        grp(3).alias("method"),
+        grp(4).alias("path"),
+        grp(5).cast("bigint").alias("status"),
+        grp(6).try_cast("bigint").alias("bytes"),
+        (~F.col("line").rlike(pat)).cast("int").alias("malformed"))
+
+
+_UA_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 5
+             WHEN 0 THEN 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) '
+                         || 'AppleWebKit/537.36 Chrome/120.0 Safari/537.36'
+             WHEN 1 THEN 'Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like '
+                         || 'Mac OS X) Version/17.0 Mobile/15E148 Safari'
+             WHEN 2 THEN 'Mozilla/5.0 (compatible; Googlebot/2.1; '
+                         || '+http://www.google.com/bot.html)'
+             WHEN 3 THEN 'curl/8.' || CAST(doc_id % 5 AS VARCHAR)
+                         || '.0'
+             ELSE 'python-requests/2.' || CAST(doc_id % 30 AS VARCHAR)
+                  || '.0'
+           END AS ua
+    FROM documents
+"""
+
+_UA_SQL = (
+    "WITH u AS (" + _UA_TEXT_SQL + ")"
+    """
+    SELECT doc,
+           CASE WHEN regexp_matches(ua,
+                  '(?i)(bot|crawler|spider|curl|python-requests|wget)')
+                THEN 'bot'
+                WHEN strpos(ua, 'Mobile') > 0
+                  OR strpos(ua, 'iPhone') > 0
+                  OR strpos(ua, 'Android') > 0 THEN 'mobile'
+                WHEN strpos(ua, 'Mozilla/') > 0 THEN 'desktop'
+                ELSE 'other' END AS ua_class,
+           CAST(CASE WHEN regexp_matches(ua,
+                  '(?i)(bot|crawler|spider|curl|python-requests|wget)')
+                THEN 1 ELSE 0 END AS INT) AS is_bot
+    FROM u
+    """
+)
+
+
+@query("ua_classify", _UA_SQL)
+def q_ua_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-agent classification — the traffic-hygiene split every log
+    pipeline runs first: declared bots and script clients (curl,
+    python-requests, wget) out of engagement metrics, mobile vs
+    desktop for the rest. Priority matters: Googlebot's UA contains
+    'Mozilla/' too, so the bot test runs FIRST — the classic
+    misclassification bug. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 5
+    ua = (
+        F.when(m == 0, F.lit(
+            "Mozilla/5.0 (Windows NT 10.0; Win64; x64) "
+            "AppleWebKit/537.36 Chrome/120.0 Safari/537.36"))
+        .when(m == 1, F.lit(
+            "Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) "
+            "Version/17.0 Mobile/15E148 Safari"))
+        .when(m == 2, F.lit(
+            "Mozilla/5.0 (compatible; Googlebot/2.1; "
+            "+http://www.google.com/bot.html)"))
+        .when(m == 3, F.concat(
+            F.lit("curl/8."), (k % 5).cast("string"), F.lit(".0")))
+        .otherwise(F.concat(
+            F.lit("python-requests/2."), (k % 30).cast("string"),
+            F.lit(".0"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), ua.alias("ua"))
+    is_bot = F.col("ua").rlike(
+        "(?i)(bot|crawler|spider|curl|python-requests|wget)")
+    cls = (
+        F.when(is_bot, "bot")
+        .when(F.col("ua").contains("Mobile")
+              | F.col("ua").contains("iPhone")
+              | F.col("ua").contains("Android"), "mobile")
+        .when(F.col("ua").contains("Mozilla/"), "desktop")
+        .otherwise("other"))
+    return docs.select(
+        "doc", cls.alias("ua_class"),
+        is_bot.cast("int").alias("is_bot"))
+
+
+_SECH_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'strict-transport-security: max-age=31536000'
+                         || chr(10) || 'content-security-policy: '
+                         || 'default-src self' || chr(10)
+                         || 'x-frame-options: DENY' || chr(10)
+                         || 'x-content-type-options: nosniff'
+             WHEN 1 THEN 'x-frame-options: SAMEORIGIN' || chr(10)
+                         || 'server: nginx/' || CAST(doc_id % 9 AS VARCHAR)
+             WHEN 2 THEN 'server: apache' || chr(10)
+                         || 'x-powered-by: PHP/5.'
+                         || CAST(doc_id % 6 AS VARCHAR)
+             ELSE 'strict-transport-security: max-age=63072000; '
+                  || 'includeSubDomains' || chr(10)
+                  || 'x-content-type-options: nosniff' || chr(10)
+                  || 'referrer-policy: no-referrer '
+                  || CAST(doc_id % 3 AS VARCHAR)
+           END AS headers
+    FROM documents
+"""
+
+_SECH_SQL = (
+    "WITH u AS (" + _SECH_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc,
+             CAST(CASE WHEN strpos(headers,
+                  'strict-transport-security:') > 0
+                THEN 1 ELSE 0 END AS INT) AS has_hsts,
+             CAST(CASE WHEN strpos(headers,
+                  'content-security-policy:') > 0
+                THEN 1 ELSE 0 END AS INT) AS has_csp,
+             CAST(CASE WHEN strpos(headers, 'x-frame-options:') > 0
+                THEN 1 ELSE 0 END AS INT) AS has_xfo,
+             CAST(CASE WHEN strpos(headers,
+                  'x-content-type-options:') > 0
+                THEN 1 ELSE 0 END AS INT) AS has_xcto,
+             CAST(CASE WHEN regexp_matches(headers,
+                  '(?m)^(server: [^ ]+/[0-9]|x-powered-by:)')
+                THEN 1 ELSE 0 END AS INT) AS leaks_version
+      FROM u)
+    SELECT doc, has_hsts, has_csp, has_xfo, has_xcto, leaks_version,
+           CAST(has_hsts + has_csp + has_xfo + has_xcto
+                - leaks_version AS BIGINT) AS security_score
+    FROM m
+    """
+)
+
+
+@query("security_headers_audit", _SECH_SQL)
+def q_security_headers_audit(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Security-header audit — HSTS / CSP / X-Frame-Options /
+    X-Content-Type-Options presence minus a version-leak penalty
+    (Server banners with versions, X-Powered-By), the crawl-side
+    hygiene score security dashboards aggregate per host. A bare
+    'server: apache' without a version does NOT count as a leak.
+    Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 4
+    headers = (
+        F.when(m == 0, F.lit(
+            "strict-transport-security: max-age=31536000\n"
+            "content-security-policy: default-src self\n"
+            "x-frame-options: DENY\nx-content-type-options: nosniff"))
+        .when(m == 1, F.concat(
+            F.lit("x-frame-options: SAMEORIGIN\nserver: nginx/"),
+            (k % 9).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("server: apache\nx-powered-by: PHP/5."),
+            (k % 6).cast("string")))
+        .otherwise(F.concat(
+            F.lit("strict-transport-security: max-age=63072000; "
+                  "includeSubDomains\nx-content-type-options: nosniff"
+                  "\nreferrer-policy: no-referrer "),
+            (k % 3).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), headers.alias("headers"))
+
+    def has(s: str):
+        return F.col("headers").contains(s).cast("int")
+
+    leaks = F.col("headers").rlike(
+        "(?m)^(server: [^ ]+/[0-9]|x-powered-by:)").cast("int")
+    base = docs.select(
+        "doc",
+        has("strict-transport-security:").alias("has_hsts"),
+        has("content-security-policy:").alias("has_csp"),
+        has("x-frame-options:").alias("has_xfo"),
+        has("x-content-type-options:").alias("has_xcto"),
+        leaks.alias("leaks_version"))
+    return base.select(
+        "doc", "has_hsts", "has_csp", "has_xfo", "has_xcto",
+        "leaks_version",
+        (F.col("has_hsts") + F.col("has_csp") + F.col("has_xfo")
+         + F.col("has_xcto") - F.col("leaks_version")).cast("bigint")
+        .alias("security_score"))
