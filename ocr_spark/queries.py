@@ -20777,3 +20777,148 @@ def q_security_headers_audit(spark: SparkSession,
         (F.col("has_hsts") + F.col("has_csp") + F.col("has_xfo")
          + F.col("has_xcto") - F.col("leaks_version")).cast("bigint")
         .alias("security_score"))
+
+
+@query(
+    "segment_migration",
+    """
+    WITH per AS (
+      SELECT user_id,
+             CASE WHEN day(ts) <= 15 THEN 'p1' ELSE 'p2' END AS period,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY user_id,
+           CASE WHEN day(ts) <= 15 THEN 'p1' ELSE 'p2' END),
+    tiers AS (
+      SELECT user_id,
+             COALESCE(MAX(CASE WHEN period = 'p1' THEN
+               CASE WHEN cnt >= 40 THEN 'hi'
+                    WHEN cnt >= 10 THEN 'mid' ELSE 'lo' END END),
+               'none') AS t1,
+             COALESCE(MAX(CASE WHEN period = 'p2' THEN
+               CASE WHEN cnt >= 40 THEN 'hi'
+                    WHEN cnt >= 10 THEN 'mid' ELSE 'lo' END END),
+               'none') AS t2
+      FROM per GROUP BY user_id),
+    m AS (
+      SELECT t1, t2, CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM tiers GROUP BY t1, t2),
+    tot AS (
+      SELECT t1, CAST(SUM(n_users) AS BIGINT) AS row_total FROM m
+      GROUP BY t1)
+    SELECT m.t1, m.t2, m.n_users,
+           CAST(m.n_users * 10000 // tot.row_total AS BIGINT)
+             AS row_share_bp
+    FROM m JOIN tot ON m.t1 = tot.t1
+    """,
+)
+def q_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-migration matrix — users tiered by first-half activity
+    (hi/mid/lo/none) against their second-half tier: the churn/upgrade
+    flow a growth dashboard draws as a Sankey, with row-normalized
+    shares so 'what fraction of hi-tier users stayed hi' reads
+    directly. Two-level aggregation: (user, period) counts, then the
+    per-user pivot to a tier pair, then the tiny matrix + row totals
+    broadcast back."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy(
+        "user_id",
+        F.when(F.dayofmonth("ts") <= 15, "p1").otherwise("p2")
+        .alias("period")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tier = (F.when(F.col("cnt") >= 40, "hi")
+            .when(F.col("cnt") >= 10, "mid").otherwise("lo"))
+    tiers = per.groupBy("user_id").agg(
+        F.coalesce(F.max(F.when(F.col("period") == "p1", tier)),
+                   F.lit("none")).alias("t1"),
+        F.coalesce(F.max(F.when(F.col("period") == "p2", tier)),
+                   F.lit("none")).alias("t2"))
+    m = tiers.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    tot = m.groupBy("t1").agg(
+        F.sum("n_users").cast("bigint").alias("row_total"))
+    return m.join(F.broadcast(tot), "t1").select(
+        "t1", "t2", "n_users",
+        F.expr("n_users * 10000 div row_total").cast("bigint")
+        .alias("row_share_bp"))
+
+
+@query(
+    "new_vs_returning",
+    """
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    first_seen AS (
+      SELECT user_id, MIN(day) AS fday FROM d GROUP BY user_id)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(COALESCE(SUM(CASE WHEN d.day = f.fday THEN 1 END), 0)
+                AS BIGINT) AS new_users,
+           CAST(COALESCE(SUM(CASE WHEN d.day > f.fday THEN 1 END), 0)
+                AS BIGINT) AS returning_users
+    FROM d JOIN first_seen f ON d.user_id = f.user_id
+    GROUP BY d.day
+    """,
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily split — each active (user, day) pair
+    classifies against the user's first-seen day: the acquisition-vs-
+    retention decomposition every DAU chart needs (growth from new
+    signups looks identical to growth from returning users until you
+    split it). First-seen is a user-keyed MIN joined back; one
+    distinct, one aggregate, one join on user."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first_seen = d.groupBy("user_id").agg(F.min("day").alias("fday"))
+    j = d.join(first_seen, "user_id")
+    return j.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.coalesce(F.sum(F.when(F.col("day") == F.col("fday"), 1)),
+                   F.lit(0)).cast("bigint").alias("new_users"),
+        F.coalesce(F.sum(F.when(F.col("day") > F.col("fday"), 1)),
+                   F.lit(0)).cast("bigint").alias("returning_users"))
+
+
+@query(
+    "hapax_rate",
+    """
+    WITH w AS (
+      SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+      FROM documents),
+    wc AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM w WHERE word <> '' GROUP BY lang, word)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(cnt) AS BIGINT) AS tokens,
+           CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN 1 END), 0)
+                AS BIGINT) AS hapax,
+           CAST(COALESCE(SUM(CASE WHEN cnt = 1 THEN 1 END), 0)
+                * 10000 // COUNT(*) AS BIGINT) AS hapax_bp,
+           CAST(COUNT(*) * 10000 // SUM(cnt) AS BIGINT)
+             AS type_token_bp
+    FROM wc GROUP BY lang
+    """,
+)
+def q_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical richness per language — hapax legomena share (words
+    seen exactly once in the language's corpus slice) and the
+    type/token ratio, the vocabulary-health metrics that expose both
+    boilerplate floods (hapax share collapses) and OCR noise (hapax
+    share explodes with garbage tokens). Word-keyed counts with
+    map-side partials, then a per-language rollup of the vocabulary
+    grain."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        "lang",
+        F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    wc = (w.filter(F.col("word") != "")
+          .groupBy("lang", "word")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    return wc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum("cnt").cast("bigint").alias("tokens"),
+        F.coalesce(F.sum(F.when(F.col("cnt") == 1, 1)), F.lit(0))
+        .cast("bigint").alias("hapax"),
+        F.expr("COALESCE(SUM(CASE WHEN cnt = 1 THEN 1 END), 0)"
+               " * 10000 div COUNT(*)").cast("bigint")
+        .alias("hapax_bp"),
+        F.expr("COUNT(*) * 10000 div SUM(cnt)").cast("bigint")
+        .alias("type_token_bp"))
