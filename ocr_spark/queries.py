@@ -20922,3 +20922,99 @@ def q_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hapax_bp"),
         F.expr("COUNT(*) * 10000 div SUM(cnt)").cast("bigint")
         .alias("type_token_bp"))
+
+
+@query(
+    "double_fire_dedup",
+    """
+    WITH o AS (
+      SELECT event_type, ts, event_id,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+               ORDER BY ts, event_id) AS prev_ts
+      FROM events),
+    f AS (
+      SELECT event_type,
+             CASE WHEN prev_ts IS NOT NULL
+                   AND epoch_us(ts) - epoch_us(prev_ts) < 1000000
+             THEN 1 ELSE 0 END AS is_dup
+      FROM o)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(is_dup), 0) AS BIGINT) AS n_double_fires,
+           CAST(COALESCE(SUM(is_dup), 0) * 10000 // COUNT(*)
+                AS BIGINT) AS dup_bp
+    FROM f GROUP BY event_type
+    """,
+)
+def q_double_fire_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-fire detection — the same user emitting the same event
+    type twice within one second is almost always a client bug
+    (double-click, retry without idempotency key), and the canonical
+    telemetry-cleaning rule drops the repeat. LAG over (user, type)
+    gives each event its predecessor; sub-second gaps flag in exact
+    microseconds. Reported as a per-type rate so instrumentation
+    regressions surface as a dup_bp jump. One composite-keyed window +
+    one aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "event_type",
+        F.expr("timestampdiff(MICROSECOND, LAG(ts) OVER (PARTITION BY"
+               " user_id, event_type ORDER BY ts, event_id), ts)")
+        .alias("gap_us"))
+    f = o.select(
+        "event_type",
+        (F.col("gap_us").isNotNull() & (F.col("gap_us") < 1000000))
+        .cast("int").alias("is_dup"))
+    return f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.coalesce(F.sum("is_dup"), F.lit(0)).cast("bigint")
+        .alias("n_double_fires"),
+        F.expr("COALESCE(SUM(is_dup), 0) * 10000 div COUNT(*)")
+        .cast("bigint").alias("dup_bp"))
+
+
+@query(
+    "ooo_arrival",
+    """
+    WITH o AS (
+      SELECT user_id, event_id,
+             LAG(event_id) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS prev_id
+      FROM events),
+    f AS (
+      SELECT user_id,
+             CASE WHEN prev_id IS NOT NULL AND prev_id > event_id
+             THEN 1 ELSE 0 END AS inverted
+      FROM o)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COALESCE(SUM(inverted), 0) AS BIGINT) AS n_inversions,
+           CAST(COALESCE(SUM(inverted), 0) * 10000 // COUNT(*)
+                AS BIGINT) AS ooo_bp
+    FROM f GROUP BY user_id
+    """,
+)
+def q_ooo_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival rate per user — event ids are assigned at
+    emission, timestamps at ingestion, so an id that DECREASES along
+    the time axis marks late/reordered delivery: the metric that sizes
+    streaming watermarks (allowed lateness should cover the observed
+    inversion tail, not a guess). Adjacent-pair inversions via LAG
+    over the (ts, id) order, reported in bp per user. One user-keyed
+    window + aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    o = ev.select(
+        "user_id", "event_id",
+        F.expr("LAG(event_id) OVER (PARTITION BY user_id"
+               " ORDER BY ts, event_id)").alias("prev_id"))
+    f = o.select(
+        "user_id",
+        (F.col("prev_id").isNotNull()
+         & (F.col("prev_id") > F.col("event_id"))).cast("int")
+        .alias("inverted"))
+    return f.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.coalesce(F.sum("inverted"), F.lit(0)).cast("bigint")
+        .alias("n_inversions"),
+        F.expr("COALESCE(SUM(inverted), 0) * 10000 div COUNT(*)")
+        .cast("bigint").alias("ooo_bp"))
