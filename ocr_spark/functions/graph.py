@@ -589,3 +589,107 @@ def link_spam_score(
             ).cast("int").alias("spam_flag"),
         )
     )
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected simple
+    graph of (src, dst) edges — the normalized companion to
+    :func:`triangle_count`: coefficient = 2·triangles / (deg·(deg−1)) in
+    exact basis points (integer division, truncation toward zero in both
+    engines), 0 for degree-<2 nodes where the ratio is undefined.
+
+    A high coefficient on a high-degree host marks a densely
+    self-referential cluster (link farm / mirror ring); a low one marks a
+    genuine hub whose neighbors don't know each other. Scale shape: the
+    triangle join is the compact-forward oriented plan (fan-out bounded
+    by forward degree), the degree agg is one node-keyed SUM, and the
+    final assembly is two id-keyed joins — nothing quadratic in the
+    corpus.
+
+    Returns (node, degree, n_triangles, clustering_bp).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    tri = triangle_count(edges)
+    return tri.join(deg, "node", "left").select(
+        "node",
+        F.coalesce("degree", F.lit(0)).cast("bigint").alias("degree"),
+        "n_triangles",
+        F.expr(
+            "CASE WHEN COALESCE(degree, 0) >= 2"
+            " THEN n_triangles * 2 * 10000 div (degree * (degree - 1))"
+            " ELSE 0 END"
+        ).cast("bigint").alias("clustering_bp"),
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of the undirected simple graph as a signed
+    Pearson coefficient in exact basis points: each undirected edge
+    contributes its endpoint-degree pair in BOTH orientations (so the
+    marginals of x and y coincide), and r = (M·Σxy − Σx·Σx) /
+    (M·Σx² − Σx·Σx) is carried as one integer division — no square
+    root needed because the x and y marginals are identical by
+    construction.
+
+    Negative assortativity (hubs link to leaves) is the signature of a
+    star-shaped scrape or SEO network; positive (hubs link to hubs) of an
+    organic core. The whole job is one edge-keyed degree join + a single
+    global aggregate — sums fit int64 for any graph with M·maxdeg² <
+    2^63/10^4 (~10^14), far beyond the host-graph grain this runs at;
+    beyond that, widen the three sums to DECIMAL(38,0).
+
+    Returns one row (n_samples, sum_deg, sum_xy, sum_xx, assort_bp);
+    assort_bp = 0 when every degree is equal (variance 0, r undefined).
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    sym = und.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        und.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    samp = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v")
+        .select("x", "y")
+    )
+    m = samp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_samples"),
+        F.sum("x").cast("bigint").alias("sum_deg"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_xx"),
+    )
+    return m.select(
+        "n_samples",
+        "sum_deg",
+        "sum_xy",
+        "sum_xx",
+        F.expr(
+            "CASE WHEN n_samples * sum_xx - sum_deg * sum_deg = 0 THEN 0"
+            " ELSE (n_samples * sum_xy - sum_deg * sum_deg) * 10000"
+            " div (n_samples * sum_xx - sum_deg * sum_deg) END"
+        ).cast("bigint").alias("assort_bp"),
+    )

@@ -21018,3 +21018,86 @@ def q_ooo_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_inversions"),
         F.expr("COALESCE(SUM(inverted), 0) * 10000 div COUNT(*)")
         .cast("bigint").alias("ooo_bp"))
+
+
+@query(
+    "local_clustering",
+    f"""
+    WITH {_HOST_EDGES_SQL},
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM e WHERE src != dst),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+    mem AS (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri),
+    cnt AS (SELECT node, COUNT(*) AS c FROM mem GROUP BY node),
+    degu AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+      GROUP BY node),
+    alln AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e)
+    SELECT n.node,
+           COALESCE(degu.degree, 0) AS degree,
+           CAST(COALESCE(cnt.c, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN COALESCE(degu.degree, 0) >= 2
+                THEN COALESCE(cnt.c, 0) * 2 * 10000
+                     // (degu.degree * (degu.degree - 1))
+                ELSE 0 END AS BIGINT) AS clustering_bp
+    FROM alln n LEFT JOIN degu USING (node) LEFT JOIN cnt USING (node)
+    """,
+)
+def q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node local clustering coefficient on the host link graph —
+    triangle_count normalized by deg·(deg−1): a dense self-referential
+    cluster (link farm / mirror ring) scores near 10000 bp while a
+    genuine hub whose neighbors ignore each other scores near 0, which
+    is exactly the split raw triangle counts can't make."""
+    from ocr_spark.functions.graph import local_clustering
+
+    return local_clustering(_host_edges(spark, sf_dir))
+
+
+@query(
+    "degree_assortativity",
+    f"""
+    WITH {_HOST_EDGES_SQL},
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM e WHERE src != dst),
+    degu AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+      GROUP BY node),
+    sym AS (SELECT a AS u, b AS v FROM und
+            UNION ALL SELECT b AS u, a AS v FROM und),
+    samp AS (
+      SELECT dx.d AS x, dy.d AS y
+      FROM sym JOIN degu dx ON dx.node = sym.u
+               JOIN degu dy ON dy.node = sym.v),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(SUM(x) AS BIGINT) AS sum_deg,
+             CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+             CAST(SUM(x * x) AS BIGINT) AS sum_xx
+      FROM samp)
+    SELECT n_samples, sum_deg, sum_xy, sum_xx,
+           CAST(CASE WHEN n_samples * sum_xx - sum_deg * sum_deg = 0
+                THEN 0
+                ELSE (n_samples * sum_xy - sum_deg * sum_deg) * 10000
+                     // (n_samples * sum_xx - sum_deg * sum_deg)
+                END AS BIGINT) AS assort_bp
+    FROM m
+    """,
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed degree-assortativity coefficient of the host graph in
+    exact basis points — both edge orientations are sampled so the x/y
+    marginals coincide and Pearson r reduces to one integer division
+    (no square root). Negative r (hubs→leaves) flags star-shaped scrape
+    or SEO networks; positive r an organic hub core."""
+    from ocr_spark.functions.graph import degree_assortativity
+
+    return degree_assortativity(_host_edges(spark, sf_dir))
