@@ -21101,3 +21101,203 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.functions.graph import degree_assortativity
 
     return degree_assortativity(_host_edges(spark, sf_dir))
+
+
+@query(
+    "spearman_rank",
+    """
+    WITH nm AS (
+      SELECT c.c_nationkey AS nation,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_nationkey),
+    ranked AS (
+      SELECT nation,
+             ROW_NUMBER() OVER (ORDER BY revenue_cents DESC, nation)
+               AS r_rev,
+             ROW_NUMBER() OVER (ORDER BY n_orders DESC, nation)
+               AS r_cnt
+      FROM nm),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((r_rev - r_cnt) * (r_rev - r_cnt)) AS BIGINT)
+               AS sum_d2
+      FROM ranked)
+    SELECT n AS n_nations, sum_d2,
+           CAST(CASE WHEN n >= 2
+                THEN 10000 - (60000 * sum_d2) // (n * (n * n - 1))
+                ELSE 0 END AS BIGINT) AS spearman_bp
+    FROM s
+    """,
+)
+def q_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho between the revenue and order-count rankings of
+    nations, the rank-space companion to Kendall tau
+    (``rank_correlation``): ranks are assigned by ROW_NUMBER with the
+    nation key as the deterministic tie-break (documented deviation from
+    the average-rank tie convention, chosen so both engines produce
+    identical integer ranks), then rho = 1 − 6Σd²/(n(n²−1)) carried in
+    exact basis points with one truncating division. Fact-table work is
+    the one Q5-shaped join+agg; the rank windows run on the ~25-row
+    nation grain."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nm = (orders.join(F.broadcast(customer.select("c_custkey",
+                                                  "c_nationkey")),
+                      orders.o_custkey == F.col("c_custkey"))
+          .groupBy(F.col("c_nationkey").alias("nation"))
+          .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                     .cast("bigint")).cast("bigint")
+               .alias("revenue_cents"),
+               F.count(F.lit(1)).cast("bigint").alias("n_orders")))
+    ranked = nm.select(
+        "nation",
+        F.row_number().over(
+            Window.orderBy(F.col("revenue_cents").desc(), "nation"))
+        .alias("r_rev"),
+        F.row_number().over(
+            Window.orderBy(F.col("n_orders").desc(), "nation"))
+        .alias("r_cnt"))
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("r_rev") - F.col("r_cnt"))
+              * (F.col("r_rev") - F.col("r_cnt"))).cast("bigint")
+        .alias("sum_d2"))
+    return s.select(
+        F.col("n").alias("n_nations"), "sum_d2",
+        F.expr("CASE WHEN n >= 2 THEN 10000 - (60000 * sum_d2)"
+               " div (n * (n * n - 1)) ELSE 0 END").cast("bigint")
+        .alias("spearman_bp"))
+
+
+@query(
+    "theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    pairs AS (
+      SELECT a.event_type,
+             CAST((b.cnt - a.cnt) * 1000000
+                  // (b.day - a.day) AS BIGINT) AS slope_ppm
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day),
+    ordered AS (
+      SELECT event_type, slope_ppm,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope_ppm) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM pairs),
+    nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+           FROM daily GROUP BY event_type)
+    SELECT o.event_type, nd.n_days,
+           CAST(o.np AS BIGINT) AS n_pairs,
+           o.slope_ppm AS slope_ppm_per_day
+    FROM ordered o JOIN nd ON nd.event_type = o.event_type
+    WHERE o.rn = (o.np + 1) // 2
+    """,
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type — the median of all
+    pairwise day-over-day slopes (exact ppm/day via one truncating
+    division per pair), immune to the single-day outliers that wreck a
+    least-squares fit. The pairwise cross runs on the DAY grain (~90
+    rows per type, ~4k pairs), never on events; the median is the lower
+    median by value via one ordered window, deterministic regardless of
+    tie order. The fact-table work is one date-truncated count."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    a = daily.select(F.col("event_type").alias("et"),
+                     F.col("day").alias("d1"), F.col("cnt").alias("c1"))
+    b = daily.select(F.col("event_type").alias("et"),
+                     F.col("day").alias("d2"), F.col("cnt").alias("c2"))
+    pairs = (a.join(b, ["et"])
+             .filter(F.col("d1") < F.col("d2"))
+             .select(F.col("et").alias("event_type"),
+                     F.expr("(c2 - c1) * 1000000 div datediff(d2, d1)")
+                     .cast("bigint").alias("slope_ppm")))
+    w = Window.partitionBy("event_type").orderBy("slope_ppm")
+    ordered = pairs.select(
+        "event_type", "slope_ppm",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("event_type")).alias("np"))
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (ordered
+            .filter(F.expr("rn = (np + 1) div 2"))
+            .join(nd, "event_type")
+            .select("event_type", "n_days",
+                    F.col("np").cast("bigint").alias("n_pairs"),
+                    F.col("slope_ppm").alias("slope_ppm_per_day")))
+
+
+@query(
+    "hampel_filter",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    win AS (
+      SELECT event_type, day, cnt,
+             list(cnt) OVER (PARTITION BY event_type ORDER BY day
+                             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS w
+      FROM daily),
+    med AS (
+      SELECT event_type, day, cnt, w,
+             list_sort(w)[(len(w) + 1) // 2] AS med
+      FROM win),
+    dev AS (
+      SELECT event_type, day, cnt, med,
+             list_sort(list_transform(w, v -> abs(v - med)))
+               [(len(w) + 1) // 2] AS mad
+      FROM med)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           cnt, CAST(med AS BIGINT) AS rolling_med,
+           CAST(mad AS BIGINT) AS rolling_mad,
+           CAST(CASE WHEN abs(cnt - med) > 3 * mad
+                THEN 1 ELSE 0 END AS INT) AS spike
+    FROM dev
+    """,
+)
+def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel despiking filter over daily event counts — each day is
+    judged against the LOWER MEDIAN and MAD of its ±3-day rolling
+    window (collected per-row, sorted in-row; all integers, identical
+    element picks in both engines), flagging |x − med| > 3·MAD. Unlike
+    the global MAD screen (``mad_outliers``) this adapts to trend and
+    seasonality: a level shift stops flagging once the window absorbs
+    it. On a constant window MAD = 0 and any deviation flags — the
+    standard Hampel convention, kept deliberately. One composite-keyed
+    window over the day grain; the 7-element in-row sorts are O(1)."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-3, 3))
+    win = daily.select("event_type", "day", "cnt",
+                       F.collect_list("cnt").over(w).alias("w"))
+    med = win.select(
+        "event_type", "day", "cnt", "w",
+        F.expr("element_at(array_sort(w),"
+               " CAST((size(w) + 1) / 2 AS INT))").alias("med"))
+    dev = med.select(
+        "event_type", "day", "cnt", "med",
+        F.expr("element_at(array_sort(transform(w, v -> abs(v - med))),"
+               " CAST((size(w) + 1) / 2 AS INT))").alias("mad"))
+    return dev.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "cnt",
+        F.col("med").cast("bigint").alias("rolling_med"),
+        F.col("mad").cast("bigint").alias("rolling_mad"),
+        F.expr("CASE WHEN abs(cnt - med) > 3 * mad THEN 1 ELSE 0 END")
+        .cast("int").alias("spike"))
