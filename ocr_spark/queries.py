@@ -21301,3 +21301,144 @@ def q_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mad").cast("bigint").alias("rolling_mad"),
         F.expr("CASE WHEN abs(cnt - med) > 3 * mad THEN 1 ELSE 0 END")
         .cast("int").alias("spike"))
+
+
+@query(
+    "basket_pair_lift",
+    """
+    WITH d AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    no AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM d),
+    item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY p),
+    pr AS (
+      SELECT x.p AS part_a, y.p AS part_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM d x JOIN d y ON x.o = y.o AND x.p < y.p
+      GROUP BY x.p, y.p HAVING COUNT(*) >= 3)
+    SELECT pr.part_a, pr.part_b, pr.n_ab,
+           ia.n AS n_a, ib.n AS n_b,
+           CAST(pr.n_ab * no.n_orders * 10000 // (ia.n * ib.n)
+                AS BIGINT) AS lift_bp,
+           CAST(pr.n_ab * 10000 // ia.n AS BIGINT) AS conf_ab_bp
+    FROM pr JOIN item ia ON ia.p = pr.part_a
+            JOIN item ib ON ib.p = pr.part_b
+            CROSS JOIN no
+    """,
+)
+def q_basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining over order lineitems: support,
+    confidence, and lift (exact bp) for every part pair co-bought in >=3
+    orders. The pair generator is IN-ROW — each order's sorted distinct
+    part list emits its C(k,2) pairs via index-aware transform+slice, so
+    fan-out is bounded by basket size squared (~21 for TPC-H's 7-line
+    orders), never a corpus self-join; the oracle twin IS the quadratic
+    self-join, making output equality the completeness proof. Item
+    supports broadcast onto the pair counts; lift > 10000 bp marks
+    genuinely associated parts (the cross-sell / bundle signal)."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = li.select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p")).distinct()
+    no = d.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    item = d.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    basket = d.groupBy("o").agg(
+        F.sort_array(F.collect_set("p")).alias("ps"))
+    pairs = basket.select(F.explode(F.expr(
+        "flatten(transform(ps, (x, i) ->"
+        " transform(slice(ps, i + 2, size(ps)),"
+        " y -> struct(x AS part_a, y AS part_b))))")).alias("pr"))
+    pr = (pairs.select("pr.part_a", "pr.part_b")
+          .groupBy("part_a", "part_b")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+          .filter(F.col("n_ab") >= 3))
+    ia = item.select(F.col("p").alias("part_a"), F.col("n").alias("n_a"))
+    ib = item.select(F.col("p").alias("part_b"), F.col("n").alias("n_b"))
+    return (pr.join(ia, "part_a").join(ib, "part_b")
+            .crossJoin(F.broadcast(no))
+            .select("part_a", "part_b", "n_ab", "n_a", "n_b",
+                    F.expr("n_ab * n_orders * 10000 div (n_a * n_b)")
+                    .cast("bigint").alias("lift_bp"),
+                    F.expr("n_ab * 10000 div n_a").cast("bigint")
+                    .alias("conf_ab_bp")))
+
+
+@query(
+    "rfm_segments",
+    """
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             MAX(CAST(o_orderdate AS DATE)) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS revenue_cents
+      FROM orders GROUP BY o_custkey),
+    anchor AS (SELECT MAX(last_day) AS maxd FROM base),
+    rfm AS (
+      SELECT custkey,
+             CAST(anchor.maxd - last_day AS BIGINT) AS recency_days,
+             n_orders, revenue_cents
+      FROM base CROSS JOIN anchor),
+    scored AS (
+      SELECT custkey, recency_days, n_orders, revenue_cents,
+             6 - NTILE(5) OVER (ORDER BY recency_days, custkey)
+               AS r_score,
+             6 - NTILE(5) OVER (ORDER BY n_orders DESC, custkey)
+               AS f_score,
+             6 - NTILE(5) OVER (ORDER BY revenue_cents DESC, custkey)
+               AS m_score
+      FROM rfm)
+    SELECT custkey, recency_days, n_orders, revenue_cents,
+           CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+                WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    anchored to the corpus max so the result is reproducible), frequency
+    and monetary quintiles via NTILE(5) with the customer key as the
+    deterministic tie-break, folded into the classic named segments
+    (champion / at_risk / new / hibernating / regular). One fact-table
+    agg; the three quintile windows run on the customer grain. The
+    global NTILE is the documented single-ordering cost — at 10^9
+    customers swap to percent_rank over pre-agged (value, count) or
+    per-shard ntile + merge."""
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_day"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint").alias("revenue_cents"))
+    anchor = base.agg(F.max("last_day").alias("maxd"))
+    rfm = base.crossJoin(F.broadcast(anchor)).select(
+        "custkey",
+        F.datediff("maxd", "last_day").cast("bigint")
+        .alias("recency_days"),
+        "n_orders", "revenue_cents")
+    scored = rfm.select(
+        "custkey", "recency_days", "n_orders", "revenue_cents",
+        (F.lit(6) - F.ntile(5).over(
+            Window.orderBy("recency_days", "custkey"))).alias("r_score"),
+        (F.lit(6) - F.ntile(5).over(
+            Window.orderBy(F.col("n_orders").desc(), "custkey")))
+        .alias("f_score"),
+        (F.lit(6) - F.ntile(5).over(
+            Window.orderBy(F.col("revenue_cents").desc(), "custkey")))
+        .alias("m_score"))
+    return scored.select(
+        "custkey", "recency_days", "n_orders", "revenue_cents",
+        F.col("r_score").cast("int").alias("r_score"),
+        F.col("f_score").cast("int").alias("f_score"),
+        F.col("m_score").cast("int").alias("m_score"),
+        F.expr(
+            "CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4"
+            " THEN 'champion'"
+            " WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'"
+            " WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'"
+            " WHEN r_score >= 4 AND f_score <= 2 THEN 'new'"
+            " ELSE 'regular' END").alias("segment"))
