@@ -4446,3 +4446,83 @@ def srcset_best(df: DataFrame, id_col: str, html_col: str) -> DataFrame:
                 F.col("m.url").alias("best_url"),
                 F.col("m.w").alias("best_width"))
     )
+
+
+def kmv_distinct(
+    df: DataFrame, col: str, k: int = 256, group_col: str = "event_type"
+) -> DataFrame:
+    """Deterministic KMV (k-minimum-values / bottom-k) distinct sketch
+    (Bar-Yossef et al. 2002): hash every value to a uniform 32-bit
+    integer (md5-derived, engine-portable), keep the k smallest DISTINCT
+    hashes, and estimate cardinality as (k−1)·2³² / h_k where h_k is the
+    k-th smallest hash — the unbiased KMV estimator, all-integer until
+    nothing (the division itself is integer: exact enough at k=256 and
+    bit-identical across engines). Fewer than k distinct hashes means
+    the sketch IS the exact distinct set and the estimate degenerates to
+    that count.
+
+    The same row also carries the MERGE demonstration that makes KMV the
+    practical cross-shard distinct sketch: per-event-type bottom-k
+    sketches are unioned and re-bottomed, and est_merged provably equals
+    est_distinct (any globally bottom-k hash is bottom-k within its own
+    group — the union never loses one).
+
+    Scale shape: the distinct-hash projection is one hash-keyed
+    distinct; the bottom-k is a distributed TakeOrdered (per-partition
+    top-k then a k-row merge on the driver side of the plan), never a
+    global sort materialized; the per-group variant is one window over
+    group-local hashes. exact_distinct rides along for the error report
+    — at production scale it is the column you drop.
+
+    Returns one row: (k, n_kept, kth_hash, est_distinct, est_merged,
+    exact_distinct).
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    hs = df.select(h.alias("h")).distinct()
+    bot = hs.orderBy("h").limit(k)
+    agg = bot.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.max("h").cast("bigint").alias("kth_hash"),
+    )
+    per = (
+        df.select(F.col(group_col).alias("g"), h.alias("h"))
+        .distinct()
+        .select(
+            "h",
+            F.row_number()
+            .over(Window.partitionBy("g").orderBy("h"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= k)
+        .select("h")
+        .distinct()
+    )
+    mbot = per.orderBy("h").limit(k)
+    magg = mbot.agg(
+        F.count(F.lit(1)).cast("bigint").alias("mn"),
+        F.max("h").cast("bigint").alias("mkth"),
+    )
+    exact = df.agg(
+        F.countDistinct(col).cast("bigint").alias("exact_distinct"))
+    est = (
+        f"CASE WHEN n_kept < {k} THEN n_kept"
+        f" ELSE {k - 1} * 4294967296 div kth_hash END"
+    )
+    mest = (
+        f"CASE WHEN mn < {k} THEN mn"
+        f" ELSE {k - 1} * 4294967296 div mkth END"
+    )
+    return (
+        agg.crossJoin(F.broadcast(magg))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(k).cast("bigint").alias("k"),
+            "n_kept",
+            "kth_hash",
+            F.expr(est).cast("bigint").alias("est_distinct"),
+            F.expr(mest).cast("bigint").alias("est_merged"),
+            "exact_distinct",
+        )
+    )

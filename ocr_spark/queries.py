@@ -21442,3 +21442,116 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             " WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'"
             " WHEN r_score >= 4 AND f_score <= 2 THEN 'new'"
             " ELSE 'regular' END").alias("segment"))
+
+
+@query(
+    "kmv_distinct",
+    """
+    WITH hu AS (
+      SELECT DISTINCT
+        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+      FROM events),
+    bot AS (SELECT h FROM hu ORDER BY h LIMIT 256),
+    agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(MAX(h) AS BIGINT) AS kth_hash FROM bot),
+    per AS (
+      SELECT h,
+             ROW_NUMBER() OVER (PARTITION BY g ORDER BY h) AS rn
+      FROM (SELECT DISTINCT event_type AS g,
+              ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                AS h
+            FROM events)),
+    mu AS (SELECT DISTINCT h FROM per WHERE rn <= 256),
+    mbot AS (SELECT h FROM mu ORDER BY h LIMIT 256),
+    magg AS (SELECT CAST(COUNT(*) AS BIGINT) AS mn,
+                    CAST(MAX(h) AS BIGINT) AS mkth FROM mbot),
+    ex AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT)
+             AS exact_distinct FROM events)
+    SELECT CAST(256 AS BIGINT) AS k, n_kept, kth_hash,
+           CAST(CASE WHEN n_kept < 256 THEN n_kept
+                ELSE 255 * 4294967296 // kth_hash END AS BIGINT)
+             AS est_distinct,
+           CAST(CASE WHEN mn < 256 THEN mn
+                ELSE 255 * 4294967296 // mkth END AS BIGINT)
+             AS est_merged,
+           exact_distinct
+    FROM agg CROSS JOIN magg CROSS JOIN ex
+    """,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct sketch over event users — the third
+    mergeable sketch beside HLL (cardinality) and CMS (frequency): keep
+    the 256 smallest md5-derived hashes, estimate (k−1)·2³²/h_k, and
+    demonstrate the merge property by re-bottoming the union of
+    per-event-type sketches (est_merged == est_distinct by
+    construction). Bottom-k is a distributed TakeOrdered, never a
+    global sort."""
+    from ocr_spark.functions.curation import kmv_distinct
+
+    return kmv_distinct(_t(spark, sf_dir, "events"), "user_id", k=256)
+
+
+@query(
+    "good_turing_counts",
+    """
+    WITH w AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word
+      FROM documents),
+    wc AS (SELECT word, COUNT(*) AS c FROM w
+           WHERE word <> '' GROUP BY word),
+    coc AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r
+            FROM wc GROUP BY c),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM wc),
+    frame AS (SELECT unnest(generate_series(1, 10)) AS r)
+    SELECT frame.r,
+           COALESCE(a.n_r, 0) AS n_r,
+           COALESCE(b.n_r, 0) AS n_r_plus_1,
+           CAST(CASE WHEN COALESCE(a.n_r, 0) = 0 THEN 0
+                ELSE (frame.r + 1) * COALESCE(b.n_r, 0) * 1000
+                     // a.n_r END AS BIGINT) AS gt_r_star_milli,
+           CAST(CASE WHEN frame.r = 1
+                THEN COALESCE(a.n_r, 0) * 10000 // tot.n_tokens
+                ELSE 0 END AS BIGINT) AS unseen_mass_bp
+    FROM frame LEFT JOIN coc a ON a.r = frame.r
+               LEFT JOIN coc b ON b.r = frame.r + 1
+               CROSS JOIN tot
+    """,
+)
+def q_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing frequency-of-frequencies over the corpus vocabulary:
+    N_r (word types seen exactly r times) for r = 1..10, the adjusted
+    count r* = (r+1)·N_{r+1}/N_r in exact milli-units, and the unseen-
+    mass estimate N_1/N on the r=1 row — the smoothing table every
+    language model over a corpus slice starts from, and a corpus-health
+    readout (OCR garbage inflates N_1; boilerplate floods deflate it).
+    Word-keyed counts with map-side partials, then a ≤10-row frame
+    join on the count-of-counts grain."""
+    docs = _t(spark, sf_dir, "documents")
+    w = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    wc = (w.filter(F.col("word") != "")
+          .groupBy("word")
+          .agg(F.count(F.lit(1)).alias("c")))
+    coc = wc.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_r"))
+    tot = wc.agg(F.sum("c").cast("bigint").alias("n_tokens"))
+    frame = spark.range(1, 11).select(F.col("id").alias("r"))
+    a = coc.select(F.col("r").alias("ra"), F.col("n_r").alias("na"))
+    b = coc.select(F.col("r").alias("rb"), F.col("n_r").alias("nb"))
+    return (frame
+            .join(F.broadcast(a), frame["r"] == F.col("ra"), "left")
+            .join(F.broadcast(b), frame["r"] + 1 == F.col("rb"), "left")
+            .crossJoin(F.broadcast(tot))
+            .select(
+                "r",
+                F.coalesce("na", F.lit(0)).cast("bigint").alias("n_r"),
+                F.coalesce("nb", F.lit(0)).cast("bigint")
+                .alias("n_r_plus_1"),
+                F.expr("CASE WHEN COALESCE(na, 0) = 0 THEN 0"
+                       " ELSE (r + 1) * COALESCE(nb, 0) * 1000"
+                       " div na END").cast("bigint")
+                .alias("gt_r_star_milli"),
+                F.expr("CASE WHEN r = 1 THEN"
+                       " COALESCE(na, 0) * 10000 div n_tokens"
+                       " ELSE 0 END").cast("bigint")
+                .alias("unseen_mass_bp")))
