@@ -21555,3 +21555,239 @@ def q_good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                        " COALESCE(na, 0) * 10000 div n_tokens"
                        " ELSE 0 END").cast("bigint")
                 .alias("unseen_mass_bp")))
+
+
+_SOFT404_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CAST(CASE WHEN doc_id % 5 = 3 THEN 404 ELSE 200 END AS INT)
+             AS status,
+           CASE doc_id % 5
+             WHEN 0 THEN 'The harvest festival drew record crowds and '
+                         || 'the mayor opened the fair ' ||
+                         CAST(doc_id % 7 AS VARCHAR)
+             WHEN 1 THEN 'Oops! The page you are looking for cannot be '
+                         || 'found. Error 404. Try the homepage '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 2 THEN 'The marathon had 404 runners this year, a '
+                         || 'record for the city '
+                         || CAST(doc_id % 4 AS VARCHAR)
+             WHEN 3 THEN 'Page not found. The requested URL was not '
+                         || 'found on this server '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             ELSE 'This article no longer exists and has been removed '
+                  || 'by the editors ' || CAST(doc_id % 6 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_SOFT404_SQL = (
+    "WITH u AS (" + _SOFT404_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc, status,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)(error 404|404 error|404 not found|'
+                  || 'page not found)')) AS BIGINT) AS strong_hits,
+             CAST(len(regexp_extract_all(text,
+                  '(?i)(no longer exists|has been removed|'
+                  || 'cannot be found|requested url was not found)'))
+                  AS BIGINT) AS weak_hits
+      FROM u)
+    SELECT doc, status, strong_hits, weak_hits,
+           CAST(CASE WHEN status = 200
+                      AND (strong_hits >= 1 OR weak_hits >= 2)
+                THEN 1 ELSE 0 END AS INT) AS soft404
+    FROM m
+    """
+)
+
+
+@query("soft404_detect", _SOFT404_SQL)
+def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft-404 detection — error pages served with HTTP 200 are the
+    classic crawl poison: the status code says keep, the content is
+    'page not found' boilerplate that then dominates exact-dedup
+    clusters and quality-filter survivors. One strong marker ('error
+    404', 'page not found') suffices; generic phrases ('no longer
+    exists', 'has been removed') need two, so prose that merely
+    mentions a removal — or the number 404 — never gates. Real 404s
+    (status=404) are already routed by the fetcher; only status=200
+    rows can flag. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 5
+    status = F.when(m == 3, 404).otherwise(200).cast("int")
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("The harvest festival drew record crowds and the "
+                  "mayor opened the fair "), (k % 7).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("Oops! The page you are looking for cannot be found. "
+                  "Error 404. Try the homepage "),
+            (k % 3).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("The marathon had 404 runners this year, a record "
+                  "for the city "), (k % 4).cast("string")))
+        .when(m == 3, F.concat(
+            F.lit("Page not found. The requested URL was not found on "
+                  "this server "), (k % 3).cast("string")))
+        .otherwise(F.concat(
+            F.lit("This article no longer exists and has been removed "
+                  "by the editors "), (k % 6).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), status.alias("status"),
+        text.alias("text"))
+    strong = F.size(F.regexp_extract_all(
+        F.col("text"),
+        F.lit("(?i)(error 404|404 error|404 not found|page not found)"),
+        F.lit(0))).cast("bigint")
+    weak = F.size(F.regexp_extract_all(
+        F.col("text"),
+        F.lit("(?i)(no longer exists|has been removed|cannot be found|"
+              "requested url was not found)"), F.lit(0))).cast("bigint")
+    m2 = docs.select("doc", "status", strong.alias("strong_hits"),
+                     weak.alias("weak_hits"))
+    return m2.select(
+        "doc", "status", "strong_hits", "weak_hits",
+        F.expr("CASE WHEN status = 200 AND (strong_hits >= 1 OR"
+               " weak_hits >= 2) THEN 1 ELSE 0 END").cast("int")
+        .alias("soft404"))
+
+
+_PRICE_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 6
+             WHEN 0 THEN 'Now only $1,299.99 while stocks last '
+                         || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 1 THEN 'Preis: 12,50 € inkl. MwSt '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 2 THEN 'Price: Rs. 1,23,456 onwards '
+                         || CAST(doc_id % 4 AS VARCHAR)
+             WHEN 3 THEN 'The subscription costs USD 49 per year '
+                         || CAST(doc_id % 2 AS VARCHAR)
+             WHEN 4 THEN 'Download for free today '
+                         || CAST(doc_id % 3 AS VARCHAR)
+             ELSE 'The committee met at 3,000 feet elevation '
+                  || CAST(doc_id % 4 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+_PRICE_CENTS_SQL = """
+           CASE WHEN raw IS NULL THEN NULL
+                WHEN is_comma = 1 THEN
+                  CAST(regexp_extract(replace(raw, '.', ''),
+                       '^([0-9]+),', 1) AS BIGINT) * 100
+                  + CAST(rpad(regexp_extract(replace(raw, '.', ''),
+                         ',([0-9]{1,2})$', 1), 2, '0') AS BIGINT)
+                ELSE
+                  CAST(regexp_extract(replace(raw, ',', ''),
+                       '^([0-9]+)', 1) AS BIGINT) * 100
+                  + CASE WHEN regexp_extract(replace(raw, ',', ''),
+                              '\\.([0-9]{1,2})$', 1) = '' THEN 0
+                         ELSE CAST(rpad(regexp_extract(
+                              replace(raw, ',', ''),
+                              '\\.([0-9]{1,2})$', 1), 2, '0') AS BIGINT)
+                    END
+           END
+"""
+
+_PRICE_SQL = (
+    "WITH u AS (" + _PRICE_TEXT_SQL + "),"
+    """
+    m AS (
+      SELECT doc, text,
+             regexp_extract(text,
+               '\\$\\s*([0-9][0-9,]*(\\.[0-9]{1,2})?)', 1) AS d_amt,
+             regexp_extract(text,
+               '([0-9][0-9.]*,[0-9]{1,2})\\s*€', 1) AS e_amt,
+             regexp_extract(text,
+               '(?i)\\brs\\.?\\s*([0-9][0-9,]*(\\.[0-9]{1,2})?)', 1)
+               AS r_amt,
+             regexp_extract(text,
+               '(?i)\\b(usd|eur|inr)\\s+([0-9][0-9,]*(\\.[0-9]{1,2})?)',
+               1) AS c_cur,
+             regexp_extract(text,
+               '(?i)\\b(usd|eur|inr)\\s+([0-9][0-9,]*(\\.[0-9]{1,2})?)',
+               2) AS c_amt
+      FROM u),
+    pick AS (
+      SELECT doc,
+             CASE WHEN d_amt <> '' THEN 'USD'
+                  WHEN e_amt <> '' THEN 'EUR'
+                  WHEN r_amt <> '' THEN 'INR'
+                  WHEN c_cur <> '' THEN upper(c_cur) END AS currency,
+             CASE WHEN d_amt <> '' THEN d_amt
+                  WHEN e_amt <> '' THEN e_amt
+                  WHEN r_amt <> '' THEN r_amt
+                  WHEN c_cur <> '' THEN c_amt END AS raw,
+             CASE WHEN d_amt = '' AND e_amt <> '' THEN 1 ELSE 0 END
+               AS is_comma
+      FROM m)
+    SELECT doc, currency, raw AS price_raw,
+           CAST(""" + _PRICE_CENTS_SQL + """ AS BIGINT) AS amount_cents
+    FROM pick
+    """
+)
+
+
+@query("price_normalize", _PRICE_SQL)
+def q_price_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price extraction + normalization to exact integer cents with an
+    ISO currency code — the commerce sibling of unit_normalize: '$1,299.99'
+    (US thousands/dot-decimal), '12,50 €' (EU dot-thousands/comma-
+    decimal), 'Rs. 1,23,456' (Indian 2-2-3 grouping — groupings are
+    stripped, not interpreted), and 'USD 49' code-prefixed forms all
+    land in one (currency, amount_cents) pair; pages with no
+    currency-adjacent number (bare '3,000 feet', 'free') stay NULL —
+    observable, never a silent 0. First-match-wins priority $ > € >
+    Rs > code keeps the parse deterministic. Zero-shuffle projection."""
+    k = F.col("doc_id")
+    m = k % 6
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("Now only $1,299.99 while stocks last "),
+            (k % 5).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("Preis: 12,50 € inkl. MwSt "),
+            (k % 3).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("Price: Rs. 1,23,456 onwards "),
+            (k % 4).cast("string")))
+        .when(m == 3, F.concat(
+            F.lit("The subscription costs USD 49 per year "),
+            (k % 2).cast("string")))
+        .when(m == 4, F.concat(
+            F.lit("Download for free today "), (k % 3).cast("string")))
+        .otherwise(F.concat(
+            F.lit("The committee met at 3,000 feet elevation "),
+            (k % 4).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    d_amt = F.regexp_extract(
+        "text", r"\$\s*([0-9][0-9,]*(\.[0-9]{1,2})?)", 1)
+    e_amt = F.regexp_extract(
+        "text", "([0-9][0-9.]*,[0-9]{1,2})\\s*€", 1)
+    r_amt = F.regexp_extract(
+        "text", r"(?i)\brs\.?\s*([0-9][0-9,]*(\.[0-9]{1,2})?)", 1)
+    c_cur = F.regexp_extract(
+        "text", r"(?i)\b(usd|eur|inr)\s+([0-9][0-9,]*(\.[0-9]{1,2})?)",
+        1)
+    c_amt = F.regexp_extract(
+        "text", r"(?i)\b(usd|eur|inr)\s+([0-9][0-9,]*(\.[0-9]{1,2})?)",
+        2)
+    pick = docs.select(
+        "doc",
+        F.when(d_amt != "", F.lit("USD"))
+        .when(e_amt != "", F.lit("EUR"))
+        .when(r_amt != "", F.lit("INR"))
+        .when(c_cur != "", F.upper(c_cur)).alias("currency"),
+        F.when(d_amt != "", d_amt)
+        .when(e_amt != "", e_amt)
+        .when(r_amt != "", r_amt)
+        .when(c_cur != "", c_amt).alias("raw"),
+        F.when((d_amt == "") & (e_amt != ""), 1).otherwise(0)
+        .alias("is_comma"))
+    return pick.select(
+        "doc", "currency", F.col("raw").alias("price_raw"),
+        F.expr(_PRICE_CENTS_SQL.replace("\\.", "\\\\.")).cast("bigint")
+        .alias("amount_cents"))
