@@ -21791,3 +21791,87 @@ def q_price_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc", "currency", F.col("raw").alias("price_raw"),
         F.expr(_PRICE_CENTS_SQL.replace("\\.", "\\\\.")).cast("bigint")
         .alias("amount_cents"))
+
+
+_RAKE_STOP_RE = (
+    r"\b(the|of|and|a|in|to|is|for|with|on|as|by|at|an|are|was|were|be|"
+    r"this|that|it|or|from|but)\b"
+)
+
+
+@query(
+    "rake_keyphrases",
+    f"""
+    WITH t AS (
+      SELECT regexp_replace(regexp_replace(lower(text),
+               '[^a-z\\s]', '|', 'g'),
+               '{_RAKE_STOP_RE}', '|', 'g') AS t3
+      FROM documents),
+    fr AS (SELECT unnest(string_split(t3, '|')) AS frag FROM t),
+    ph AS (SELECT trim(regexp_replace(frag, '\\s+', ' ', 'g'))
+             AS phrase FROM fr),
+    occ AS (
+      SELECT phrase, len(string_split(phrase, ' ')) AS nw
+      FROM ph
+      WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= 4),
+    pf AS (SELECT phrase, COUNT(*) AS n_occ FROM occ GROUP BY phrase),
+    pw AS (SELECT unnest(string_split(phrase, ' ')) AS word, nw
+           FROM occ),
+    ws AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+                  CAST(SUM(nw) AS BIGINT) AS deg
+           FROM pw GROUP BY word),
+    ptw AS (SELECT phrase, n_occ,
+                   unnest(string_split(phrase, ' ')) AS word
+            FROM pf),
+    sc AS (
+      SELECT phrase, n_occ,
+             CAST(SUM(deg * 1000 // freq) AS BIGINT) AS score_milli
+      FROM ptw JOIN ws USING (word)
+      GROUP BY phrase, n_occ)
+    SELECT phrase, CAST(n_occ AS BIGINT) AS n_occ, score_milli
+    FROM sc
+    ORDER BY score_milli DESC, n_occ DESC, phrase
+    LIMIT 20
+    """,
+)
+def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010) over the corpus:
+    candidate phrases are the maximal runs between stopwords and
+    punctuation (both replaced by a boundary marker in one regex pass,
+    so segmentation is a zero-join projection), each phrase scored by
+    SUM over its words of degree/frequency — degree rewards words that
+    appear inside long phrases, frequency discounts ubiquitous ones —
+    carried in exact milli-units with one truncating division per word.
+    Scale shape: phrase and word stats are plain keyed aggs with
+    map-side partials (vocab-bounded), the phrase-type word explode is
+    bounded by 4 tokens, and the top-20 is a distributed TakeOrdered
+    with a full deterministic tie-break."""
+    docs = _cpu(spark, sf_dir, "documents")
+    t3 = F.regexp_replace(
+        F.regexp_replace(F.lower("text"), r"[^a-z\s]", "|"),
+        _RAKE_STOP_RE, "|")
+    frag = docs.select(F.explode(F.split(t3, r"[|]")).alias("frag"))
+    ph = frag.select(
+        F.trim(F.regexp_replace("frag", r"\s+", " ")).alias("phrase"))
+    occ = (ph.filter(F.col("phrase") != "")
+           .select("phrase",
+                   F.size(F.split("phrase", " ")).alias("nw"))
+           .filter(F.col("nw") <= 4))
+    pf = occ.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occ"))
+    pw = occ.select(F.explode(F.split("phrase", " ")).alias("word"),
+                    "nw")
+    ws = pw.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        F.sum("nw").cast("bigint").alias("deg"))
+    ptw = pf.select("phrase", "n_occ",
+                    F.explode(F.split("phrase", " ")).alias("word"))
+    sc = (ptw.join(ws, "word")
+          .groupBy("phrase", "n_occ")
+          .agg(F.sum(F.expr("deg * 1000 div freq")).cast("bigint")
+               .alias("score_milli")))
+    return (sc.orderBy(F.col("score_milli").desc(),
+                       F.col("n_occ").desc(), "phrase")
+            .limit(20)
+            .select("phrase", F.col("n_occ").cast("bigint")
+                    .alias("n_occ"), "score_milli"))
