@@ -21875,3 +21875,100 @@ def q_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20)
             .select("phrase", F.col("n_occ").cast("bigint")
                     .alias("n_occ"), "score_milli"))
+
+
+@query(
+    "skipgram_pairs",
+    """
+    WITH wsrc AS (
+      SELECT doc_id AS doc,
+             list_filter(string_split(lower(text), ' '), w -> w <> '')
+               AS ws
+      FROM documents),
+    p AS (
+      SELECT doc, i, ws[i] AS w
+      FROM wsrc, UNNEST(range(1, len(ws) + 1)) AS t(i)),
+    pr AS (
+      SELECT a.w AS center, b.w AS context
+      FROM p a JOIN p b
+        ON a.doc = b.doc AND b.i BETWEEN a.i - 2 AND a.i + 2
+           AND b.i <> a.i)
+    SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pr GROUP BY center, context HAVING COUNT(*) >= 3
+    """,
+)
+def q_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training-pair generation (word2vec data prep, window
+    ±2): every (center, context) co-occurrence within two positions,
+    counted corpus-wide with min support 3. The pair emission is
+    IN-ROW — an index-aware transform over each document's word array
+    emits its ≤4 context slots per token, so fan-out is a constant
+    factor of corpus tokens and there is never a positional self-join;
+    the oracle twin IS the positional self-join, making output equality
+    the completeness proof. One gram-keyed agg with map-side partials —
+    the same scale shape as pmi_collocations, which consumes these
+    counts' bigram subset."""
+    docs = _cpu(spark, sf_dir, "documents")
+    ws = docs.select(
+        F.expr("filter(split(lower(text), ' '), w -> w != '')")
+        .alias("ws"))
+    pairs = ws.select(F.explode(F.expr(
+        "flatten(transform(ws, (c, i) ->"
+        " filter(transform(sequence(greatest(i - 2, 0),"
+        "                           least(i + 2, size(ws) - 1)),"
+        "   j -> CASE WHEN j <> i THEN"
+        "     struct(c AS center, element_at(ws, j + 1) AS context)"
+        "   END), x -> x IS NOT NULL)))")).alias("pr"))
+    return (pairs.select("pr.center", "pr.context")
+            .groupBy("center", "context")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+            .filter(F.col("n_pairs") >= 3))
+
+
+@query(
+    "token_chunking",
+    """
+    WITH wsrc AS (
+      SELECT doc_id AS doc,
+             list_filter(string_split(lower(text), ' '), w -> w <> '')
+               AS ws
+      FROM documents),
+    nz AS (SELECT doc, ws, len(ws) AS n FROM wsrc WHERE len(ws) >= 1),
+    ch AS (
+      SELECT doc, CAST(ci AS BIGINT) AS chunk_idx,
+             CAST(LEAST(8, n - ci * 6) AS BIGINT) AS n_tokens,
+             md5(array_to_string(
+               list_slice(ws, ci * 6 + 1, ci * 6 + 8), ' '))
+               AS chunk_md5
+      FROM nz, UNNEST(range(0, (n - 1) // 6 + 1)) AS t(ci))
+    SELECT doc, chunk_idx, n_tokens, chunk_md5 FROM ch
+    """,
+)
+def q_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token chunking (size 8, stride 6 — the
+    shape every context-window training pipeline cuts long documents
+    into, scaled down for the fixture corpus): chunk starts at every
+    stride multiple below the token count, so consecutive chunks share
+    a 2-token overlap and the tail chunk may be short — deterministic,
+    never dropped. Entirely IN-ROW (sequence + slice per document, no
+    shuffle at all until the sink); emitted as (doc, chunk_idx,
+    n_tokens, md5) so the verification surface is hash-sized, not
+    text-sized. The content-defined sibling (`cdc_chunking`-style
+    boundaries) is covered separately; this is the fixed-stride
+    workhorse."""
+    docs = _cpu(spark, sf_dir, "documents")
+    nz = (docs.select(
+        F.col("doc_id").alias("doc"),
+        F.expr("filter(split(lower(text), ' '), w -> w != '')")
+        .alias("ws"))
+        .withColumn("n", F.size("ws"))
+        .filter(F.col("n") >= 1))
+    ch = nz.select(
+        "doc",
+        F.explode(F.expr(
+            "transform(sequence(0, (n - 1) div 6), ci -> struct("
+            " CAST(ci AS BIGINT) AS chunk_idx,"
+            " CAST(LEAST(8, n - ci * 6) AS BIGINT) AS n_tokens,"
+            " md5(array_join(slice(ws, ci * 6 + 1, 8), ' '))"
+            "   AS chunk_md5))")).alias("c"))
+    return ch.select("doc", "c.chunk_idx", "c.n_tokens", "c.chunk_md5")
