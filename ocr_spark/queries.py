@@ -21972,3 +21972,165 @@ def q_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             " md5(array_join(slice(ws, ci * 6 + 1, 8), ' '))"
             "   AS chunk_md5))")).alias("c"))
     return ch.select("doc", "c.chunk_idx", "c.n_tokens", "c.chunk_md5")
+
+
+@query(
+    "modularity",
+    f"""
+    WITH lp AS ({{LP}}),
+    {_HOST_EDGES_SQL},
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM e WHERE src != dst),
+    mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM und),
+    lab AS (SELECT node, community FROM lp),
+    intra AS (
+      SELECT la.community AS c
+      FROM und JOIN lab la ON la.node = und.a
+               JOIN lab lb ON lb.node = und.b
+      WHERE la.community = lb.community),
+    ec AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS e_c
+           FROM intra GROUP BY c),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+      GROUP BY node),
+    dc AS (
+      SELECT l.community AS c, CAST(SUM(deg.d) AS BIGINT) AS d_c
+      FROM deg JOIN lab l ON l.node = deg.node GROUP BY l.community),
+    terms AS (
+      SELECT dc.c,
+             COALESCE(ec.e_c, 0) AS e_c,
+             4 * mm.m * COALESCE(ec.e_c, 0) - dc.d_c * dc.d_c AS t
+      FROM dc LEFT JOIN ec ON ec.c = dc.c CROSS JOIN mm)
+    SELECT mm.m AS m_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_communities,
+           CAST(SUM(e_c) AS BIGINT) AS intra_edges,
+           CAST(SUM(t) * 10000 // (4 * mm.m * mm.m) AS BIGINT) AS q_bp
+    FROM terms CROSS JOIN mm GROUP BY mm.m
+    """.replace("{LP}", "PLACEHOLDER"),
+)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities on the
+    host graph, in exact basis points: Q = Σ_c [e_c/m − (d_c/2m)²]
+    carried as Σ_c (4·m·e_c − d_c²) over 4m² with ONE final truncating
+    division — the quality number that says whether the communities LPA
+    found are denser than a degree-preserving random graph (the
+    link-farm/community confirmation beside the per-node clustering
+    coefficient). The oracle nests the full unrolled label-propagation
+    SQL as a subquery, so both engines score the SAME partition. One
+    edge-keyed label join + community-grain aggregates."""
+    from ocr_spark.functions.graph import label_propagation
+
+    edges = _host_edges(spark, sf_dir)
+    lab = label_propagation(edges).select(
+        "node", F.col("community").alias("c"))
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    mm = und.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    la = lab.select(F.col("node").alias("a"), F.col("c").alias("ca"))
+    lb = lab.select(F.col("node").alias("b"), F.col("c").alias("cb"))
+    intra = (und.join(la, "a").join(lb, "b")
+             .filter(F.col("ca") == F.col("cb"))
+             .select(F.col("ca").alias("c")))
+    ec = intra.groupBy("c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("e_c"))
+    deg = (und.select(F.col("a").alias("node"))
+           .unionByName(und.select(F.col("b").alias("node")))
+           .groupBy("node")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("d")))
+    dc = (deg.join(lab, "node")
+          .groupBy("c").agg(F.sum("d").cast("bigint").alias("d_c")))
+    terms = (dc.join(ec, "c", "left")
+             .crossJoin(F.broadcast(mm))
+             .select("c", F.coalesce("e_c", F.lit(0)).alias("e_c"),
+                     F.expr("4 * m * COALESCE(e_c, 0) - d_c * d_c")
+                     .alias("t"), "m"))
+    return terms.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum("e_c").cast("bigint").alias("intra_edges"),
+        F.expr("SUM(t) * 10000 div (4 * m * m)").cast("bigint")
+        .alias("q_bp")).select(
+            F.col("m").alias("m_edges"), "n_communities",
+            "intra_edges", "q_bp")
+
+
+ORACLE["modularity"] = ORACLE["modularity"].replace(
+    "PLACEHOLDER", ORACLE["label_propagation"])
+
+
+@query(
+    "consistent_hash_ring",
+    """
+    WITH vn AS (
+      SELECT tn.n AS owner, tr.r AS r,
+             ('0x' || substr(md5('ring:' || CAST(tn.n AS VARCHAR) || ':'
+               || CAST(tr.r AS VARCHAR)), 1, 8))::BIGINT AS pos
+      FROM UNNEST(generate_series(0, 5)) AS tn(n),
+           UNNEST(generate_series(0, 49)) AS tr(r)),
+    ring5 AS (SELECT list({'pos': pos, 'owner': owner}
+                          ORDER BY pos, owner) AS r5
+              FROM vn WHERE owner < 5),
+    ring6 AS (SELECT list({'pos': pos, 'owner': owner}
+                          ORDER BY pos, owner) AS r6
+              FROM vn),
+    docs AS (
+      SELECT doc_id AS doc,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+      FROM documents),
+    asg AS (
+      SELECT doc,
+             (COALESCE(list_filter(r5, s -> s.pos >= h)[1], r5[1])).owner
+               AS owner5,
+             (COALESCE(list_filter(r6, s -> s.pos >= h)[1], r6[1])).owner
+               AS owner6
+      FROM docs CROSS JOIN ring5 CROSS JOIN ring6)
+    SELECT CAST(owner5 AS BIGINT) AS owner5,
+           CAST(owner6 AS BIGINT) AS owner6,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CASE WHEN owner5 <> owner6 THEN 1 ELSE 0 END AS INT)
+             AS moved
+    FROM asg GROUP BY owner5, owner6
+    """,
+)
+def q_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent-hash ring assignment with 50 virtual nodes per
+    physical node, 5-node vs 6-node rings from one projection — the
+    ring-based complement to rendezvous_assign: docs hash onto a 2³²
+    ring and belong to the first vnode clockwise. The ring (250/300
+    sorted (pos, owner) structs) is ONE broadcast row; lookup is an
+    in-row filter-first over the sorted array — no per-doc join, no
+    explosion. The movement matrix (owner5, owner6, n_docs, moved)
+    exhibits consistent hashing's contract: movers land ONLY on the
+    new node, at ~1/6 of the corpus (vnode-count-smoothed)."""
+    vn = (spark.range(6).select(F.col("id").alias("owner"))
+          .crossJoin(spark.range(50).select(F.col("id").alias("r"))))
+    pos = F.conv(F.substring(F.md5(F.concat(
+        F.lit("ring:"), F.col("owner").cast("string"), F.lit(":"),
+        F.col("r").cast("string"))), 1, 8), 16, 10).cast("bigint")
+    vn = vn.select("owner", pos.alias("pos"))
+    ring5 = (vn.filter(F.col("owner") < 5)
+             .agg(F.sort_array(F.collect_list(
+                 F.struct("pos", "owner"))).alias("r5")))
+    ring6 = vn.agg(F.sort_array(F.collect_list(
+        F.struct("pos", "owner"))).alias("r6"))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+               16, 10).cast("bigint").alias("h"))
+    asg = (docs.crossJoin(F.broadcast(ring5))
+           .crossJoin(F.broadcast(ring6))
+           .select(
+               "doc",
+               F.expr("coalesce(get(filter(r5, s -> s.pos >= h), 0),"
+                      " r5[0]).owner").alias("owner5"),
+               F.expr("coalesce(get(filter(r6, s -> s.pos >= h), 0),"
+                      " r6[0]).owner").alias("owner6")))
+    return asg.groupBy("owner5", "owner6").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("CAST(CASE WHEN owner5 <> owner6 THEN 1 ELSE 0 END"
+               " AS INT)").alias("moved")).select(
+        F.col("owner5").cast("bigint").alias("owner5"),
+        F.col("owner6").cast("bigint").alias("owner6"),
+        "n_docs", "moved")
