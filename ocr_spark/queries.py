@@ -22134,3 +22134,148 @@ def q_consistent_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("owner5").cast("bigint").alias("owner5"),
         F.col("owner6").cast("bigint").alias("owner6"),
         "n_docs", "moved")
+
+
+@query(
+    "asof_join_enrich",
+    """
+    SELECT e.event_id, e.user_id,
+           strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           lo.o_orderkey AS last_orderkey,
+           lo.cents AS last_order_cents,
+           CASE WHEN lo.o_orderkey IS NULL THEN NULL
+                ELSE CAST(CAST(e.ts AS DATE) - lo.od AS BIGINT)
+           END AS days_since_order
+    FROM events e
+    LEFT JOIN LATERAL (
+      SELECT o.o_orderkey,
+             CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+             CAST(o.o_orderdate AS DATE) AS od
+      FROM orders o
+      WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC LIMIT 1
+    ) lo ON TRUE
+    """,
+)
+def q_asof_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: every event enriched with its user's most recent
+    order at-or-before the event timestamp (ties to the later
+    orderkey), the temporal join Spark lacks as a primitive. Implemented
+    the scale-correct way — NOT a per-event subquery: both streams are
+    tagged and unioned, one (user)-keyed window ordered by (time, tag,
+    orderkey) carries the last non-null order struct forward, and event
+    rows project it off. One shuffle on the join key, linear in
+    events+orders, skew handled like any keyed window; the oracle twin
+    is the LATERAL point-lookup formulation, so agreement proves the
+    window carry-forward implements at-or-before + tie semantics
+    exactly."""
+    ev = _t(spark, sf_dir, "events")
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("tag"),
+        F.struct(
+            F.col("o_orderkey"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint")
+            .alias("cents"),
+            F.col("o_orderdate").cast("date").alias("od"),
+        ).alias("ord"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("o_orderkey").alias("okey"))
+    e = ev.select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("tag"),
+        F.lit(None).cast(
+            "struct<o_orderkey:bigint,cents:bigint,od:date>")
+        .alias("ord"),
+        "event_id",
+        F.lit(-1).cast("bigint").alias("okey"))
+    u = o.unionByName(e)
+    w = (Window.partitionBy("k")
+         .orderBy("t", "tag", "okey")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    carried = u.select(
+        "k", "t", "tag", "event_id",
+        F.last("ord", ignorenulls=True).over(w).alias("lo"))
+    return (carried.filter(F.col("tag") == 1)
+            .select(
+                "event_id",
+                F.col("k").alias("user_id"),
+                F.date_format("t", "yyyy-MM-dd HH:mm:ss")
+                .alias("ts_str"),
+                F.col("lo.o_orderkey").alias("last_orderkey"),
+                F.col("lo.cents").alias("last_order_cents"),
+                F.when(F.col("lo.o_orderkey").isNull(),
+                       F.lit(None).cast("bigint"))
+                .otherwise(F.datediff(F.col("t").cast("date"),
+                                      F.col("lo.od")).cast("bigint"))
+                .alias("days_since_order")))
+
+
+@query(
+    "column_profile",
+    """
+    SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT)
+    FROM orders
+    """,
+)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profiling of the orders table — row count,
+    null count, and EXACT distinct per column, the first report any
+    ingestion QA stage emits (key-ness, null regressions, enum-cardinality
+    drift all fall out of it). Spark side runs ONE pass with grouped
+    count-distincts (Catalyst expands internally) and unpivots to the
+    per-column grain; the oracle is the naive per-column UNION ALL. At
+    production scale swap exact distinct for approx_count_distinct —
+    noted, not silently done."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint"))
+                    .cast("bigint").alias(f"null_{c}"))
+        aggs.append(F.countDistinct(c).cast("bigint")
+                    .alias(f"nd_{c}"))
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', null_{c}, nd_{c}" for c in cols)
+    return one.select(
+        F.expr(f"stack({len(cols)}, {stack_args})"
+               " AS (col_name, n_null, n_distinct)"),
+        "n_rows").select("col_name", "n_rows", "n_null", "n_distinct")
