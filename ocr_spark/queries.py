@@ -22279,3 +22279,63 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"stack({len(cols)}, {stack_args})"
                " AS (col_name, n_null, n_distinct)"),
         "n_rows").select("col_name", "n_rows", "n_null", "n_distinct")
+
+
+@query(
+    "knn_classify",
+    f"""
+    WITH tk AS ({_INT8_TOPK_SQL}),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    votes AS (
+      SELECT tk.qid, lab.label, COUNT(*) AS cnt
+      FROM tk JOIN lab ON lab.vec_id = tk.nid
+      GROUP BY tk.qid, lab.label),
+    best AS (
+      SELECT qid, MAX(cnt) AS mc FROM votes GROUP BY qid),
+    pred AS (
+      SELECT v.qid,
+             MIN(CASE WHEN v.cnt = b.mc THEN v.label END) AS pred_label,
+             MAX(b.mc) AS n_votes
+      FROM votes v JOIN best b ON b.qid = v.qid
+      GROUP BY v.qid)
+    SELECT p.qid, CAST(t.label AS INT) AS true_label,
+           CAST(p.pred_label AS INT) AS pred_label,
+           CAST(p.n_votes AS BIGINT) AS n_votes,
+           CAST(CASE WHEN p.pred_label = t.label THEN 1 ELSE 0 END
+                AS INT) AS correct
+    FROM pred p JOIN lab t ON t.vec_id = p.qid
+    """,
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification eval over the embedding table:
+    each query vector's top-5 neighbors under the exact int8-quantized
+    dot product (self excluded) vote with their labels — most votes
+    wins, ties to the smallest label — scored against the query's true
+    label. The end-to-end eval that tells you whether the embedding
+    space actually separates the classes the labels claim, sitting on
+    the SAME candidate generator as int8_topk/int8_recall so the whole
+    retrieval→classify→evaluate chain is one verified path. Neighbor
+    scoring is the broadcast-query codegen'd int64 fold; the vote is a
+    (query, label)-keyed agg + struct argmax."""
+    emb = _cpu(spark, sf_dir, "embeddings")
+    tk = similarity.int8_topk(emb, "vec_id", "embedding")
+    lab = emb.select("vec_id", "label")
+    votes = (tk.join(lab.select(F.col("vec_id").alias("nid"),
+                                F.col("label").alias("nlabel")), "nid")
+             .groupBy("qid", "nlabel")
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    pred = (votes.groupBy("qid")
+            .agg(F.max(F.struct(F.col("cnt"),
+                                (-F.col("nlabel")).alias("nl")))
+                 .alias("b"))
+            .select("qid", (-F.col("b.nl")).cast("int")
+                    .alias("pred_label"),
+                    F.col("b.cnt").cast("bigint").alias("n_votes")))
+    return (pred.join(lab.select(F.col("vec_id").alias("qid"),
+                                 F.col("label").alias("true_label")),
+                      "qid")
+            .select("qid", F.col("true_label").cast("int")
+                    .alias("true_label"), "pred_label", "n_votes",
+                    F.expr("CAST(CASE WHEN pred_label = true_label"
+                           " THEN 1 ELSE 0 END AS INT)")
+                    .alias("correct")))
