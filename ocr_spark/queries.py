@@ -22339,3 +22339,141 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("CAST(CASE WHEN pred_label = true_label"
                            " THEN 1 ELSE 0 END AS INT)")
                     .alias("correct")))
+
+
+@query(
+    "naive_forecast_eval",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    lagged AS (
+      SELECT event_type, day, cnt,
+             LAG(cnt, 1) OVER (PARTITION BY event_type ORDER BY day)
+               AS prev1,
+             LAG(cnt, 7) OVER (PARTITION BY event_type ORDER BY day)
+               AS prev7
+      FROM daily),
+    scored AS (
+      SELECT event_type, abs(cnt - prev1) AS e1, abs(cnt - prev7) AS e7
+      FROM lagged WHERE prev1 IS NOT NULL AND prev7 IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(e1) AS BIGINT) AS sae_naive1,
+           CAST(SUM(e7) AS BIGINT) AS sae_seasonal7,
+           CAST(CASE WHEN SUM(e1) = 0 THEN 0
+                ELSE SUM(e7) * 10000 // SUM(e1) END AS BIGINT)
+             AS mase_bp
+    FROM scored GROUP BY event_type
+    """,
+)
+def q_naive_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MASE-style forecast-baseline comparison per event type: sum of
+    absolute errors of the seasonal-naive-7 forecast (same weekday last
+    week) against the naive-1 baseline (yesterday), over exactly the
+    days where both are defined — all in exact integer counts, the
+    ratio in truncated bp. mase_bp < 10000 means weekly seasonality
+    genuinely predicts (and a seasonal model is worth its complexity);
+    the honest denominator guard reports 0 when yesterday is already
+    perfect. One composite-keyed window + one aggregate over the day
+    grain."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (ev.groupBy("event_type",
+                        F.col("ts").cast("date").alias("day"))
+             .agg(F.count(F.lit(1)).cast("bigint").alias("cnt")))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type", "cnt",
+        F.lag("cnt", 1).over(w).alias("prev1"),
+        F.lag("cnt", 7).over(w).alias("prev7"))
+    scored = (lagged
+              .filter(F.col("prev1").isNotNull()
+                      & F.col("prev7").isNotNull())
+              .select("event_type",
+                      F.abs(F.col("cnt") - F.col("prev1")).alias("e1"),
+                      F.abs(F.col("cnt") - F.col("prev7")).alias("e7")))
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days_scored"),
+        F.sum("e1").cast("bigint").alias("sae_naive1"),
+        F.sum("e7").cast("bigint").alias("sae_seasonal7"),
+        F.expr("CASE WHEN SUM(e1) = 0 THEN 0"
+               " ELSE SUM(e7) * 10000 div SUM(e1) END").cast("bigint")
+        .alias("mase_bp"))
+
+
+_SOUNDEX_TR_FROM = "BFPVCGJKQSXZDTLMNRAEIOUYHW"
+_SOUNDEX_TR_TO = "111122222222334556000000"
+
+
+@query(
+    "soundex_blocking",
+    f"""
+    WITH w AS (
+      SELECT DISTINCT unnest(string_split(p_name, ' ')) AS word
+      FROM part),
+    u AS (SELECT word, upper(word) AS uw FROM w WHERE word <> ''),
+    d0 AS (
+      SELECT word, substr(uw, 1, 1) AS first,
+             translate(uw, '{_SOUNDEX_TR_FROM}', '{_SOUNDEX_TR_TO}')
+               AS dig
+      FROM u),
+    d1 AS (
+      SELECT word, first,
+             regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_replace(regexp_replace(
+                 regexp_replace(dig,
+                 '0{{2,}}', '0', 'g'), '1{{2,}}', '1', 'g'),
+                 '2{{2,}}', '2', 'g'), '3{{2,}}', '3', 'g'),
+                 '4{{2,}}', '4', 'g'), '5{{2,}}', '5', 'g'),
+                 '6{{2,}}', '6', 'g') AS dig
+      FROM d0),
+    d2 AS (
+      SELECT word, first,
+             replace(CASE WHEN first IN ('H', 'W') THEN dig
+                          ELSE substr(dig, 2) END, '0', '') AS tail
+      FROM d1),
+    sx AS (
+      SELECT word,
+             first || substr(rpad(tail, 3, '0'), 1, 3) AS soundex_code
+      FROM d2),
+    blk AS (SELECT soundex_code, CAST(COUNT(*) AS BIGINT) AS block_size
+            FROM sx GROUP BY soundex_code)
+    SELECT sx.word, sx.soundex_code, blk.block_size
+    FROM sx JOIN blk USING (soundex_code)
+    """,
+)
+def q_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """American Soundex blocking keys over the part-name vocabulary —
+    the phonetic hash record linkage uses to bound fuzzy-match candidate
+    pairs (block first, edit-distance inside blocks only). Implemented
+    from the rulebook identically in both engines with translate +
+    run-collapse regexes: H/W are DELETED before collapsing (so codes
+    merge across them — the Ashcraft→A261 rule), vowels separate then
+    drop, the first letter is kept uncoded. Emits each word's code and
+    its block size — the fan-out number that prices the downstream
+    verify join. Vocab-grain projection + one code-keyed agg."""
+    part = _t(spark, sf_dir, "part")
+    w = (part.select(F.explode(F.split("p_name", " ")).alias("word"))
+         .filter(F.col("word") != "").distinct())
+    u = w.select("word", F.upper("word").alias("uw"))
+    d0 = u.select(
+        "word", F.substring("uw", 1, 1).alias("first"),
+        F.translate("uw", _SOUNDEX_TR_FROM, _SOUNDEX_TR_TO).alias("dig"))
+    dig = F.col("dig")
+    for c in "0123456":
+        dig = F.regexp_replace(dig, c + "{2,}", c)
+    d1 = d0.select("word", "first", dig.alias("dig"))
+    d2 = d1.select(
+        "word", "first",
+        F.expr("replace(CASE WHEN first IN ('H', 'W') THEN dig"
+               " ELSE substr(dig, 2) END, '0', '')").alias("tail"))
+    sx = d2.select(
+        "word",
+        F.concat(F.col("first"),
+                 F.substring(F.rpad("tail", 3, "0"), 1, 3))
+        .alias("soundex_code"))
+    blk = sx.groupBy("soundex_code").agg(
+        F.count(F.lit(1)).cast("bigint").alias("block_size"))
+    return sx.join(blk, "soundex_code").select(
+        "word", "soundex_code", "block_size")
