@@ -22477,3 +22477,160 @@ def q_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("block_size"))
     return sx.join(blk, "soundex_code").select(
         "word", "soundex_code", "block_size")
+
+
+@query(
+    "corpus_growth_curves",
+    """
+    WITH frame AS (SELECT unnest(generate_series(4, 10)) AS k),
+    dt AS (
+      SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                             w -> w <> '')) AS n_tok,
+             md5(text) AS h
+      FROM documents),
+    wf AS (
+      SELECT word, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS word
+            FROM documents)
+      WHERE word <> '' GROUP BY word),
+    hf AS (SELECT h, MIN(doc_id) AS first_doc FROM dt GROUP BY h),
+    dstats AS (
+      SELECT frame.k,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dt.n_tok) AS BIGINT) AS n_tokens
+      FROM frame JOIN dt ON dt.doc_id < (1 << frame.k)
+      GROUP BY frame.k),
+    vstats AS (
+      SELECT frame.k, CAST(COUNT(*) AS BIGINT) AS vocab
+      FROM frame JOIN wf ON wf.first_doc < (1 << frame.k)
+      GROUP BY frame.k),
+    cstats AS (
+      SELECT frame.k, CAST(COUNT(*) AS BIGINT) AS distinct_content
+      FROM frame JOIN hf ON hf.first_doc < (1 << frame.k)
+      GROUP BY frame.k)
+    SELECT d.k, d.n_docs, d.n_tokens,
+           COALESCE(v.vocab, 0) AS vocab,
+           COALESCE(c.distinct_content, 0) AS distinct_content,
+           CAST((d.n_docs - COALESCE(c.distinct_content, 0)) * 10000
+                // d.n_docs AS BIGINT) AS dup_bp
+    FROM dstats d LEFT JOIN vstats v ON v.k = d.k
+                  LEFT JOIN cstats c ON c.k = d.k
+    """,
+)
+def q_corpus_growth_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus growth curves at geometric prefixes (first 2^k docs,
+    k=4..10): token count, Heaps-law vocabulary size, distinct-content
+    count, and the exact-dup rate — the scaling table that says whether
+    vocabulary still grows sublinearly (healthy) and how dedup yield
+    climbs with corpus size (the number that decides whether another
+    crawl batch is worth fetching). Single-pass trick: each word/hash
+    carries its FIRST doc id, so every prefix's distinct count is one
+    conditional count over the vocab/hash grain — the corpus is scanned
+    once, never once per prefix. The 7-row frame broadcast-joins on the
+    inequality."""
+    docs = _cpu(spark, sf_dir, "documents")
+    frame = spark.range(4, 11).select(F.col("id").alias("k"))
+    dt = docs.select(
+        "doc_id",
+        F.size(F.expr("filter(split(lower(text), ' '), w -> w != '')"))
+        .alias("n_tok"),
+        F.md5("text").alias("h"))
+    wf = (docs.select("doc_id",
+                      F.explode(F.split(F.lower("text"), " "))
+                      .alias("word"))
+          .filter(F.col("word") != "")
+          .groupBy("word").agg(F.min("doc_id").alias("first_doc")))
+    hf = dt.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    dstats = (F.broadcast(frame)
+              .join(dt, dt["doc_id"] < F.expr("CAST(1 AS BIGINT) << k"))
+              .groupBy("k")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                   F.sum("n_tok").cast("bigint").alias("n_tokens")))
+    vstats = (F.broadcast(frame)
+              .join(wf, wf["first_doc"]
+                    < F.expr("CAST(1 AS BIGINT) << k"))
+              .groupBy("k")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("vocab")))
+    cstats = (F.broadcast(frame)
+              .join(hf, hf["first_doc"]
+                    < F.expr("CAST(1 AS BIGINT) << k"))
+              .groupBy("k")
+              .agg(F.count(F.lit(1)).cast("bigint")
+                   .alias("distinct_content")))
+    return (dstats.join(vstats, "k", "left")
+            .join(cstats, "k", "left")
+            .select("k", "n_docs", "n_tokens",
+                    F.coalesce("vocab", F.lit(0)).cast("bigint")
+                    .alias("vocab"),
+                    F.coalesce("distinct_content", F.lit(0))
+                    .cast("bigint").alias("distinct_content"),
+                    F.expr("(n_docs - COALESCE(distinct_content, 0))"
+                           " * 10000 div n_docs").cast("bigint")
+                    .alias("dup_bp")))
+
+
+_DEHYPH_TEXT_SQL = """
+    SELECT doc_id AS doc,
+           CASE doc_id % 4
+             WHEN 0 THEN 'the exam- ple shows a hyphen- ated line break '
+                         || CAST(doc_id % 5 AS VARCHAR)
+             WHEN 1 THEN 'a state-of-the-art system with well-known '
+                         || 'parts ' || CAST(doc_id % 3 AS VARCHAR)
+             WHEN 2 THEN 'the final score was 3 - 2 in the match '
+                         || CAST(doc_id % 4 AS VARCHAR)
+             ELSE 'plain prose with no broken words at all '
+                  || CAST(doc_id % 6 AS VARCHAR)
+           END AS text
+    FROM documents
+"""
+
+
+@query(
+    "dehyphenate",
+    "WITH u AS (" + _DEHYPH_TEXT_SQL + ")"
+    """
+    SELECT doc,
+           CAST(len(regexp_extract_all(text,
+                '([a-z])-\\s+([a-z])')) AS BIGINT) AS n_repairs,
+           md5(regexp_replace(text, '([a-z])-\\s+([a-z])', '\\1\\2',
+               'g')) AS repaired_md5
+    FROM u
+    """,
+)
+def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """De-hyphenation of line-break-split words — the standard OCR/PDF
+    text-layer repair: 'exam- ple' rejoins to 'example' when a letter
+    directly precedes the hyphen and whitespace follows it. Real
+    hyphenated compounds ('state-of-the-art': no space after the
+    hyphen) and spaced dashes ('3 - 2': no letter before) never match —
+    the precision conditions that make this safe to run corpus-wide.
+    Emits the repair count plus the md5 of the repaired text, so the
+    fix is byte-verifiable. Zero-shuffle projection; the only dialect
+    care is the capture-group reference ($1 in Spark, \\\\1 in
+    DuckDB/RE2)."""
+    k = F.col("doc_id")
+    m = k % 4
+    text = (
+        F.when(m == 0, F.concat(
+            F.lit("the exam- ple shows a hyphen- ated line break "),
+            (k % 5).cast("string")))
+        .when(m == 1, F.concat(
+            F.lit("a state-of-the-art system with well-known parts "),
+            (k % 3).cast("string")))
+        .when(m == 2, F.concat(
+            F.lit("the final score was 3 - 2 in the match "),
+            (k % 4).cast("string")))
+        .otherwise(F.concat(
+            F.lit("plain prose with no broken words at all "),
+            (k % 6).cast("string"))))
+    docs = _cpu(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc"), text.alias("text"))
+    return docs.select(
+        "doc",
+        F.size(F.regexp_extract_all(
+            F.col("text"), F.lit(r"([a-z])-\s+([a-z])"), F.lit(0)))
+        .cast("bigint").alias("n_repairs"),
+        F.md5(F.regexp_replace(
+            "text", r"([a-z])-\s+([a-z])", "$1$2")).alias("repaired_md5"))
