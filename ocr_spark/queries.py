@@ -22634,3 +22634,121 @@ def q_dehyphenate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("n_repairs"),
         F.md5(F.regexp_replace(
             "text", r"([a-z])-\s+([a-z])", "$1$2")).alias("repaired_md5"))
+
+
+@query(
+    "kmv_set_ops",
+    """
+    WITH tc AS (SELECT event_type, COUNT(*) AS c FROM events
+                GROUP BY event_type),
+    r AS (SELECT event_type,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, event_type) AS rn
+          FROM tc),
+    ta AS (SELECT event_type FROM r WHERE rn = 1),
+    tb AS (SELECT event_type FROM r WHERE rn = 2),
+    ha AS (SELECT DISTINCT
+             ('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+           FROM events e JOIN ta ON e.event_type = ta.event_type),
+    hb AS (SELECT DISTINCT
+             ('0x' || substr(md5(CAST(e.user_id AS VARCHAR)), 1, 8))::BIGINT
+               AS h
+           FROM events e JOIN tb ON e.event_type = tb.event_type),
+    hu AS (SELECT h FROM ha UNION SELECT h FROM hb),
+    ba AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(h) AS BIGINT)
+             AS kth FROM (SELECT h FROM ha ORDER BY h LIMIT 128)),
+    bb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(h) AS BIGINT)
+             AS kth FROM (SELECT h FROM hb ORDER BY h LIMIT 128)),
+    bu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(MAX(h) AS BIGINT)
+             AS kth FROM (SELECT h FROM hu ORDER BY h LIMIT 128)),
+    ests AS (
+      SELECT
+        CASE WHEN ba.n < 128 THEN ba.n
+             ELSE 127 * 4294967296 // ba.kth END AS est_a,
+        CASE WHEN bb.n < 128 THEN bb.n
+             ELSE 127 * 4294967296 // bb.kth END AS est_b,
+        CASE WHEN bu.n < 128 THEN bu.n
+             ELSE 127 * 4294967296 // bu.kth END AS est_union
+      FROM ba CROSS JOIN bb CROSS JOIN bu),
+    uset AS (SELECT DISTINCT e.user_id FROM events e
+             JOIN ta ON e.event_type = ta.event_type),
+    vset AS (SELECT DISTINCT e.user_id FROM events e
+             JOIN tb ON e.event_type = tb.event_type),
+    ex AS (
+      SELECT CAST((SELECT COUNT(*) FROM uset JOIN vset USING (user_id))
+               AS BIGINT) AS exact_inter,
+             CAST((SELECT COUNT(*) FROM
+                    (SELECT user_id FROM uset
+                     UNION SELECT user_id FROM vset)) AS BIGINT)
+               AS exact_union)
+    SELECT ta.event_type AS type_a, tb.event_type AS type_b,
+           CAST(est_a AS BIGINT) AS est_a,
+           CAST(est_b AS BIGINT) AS est_b,
+           CAST(est_union AS BIGINT) AS est_union,
+           CAST(GREATEST(est_a + est_b - est_union, 0) AS BIGINT)
+             AS est_inter,
+           ex.exact_union, ex.exact_inter
+    FROM ests CROSS JOIN ta CROSS JOIN tb CROSS JOIN ex
+    """,
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch set algebra over the user sets of the two largest
+    event types: union cardinality from the re-bottomed merged sketch,
+    intersection by inclusion–exclusion (clamped at 0), both beside the
+    exact join answers — the audience-overlap estimator that works
+    across shards without ever co-locating the raw id sets (ship 128
+    hashes per side, not millions of users). Bottom-k via distributed
+    TakeOrdered; the exact columns are the error report you drop at
+    production scale."""
+    ev = _t(spark, sf_dir, "events")
+    tc = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("c"))
+    r = tc.select("event_type", F.row_number().over(
+        Window.orderBy(F.col("c").desc(), "event_type")).alias("rn"))
+    ta = r.filter(F.col("rn") == 1).select(
+        F.col("event_type").alias("type_a"))
+    tb = r.filter(F.col("rn") == 2).select(
+        F.col("event_type").alias("type_b"))
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+               16, 10).cast("bigint").alias("h")
+
+    def _hashes(tdf, tcol):
+        return (ev.join(F.broadcast(tdf),
+                        ev["event_type"] == F.col(tcol))
+                .select(h).distinct())
+
+    ha = _hashes(ta, "type_a")
+    hb = _hashes(tb, "type_b")
+    hu = ha.unionByName(hb).distinct()
+
+    def _bottom(hs, pfx):
+        return (hs.orderBy("h").limit(128)
+                .agg(F.count(F.lit(1)).cast("bigint").alias(f"{pfx}_n"),
+                     F.max("h").cast("bigint").alias(f"{pfx}_kth")))
+
+    def _est(pfx):
+        return (f"CASE WHEN {pfx}_n < 128 THEN {pfx}_n"
+                f" ELSE 127 * 4294967296 div {pfx}_kth END")
+
+    us = (ev.join(F.broadcast(ta), ev["event_type"] == F.col("type_a"))
+          .select("user_id").distinct())
+    vs = (ev.join(F.broadcast(tb), ev["event_type"] == F.col("type_b"))
+          .select("user_id").distinct())
+    exact_inter = us.join(vs, "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_inter"))
+    exact_union = us.unionByName(vs).distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_union"))
+    out = (_bottom(ha, "a")
+           .crossJoin(F.broadcast(_bottom(hb, "b")))
+           .crossJoin(F.broadcast(_bottom(hu, "u")))
+           .crossJoin(F.broadcast(ta))
+           .crossJoin(F.broadcast(tb))
+           .crossJoin(F.broadcast(exact_union))
+           .crossJoin(F.broadcast(exact_inter)))
+    return out.select(
+        "type_a", "type_b",
+        F.expr(_est("a")).cast("bigint").alias("est_a"),
+        F.expr(_est("b")).cast("bigint").alias("est_b"),
+        F.expr(_est("u")).cast("bigint").alias("est_union"),
+        F.expr(f"GREATEST(({_est('a')}) + ({_est('b')})"
+               f" - ({_est('u')}), 0)").cast("bigint").alias("est_inter"),
+        "exact_union", "exact_inter")
