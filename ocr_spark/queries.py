@@ -22752,3 +22752,174 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"GREATEST(({_est('a')}) + ({_est('b')})"
                f" - ({_est('u')}), 0)").cast("bigint").alias("est_inter"),
         "exact_union", "exact_inter")
+
+
+@query(
+    "markov_two_step",
+    """
+    WITH seq AS (
+      SELECT event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS b
+      FROM events),
+    tr AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM seq WHERE b IS NOT NULL GROUP BY a, b),
+    rt AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a
+           FROM tr GROUP BY a),
+    p1 AS (
+      SELECT tr.a, tr.b,
+             CAST(tr.n_ab * 1000000 // rt.n_a AS BIGINT) AS p_ppm
+      FROM tr JOIN rt ON rt.a = tr.a),
+    p2 AS (
+      SELECT x.a, y.b,
+             CAST(SUM(x.p_ppm * y.p_ppm) // 1000000 AS BIGINT)
+               AS p2_ppm
+      FROM p1 x JOIN p1 y ON y.a = x.b
+      GROUP BY x.a, y.b)
+    SELECT p2.a AS from_type, p2.b AS to_type, p2.p2_ppm,
+           COALESCE(d.p_ppm, 0) AS p1_ppm
+    FROM p2 LEFT JOIN p1 d ON d.a = p2.a AND d.b = p2.b
+    """,
+)
+def q_markov_two_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step transition probabilities of the event-type Markov chain
+    (P² in exact ppm, the single division AFTER the matrix-product sum
+    so truncation is engine-identical) beside the one-step matrix —
+    where does a user land two actions from now, and which indirect
+    routes dominate their direct edge? The chain estimation is one
+    user-keyed window + one (a,b) agg over the fact table; the matrix
+    square runs on the TYPE-grain (~25 rows), never on events."""
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("b"))
+    tr = (seq.filter(F.col("b").isNotNull())
+          .groupBy("a", "b")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab")))
+    rt = tr.groupBy("a").agg(F.sum("n_ab").cast("bigint").alias("n_a"))
+    p1 = (tr.join(rt, "a")
+          .select("a", "b", F.expr("n_ab * 1000000 div n_a")
+                  .cast("bigint").alias("p_ppm")))
+    x = p1.select(F.col("a").alias("xa"), F.col("b").alias("xb"),
+                  F.col("p_ppm").alias("px"))
+    y = p1.select(F.col("a").alias("ya"), F.col("b").alias("yb"),
+                  F.col("p_ppm").alias("py"))
+    p2 = (x.join(y, x["xb"] == y["ya"])
+          .groupBy("xa", "yb")
+          .agg(F.expr("SUM(px * py) div 1000000").cast("bigint")
+               .alias("p2_ppm")))
+    d = p1.select(F.col("a").alias("xa"), F.col("b").alias("yb"),
+                  F.col("p_ppm").alias("p1d"))
+    return (p2.join(d, ["xa", "yb"], "left")
+            .select(F.col("xa").alias("from_type"),
+                    F.col("yb").alias("to_type"), "p2_ppm",
+                    F.coalesce("p1d", F.lit(0)).cast("bigint")
+                    .alias("p1_ppm")))
+
+
+@query(
+    "json_key_presence",
+    """
+    WITH tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    ks AS (
+      SELECT unnest(CASE WHEN json_valid(props) THEN json_keys(props)
+                         ELSE [] END) AS key_name,
+             props
+      FROM events),
+    typed AS (
+      SELECT key_name,
+             CASE WHEN regexp_matches(
+                    COALESCE(json_extract_string(props,
+                             '$.' || key_name), ''),
+                    '^-?[0-9]+$') THEN 1 ELSE 0 END AS is_int
+      FROM ks)
+    SELECT key_name,
+           CAST(COUNT(*) AS BIGINT) AS n_present,
+           CAST(COUNT(*) * 10000 // tot.n AS BIGINT) AS presence_bp,
+           CAST(SUM(is_int) AS BIGINT) AS n_int_values,
+           CAST(SUM(1 - is_int) AS BIGINT) AS n_other_values
+    FROM typed CROSS JOIN tot
+    GROUP BY key_name, tot.n
+    """,
+)
+def q_json_key_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema audit: which keys the JSON payload
+    actually carries, how often, and whether their values stay integer
+    — the drift report that catches a client silently renaming or
+    re-typing a field long before a downstream cast fails. Malformed
+    payloads contribute no keys (never an error); key explosion is
+    bounded by payload size; one key-grain agg."""
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        F.coalesce(
+            F.map_keys(F.from_json("props", "map<string,string>")),
+            F.expr("CAST(array() AS array<string>)")).alias("keys"),
+        F.from_json("props", "map<string,string>").alias("m"))
+    ks = parsed.select(F.explode("keys").alias("key_name"), "m")
+    typed = ks.select(
+        "key_name",
+        F.expr("CASE WHEN COALESCE(m[key_name], '')"
+               " RLIKE '^-?[0-9]+$' THEN 1 ELSE 0 END").alias("is_int"))
+    tot = ev.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (typed.crossJoin(F.broadcast(tot))
+            .groupBy("key_name", "n")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_present"),
+                 F.expr("COUNT(*) * 10000 div n").cast("bigint")
+                 .alias("presence_bp"),
+                 F.sum("is_int").cast("bigint").alias("n_int_values"),
+                 F.sum(F.lit(1) - F.col("is_int")).cast("bigint")
+                 .alias("n_other_values"))
+            .select("key_name", "n_present", "presence_bp",
+                    "n_int_values", "n_other_values"))
+
+
+@query(
+    "static_cache_hit",
+    """
+    WITH acc AS (
+      SELECT l_partkey AS p, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM acc),
+    ranked AS (
+      SELECT p, n, ROW_NUMBER() OVER (ORDER BY n DESC, p) AS rk
+      FROM acc),
+    frame AS (SELECT unnest([10, 20, 50]) AS k)
+    SELECT frame.k,
+           CAST(SUM(CASE WHEN ranked.rk <= frame.k THEN ranked.n
+                    ELSE 0 END) AS BIGINT) AS hits,
+           tot.total AS total_accesses,
+           CAST(SUM(CASE WHEN ranked.rk <= frame.k THEN ranked.n
+                    ELSE 0 END) * 10000 // tot.total AS BIGINT)
+             AS hit_bp
+    FROM frame CROSS JOIN ranked CROSS JOIN tot
+    GROUP BY frame.k, tot.total
+    """,
+)
+def q_static_cache_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static-cache hit-rate curve: if the k most-accessed parts were
+    pinned in cache (k = 10/20/50), what share of all accesses would
+    hit — the Zipf-exploiting capacity-planning number behind every
+    'do we need a bigger cache tier' decision. Access counts are one
+    fact-table agg; ranking and the k-frame sweep run on the PART
+    grain with a 3-row broadcast frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    acc = li.groupBy(F.col("l_partkey").alias("p")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = acc.agg(F.sum("n").cast("bigint").alias("total"))
+    ranked = acc.select(
+        "p", "n",
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), "p")).alias("rk"))
+    frame = spark.createDataFrame([(10,), (20,), (50,)], ["k"])
+    return (F.broadcast(frame).crossJoin(ranked)
+            .crossJoin(F.broadcast(tot))
+            .groupBy("k", "total")
+            .agg(F.sum(F.expr("CASE WHEN rk <= k THEN n ELSE 0 END"))
+                 .cast("bigint").alias("hits"),
+                 F.expr("SUM(CASE WHEN rk <= k THEN n ELSE 0 END)"
+                        " * 10000 div total").cast("bigint")
+                 .alias("hit_bp"))
+            .select("k", "hits", F.col("total").alias("total_accesses"),
+                    "hit_bp"))
