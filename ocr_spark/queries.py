@@ -22923,3 +22923,78 @@ def q_static_cache_hit(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("hit_bp"))
             .select("k", "hits", F.col("total").alias("total_accesses"),
                     "hit_bp"))
+
+
+@query(
+    "merge_into_actions",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_orderstatus AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 10 != 0),
+    upd AS (
+      SELECT o_orderkey AS k,
+             'U' AS status,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) + 500 AS cents,
+             CAST(CASE WHEN o_orderkey % 9 = 0 THEN 1 ELSE 0 END AS INT)
+               AS is_delete
+      FROM orders WHERE o_orderkey % 3 = 0),
+    merged AS (
+      SELECT COALESCE(b.k, u.k) AS k,
+             CASE WHEN b.k IS NOT NULL AND u.k IS NOT NULL
+                       AND u.is_delete = 1 THEN 'delete'
+                  WHEN b.k IS NOT NULL AND u.k IS NOT NULL
+                    THEN 'update'
+                  WHEN b.k IS NULL AND u.is_delete = 0 THEN 'insert'
+                  WHEN b.k IS NULL THEN 'ignore'
+                  ELSE 'keep' END AS action,
+             CASE WHEN u.k IS NOT NULL AND COALESCE(u.is_delete, 0) = 0
+                    THEN u.cents ELSE b.cents END AS out_cents
+      FROM base b FULL OUTER JOIN upd u ON u.k = b.k)
+    SELECT action,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN action IN
+                  ('keep', 'update', 'insert') THEN out_cents END), 0)
+                AS BIGINT) AS surviving_cents
+    FROM merged GROUP BY action
+    """,
+)
+def q_merge_into_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level MERGE INTO semantics (the lakehouse upsert): a base
+    table and an updates batch (with delete markers) resolve through
+    one FULL OUTER JOIN into the five MERGE actions — update, delete,
+    insert, keep, and the ignore lane for deletes that match nothing
+    (surfaced, never silently dropped). Action counts plus the exact
+    surviving-cents total make the result balance-checkable against the
+    inputs. One key-keyed join — the same shape Iceberg/Delta MERGE
+    compiles to, with AQE free to broadcast the small batch side."""
+    orders = _t(spark, sf_dir, "orders")
+    base = (orders.filter(F.col("o_orderkey") % 10 != 0)
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.round(F.col("o_totalprice") * 100).cast("bigint")
+                    .alias("cents")))
+    upd = (orders.filter(F.col("o_orderkey") % 3 == 0)
+           .select(F.col("o_orderkey").alias("k"),
+                   (F.round(F.col("o_totalprice") * 100).cast("bigint")
+                    + 500).alias("ucents"),
+                   (F.col("o_orderkey") % 9 == 0).cast("int")
+                   .alias("is_delete")))
+    m = (base.withColumnRenamed("k", "bk")
+         .join(upd.withColumnRenamed("k", "uk"),
+               F.col("bk") == F.col("uk"), "full_outer"))
+    merged = m.select(
+        F.expr(
+            "CASE WHEN bk IS NOT NULL AND uk IS NOT NULL"
+            " AND is_delete = 1 THEN 'delete'"
+            " WHEN bk IS NOT NULL AND uk IS NOT NULL THEN 'update'"
+            " WHEN bk IS NULL AND is_delete = 0 THEN 'insert'"
+            " WHEN bk IS NULL THEN 'ignore'"
+            " ELSE 'keep' END").alias("action"),
+        F.expr("CASE WHEN uk IS NOT NULL AND COALESCE(is_delete, 0) = 0"
+               " THEN ucents ELSE cents END").alias("out_cents"))
+    return merged.groupBy("action").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.coalesce(F.sum(F.when(F.col("action").isin(
+            "keep", "update", "insert"), F.col("out_cents"))),
+            F.lit(0)).cast("bigint").alias("surviving_cents"))

@@ -124,6 +124,16 @@ def main() -> int:
     timeout_s = int(os.environ.get("CHECK_ORACLE_TIMEOUT", "0")) or None
     failures = []
     record: dict[str, dict] = {}
+    # CHECK_ORACLE_MERGE=1: seed the receipt from the existing OUT file so
+    # a targeted re-run (new queries, or entries that timed out under
+    # load) patches the full-sweep receipt instead of replacing it.
+    out_path = os.environ.get("CHECK_ORACLE_OUT")
+    if out_path and os.environ.get("CHECK_ORACLE_MERGE") == "1" \
+            and os.path.exists(out_path):
+        import json
+
+        with open(out_path) as f:
+            record.update(json.load(f))
     n_run = 0
 
     def rec(name, *, rows_match=False, schema_match=False, hash_match=False,
