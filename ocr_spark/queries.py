@@ -22998,3 +22998,130 @@ def q_merge_into_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(F.col("action").isin(
             "keep", "update", "insert"), F.col("out_cents"))),
             F.lit(0)).cast("bigint").alias("surviving_cents"))
+
+
+@query(
+    "naive_bayes_lang",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents),
+    t2 AS (SELECT doc_id, lang, w FROM tok WHERE w <> ''),
+    trn AS (SELECT * FROM t2 WHERE doc_id % 5 != 0),
+    tst AS (SELECT doc_id, lang AS true_lang, w FROM t2
+            WHERE doc_id % 5 = 0),
+    wc AS (SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+           FROM trn GROUP BY lang, w),
+    tcls AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM wc
+             GROUP BY lang),
+    vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM trn),
+    nd AS (SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n
+           FROM trn GROUP BY lang),
+    ntot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM nd),
+    params AS (
+      SELECT tcls.lang,
+             CAST(ROUND(ln(CAST(1 AS DOUBLE) / (tcls.t + vv.v))
+                  * 1000000) AS BIGINT) AS def_micro,
+             CAST(ROUND(ln(CAST(nd.n AS DOUBLE) / ntot.nt) * 1000000)
+                  AS BIGINT) AS prior_micro
+      FROM tcls JOIN nd ON nd.lang = tcls.lang
+      CROSS JOIN vv CROSS JOIN ntot),
+    wgt AS (
+      SELECT wc.lang, wc.w,
+             CAST(ROUND(ln(CAST(wc.c + 1 AS DOUBLE) / (tcls.t + vv.v))
+                  * 1000000) AS BIGINT) AS wm
+      FROM wc JOIN tcls ON tcls.lang = wc.lang CROSS JOIN vv),
+    dt AS (SELECT doc_id, true_lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM tst GROUP BY doc_id, true_lang, w),
+    grid AS (
+      SELECT dt.doc_id, dt.true_lang, p.lang, dt.cnt,
+             COALESCE(wgt.wm, p.def_micro) AS wm, p.prior_micro
+      FROM dt CROSS JOIN params p
+      LEFT JOIN wgt ON wgt.lang = p.lang AND wgt.w = dt.w),
+    sc AS (
+      SELECT doc_id, true_lang, lang,
+             CAST(MAX(prior_micro) + SUM(cnt * wm) AS BIGINT) AS s
+      FROM grid GROUP BY doc_id, true_lang, lang),
+    mx AS (SELECT doc_id, MAX(s) AS ms FROM sc GROUP BY doc_id),
+    pred AS (
+      SELECT sc.doc_id, sc.true_lang,
+             MIN(CASE WHEN sc.s = mx.ms THEN sc.lang END) AS pred_lang
+      FROM sc JOIN mx ON mx.doc_id = sc.doc_id
+      GROUP BY sc.doc_id, sc.true_lang)
+    SELECT true_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)
+                * 10000 // COUNT(*) AS BIGINT) AS acc_bp
+    FROM pred GROUP BY true_lang
+    """,
+)
+def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained multinomial Naive Bayes language classifier with add-1
+    smoothing, residue-split train/test (doc_id%5), evaluated per true
+    language — the LEARNED companion to the heuristic lang_id: all
+    probabilities live as exact BIGINT micro-nats (one ln per DISTINCT
+    (class, word) parameter — the repo's cross-engine determinism
+    convention), so per-doc score sums are integer and order-free, and
+    the argmax (ties to the smallest language code) is bit-stable.
+    Scale shape: training is one (class, word) agg with map-side
+    partials; scoring fans each test token across the ≤n_langs
+    broadcast parameter rows — linear in test tokens, the textbook
+    distributed NB. Test docs with zero tokens are out of scope by
+    construction (no token rows)."""
+    docs = _cpu(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", "lang",
+                       F.explode(F.split(F.lower("text"), " "))
+                       .alias("w"))
+           .filter(F.col("w") != ""))
+    trn = tok.filter(F.col("doc_id") % 5 != 0)
+    tst = (tok.filter(F.col("doc_id") % 5 == 0)
+           .withColumnRenamed("lang", "true_lang"))
+    wc = trn.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"))
+    tcls = wc.groupBy("lang").agg(F.sum("c").cast("bigint").alias("t"))
+    vv = trn.agg(F.countDistinct("w").cast("bigint").alias("v"))
+    nd = trn.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n"))
+    ntot = nd.agg(F.sum("n").cast("bigint").alias("nt"))
+    params = (tcls.join(nd, "lang")
+              .crossJoin(F.broadcast(vv))
+              .crossJoin(F.broadcast(ntot))
+              .select(
+                  "lang", "t", "v",
+                  F.round(F.log(F.lit(1.0) / (F.col("t") + F.col("v")))
+                          * 1000000).cast("bigint").alias("def_micro"),
+                  F.round(F.log(F.col("n").cast("double") / F.col("nt"))
+                          * 1000000).cast("bigint")
+                  .alias("prior_micro")))
+    wgt = (wc.join(tcls, "lang").crossJoin(F.broadcast(vv))
+           .select("lang", "w",
+                   F.round(F.log((F.col("c") + 1).cast("double")
+                                 / (F.col("t") + F.col("v")))
+                           * 1000000).cast("bigint").alias("wm")))
+    dt = tst.groupBy("doc_id", "true_lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    p = params.select(F.col("lang").alias("plang"), "def_micro",
+                      "prior_micro")
+    g = (dt.crossJoin(F.broadcast(p))
+         .join(wgt.select(F.col("lang").alias("plang"),
+                          F.col("w").alias("w"), "wm"),
+               ["plang", "w"], "left")
+         .select("doc_id", "true_lang", F.col("plang").alias("lang"),
+                 "cnt", F.coalesce("wm", F.col("def_micro")).alias("wm"),
+                 "prior_micro"))
+    sc = g.groupBy("doc_id", "true_lang", "lang").agg(
+        (F.max("prior_micro") + F.sum(F.col("cnt") * F.col("wm")))
+        .cast("bigint").alias("s"))
+    mx = sc.groupBy("doc_id").agg(F.max("s").alias("ms"))
+    pred = (sc.join(mx, "doc_id")
+            .groupBy("doc_id", "true_lang")
+            .agg(F.min(F.when(F.col("s") == F.col("ms"),
+                              F.col("lang"))).alias("pred_lang")))
+    return pred.groupBy("true_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum(F.expr("CASE WHEN pred_lang = true_lang THEN 1 ELSE 0"
+                     " END")).cast("bigint").alias("n_correct"),
+        F.expr("SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)"
+               " * 10000 div COUNT(*)").cast("bigint").alias("acc_bp"))
