@@ -23125,3 +23125,59 @@ def q_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                      " END")).cast("bigint").alias("n_correct"),
         F.expr("SUM(CASE WHEN pred_lang = true_lang THEN 1 ELSE 0 END)"
                " * 10000 div COUNT(*)").cast("bigint").alias("acc_bp"))
+
+
+@query(
+    "edge_embeddedness",
+    f"""
+    WITH {_HOST_EDGES_SQL},
+    sym AS (SELECT DISTINCT src AS u, dst AS v FROM (
+              SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+            WHERE src != dst),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+            FROM e WHERE src != dst),
+    common AS (
+      SELECT und.a, und.b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM und
+      JOIN sym na ON na.u = und.a
+      JOIN sym nb ON nb.u = und.b AND nb.v = na.v
+      WHERE na.v != und.a AND na.v != und.b
+      GROUP BY und.a, und.b)
+    SELECT und.a, und.b,
+           COALESCE(common.n_common, 0) AS n_common,
+           CAST(CASE WHEN COALESCE(common.n_common, 0) = 0
+                THEN 1 ELSE 0 END AS INT) AS is_local_bridge
+    FROM und LEFT JOIN common ON common.a = und.a AND common.b = und.b
+    """,
+)
+def q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge embeddedness (common-neighbor count per edge — the truss-
+    decomposition support number) with the Granovetter local-bridge
+    flag: an edge whose endpoints share NO neighbor is the only route
+    between its neighborhoods, which on a web graph marks genuine
+    cross-community links versus the densely embedded intra-mirror
+    mesh. Two neighbor-keyed hash joins bounded by endpoint degrees —
+    the per-edge refinement of triangle_count's per-node totals."""
+    edges = _host_edges(spark, sf_dir)
+    sym = (edges.select("src", "dst")
+           .unionByName(edges.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst")))
+           .filter(F.col("src") != F.col("dst")).distinct()
+           .select(F.col("src").alias("u"), F.col("dst").alias("v")))
+    und = (edges.select(F.least("src", "dst").alias("a"),
+                        F.greatest("src", "dst").alias("b"))
+           .filter(F.col("a") != F.col("b")).distinct())
+    na = sym.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    nb = sym.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    common = (und.join(na, "a").join(nb, ["b", "c"])
+              .filter((F.col("c") != F.col("a"))
+                      & (F.col("c") != F.col("b")))
+              .groupBy("a", "b")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
+    return (und.join(common, ["a", "b"], "left")
+            .select("a", "b",
+                    F.coalesce("n_common", F.lit(0)).cast("bigint")
+                    .alias("n_common"),
+                    F.expr("CAST(CASE WHEN COALESCE(n_common, 0) = 0"
+                           " THEN 1 ELSE 0 END AS INT)")
+                    .alias("is_local_bridge")))
