@@ -23181,3 +23181,121 @@ def q_edge_embeddedness(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.expr("CAST(CASE WHEN COALESCE(n_common, 0) = 0"
                            " THEN 1 ELSE 0 END AS INT)")
                     .alias("is_local_bridge")))
+
+
+@query(
+    "cluster_purity",
+    f"""
+    WITH {_kmeans_assign_cte()},
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cl AS (
+      SELECT a.cell, l.label, CAST(COUNT(*) AS BIGINT) AS c
+      FROM assigned a JOIN lab l ON l.vec_id = a.nid
+      GROUP BY a.cell, l.label),
+    tot AS (SELECT cell, CAST(SUM(c) AS BIGINT) AS n FROM cl
+            GROUP BY cell),
+    mx AS (SELECT cell, MAX(c) AS mc FROM cl GROUP BY cell),
+    maj AS (
+      SELECT cl.cell,
+             MIN(CASE WHEN cl.c = mx.mc THEN cl.label END)
+               AS majority_label,
+             MAX(mx.mc) AS n_majority
+      FROM cl JOIN mx ON mx.cell = cl.cell
+      GROUP BY cl.cell)
+    SELECT maj.cell,
+           tot.n AS n_members,
+           CAST(maj.majority_label AS INT) AS majority_label,
+           CAST(maj.n_majority AS BIGINT) AS n_majority,
+           CAST(maj.n_majority * 10000 // tot.n AS BIGINT) AS purity_bp
+    FROM maj JOIN tot ON tot.cell = maj.cell
+    """,
+)
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label purity of the k-means-trained IVF cells: per cell, the
+    majority label's share in exact bp (ties to the smallest label) —
+    the unsupervised-vs-supervised agreement check that tells you
+    whether the coarse quantizer's geometry respects the label
+    structure (high purity → cluster-level curation decisions like
+    SemDeDup pruning are safe; low purity → the embedding space mixes
+    classes and per-cluster ops will bleed). Reuses the exact trained
+    assignment of ivf_topk, so the audited object IS the production
+    quantizer. One id-keyed label join + cell-grain aggregates."""
+    emb = _cpu(spark, sf_dir, "embeddings")
+    cents = similarity.train_centroids(emb, "vec_id", "embedding")
+    asg = similarity.ivf_assign(emb, "vec_id", "embedding",
+                                centroids=cents)
+    lab = emb.select(F.col("vec_id").alias("nid"), "label")
+    cl = (asg.join(lab, "nid")
+          .groupBy("cell", "label")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    tot = cl.groupBy("cell").agg(F.sum("c").cast("bigint").alias("n"))
+    maj = (cl.groupBy("cell")
+           .agg(F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl")))
+                .alias("b"))
+           .select("cell", (-F.col("b.nl")).cast("int")
+                   .alias("majority_label"),
+                   F.col("b.c").cast("bigint").alias("n_majority")))
+    return (maj.join(tot, "cell")
+            .select("cell", F.col("n").alias("n_members"),
+                    "majority_label", "n_majority",
+                    F.expr("n_majority * 10000 div n").cast("bigint")
+                    .alias("purity_bp")))
+
+
+@query(
+    "average_precision",
+    """
+    WITH scored AS (
+      SELECT doc_id AS doc,
+             CAST((doc_id * 37 + 11) % 100 AS BIGINT)
+               + CASE WHEN doc_id % 3 = 0 THEN 60 ELSE 0 END AS score,
+             CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+               AS y
+      FROM documents),
+    ranked AS (
+      SELECT doc, score, y,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc) AS rk,
+             SUM(y) OVER (ORDER BY score DESC, doc
+                          ROWS UNBOUNDED PRECEDING) AS cum_pos
+      FROM scored),
+    np AS (SELECT CAST(SUM(y) AS BIGINT) AS n_pos FROM scored)
+    SELECT np.n_pos,
+           CAST((SELECT COUNT(*) FROM scored) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN y = 1
+                    THEN cum_pos * 1000000 // rk ELSE 0 END)
+                // np.n_pos AS BIGINT) AS ap_micro
+    FROM ranked CROSS JOIN np
+    GROUP BY np.n_pos
+    """,
+)
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (the PR-curve area as rankers actually compute
+    it: mean of precision@rank over the positive rows) for a
+    deterministic synthetic scorer against the doc_id%3 label —
+    companion to the ROC-AUC (quality_auc) on the metric where class
+    imbalance actually bites. Exact integers throughout: the ranking is
+    totally ordered (score, doc), precision@k is one truncating
+    division per positive in micro-units, the mean one more. One
+    global-ordering window — at corpus scale, the same two-stage
+    shard-then-merge top-k the repo's other global ranks document."""
+    docs = _cpu(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("doc_id").alias("doc"),
+        ((F.col("doc_id") * 37 + 11) % 100
+         + F.when(F.col("doc_id") % 3 == 0, 60).otherwise(0))
+        .cast("bigint").alias("score"),
+        (F.col("doc_id") % 3 == 0).cast("int").alias("y"))
+    w = Window.orderBy(F.col("score").desc(), "doc")
+    ranked = scored.select(
+        "doc", "score", "y",
+        F.row_number().over(w).alias("rk"),
+        F.sum("y").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_pos"))
+    np_ = scored.agg(F.sum("y").cast("bigint").alias("n_pos"),
+                     F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    return (ranked.crossJoin(F.broadcast(np_))
+            .groupBy("n_pos", "n_total")
+            .agg(F.expr("SUM(CASE WHEN y = 1 THEN cum_pos * 1000000"
+                        " div rk ELSE 0 END) div n_pos").cast("bigint")
+                 .alias("ap_micro"))
+            .select("n_pos", "n_total", "ap_micro"))
