@@ -22022,8 +22022,10 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ocr_spark.functions.graph import label_propagation
 
     edges = _host_edges(spark, sf_dir)
+    # the label frame feeds THREE consumers (la, lb, dc); persisting it
+    # runs the 4-round iterative LP chain once instead of three times
     lab = label_propagation(edges).select(
-        "node", F.col("community").alias("c"))
+        "node", F.col("community").alias("c")).persist()
     und = (edges.select(F.least("src", "dst").alias("a"),
                         F.greatest("src", "dst").alias("b"))
            .filter(F.col("a") != F.col("b")).distinct())
