@@ -23305,3 +23305,116 @@ def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
                         " div rk ELSE 0 END) div n_pos").cast("bigint")
                  .alias("ap_micro"))
             .select("n_pos", "n_total", "ap_micro"))
+
+
+@query(
+    "transition_entropy",
+    """
+    WITH seq AS (
+      SELECT event_type AS a,
+             LEAD(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS b
+      FROM events),
+    tr AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+           FROM seq WHERE b IS NOT NULL GROUP BY a, b),
+    rt AS (SELECT a, CAST(SUM(c) AS BIGINT) AS n FROM tr GROUP BY a),
+    ent AS (
+      SELECT tr.a,
+             CAST(MAX(rt.n) AS BIGINT) AS n_transitions,
+             CAST(COUNT(*) AS BIGINT) AS n_successors,
+             CAST(SUM(tr.c * CAST(ROUND(ln(CAST(rt.n AS DOUBLE) / tr.c)
+                  * 1000000) AS BIGINT)) // MAX(rt.n) AS BIGINT)
+               AS h_micro_nats
+      FROM tr JOIN rt ON rt.a = tr.a GROUP BY tr.a)
+    SELECT a AS event_type, n_transitions, n_successors, h_micro_nats
+    FROM ent
+    """,
+)
+def q_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy H(next | current) per event type
+    in exact integer micro-nats (the repo's ln-of-exact-ratio
+    convention; the weighted sum is integer and order-free, ONE
+    truncating division per type) — the navigation-predictability
+    number: H near 0 means the next step is scripted (bot or funnel),
+    H near ln(K) means the UI is a coin flip from here. Shares the
+    chain-estimation shape with markov_two_step: one user-keyed window
+    + one (a,b) agg; entropy folds on the ~25-row type grain."""
+    ev = _t(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("b"))
+    tr = (seq.filter(F.col("b").isNotNull())
+          .groupBy("a", "b")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    rt = tr.groupBy("a").agg(F.sum("c").cast("bigint").alias("n"))
+    term = (F.col("c") * F.round(
+        F.log(F.col("n").cast("double") / F.col("c")) * 1000000)
+        .cast("bigint"))
+    return (tr.join(rt, "a")
+            .groupBy("a")
+            .agg(F.max("n").cast("bigint").alias("n_transitions"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_successors"),
+                 F.expr(f"SUM(c * CAST(ROUND(ln(CAST(n AS DOUBLE) / c)"
+                        f" * 1000000) AS BIGINT)) div MAX(n)")
+                 .cast("bigint").alias("h_micro_nats"))
+            .select(F.col("a").alias("event_type"), "n_transitions",
+                    "n_successors", "h_micro_nats"))
+
+
+@query(
+    "length_histogram_overlap",
+    """
+    WITH b AS (
+      SELECT source, LEAST(n_chars // 100, 19) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY source, LEAST(n_chars // 100, 19)),
+    tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM b
+            GROUP BY source),
+    pairs AS (
+      SELECT x.source AS source_a, y.source AS source_b,
+             x.bucket,
+             x.c AS ca, y.c AS cb, tx.n AS na, ty.n AS nb
+      FROM b x JOIN b y ON x.bucket = y.bucket AND x.source < y.source
+      JOIN tot tx ON tx.source = x.source
+      JOIN tot ty ON ty.source = y.source)
+    SELECT source_a, source_b,
+           CAST(MAX(na) AS BIGINT) AS n_a,
+           CAST(MAX(nb) AS BIGINT) AS n_b,
+           CAST(SUM(LEAST(ca * nb, cb * na)) * 10000
+                // (MAX(na) * MAX(nb)) AS BIGINT) AS overlap_bp
+    FROM pairs GROUP BY source_a, source_b
+    """,
+)
+def q_length_histogram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-intersection similarity between sources'
+    document-length distributions (Σ min(p_i, q_i), the L1 complement
+    of total-variation distance) in exact bp — min over
+    cross-multiplied integer counts, one division per pair, so no
+    float shares anywhere. The drift metric that says WHERE two feeds
+    differ in shape, complementing ks_drift's max-gap view; overlap
+    collapsing after an ingestion change is the classic truncation/
+    boilerplate regression signal. Bucket-grain join over (source,
+    20-bucket) cells — never row-level."""
+    docs = _t(spark, sf_dir, "documents")
+    b = (docs.select("source",
+                     F.expr("LEAST(n_chars div 100, 19)")
+                     .cast("bigint").alias("bucket"))
+         .groupBy("source", "bucket")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("c")))
+    tot = b.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    x = (b.join(tot, "source")
+         .select(F.col("source").alias("source_a"), "bucket",
+                 F.col("c").alias("ca"), F.col("n").alias("na")))
+    y = (b.join(tot, "source")
+         .select(F.col("source").alias("source_b"), "bucket",
+                 F.col("c").alias("cb"), F.col("n").alias("nb")))
+    pairs = x.join(y, ["bucket"]).filter(
+        F.col("source_a") < F.col("source_b"))
+    return (pairs.groupBy("source_a", "source_b")
+            .agg(F.max("na").cast("bigint").alias("n_a"),
+                 F.max("nb").cast("bigint").alias("n_b"),
+                 F.expr("SUM(LEAST(ca * nb, cb * na)) * 10000"
+                        " div (MAX(na) * MAX(nb))").cast("bigint")
+                 .alias("overlap_bp")))
