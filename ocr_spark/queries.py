@@ -23418,3 +23418,110 @@ def q_length_histogram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.expr("SUM(LEAST(ca * nb, cb * na)) * 10000"
                         " div (MAX(na) * MAX(nb))").cast("bigint")
                  .alias("overlap_bp")))
+
+
+@query(
+    "dq_checkpanel",
+    """
+    WITH pk_o AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS v
+      FROM orders),
+    pk_c AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS v
+      FROM customer),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v
+      FROM lineitem l LEFT JOIN orders o
+        ON o.o_orderkey = l.l_orderkey),
+    shp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                      THEN 1 ELSE 0 END) AS BIGINT) AS v
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    neg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v
+      FROM orders),
+    npr AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                        OR o_orderpriority = '' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS v
+      FROM orders),
+    u AS (
+      SELECT 'pk_orders_unique' AS check_name, n, v FROM pk_o
+      UNION ALL SELECT 'pk_customer_unique', n, v FROM pk_c
+      UNION ALL SELECT 'fk_lineitem_has_order', n, v FROM fk
+      UNION ALL SELECT 'ship_not_before_order', n, v FROM shp
+      UNION ALL SELECT 'price_non_negative', n, v FROM neg
+      UNION ALL SELECT 'priority_present', n, v FROM npr)
+    SELECT check_name, n AS n_checked, v AS n_violations,
+           CAST(v * 1000000 // GREATEST(n, 1) AS BIGINT)
+             AS violation_ppm,
+           CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS INT) AS passed
+    FROM u
+    """,
+)
+def q_dq_checkpanel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality check panel (the Great-Expectations-style suite a
+    warehouse runs after every load): primary-key uniqueness on two
+    tables, lineitem→orders referential integrity, the temporal
+    invariant ship-date >= order-date, value-domain (non-negative
+    price), and completeness (priority present) — each reported as
+    checked/violations/ppm/passed so the panel is monotone-mergeable
+    across partitions and days. Each check is one aggregate or one
+    key-keyed join; violations are counted, never silently dropped."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+
+    def one(name, df):
+        return df.select(F.lit(name).alias("check_name"),
+                         F.col("n"), F.col("v"))
+
+    pk_o = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint").alias("v"))
+    pk_c = customer.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.count(F.lit(1)) - F.countDistinct("c_custkey"))
+        .cast("bigint").alias("v"))
+    fk = (li.join(orders.select("o_orderkey"),
+                  li["l_orderkey"] == F.col("o_orderkey"), "left")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+               F.sum(F.col("o_orderkey").isNull().cast("bigint"))
+               .cast("bigint").alias("v")))
+    shp = (li.join(orders.select("o_orderkey", "o_orderdate"),
+                   li["l_orderkey"] == F.col("o_orderkey"))
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum((F.col("l_shipdate") < F.col("o_orderdate"))
+                      .cast("bigint")).cast("bigint").alias("v")))
+    neg = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("o_totalprice") < 0).cast("bigint"))
+        .cast("bigint").alias("v"))
+    npr = orders.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("o_orderpriority").isNull()
+               | (F.col("o_orderpriority") == "")).cast("bigint"))
+        .cast("bigint").alias("v"))
+    u = (one("pk_orders_unique", pk_o)
+         .unionByName(one("pk_customer_unique", pk_c))
+         .unionByName(one("fk_lineitem_has_order", fk))
+         .unionByName(one("ship_not_before_order", shp))
+         .unionByName(one("price_non_negative", neg))
+         .unionByName(one("priority_present", npr)))
+    return u.select(
+        "check_name",
+        F.col("n").alias("n_checked"),
+        F.col("v").alias("n_violations"),
+        F.expr("v * 1000000 div GREATEST(n, 1)").cast("bigint")
+        .alias("violation_ppm"),
+        F.expr("CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS INT)")
+        .alias("passed"))
