@@ -693,3 +693,118 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             " div (n_samples * sum_xx - sum_deg * sum_deg) END"
         ).cast("bigint").alias("assort_bp"),
     )
+
+
+def boruvka_rounds(
+    spark,
+    edges: DataFrame,
+    n_rounds: int = 2,
+    jump_rounds: int = 2,
+) -> DataFrame:
+    """Borůvka minimum-spanning-forest rounds over the undirected simple
+    graph of (src, dst) edges, weights = md5-derived integers on the
+    canonical edge (deterministic, engine-portable, all-distinct with
+    overwhelming probability; the (w, a, b) struct-min makes ties total
+    anyway). Each round: every component picks its minimum-weight
+    CROSS-component incident edge (one comp-keyed struct-min — the
+    classic BSP MST step), then chosen edges contract components via
+    ``jump_rounds`` fixed min-label pointer-jumping iterations (the
+    bounded-round contraction real BSP implementations use; the fixed
+    iteration count keeps the result bit-identical on any engine,
+    partitioning, or retry — a pathological chain simply finishes
+    contracting a round later, visible in n_components_after).
+
+    Returns one row per round: (round, n_components_before,
+    n_edges_chosen, total_weight, n_components_after).
+
+    Scale shape: the ENTIRE multi-round program is ONE lazy plan — the
+    per-round stats are 1-row aggregates cross-joined into the result,
+    so the per-round stats cost no extra passes; the iterative frames
+    (edge list, labels, chosen edges, jump labels) are EAGER
+    localCheckpoints — lineage MUST be truncated each step or the
+    canonicalizer walks a geometrically growing logical tree (persist
+    alone measured OOM at jump depth 4); each checkpointed frame is
+    node-sized. Per round the work is one edge-relabel join,
+    one comp-keyed argmin with map-side partials, and jump_rounds
+    comp-grain joins — everything keyed on plain bigints.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .select(
+            "a", "b",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("mst:"),
+                                   F.col("a").cast("string"),
+                                   F.lit(":"),
+                                   F.col("b").cast("string"))), 1, 12),
+                16, 10).cast("bigint").alias("w"),
+        )
+        .localCheckpoint()
+    )
+    nodes = (
+        und.select(F.col("a").alias("node"))
+        .unionByName(und.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("comp")) \
+        .localCheckpoint()
+    stat_frames = []
+    for rnd in range(1, n_rounds + 1):
+        n_before = labels.agg(
+            F.countDistinct("comp").cast("bigint").alias("nb"))
+        la = labels.select(F.col("node").alias("a"),
+                           F.col("comp").alias("ca"))
+        lb = labels.select(F.col("node").alias("b"),
+                           F.col("comp").alias("cb"))
+        cross = (und.join(la, "a").join(lb, "b")
+                 .filter(F.col("ca") != F.col("cb")))
+        inc = (cross.select(F.col("ca").alias("comp"), "w", "a", "b",
+                            "ca", "cb")
+               .unionByName(cross.select(F.col("cb").alias("comp"),
+                                         "w", "a", "b", "ca", "cb")))
+        pick = (inc.groupBy("comp")
+                .agg(F.min(F.struct("w", "a", "b", "ca", "cb"))
+                     .alias("e")))
+        chosen = pick.select("e.w", "e.a", "e.b", "e.ca", "e.cb") \
+            .distinct().localCheckpoint()
+        st = chosen.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges_chosen"),
+            F.coalesce(F.sum("w"), F.lit(0)).cast("bigint")
+            .alias("total_weight"))
+        cpairs = (chosen.select(F.col("ca").alias("c"),
+                                F.col("cb").alias("d"))
+                  .unionByName(chosen.select(F.col("cb").alias("c"),
+                                             F.col("ca").alias("d"))))
+        comps = labels.select(F.col("comp").alias("c")).distinct()
+        lbl = comps.select("c", F.col("c").alias("l")).localCheckpoint()
+        for _ in range(jump_rounds):
+            nb = (cpairs.join(lbl.select(F.col("c").alias("d"),
+                                         F.col("l").alias("dl")), "d")
+                  .groupBy("c").agg(F.min("dl").alias("nl")))
+            lbl = (lbl.join(nb, "c", "left")
+                   .select("c", F.least(F.col("l"),
+                                        F.coalesce("nl", F.col("l")))
+                           .alias("l")).localCheckpoint())
+        labels = (labels.join(lbl.select(F.col("c").alias("comp"),
+                                         "l"), "comp")
+                  .select("node", F.col("l").alias("comp"))
+                  .localCheckpoint())
+        n_after = labels.agg(
+            F.countDistinct("comp").cast("bigint").alias("na"))
+        stat_frames.append(
+            st.crossJoin(F.broadcast(n_before))
+            .crossJoin(F.broadcast(n_after))
+            .select(F.lit(rnd).cast("bigint").alias("round"),
+                    F.col("nb").alias("n_components_before"),
+                    "n_edges_chosen", "total_weight",
+                    F.col("na").alias("n_components_after")))
+    out = stat_frames[0]
+    for f in stat_frames[1:]:
+        out = out.unionByName(f)
+    return out
