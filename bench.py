@@ -34,15 +34,19 @@ sys.path.insert(0, REPO)
 # HEADLINE is DERIVED from the query registry so it can never drift from
 # __spark_entry__.queries() again (the round-3 red pytest): every registered
 # query is benched, in registration order.
+from ocr_spark.queries import EAGER  # noqa: E402
 from ocr_spark.queries import QUERIES as _REGISTRY  # noqa: E402
 
 HEADLINE = list(_REGISTRY)
 
-# Iterative queries do their work during plan CONSTRUCTION (driver-side
-# convergence loops with checkpoint-per-round), so the build must sit
-# inside the timed window.
-ITERATIVE = {"dedup_components", "kcore", "dsir_select",
-             "power_iteration", "axis_share", "seed_distance"}
+# Queries in ocr_spark.queries.EAGER do (some of) their work during plan
+# CONSTRUCTION (driver-side convergence loops with checkpoint-per-round,
+# eager localCheckpoints, streaming awaitTermination), so the build must sit
+# inside the timed window — timing only the final force would read back a
+# cached result in ~0 s (round-4 verdict item 1: boruvka_msf benched
+# 0.097 s vs its real multi-second cost). The set is declared AT the @query
+# registration and lockstep-verified by tests/test_bench_contract.py, which
+# counts Spark jobs submitted during each query's construction.
 
 
 def _force(df) -> int:
@@ -155,11 +159,10 @@ def main() -> None:
             # doing that minute, not the plan cost. A third run is added
             # only when the first two disagree badly (>25% spread), which
             # is the signature of a noise spike, not of the query.
-            # Iterative queries (driver-side convergence loops) do their
-            # work during plan CONSTRUCTION (checkpoint-per-round), so the
-            # build must sit inside the timed window — timing only the
-            # final force would read back a cached result in ~0 s.
-            iterative = name in ITERATIVE
+            # Eager-construction queries (see EAGER above) must have the
+            # build inside the timed window — timing only the final force
+            # would read back a cached result in ~0 s.
+            iterative = name in EAGER
             df = None if iterative else QUERIES[name](spark, sf_dir)
             # Heap-state isolation: after ~40 queries the shared JVM carries
             # whatever garbage the previous plans left, and a query that

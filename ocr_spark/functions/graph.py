@@ -696,7 +696,6 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
 
 
 def boruvka_rounds(
-    spark,
     edges: DataFrame,
     n_rounds: int = 2,
     jump_rounds: int = 2,

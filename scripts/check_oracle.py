@@ -127,13 +127,24 @@ def main() -> int:
     # CHECK_ORACLE_MERGE=1: seed the receipt from the existing OUT file so
     # a targeted re-run (new queries, or entries that timed out under
     # load) patches the full-sweep receipt instead of replacing it.
+    # Seeded entries are distinguishable from this run's results: each is
+    # tagged "seeded": true (cleared when the query is re-run below), and
+    # entries whose name is no longer in the registry are dropped rather
+    # than carried forward as if still verified (round-4 advice).
     out_path = os.environ.get("CHECK_ORACLE_OUT")
     if out_path and os.environ.get("CHECK_ORACLE_MERGE") == "1" \
             and os.path.exists(out_path):
         import json
 
         with open(out_path) as f:
-            record.update(json.load(f))
+            prior = json.load(f)
+        dropped = sorted(set(prior) - set(qs))
+        if dropped:
+            print(f"merge: dropping stale receipt entries not in the "
+                  f"current registry: {dropped}")
+        for k, v in prior.items():
+            if k in qs:
+                record[k] = {**v, "seeded": True}
     n_run = 0
 
     def rec(name, *, rows_match=False, schema_match=False, hash_match=False,

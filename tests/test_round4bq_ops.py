@@ -22,7 +22,7 @@ class TestBoruvkaMsf:
         edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
         df = spark.createDataFrame(edges, ["src", "dst"])
         out = {r["round"]: r.asDict()
-               for r in boruvka_rounds(spark, df).collect()}
+               for r in boruvka_rounds(df).collect()}
         assert out[1]["n_components_before"] == 6
         # each node picks its min incident edge; the bridge only joins
         # the forest if it is some node's minimum
@@ -48,7 +48,7 @@ class TestBoruvkaMsf:
         # two disconnected edges: forest = both edges, 2 components
         df = spark.createDataFrame([(1, 2), (5, 6)], ["src", "dst"])
         out = {r["round"]: r.asDict()
-               for r in boruvka_rounds(spark, df).collect()}
+               for r in boruvka_rounds(df).collect()}
         assert out[1]["n_components_before"] == 4
         assert out[1]["n_edges_chosen"] == 2
         assert out[1]["n_components_after"] == 2
