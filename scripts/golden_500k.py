@@ -93,6 +93,11 @@ def main() -> None:
                         os.path.join(corpus_path(2000), "payloads.parquet")))
     runs = []
     for _ in range(3):
+        # same heap-state isolation as bench.py: without a full GC between
+        # reps the shared JVM accumulates garbage from the previous 500k-row
+        # force and successive runs READ SLOWER (measured 36 -> 67 -> 108 s
+        # without GC vs 47 -> 35 -> 29 s with it)
+        spark._jvm.System.gc()
         t0 = time.monotonic()
         _force(df)
         runs.append(round(time.monotonic() - t0, 2))
