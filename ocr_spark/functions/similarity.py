@@ -703,6 +703,13 @@ def jl_distortion(df: DataFrame, id_col: str, vec_col: str,
     similarity shuffles). Integer-exact: both squared distances are
     DECIMAL(38) sums, the ratio one truncating integer division.
 
+    A probe pair with d²_orig = 0 (identical vectors — real corpora have
+    exact re-uploads, and scaled test corpora have verbatim copies at
+    consecutive ids) has UNDEFINED distortion and yields NULL rather
+    than a division error: the ANSI divide-by-zero was caught by the
+    sf1-equivalent sweep, where DuckDB's ``// 0 -> NULL`` silently
+    disagreed with Spark's ANSI error.
+
     Shape: jl_project's keyed aggs + two self-joins on consecutive ids
     restricted to n_pairs probes (broadcast-sized)."""
     pairs = (
@@ -750,8 +757,9 @@ def jl_distortion(df: DataFrame, id_col: str, vec_col: str,
         .select(
             F.col("a").cast("bigint").alias("qid_a"),
             F.col("b").cast("bigint").alias("qid_b"),
-            F.expr(f"CAST(d2_proj * 10000 div ({out_dim} * d2_orig)"
-                   " AS BIGINT)").alias("ratio_bp"),
+            F.expr("CAST(CASE WHEN d2_orig = 0 THEN NULL ELSE"
+                   f" d2_proj * 10000 div ({out_dim} * d2_orig)"
+                   " END AS BIGINT)").alias("ratio_bp"),
         )
     )
 

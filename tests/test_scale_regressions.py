@@ -88,3 +88,57 @@ def test_naive_bayes_fanout_is_broadcast_bounded(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("SortMergeJoin") <= 1
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_peer_percentile_rank_widened_past_int32(spark):
+    # 32-bit row_number * 10^4 overflows past 214,748 rows per group —
+    # the sf1-equivalent sweep caught the ANSI ARITHMETIC_OVERFLOW; the
+    # expression now widens rank to BIGINT first. 250k rows in ONE group
+    # sits just past the boundary.
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    n = 250_000
+    df = spark.range(n).select(
+        F.col("id"), F.lit("P").alias("g"), (F.col("id") % 97).alias("v"))
+    w = Window.partitionBy("g")
+    r = df.select(
+        "id", "g", "v",
+        F.row_number().over(w.orderBy("v", "id")).alias("rk"),
+        F.count(F.lit(1)).over(w).alias("n"))
+    out = r.select(
+        F.expr("CAST(rk - 1 AS BIGINT) * 10000 div GREATEST(n - 1, 1)")
+        .cast("bigint").alias("pct_bp"))
+    mx = out.agg(F.max("pct_bp"), F.min("pct_bp")).collect()[0]
+    assert (mx[0], mx[1]) == (10000, 0)
+
+
+def test_jl_distortion_identical_vectors_yield_null(spark):
+    # A probe pair of identical vectors has d2_orig == 0: distortion is
+    # undefined and must be NULL, not an ANSI divide-by-zero (scaled
+    # corpora place verbatim copies at consecutive ids).
+    from pyspark.sql import functions as F
+
+    from ocr_spark.functions.similarity import jl_distortion
+
+    vec = [float(x % 7) for x in range(64)]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(4)], "vec_id: long, embedding: array<double>")
+    rows = jl_distortion(df, "vec_id", "embedding", out_dim=16,
+                         n_pairs=3).collect()
+    assert len(rows) == 3
+    assert all(r.ratio_bp is None for r in rows)
+
+
+def test_box_page_density_is_bounded(spark):
+    # The page block key must be key div <density>, not key % <n_pages>:
+    # with a modulo key the boxes-per-page count grows linearly with the
+    # table and the page-blocked IoU self-join goes quadratic (sweep
+    # finding at 10x). Density must hold at every sf.
+    from pyspark.sql import functions as F
+
+    from ocr_spark.queries import _boxes
+
+    per_page = (_boxes(spark, "/root/testdata/sf0.01")
+                .groupBy("page").count().agg(F.max("count")).collect()[0][0])
+    assert per_page <= 500
