@@ -1,5 +1,8 @@
 """Unit tests for round-4 batch: exact prefix-filtered similarity
-join."""
+join (round 5: rewritten against an in-test brute-force reference —
+key-agnostic, so the bounded div-250 cluster key change can't silently
+weaken it; completeness is checked pair-for-pair, not via hand-derived
+cases)."""
 
 from __future__ import annotations
 
@@ -16,28 +19,51 @@ def _docs(spark, tmp_path, n):
     return d
 
 
+def _toks(doc_id: int) -> frozenset[str]:
+    # mirror of _PFJ_TOKENS_SQL / q_prefix_filter_join's token synth
+    cluster = doc_id // 250
+    dropped = f"c{cluster}_{(doc_id // 20) % 4}"
+    toks = {f"c{cluster}_{j}" for j in range(8)} - {dropped}
+    toks.add(f"x{doc_id % 7}")
+    return frozenset(toks)
+
+
+def _brute_force(n: int) -> dict[tuple[int, int], tuple[int, int, int]]:
+    out = {}
+    for a in range(n):
+        for b in range(a + 1, n):
+            ta, tb = _toks(a), _toks(b)
+            inter = len(ta & tb)
+            union = len(ta | tb)
+            if inter * 10000 >= 6000 * union:
+                out[(a, b)] = (inter, union, inter * 10000 // union)
+    return out
+
+
 class TestPrefixFilterJoin:
     def test_exact_vs_bruteforce_semantics(self, spark, tmp_path):
-        # 40 docs -> clusters 0..19 of 2 docs each (doc, doc+20).
-        # Within a cluster: both drop a different cluster token
-        # (doc div 20 is 0 vs 1) and carry different noise tokens
-        # unless doc % 7 wraps equal.
+        # 40 docs: one div-250 cluster, two dropped-token variants
+        # (doc//20 % 4 = 0 or 1), seven noise tokens — every qualifying
+        # pair (identical 10000bp, one-sided 7777bp, boundary 6000bp)
+        # must be found with exact integer stats: the prefix filter's
+        # no-false-negative guarantee checked pair-for-pair.
         d = _docs(spark, tmp_path, 40)
         rows = QUERIES["prefix_filter_join"](spark, d).collect()
-        pairs = {(r["d1"], r["d2"]): r.asDict() for r in rows}
-        # every same-cluster pair must be found (no false negatives)
-        for c in range(20):
-            assert (c, c + 20) in pairs, c
-        # cluster 0: docs 0 and 20. doc 0 drops c0_0, doc 20 drops
-        # c0_1; noise x0 vs x6 -> inter = 6 shared cluster tokens,
-        # sizes 8/8 -> union 10, jaccard exactly 6000 bp (boundary in)
-        p = pairs[(0, 20)]
-        assert p["inter"] == 6 and p["union_sz"] == 10
-        assert p["jaccard_bp"] == 6000
-        # docs 1 and 21: drops c1_0 vs c1_1, noise x1 vs x0 -> same
-        p = pairs[(1, 21)]
-        assert p["jaccard_bp"] == 6000
-        # doc 14 and 34: noise x0 vs x6... 14%7=0, 34%7=6 -> 6000
-        # no cross-cluster pair sneaks in
-        assert all(d1 % 20 == d2 % 20 for d1, d2 in pairs)
-        assert len(pairs) == 20
+        got = {(r["d1"], r["d2"]): (r["inter"], r["union_sz"],
+                                    r["jaccard_bp"]) for r in rows}
+        expected = _brute_force(40)
+        assert got == expected
+        assert len(got) > 100  # dense same-cluster block, not a trivial set
+        # boundary case is present and exact: different dropped token,
+        # different noise -> inter 6, union 10, exactly 6000 bp
+        assert (0, 22) in expected and expected[(0, 22)] == (6, 10, 6000)
+
+    def test_multi_cluster_no_cross_pairs(self, spark, tmp_path):
+        # 300 docs spans clusters 0 and 1 (div 250): no pair may cross
+        # the cluster boundary (disjoint cluster tokens cap jaccard at
+        # 1/15), and completeness must hold per cluster.
+        d = _docs(spark, tmp_path, 300)
+        rows = QUERIES["prefix_filter_join"](spark, d).collect()
+        got = {(r["d1"], r["d2"]) for r in rows}
+        assert got == set(_brute_force(300))
+        assert all(d1 // 250 == d2 // 250 for d1, d2 in got)
